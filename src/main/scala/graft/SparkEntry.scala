@@ -1,13 +1,120 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+import graft.operators.Knn
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator capability from SURVEY.md §2
+  * (or a mandated large-scale-pipeline extension); [[oracleSql]] carries the
+  * DuckDB-equivalent SQL the driver hash-compares against at sf0.01.
+  * Column names and orderings are aligned on both sides by construction.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: filtered kNN semantic search (reference `semantic_search`,
+    * vector_search_tool.py:33-79) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_knn_filtered")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  /** 1-row broadcastable query-vector frame: embedding of vec_id=0. */
+  private def qvec(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+
+  import VectorFns.{duckCosine, duckSignBucket}
+
+  // ---------------------------------------------------------------- queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 kernel: exact top-k cosine against a fixed query vector.
+    "q_knn_exact" -> ((s, dir) =>
+      Knn.topK(emb(s, dir), qvec(s, dir), k = 10, excludeId = Some(0L))),
+
+    // Q1 flagship: metadata pre-filter + top-k (reference semantic_search
+    // with `where=`-filter; filter pushed into the parquet scan).
+    "q_knn_filtered" -> ((s, dir) =>
+      Knn.topK(emb(s, dir), qvec(s, dir), k = 5,
+        pred = Some(col("label") === 3), excludeId = Some(0L))),
+
+    // Batch multi-query kNN (set-based generalization; SURVEY §2.4 ext).
+    "q_knn_multi" -> ((s, dir) =>
+      Knn.multiTopK(emb(s, dir),
+        emb(s, dir).filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        k = 3).withColumn("rn", col("rn").cast("long"))),
+
+    // Sub-linear path: sign-bucket LSH prune before ranking.
+    "q_knn_lsh" -> ((s, dir) =>
+      Knn.topKLsh(emb(s, dir), qvec(s, dir), k = 10, bits = 4)),
+
+    // Near-duplicate detection over embeddings: exact all-pairs θ-join.
+    "q_sim_join_exact" -> ((s, dir) =>
+      Knn.simJoinExact(emb(s, dir), threshold = 0.4)),
+
+    // Same, bucketed (the 100×-scale shape: equijoin on LSH key).
+    "q_sim_join_lsh" -> ((s, dir) =>
+      Knn.simJoinLsh(emb(s, dir), threshold = 0.3, bits = 4)),
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+  private val cosEQ = duckCosine("e.embedding", "q.qv")
+
+  // Ranking/threshold predicates use the RAW cosine (bit-identical doubles on
+  // both engines — same expression tree); rounding is display-only, applied
+  // after limits/filters. Mirrors the Spark side exactly (Knn.scala).
+  def oracleSql: Map[String, String] = Map(
+    "q_knn_exact" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, e.label, $cosEQ AS sim_raw
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+         |SELECT vec_id, label, round(sim_raw, 6) AS sim
+         |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_knn_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, e.label, $cosEQ AS sim_raw
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 AND e.label = 3)
+         |SELECT vec_id, label, round(sim_raw, 6) AS sim
+         |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 5""".stripMargin,
+
+    "q_knn_multi" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT q.qid, e.vec_id, $cosEQ AS sim_raw
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, sim_raw,
+         |             row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rn
+         |      FROM s)
+         |SELECT qid, vec_id, round(sim_raw, 6) AS sim, rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    "q_knn_lsh" ->
+      s"""WITH q AS (SELECT embedding AS qv, ${duckSignBucket("embedding", 4)} AS qbucket
+         |           FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, e.label, ${duckSignBucket("e.embedding", 4)} AS bucket,
+         |             $cosEQ AS sim_raw
+         |      FROM embeddings e CROSS JOIN q
+         |      WHERE ${duckSignBucket("e.embedding", 4)} = q.qbucket)
+         |SELECT vec_id, label, bucket, round(sim_raw, 6) AS sim
+         |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_sim_join_exact" ->
+      s"""WITH s AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |                  ${duckCosine("a.embedding", "b.embedding")} AS sim_raw
+         |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT v1, v2, round(sim_raw, 6) AS sim
+         |FROM s WHERE sim_raw >= 0.4 ORDER BY sim DESC, v1, v2""".stripMargin,
+
+    "q_sim_join_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckSignBucket("embedding", 4)} AS bucket
+         |           FROM embeddings),
+         |s AS (SELECT a.bucket, a.vec_id AS v1, b.vec_id AS v2,
+         |             ${duckCosine("a.embedding", "b.embedding")} AS sim_raw
+         |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT bucket, v1, v2, round(sim_raw, 6) AS sim
+         |FROM s WHERE sim_raw >= 0.3 ORDER BY sim DESC, v1, v2""".stripMargin,
+  )
 }

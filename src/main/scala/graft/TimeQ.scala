@@ -1,0 +1,17 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- args.drop(1); rep <- 1 to 6) {
+      val t0 = System.nanoTime()
+      val c = SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"[timeq] $n rep$rep: ${(System.nanoTime()-t0)/1e9}%.2f s ($c rows)")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over ArrayType columns as pure higher-order-function
+  * expressions — everything stays inside Catalyst/whole-stage-codegen and is
+  * reproducible 1:1 in the DuckDB oracle (`list_transform`/`list_sum`).
+  *
+  * Capability mirrored from the reference's vector search core
+  * (/root/reference/coding_agent/tools/vector_search_tool.py:42-63 — ANN
+  * distance ranking), re-expressed as exact distributed computation; see
+  * SURVEY.md §1.3 for the metric decision (cosine, not Chroma's 1−L2²).
+  *
+  * All arithmetic is done in DOUBLE regardless of the storage type (testdata
+  * embeddings are float32) so Spark and the oracle agree bit-for-bit modulo
+  * final rounding.
+  */
+object VectorFns {
+
+  /** Elementwise-product sum in double precision, sequential accumulation.
+    * Codegen'd (see [[VecExprs.DotProduct]]); `dotHof` is the interpreted
+    * HOF formulation kept for cross-checking the custom expression. */
+  def dot(a: Column, b: Column): Column = VecExprs.dotc(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; assumes non-zero vectors. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine distance = 1 - cosine similarity. */
+  def cosineDist(a: Column, b: Column): Column = lit(1.0) - cosine(a, b)
+
+  /** Squared L2 distance (the reference's implicit Chroma metric). */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Sign-bit bucket over the first `bits` dimensions (1-indexed like
+    * DuckDB lists): "1011…" string. A deterministic SimHash-family LSH key —
+    * vectors in the same bucket are candidate near-neighbors, so a
+    * bucket-equijoin replaces the all-pairs cross join at scale.
+    */
+  def signBucket(emb: Column, bits: Int): Column =
+    concat((1 to bits).map(i => when(element_at(emb, i) > 0f, "1").otherwise("0")): _*)
+
+  /** DuckDB oracle fragment: dot product of two list expressions in DOUBLE,
+    * sequential accumulation, 1-indexed — mirrors [[dot]] exactly. */
+  def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> (($a)[i]::DOUBLE) * (($b)[i]::DOUBLE)))"
+
+  def duckNorm(a: String): String = s"sqrt(${duckDot(a, a)})"
+
+  def duckCosine(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}))"
+
+  def duckSignBucket(emb: String, bits: Int): String =
+    (1 to bits).map(i => s"CASE WHEN ($emb)[$i] > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+}
