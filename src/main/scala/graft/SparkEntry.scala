@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
-import graft.operators.Knn
+import graft.operators.{Dedup, Knn, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,18 @@ object SparkEntry {
     // Same, bucketed (the 100×-scale shape: equijoin on LSH key).
     "q_sim_join_lsh" -> ((s, dir) =>
       Knn.simJoinLsh(emb(s, dir), threshold = 0.3, bits = 4)),
+
+    // --- dedup family over documents (BASELINE.json extensions) ---
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "q_dedup_minhash" -> ((s, dir) => Dedup.minhash(Tables.documents(s, dir), threshold = 0.8)),
+    "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), threshold = 0.5)),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir), threshold = 0.0)),
+
+    // --- text analysis over documents ---
+    "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    "q_text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
+    "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -116,5 +128,14 @@ object SparkEntry {
          |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT bucket, v1, v2, round(sim_raw, 6) AS sim
          |FROM s WHERE sim_raw >= 0.3 ORDER BY sim DESC, v1, v2""".stripMargin,
+
+    "q_dedup_exact"   -> Dedup.duckExact("documents"),
+    "q_dedup_minhash" -> Dedup.duckMinhashSql("documents", 0.8),
+    "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),
+    "q_dedup_simhash" -> Dedup.duckSimhashSql("documents", 0.0),
+    "q_lang_id"       -> TextAnalysis.duckLangId("documents"),
+    "q_text_quality"  -> TextAnalysis.duckQuality("documents"),
+    "q_token_counts"  -> TextAnalysis.duckTokenCounts("documents"),
+    "q_fingerprint"   -> TextAnalysis.duckFingerprint("documents"),
   )
 }

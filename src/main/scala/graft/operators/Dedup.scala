@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+/** Document deduplication family over the `documents` table — the
+  * large-scale-pipeline extensions mandated alongside the reference surface
+  * (BASELINE.json north star; SURVEY.md §2.4 extensions). The reference's
+  * own dedup primitive is the content-addressed element hash
+  * (/root/reference/coding_agent/tools/indexing_agent.py:28-31, upsert
+  * :350-361); these generalize it to corpus-level near-dup detection.
+  *
+  * Scale design: every variant is expressed so the candidate set shrinks
+  * BEFORE any quadratic work —
+  *   - exact:    hash groupBy (linear, map-side partial agg)
+  *   - minhash:  signature agg (linear) → band-bucket equijoin (near-dups
+  *     collide; the join key is the band hash, so shuffle is by bucket)
+  *   - simhash:  16-bit signature agg (linear) → signature equijoin
+  *   - ngram:    shared-shingle equijoin (inverted-index join) — no LSH,
+  *     exact recall, used as the correctness baseline for minhash
+  * Verification (exact Jaccard) runs only on surviving candidate pairs.
+  * All arithmetic is integer counts → ratios, bit-identical to the oracle.
+  */
+object Dedup {
+
+  /** Distinct (doc_id, shingle) pairs; the shared inverted-index relation. */
+  private def shingleRows(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("s"))
+      .distinct()
+
+  /** Exact-duplicate summary by full-content hash. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum("n").as("n_docs"),
+        sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"),
+        max("n").as("max_group"))
+
+  /** Exact Jaccard over 3-gram shingles for the given candidate pairs
+    * (d1 < d2), keeping pairs ≥ threshold. */
+  private def jaccardOf(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("d1"), col("s"))
+      .join(sh.select(col("doc_id").as("d2"), col("s")), "s")
+      .join(cand, Seq("d1", "d2"), "left_semi")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(asc("d1"), asc("d2"))
+  }
+
+  /** MinHash + LSH banding: `seeds` hash functions, bands of `rowsPerBand`;
+    * docs sharing any band bucket become candidates, then exact Jaccard
+    * filters ≥ threshold. */
+  def minhash(documents: DataFrame, threshold: Double,
+              seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sh = shingleRows(documents, 3)
+    val minCols = (0 until seeds).map(s => min(minhashCol(col("s"), s)).as(s"h$s"))
+    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val nBands = seeds / rowsPerBand
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until nBands).map(b => struct(
+        lit(b).as("band"),
+        md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)).as("bkey"))): _*
+    )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    jaccardOf(sh, cand, threshold)
+  }
+
+  /** Exact n-gram Jaccard via inverted-index self-join (full recall). */
+  def ngramJaccard(documents: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleRows(documents, 3)
+    val cand = sh.select(col("doc_id").as("d1"), col("s"))
+      .join(sh.select(col("doc_id").as("d2"), col("s")), "s")
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    jaccardOf(sh, cand, threshold)
+  }
+
+  // ----------------------------------------------------------- oracle SQL
+
+  private def duckSh(table: String): String =
+    s"""tk AS (SELECT doc_id, ${duckTokens("text")} AS t FROM $table),
+       |sh AS (SELECT DISTINCT doc_id, s
+       |       FROM (SELECT doc_id, unnest(${duckShingles("t", 3)}) AS s FROM tk))""".stripMargin
+
+  private def duckJaccard(candCte: String, filterExpr: String, selectCols: String,
+                          extraJoin: String = ""): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          JOIN $candCte c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
+       |          GROUP BY 1, 2),
+       |j AS (SELECT d1, d2, i::DOUBLE / (s1.n + s2.n - i) AS jac
+       |      FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)
+       |SELECT $selectCols FROM j $extraJoin WHERE $filterExpr ORDER BY d1, d2""".stripMargin
+
+  def duckExact(table: String): String =
+    s"""WITH g AS (SELECT md5(text) AS h, count(*)::BIGINT AS n FROM $table GROUP BY 1)
+       |SELECT count(*)::BIGINT AS n_groups, CAST(sum(n) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       |       CAST(max(n) AS BIGINT) AS max_group
+       |FROM g""".stripMargin
+
+  def duckMinhashSql(table: String, threshold: Double): String = {
+    val mins = (0 until 8).map(s => s"min(${duckMinhash("s", s)}) AS h$s").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, md5(h${2 * b} || '|' || h${2 * b + 1}) AS bkey FROM sig"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH ${duckSh(table)},
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |         FROM bands x JOIN bands y
+       |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin
+  }
+
+  def duckNgramSql(table: String, threshold: Double): String =
+    s"""WITH ${duckSh(table)},
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin
+
+  def duckSimhashSql(table: String, threshold: Double): String = {
+    val sums = (0 until 16).map(i => s"sum(${duckNibbleHigh("m", i)})")
+    s"""WITH ${duckSh(table)},
+       |tok AS (SELECT doc_id, md5(t2.tt) AS m
+       |        FROM (SELECT doc_id, unnest(t) AS tt FROM tk) t2),
+       |sig AS (SELECT doc_id, ${duckSimhashFromSums(sums)} AS simhash
+       |        FROM tok GROUP BY doc_id),
+       |cand AS (SELECT x.doc_id AS d1, y.doc_id AS d2, x.simhash
+       |         FROM sig x JOIN sig y ON x.simhash = y.simhash AND x.doc_id < y.doc_id),
+       |${duckJaccard("cand", s"round(jac, 6) >= $threshold",
+                      "d1, d2, c2.simhash, round(jac, 6) AS jaccard",
+                      "JOIN cand c2 USING (d1, d2)")}""".stripMargin
+  }
+
+  /** SimHash near-dup: 16-bit signature from token-level md5 nibbles; docs
+    * with EQUAL signatures are near-dup candidates, reported with Jaccard. */
+  def simhash(documents: DataFrame, threshold: Double): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("m", md5(col("t")))
+    val bitCols = (0 until 16).map(i => sum(nibbleHigh(col("m"), i)).as(s"b$i"))
+    val sig = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"), simhashFromSums((0 until 16).map(i => col(s"b$i"))).as("simhash"))
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), col("x.simhash").as("simhash"))
+    val sh = shingleRows(documents, 3)
+    jaccardOf(sh, cand.select("d1", "d2"), 0.0)
+      .join(cand, Seq("d1", "d2"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("simhash"), col("jaccard"))
+      .orderBy(asc("d1"), asc("d2"))
+  }
+}

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (stopword n-gram heuristic), quality scoring, token counting, document
+  * fingerprinting. All metrics derive from integer counts so the DuckDB
+  * oracle reproduces them exactly.
+  *
+  * These extend the reference's per-line diagnostics/string surface
+  * (SURVEY.md §2.5, §2.8 scalar functions) to corpus scale; mandated by the
+  * BASELINE.json north star ("text analysis" extension).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the heuristic classifier.
+    * Deterministic and public-knowledge; quality of the guess is not the
+    * semantic — the scoring/argmax pipeline is. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "de", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai"))
+
+  private val langsOrdered: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  private def hitRatio(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*))).cast("double") / size(toks)
+
+  private def duckHitRatio(toks: String, words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"(len(list_filter($toks, t -> list_contains($lst, t)))::DOUBLE / len($toks))"
+  }
+
+  /** Language-ID: stopword hit-ratio per language, argmax with a fixed
+    * precedence order (en,de,es,fr,zh) on ties. */
+  def langId(documents: DataFrame): DataFrame = {
+    val scored = documents
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) > 0)
+      .select(
+        (col("doc_id") +: col("lang").as("actual_lang") +:
+          langsOrdered.map(l => hitRatio(col("t"), stopwords(l)).as(s"s_$l"))): _*)
+    // precedence chain: first language whose score is >= all later ones
+    val pred = langsOrdered.init.foldRight(lit(langsOrdered.last)) { (l, rest) =>
+      val later = langsOrdered.drop(langsOrdered.indexOf(l) + 1)
+      when(later.map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _), l).otherwise(rest)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .select(
+        (col("doc_id") +: col("actual_lang") +: col("pred_lang") +:
+          langsOrdered.map(l => round(col(s"s_$l"), 6).as(s"s_$l"))): _*)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[langId]]. */
+  def duckLangId(table: String): String = {
+    val toks = duckTokens("text")
+    val scores = langsOrdered.map(l => s"${duckHitRatio("t", stopwords(l))} AS s_$l").mkString(",\n       ")
+    val predChain = {
+      def chain(ls: Seq[String]): String = ls match {
+        case Seq(last) => s"'$last'"
+        case l +: rest =>
+          val conds = rest.map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"CASE WHEN $conds THEN '$l' ELSE ${chain(rest)} END"
+      }
+      chain(langsOrdered)
+    }
+    val rounded = langsOrdered.map(l => s"round(s_$l, 6) AS s_$l").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, lang AS actual_lang, $toks AS t FROM $table),
+       |sc AS (SELECT doc_id, actual_lang,
+       |       $scores
+       |       FROM tk WHERE len(t) > 0)
+       |SELECT doc_id, actual_lang, $predChain AS pred_lang, $rounded
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality metrics: token counts, type-token ratio, mean token length,
+    * stopword ratio, digit ratio, and a simple composite score. */
+  def quality(documents: DataFrame): DataFrame = {
+    val allStop = stopwords.values.flatten.toSeq.distinct.sorted
+    documents
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) > 0)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_types"),
+        (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("ttr"),
+        (aggregate(col("t"), lit(0L), (acc, x) => acc + length(x)).cast("double")
+          / size(col("t"))).as("mean_tok_len"),
+        hitRatio(col("t"), allStop).as("stop_ratio"),
+        (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+          / length(col("text"))).as("digit_ratio"))
+      .withColumn("quality_score",
+        round(col("ttr") * lit(0.5) + col("stop_ratio") * lit(0.3)
+          + when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 0.2).otherwise(0.0), 6))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_types"),
+        round(col("ttr"), 6).as("ttr"), round(col("mean_tok_len"), 6).as("mean_tok_len"),
+        round(col("stop_ratio"), 6).as("stop_ratio"), round(col("digit_ratio"), 6).as("digit_ratio"),
+        col("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  def duckQuality(table: String): String = {
+    val allStop = stopwords.values.flatten.toSeq.distinct.sorted
+    s"""WITH tk AS (SELECT doc_id, n_chars, text, ${duckTokens("text")} AS t FROM $table),
+       |m AS (SELECT doc_id, n_chars,
+       |  len(t)::BIGINT AS n_tokens,
+       |  len(list_distinct(t))::BIGINT AS n_types,
+       |  (len(list_distinct(t))::DOUBLE / len(t)) AS ttr,
+       |  (list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)) AS mean_tok_len,
+       |  ${duckHitRatio("t", allStop)} AS stop_ratio,
+       |  (length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) AS digit_ratio
+       |  FROM tk WHERE len(t) > 0)
+       |SELECT doc_id, n_chars, n_tokens, n_types, round(ttr, 6) AS ttr,
+       |  round(mean_tok_len, 6) AS mean_tok_len, round(stop_ratio, 6) AS stop_ratio,
+       |  round(digit_ratio, 6) AS digit_ratio,
+       |  round(ttr * 0.5 + stop_ratio * 0.3 +
+       |        CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.2 ELSE 0.0 END, 6) AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token-counting rollup per (lang, source): whitespace tokens and a
+    * BPE-ish regex token count (letter runs / digit runs / other marks). */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("lang"), col("source"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).cast("long").as("bpe"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"),
+        round(avg("ws"), 6).as("avg_ws_tokens"))
+      .orderBy("lang", "source")
+
+  def duckTokenCounts(table: String): String =
+    s"""WITH m AS (SELECT lang, source,
+       |  len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::BIGINT AS ws,
+       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe
+       |  FROM $table)
+       |SELECT lang, source, count(*)::BIGINT AS n_docs, CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens, round(avg(ws), 6) AS avg_ws_tokens
+       |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Winnowing-lite document fingerprint: min md5 over 3-gram shingles
+    * (whole-text md5 when too short). */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("sh", shingles(tokens(col("text")), 3))
+      .select(col("doc_id"),
+        substring(
+          when(size(col("sh")) > 0, array_min(transform(col("sh"), s => md5(s))))
+            .otherwise(md5(col("text"))), 1, 16).as("fp"))
+      .orderBy("doc_id")
+
+  def duckFingerprint(table: String): String =
+    s"""WITH sh AS (SELECT doc_id, text, ${duckShingles(duckTokens("text"), 3)} AS s FROM $table)
+       |SELECT doc_id,
+       |  substr(CASE WHEN len(s) > 0 THEN list_min(list_transform(s, x -> md5(x)))
+       |              ELSE md5(text) END, 1, 16) AS fp
+       |FROM sh ORDER BY doc_id""".stripMargin
+}
