@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
-import graft.operators.{Dedup, Knn, TextAnalysis}
+import graft.operators.{Chunkers, Dedup, Diagnostics, IndexOps, Knn, SymbolNav, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -70,6 +70,23 @@ object SparkEntry {
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
+
+    // --- chunkers (C5/C6/C7) + index surface (Q3-Q6, Q9, Q10, C9) ---
+    "q_chunk_text" -> ((s, dir) => Chunkers.textChunks(Tables.documents(s, dir))),
+    "q_chunk_markdown" -> ((s, dir) => Chunkers.markdownSections(Tables.documents(s, dir))),
+    "q_file_summaries" -> ((s, dir) => IndexOps.fileSummaries(Tables.documents(s, dir))),
+    "q_element_filter" -> ((s, dir) =>
+      IndexOps.elementsByPredicate(Tables.documents(s, dir), contains = "spark", limit = 10)),
+    "q_file_structure" -> ((s, dir) => IndexOps.fileStructure(Tables.documents(s, dir), docId = 7L)),
+    "q_point_lookup" -> ((s, dir) => IndexOps.pointLookup(Tables.documents(s, dir), Seq(1L, 5L, 7L))),
+    "q_upsert" -> ((s, dir) => IndexOps.upsertMerge(Tables.documents(s, dir))),
+    "q_collection_stats" -> ((s, dir) =>
+      IndexOps.collectionStats(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
+    // --- diagnostics rule engine (D1-D6) + def/ref navigation (L2-L3) ---
+    "q_diagnostics" -> ((s, dir) => Diagnostics.report(Tables.documents(s, dir))),
+    "q_defs_refs" -> ((s, dir) =>
+      SymbolNav.defsAndRefs(Tables.documents(s, dir), Seq("spark", "join", "table", "vector"))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -137,5 +154,16 @@ object SparkEntry {
     "q_text_quality"  -> TextAnalysis.duckQuality("documents"),
     "q_token_counts"  -> TextAnalysis.duckTokenCounts("documents"),
     "q_fingerprint"   -> TextAnalysis.duckFingerprint("documents"),
+
+    "q_chunk_text"       -> Chunkers.duckTextChunks("documents"),
+    "q_chunk_markdown"   -> Chunkers.duckMarkdownSections("documents"),
+    "q_file_summaries"   -> IndexOps.duckFileSummaries("documents"),
+    "q_element_filter"   -> IndexOps.duckElementsByPredicate("documents", "spark", 10),
+    "q_file_structure"   -> IndexOps.duckFileStructure("documents", 7L),
+    "q_point_lookup"     -> IndexOps.duckPointLookup("documents", Seq(1L, 5L, 7L)),
+    "q_upsert"           -> IndexOps.duckUpsertMerge("documents"),
+    "q_collection_stats" -> IndexOps.duckCollectionStats("documents", "embeddings"),
+    "q_diagnostics"      -> Diagnostics.duckReport("documents"),
+    "q_defs_refs"        -> SymbolNav.duckDefsAndRefs("documents", Seq("spark", "join", "table", "vector")),
   )
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's collection/query surface re-expressed relationally
+  * (SURVEY.md §2.4): metadata filters (Q3/Q4), point lookup (Q5), per-file
+  * structure aggregation (Q6), upsert/last-writer-wins merge (Q9), counts
+  * (Q10/S9), and the file-summary builder (C9,
+  * /root/reference/coding_agent/tools/indexing_agent.py:314-330).
+  *
+  * Elements come from the chunkers; `documents` plays the file tree. Every
+  * operator is a single filter/agg/window shape whose shuffle key is the
+  * natural partition key (doc_id), so the plans scale by partitioning alone.
+  */
+object IndexOps {
+
+  /** C9: per-document summary with count-by-type map flattened to the
+    * reference's "type: n, type: n" string (sorted for determinism; the
+    * reference stringifies because Chroma metadata can't hold maps —
+    * indexing_agent.py:316-321; we keep the string projection for parity). */
+  def fileSummaries(documents: DataFrame): DataFrame = {
+    val elements = Chunkers.textChunks(documents)
+      .select(col("doc_id"), col("element_type"))
+      .unionByName(Chunkers.markdownSections(documents)
+        .select(col("doc_id"), lit("markdown_section").as("element_type")))
+    val byType = elements.groupBy("doc_id", "element_type").agg(count(lit(1)).as("n"))
+    byType
+      .groupBy("doc_id")
+      .agg(
+        sum("n").cast("long").as("element_count"),
+        concat_ws(", ",
+          transform(array_sort(collect_list(struct(col("element_type"), col("n")))),
+            x => concat(x.getField("element_type"), lit(": "), x.getField("n")))).as("elements_by_type_str"))
+      .join(documents.select(col("doc_id"), col("source").as("file_type"),
+        col("n_chars").cast("long").as("line_count")), "doc_id")
+      .withColumn("summary",
+        concat(lit("File doc_"), col("doc_id"), lit(" contains "),
+          col("element_count"), lit(" code elements")))
+      .select("doc_id", "file_type", "line_count", "element_count",
+        "elements_by_type_str", "summary")
+      .orderBy("doc_id")
+  }
+
+  def duckFileSummaries(table: String): String =
+    s"""WITH ch AS (${Chunkers.duckTextChunks(table).replace("ORDER BY doc_id, chunk_idx", "")}),
+       |ms AS (${Chunkers.duckMarkdownSections(table).replace("ORDER BY doc_id, section_idx", "")}),
+       |el AS (SELECT doc_id, element_type FROM ch
+       |       UNION ALL SELECT doc_id, 'markdown_section' FROM ms),
+       |bt AS (SELECT doc_id, element_type, count(*) AS n FROM el GROUP BY 1, 2),
+       |ag AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS element_count,
+       |              string_agg(element_type || ': ' || n, ', ' ORDER BY element_type) AS elements_by_type_str
+       |       FROM bt GROUP BY doc_id)
+       |SELECT d.doc_id, d.source AS file_type, d.n_chars::BIGINT AS line_count,
+       |       ag.element_count, ag.elements_by_type_str,
+       |       'File doc_' || d.doc_id || ' contains ' || ag.element_count || ' code elements' AS summary
+       |FROM ag JOIN $table d USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Q3: metadata filter + deterministic limit over chunk elements. */
+  def elementsByPredicate(documents: DataFrame, contains: String, limit: Int): DataFrame =
+    Chunkers.textChunks(documents)
+      .filter(col("element_type") === "text_chunk" && col("content").contains(contains))
+      .select("doc_id", "chunk_idx", "name", "content", "hash")
+      .orderBy("doc_id", "chunk_idx")
+      .limit(limit)
+
+  def duckElementsByPredicate(table: String, contains: String, limit: Int): String =
+    s"""WITH ch AS (${Chunkers.duckTextChunks(table).replace("ORDER BY doc_id, chunk_idx", "")})
+       |SELECT doc_id, chunk_idx, name, content, hash
+       |FROM ch WHERE element_type = 'text_chunk' AND contains(content, '$contains')
+       |ORDER BY doc_id, chunk_idx LIMIT $limit""".stripMargin
+
+  /** Q4+Q6: one document's structure, grouped by element type with a sorted
+    * name list (vector_search_tool.py:245-264's bucket-by-type view). */
+  def fileStructure(documents: DataFrame, docId: Long): DataFrame = {
+    val els = Chunkers.textChunks(documents).select(col("doc_id"), col("element_type"), col("name"))
+      .unionByName(Chunkers.markdownSections(documents)
+        .select(col("doc_id"), lit("markdown_section").as("element_type"), col("heading").as("name")))
+    els.filter(col("doc_id") === docId)
+      .groupBy("element_type")
+      .agg(count(lit(1)).as("n"),
+        concat_ws(", ", array_sort(collect_list(col("name")))).as("names_str"))
+      .orderBy("element_type")
+  }
+
+  def duckFileStructure(table: String, docId: Long): String =
+    s"""WITH ch AS (${Chunkers.duckTextChunks(table).replace("ORDER BY doc_id, chunk_idx", "")}),
+       |ms AS (${Chunkers.duckMarkdownSections(table).replace("ORDER BY doc_id, section_idx", "")}),
+       |el AS (SELECT doc_id, element_type, name FROM ch
+       |       UNION ALL SELECT doc_id, 'markdown_section', heading FROM ms)
+       |SELECT element_type, count(*)::BIGINT AS n,
+       |       string_agg(name, ', ' ORDER BY name) AS names_str
+       |FROM el WHERE doc_id = $docId GROUP BY element_type ORDER BY element_type""".stripMargin
+
+  /** Q5: point lookup by id set. */
+  def pointLookup(documents: DataFrame, ids: Seq[Long]): DataFrame =
+    documents.filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("content_hash"))
+      .orderBy("doc_id")
+
+  def duckPointLookup(table: String, ids: Seq[Long]): String =
+    s"""SELECT doc_id, lang, source, n_chars, md5(text) AS content_hash
+       |FROM $table WHERE doc_id IN (${ids.mkString(", ")}) ORDER BY doc_id""".stripMargin
+
+  /** Q9: upsert as last-writer-wins merge. Version 2 re-ingests every 10th
+    * document with modified content; the window picks max version per key
+    * (the reference's `collection.upsert`, indexing_agent.py:356-361, with
+    * the stale-element leak fixed — SURVEY.md §2.9#4). */
+  def upsertMerge(documents: DataFrame): DataFrame = {
+    val v1 = documents.select(col("doc_id"), col("text"), lit(1L).as("version"))
+    val v2 = documents.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), upper(col("text")).as("text"), lit(2L).as("version"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("version"))
+    v1.unionByName(v2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("version"), md5(col("text")).as("content_hash"))
+      .orderBy("doc_id")
+  }
+
+  def duckUpsertMerge(table: String): String =
+    s"""WITH v AS (SELECT doc_id, text, 1 AS version FROM $table
+       |           UNION ALL
+       |           SELECT doc_id, upper(text), 2 FROM $table WHERE doc_id % 10 = 0),
+       |r AS (SELECT doc_id, version::BIGINT AS version, md5(text) AS content_hash,
+       |             row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+       |      FROM v)
+       |SELECT doc_id, version, content_hash FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Q10/S9: collection stats — row counts and key cardinalities. */
+  def collectionStats(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+    val d = documents.agg(
+      lit("documents").as("collection"),
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("lang")).as("n_keys"))
+    val e = embeddings.agg(
+      lit("embeddings").as("collection"),
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("label")).as("n_keys"))
+    d.unionByName(e).orderBy("collection")
+  }
+
+  def duckCollectionStats(docTable: String, embTable: String): String =
+    s"""SELECT * FROM (
+       |  SELECT 'documents' AS collection, count(*)::BIGINT AS n_rows,
+       |         count(DISTINCT lang)::BIGINT AS n_keys FROM $docTable
+       |  UNION ALL
+       |  SELECT 'embeddings', count(*)::BIGINT, count(DISTINCT label)::BIGINT FROM $embTable
+       |) ORDER BY collection""".stripMargin
+}
