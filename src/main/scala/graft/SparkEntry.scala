@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFns
-import graft.operators.{Chunkers, Dedup, Diagnostics, IndexOps, Knn, SymbolNav, TextAnalysis}
+import graft.functions.{Embedder, VectorFns}
+import graft.functions.VecExprs.dotc
+import graft.operators.{Chunkers, Dedup, Diagnostics, IndexOps, Knn, Multimodal, Relational, SymbolNav, TextAnalysis}
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -87,6 +89,37 @@ object SparkEntry {
     "q_diagnostics" -> ((s, dir) => Diagnostics.report(Tables.documents(s, dir))),
     "q_defs_refs" -> ((s, dir) =>
       SymbolNav.defsAndRefs(Tables.documents(s, dir), Seq("spark", "join", "table", "vector"))),
+
+    // --- relational extensions over the TPC-H-ish star (SURVEY §2.8) ---
+    "q_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "q_top_nations" -> ((s, dir) => Relational.topNations(s, dir)),
+    "q_window_topk" -> ((s, dir) => Relational.windowTopK(s, dir)),
+    "q_rollup" -> ((s, dir) => Relational.segmentRollup(s, dir)),
+    "q_events_window" -> ((s, dir) => Relational.eventsWindow(s, dir)),
+    "q_sessionize" -> ((s, dir) => Relational.sessionize(s, dir)),
+    "q_asof_join" -> ((s, dir) => Relational.asofPurchaseView(s, dir)),
+
+    // --- multimodal plumbing + hashing-embedder index pipeline ---
+    "q_multimodal" -> ((s, dir) => Multimodal.features(Tables.documents(s, dir))),
+    "q_embed_hist" -> ((s, dir) =>
+      Embedder.bucketHistogram(Tables.documents(s, dir))
+        .filter(col("doc_id") < 100).orderBy("doc_id", "bucket")),
+    "q_index_knn" -> ((s, dir) => {
+      val embDf = Embedder.embed(Tables.documents(s, dir))
+      val q = embDf.filter(col("doc_id") === 0)
+        .select(col("embedding").as("qe"))
+        .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
+      embDf.filter(col("doc_id") =!= 0)
+        .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
+        .crossJoin(broadcast(q))
+        .withColumn("sim_raw", dotc(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
+        .orderBy(desc("sim_raw"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), round(col("sim_raw"), 6).as("sim"))
+    }),
+
+    // --- structured streaming (stateful windowed agg via memory sink) ---
+    "q_stream_window" -> ((s, dir) => StreamOps.streamedEventsWindow(s, dir)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -165,5 +198,31 @@ object SparkEntry {
     "q_collection_stats" -> IndexOps.duckCollectionStats("documents", "embeddings"),
     "q_diagnostics"      -> Diagnostics.duckReport("documents"),
     "q_defs_refs"        -> SymbolNav.duckDefsAndRefs("documents", Seq("spark", "join", "table", "vector")),
+
+    "q_pricing_summary" -> Relational.duckPricingSummary,
+    "q_top_nations"     -> Relational.duckTopNations,
+    "q_window_topk"     -> Relational.duckWindowTopK,
+    "q_rollup"          -> Relational.duckSegmentRollup,
+    "q_events_window"   -> Relational.duckEventsWindow,
+    "q_sessionize"      -> Relational.duckSessionize,
+    "q_asof_join"       -> Relational.duckAsofPurchaseView,
+    "q_multimodal"      -> Multimodal.duckFeatures("documents"),
+    "q_embed_hist" ->
+      s"""WITH h AS (${Embedder.duckBucketHistogram("documents")})
+         |SELECT doc_id, bucket, cnt FROM h WHERE doc_id < 100
+         |ORDER BY doc_id, bucket""".stripMargin,
+    "q_index_knn" ->
+      s"""WITH h AS (${Embedder.duckBucketHistogram("documents")}),
+         |nrm AS (SELECT doc_id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS n FROM h GROUP BY doc_id),
+         |q AS (SELECT doc_id, cnt, bucket FROM h WHERE doc_id = 0),
+         |qn AS (SELECT n AS qnorm FROM nrm WHERE doc_id = 0),
+         |dots AS (SELECT a.doc_id, CAST(sum(a.cnt * b.cnt) AS DOUBLE) AS dot
+         |         FROM h a JOIN q b ON a.bucket = b.bucket
+         |         WHERE a.doc_id <> 0 GROUP BY a.doc_id),
+         |s AS (SELECT d.doc_id, d.dot / (nrm.n * qn.qnorm) AS sim_raw
+         |      FROM dots d JOIN nrm ON nrm.doc_id = d.doc_id CROSS JOIN qn)
+         |SELECT doc_id, round(sim_raw, 6) AS sim
+         |FROM s ORDER BY sim_raw DESC, doc_id LIMIT 10""".stripMargin,
+    "q_stream_window"   -> StreamOps.duckStreamedEventsWindow,
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table loaders for the driver testdata (TESTDATA.md).
   *
@@ -14,7 +15,19 @@ object Tables {
 
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
-  def events(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "events")
+
+  /** Raw events with the file schema (ts = INT64 nanos; Spark 4 rejects
+    * TIMESTAMP(NANOS) parquet unless `spark.sql.legacy.parquet.nanosAsLong`
+    * is set — our session builders set it). */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+
+  /** Events normalized for event-time work: `ts_us` exact epoch micros
+    * (nanos floor-divided, matching DuckDB's epoch_us truncation) and
+    * `ts_t` as a proper TimestampType column for time windows. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsRaw(spark, sfDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")

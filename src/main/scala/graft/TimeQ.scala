@@ -5,7 +5,8 @@ object TimeQ {
     val sfDir = args(0)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- args.drop(1); rep <- 1 to 6) {
       val t0 = System.nanoTime()

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns.{duckTokens, tokens}
+
+/** Deterministic hashing embedder — the engine's substitute for the
+  * reference's neural encoder (E1-E3,
+  * /root/reference/coding_agent/tools/indexing_agent.py:50,353 —
+  * `SentenceTransformer('all-MiniLM-L6-v2')`). Contract preserved:
+  * `String -> fixed-dim vector`, identical at index time and query time, so
+  * every downstream semantic (filter, top-k, upsert, grouping) is unchanged;
+  * only ranking *quality* differs (SURVEY.md §7.1 declared deviation —
+  * neural inference is out of scope for a zero-egress engine).
+  *
+  * Scheme: token -> bucket via the first 3 hex nibbles of md5 (0..4095)
+  * mod `dim`; the embedding is the bucket-count histogram. Counts are exact
+  * integers, so cosine over these vectors is bit-identical between Spark's
+  * dense-array kernel and the oracle's sparse dot-product join — the
+  * embedder itself is oracle-verifiable end to end.
+  *
+  * At scale the whole pipeline is map-side (tokenize+hash) plus one
+  * (doc_id, bucket) aggregation; no shuffle wider than the output.
+  */
+object Embedder {
+
+  val Dim = 64
+
+  /** Hex-nibble value via position in the hex alphabet (no hex→int cast —
+    * DuckDB has none; `locate`/`strpos` exist in both engines). */
+  private def nib(m: Column, i: Int): Column =
+    call_function("locate", substring(m, i, 1), lit("0123456789abcdef")) - 1
+
+  private def duckNib(m: String, i: Int): String =
+    s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1)"
+
+  def bucket(token: Column): Column = {
+    val m = md5(token)
+    ((nib(m, 1) * 256 + nib(m, 2) * 16 + nib(m, 3)) % Dim).cast("int")
+  }
+
+  def duckBucket(token: String): String = {
+    val m = s"md5($token)"
+    s"CAST((${duckNib(m, 1)} * 256 + ${duckNib(m, 2)} * 16 + ${duckNib(m, 3)}) % $Dim AS INT)"
+  }
+
+  /** (doc_id, bucket, cnt) histogram rows — the sparse embedding. */
+  def bucketHistogram(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), bucket(col("tok")).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  def duckBucketHistogram(table: String): String =
+    s"""SELECT doc_id, ${duckBucket("tok")} AS bucket, count(*)::BIGINT AS cnt
+       |FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS tok FROM $table)
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Dense `array<double>` embeddings (unnormalized integer counts; exact).
+    * Output: (doc_id, embedding). Cosine normalizes at distance time, so
+    * the stored integers keep the oracle path exact. */
+  def embed(documents: DataFrame): DataFrame =
+    bucketHistogram(documents)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(Dim - 1)),
+          b => coalesce(element_at(col("m"), b), lit(0L)).cast("double")).as("embedding"))
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque `binary` payloads with typed metadata,
+  * decode-stub feature extraction, and frame sampling (BASELINE.json
+  * extension — the image/audio libraries are not in this container, so the
+  * decode is a clearly-marked deterministic stand-in while the Spark-side
+  * schema / partitioning / batch shape is real).
+  *
+  * The payload is derived deterministically from the documents table (the
+  * driver testdata carries no true binary column): bytes = UTF-8 of the
+  * text, metadata from doc fields. Feature extraction runs per-partition
+  * over an iterator — the exact seam where a real decoder (JNI/FFI or
+  * vectorized Arrow batch) would slot in.
+  */
+object Multimodal {
+
+  /** Typed record for the decoded-asset features. */
+  case class AssetFeatures(doc_id: Long, byte_len: Long, width: Int, height: Int,
+                           mean_byte: Double, n_frames: Int)
+
+  /** "images" relation: binary payload + typed metadata columns. */
+  def assets(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      (col("n_chars") % 64 + 1).cast("int").as("width"),
+      ((col("doc_id") * 7) % 48 + 1).cast("int").as("height"),
+      lit("image/fake").as("mime"))
+
+  /** SQL-expressible feature projection (oracle-checkable): byte length,
+    * payload digest, and a "frame sample" digest (first 16 bytes). The
+    * oracle hashes the VARCHAR form — DuckDB's md5 is VARCHAR-only — which
+    * is byte-identical here because the corpus is ASCII. */
+  def features(documents: DataFrame): DataFrame =
+    assets(documents)
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        col("width"), col("height"),
+        md5(col("payload")).as("payload_md5"),
+        md5(expr("substring(payload, 1, 16)")).as("frame_md5"))
+      .orderBy("doc_id")
+
+  def duckFeatures(table: String): String =
+    s"""SELECT doc_id, octet_length(text::BLOB)::BIGINT AS byte_len,
+       |       (n_chars % 64 + 1)::INT AS width,
+       |       ((doc_id * 7) % 48 + 1)::INT AS height,
+       |       md5(text) AS payload_md5,
+       |       md5(substring(text, 1, 16)) AS frame_md5
+       |FROM $table ORDER BY doc_id""".stripMargin
+
+  /** Decode-stub over mapPartitions — the per-partition iterator seam a real
+    * image decoder would occupy. STUB: "decoding" reads byte statistics from
+    * the payload instead of pixels; deterministic and schema-faithful.
+    * Exercised by the ScalaTest suite (not oracle-SQL-expressible as a
+    * mapPartitions op; the SQL-projection twin [[features]] is the oracle
+    * surface).
+    */
+  def decodeFeatures(documents: DataFrame): Dataset[AssetFeatures] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    assets(documents)
+      .select("doc_id", "payload", "width", "height")
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, w, h) =>
+          // STUB decode: a real implementation would decode pixels here.
+          val mean = if (payload.isEmpty) 0.0
+            else payload.map(b => (b & 0xff).toDouble).sum / payload.length
+          val frames = math.max(1, payload.length / math.max(1, w * h))
+          AssetFeatures(id, payload.length.toLong, w, h, mean, frames)
+        }
+      }
+  }
+}

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational extension operators over the TPC-H-ish tables — the §2.8
+  * inventory (joins, hash aggs, ranking windows, rollup, as-of/sessionize)
+  * exercised at scale, as mandated by SURVEY.md §2.4 "deliberate extensions".
+  *
+  * Float-sum determinism: every SUM over a double measure goes through a
+  * DECIMAL cast first. Double addition is order-sensitive and Spark's
+  * partial aggregation order differs from DuckDB's — decimal accumulation
+  * is exact, so both engines get bit-identical totals regardless of
+  * partitioning. Averages divide the exact decimal sum in double precision.
+  *
+  * Scale shapes: aggregations are partial-agg friendly (map-side combine);
+  * dimension joins broadcast (nation/region/customer ≪ fact tables);
+  * ranking windows shuffle once by their partition key; the as-of join is a
+  * single window over a union — no join at all.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+  /** TPC-H Q1-style pricing summary over lineitem. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).as("sum_disc_price"),
+        round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"),
+        round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  def duckPricingSummary: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+       |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+       |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+       |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       |  count(*)::BIGINT AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Revenue by nation: fact-to-dimension star join. Dimensions broadcast. */
+  def topNations(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(dec(col("o_totalprice"))).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy(desc("revenue"), asc("n_name"))
+      .limit(10)
+  }
+
+  def duckTopNations: String =
+    s"""SELECT r_name, n_name, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue,
+       |       count(*)::BIGINT AS n_orders, count(DISTINCT c_custkey)::BIGINT AS n_customers
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin
+
+  /** Top-3 orders per market segment: ranking window after a broadcast join. */
+  def windowTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val w = Window.partitionBy("c_mktsegment").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("c_mktsegment"), col("rank").cast("long").as("rank"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy("c_mktsegment", "rank")
+  }
+
+  def duckWindowTopK: String =
+    s"""WITH r AS (SELECT c_mktsegment, o_orderkey, o_totalprice,
+       |       row_number() OVER (PARTITION BY c_mktsegment
+       |                          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+       |       FROM orders JOIN customer ON o_custkey = c_custkey)
+       |SELECT c_mktsegment, rank::BIGINT AS rank, o_orderkey,
+       |       round(o_totalprice, 2) AS totalprice
+       |FROM r WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin
+
+  /** ROLLUP(segment, status): hierarchical totals with labeled subtotals.
+    * Expressed as one finest-grain aggregation whose partials are
+    * RE-aggregated for the subtotal levels — semantically identical to
+    * `ROLLUP` (count/sum are decomposable) and cheaper at scale: the fact
+    * table is scanned once and the upper levels aggregate the (tiny)
+    * grouped output. (Also sidesteps Spark's ambiguous-self-join check,
+    * which misfires on post-rollup references to grouping columns.) */
+  def segmentRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val g2 = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("revenue"))
+    val g1 = g2.groupBy("segment")
+      .agg(sum("n_orders").as("n_orders"), sum("revenue").as("revenue"))
+      .withColumn("status", lit("ALL"))
+    val g0 = g2.agg(sum("n_orders").as("n_orders"), sum("revenue").as("revenue"))
+      .withColumn("segment", lit("ALL")).withColumn("status", lit("ALL"))
+    g2.select("segment", "status", "n_orders", "revenue")
+      .unionByName(g1.select("segment", "status", "n_orders", "revenue"))
+      .unionByName(g0.select("segment", "status", "n_orders", "revenue"))
+      .orderBy("segment", "status")
+  }
+
+  def duckSegmentRollup: String =
+    s"""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       |       coalesce(o_orderstatus, 'ALL') AS status,
+       |       count(*)::BIGINT AS n_orders,
+       |       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+       |ORDER BY segment, status""".stripMargin
+
+  /** Tumbling 6-hour windowed aggregation over the events stream table. */
+  def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts_t"), "6 hours").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"), col("n_users"))
+      .orderBy("bucket", "event_type")
+
+  def duckEventsWindow: String =
+    s"""SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       |       event_type, count(*)::BIGINT AS n,
+       |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
+       |       count(DISTINCT user_id)::BIGINT AS n_users
+       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  /** Sessionization: 30-minute inactivity gap splits a user's event stream
+    * into sessions — lag + running sum window, then per-session aggregates.
+    * All timestamps exported as exact epoch microseconds. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(asc("us"), asc("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("us", col("ts_us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("us").as("start_us"),
+        max("us").as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      .filter(col("user_id") < 20)
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  def duckSessionize: String =
+    s"""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+       |l AS (SELECT user_id, event_id, value, us,
+       |             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+       |      FROM e),
+       |n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+       |      FROM l),
+       |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |      FROM n)
+       |SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
+       |       count(*)::BIGINT AS n_events,
+       |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
+       |       max(us) - min(us) AS duration_us
+       |FROM s WHERE user_id < 20
+       |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  /** As-of join: each purchase matched to the user's most recent prior
+    * 'view' event — expressed as one window over the ordered stream (zero
+    * joins; the 100 TB shape: shuffle once by user, sort by time). */
+  def asofPurchaseView(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("us"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .withColumn("us", col("ts_us"))
+      .withColumn("last_view_us",
+        last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_view_us").isNotNull)
+      .select(col("user_id"), col("event_id"), col("us").as("purchase_us"),
+        col("last_view_us"), (col("us") - col("last_view_us")).as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def duckAsofPurchaseView: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       |w AS (SELECT *, last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+       |                OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us
+       |      FROM e)
+       |SELECT user_id, event_id, us AS purchase_us, last_view_us, us - last_view_us AS gap_us
+       |FROM w WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+       |ORDER BY user_id, event_id""".stripMargin
+}
