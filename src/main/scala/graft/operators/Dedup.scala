@@ -24,11 +24,15 @@ import graft.functions.TextFns._
   */
 object Dedup {
 
-  /** Distinct (doc_id, shingle) pairs; the shared inverted-index relation. */
+  /** Distinct (doc_id, shingle) pairs; the shared inverted-index relation.
+    * Cached: each dedup variant reads it 3-4× (signatures, sizes, both
+    * intersection sides) — at cluster scale this is the materialize-once
+    * intermediate table of the pipeline. */
   private def shingleRows(documents: DataFrame, n: Int): DataFrame =
     documents
       .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("s"))
       .distinct()
+      .cache()
 
   /** Exact-duplicate summary by full-content hash. */
   def exact(documents: DataFrame): DataFrame =
@@ -42,11 +46,23 @@ object Dedup {
         max("n").as("max_group"))
 
   /** Exact Jaccard over 3-gram shingles for the given candidate pairs
-    * (d1 < d2), keeping pairs ≥ threshold. */
-  private def jaccardOf(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    * (d1 < d2), keeping pairs ≥ threshold.
+    *
+    * Candidate-first: both sides of the shingle-intersection join are
+    * semi-joined down to docs that appear in a candidate pair BEFORE the
+    * (potentially quadratic) shingle equijoin — the candidate set is the
+    * whole point of LSH, so the expensive verify only ever touches it. */
+  private def jaccardOf(sh: DataFrame, cand0: DataFrame, threshold: Double): DataFrame = {
+    // referenced 3× below (two semi-join prunes + the pair filter); without
+    // caching, the whole candidate-generation subtree (LSH band join /
+    // signature agg) re-executes per reference
+    val cand = cand0.cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("d1"), col("s"))
-      .join(sh.select(col("doc_id").as("d2"), col("s")), "s")
+    val shA = sh.join(cand.select(col("d1").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("d1"), col("s"))
+    val shB = sh.join(cand.select(col("d2").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("d2"), col("s"))
+    val inter = shA.join(shB, "s")
       .join(cand, Seq("d1", "d2"), "left_semi")
       .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
     inter
