@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+import graft.functions.Md5
+
+/** One chunk of source code — the engine's core domain record, mirroring the
+  * reference's CodeElement
+  * (/root/reference/coding_agent/tools/indexing_agent.py:15-43): 8 fixed
+  * fields + content-address hash. Paths are stored RELATIVE (the reference's
+  * absolute/relative mismatch is a documented fix, SURVEY.md §2.9#3). */
+case class CodeElement(
+    name: String,
+    element_type: String,
+    file_path: String,
+    start_line: Int,
+    end_line: Int,
+    content: String,
+    docstring: String,
+    hash: String)
+
+object CodeElement {
+  def make(name: String, elementType: String, filePath: String,
+           startLine: Int, endLine: Int, content: String, docstring: String = ""): CodeElement =
+    CodeElement(name, elementType, filePath, startLine, endLine, content, docstring,
+      Md5.hex(s"$name:$elementType:$content"))
+}
+
+/** Structural code chunker — the reference's tree-sitter capability (C1-C4,
+  * indexing_agent.py:150-240) re-expressed as a pure-Scala recognizer inside
+  * a typed `flatMap` (1 file → N typed spans; the Generator/UDTF shape).
+  * Tree-sitter itself is a C library — out of scope per SURVEY.md §2.2; the
+  * recognizer handles the same node sets: python def/class/imports with
+  * docstrings, JS/TS function/class/import, markdown sections (C5), 50-line
+  * fallback text chunks (C6, the reference's "this worked the best" size,
+  * indexing_agent.py:296).
+  *
+  * Runs distributed over a `Dataset[(path, content)]` from the codebase scan
+  * (S1/S2) — per-file work only, no shuffle.
+  */
+object CodeChunker {
+
+  val TextChunkLines = 50
+  val CodeExtensions = Set("py", "js", "ts", "tsx", "jsx", "md")
+
+  private def ext(path: String): String = {
+    val i = path.lastIndexOf('.')
+    if (i < 0) "" else path.substring(i + 1)
+  }
+
+  /** Dispatcher (the reference's `_index_file`, indexing_agent.py:126-148). */
+  def chunkFile(path: String, content: String): Seq[CodeElement] = ext(path) match {
+    case "py" => chunkPython(path, content)
+    case "js" | "ts" | "tsx" | "jsx" => chunkJs(path, content)
+    case "md" => chunkMarkdown(path, content)
+    case _ => textChunks(path, content)
+  }
+
+  private def indentOf(l: String): Int = l.takeWhile(c => c == ' ' || c == '\t').length
+
+  /** Block span: from `start` until the last nonblank line whose indent is
+    * greater than the header's (python-style suite), inclusive. */
+  private def blockEnd(lines: Array[String], start: Int): Int = {
+    val indent = indentOf(lines(start))
+    var end = start
+    var i = start + 1
+    while (i < lines.length &&
+      (lines(i).trim.isEmpty || indentOf(lines(i)) > indent)) {
+      if (lines(i).trim.nonEmpty) end = i
+      i += 1
+    }
+    end
+  }
+
+  private val pyDef = """^\s*def\s+([A-Za-z_][A-Za-z0-9_]*)""".r.unanchored
+  private val pyClass = """^\s*class\s+([A-Za-z_][A-Za-z0-9_]*)""".r.unanchored
+  private def isPyImport(l: String): Boolean = {
+    val t = l.trim
+    t.startsWith("import ") || t.startsWith("from ")
+  }
+
+  /** C4: first triple-quoted string of the block, quotes stripped. */
+  private def pyDocstring(lines: Array[String], start: Int, end: Int): String = {
+    val body = lines.slice(start + 1, end + 1).map(_.trim).filter(_.nonEmpty)
+    body.headOption match {
+      case Some(l) if l.startsWith("\"\"\"") || l.startsWith("'''") =>
+        val q = l.substring(0, 3)
+        val stripped = l.stripPrefix(q)
+        if (stripped.contains(q)) stripped.substring(0, stripped.indexOf(q))
+        else stripped
+      case _ => ""
+    }
+  }
+
+  def chunkPython(path: String, content: String): Seq[CodeElement] = {
+    val lines = content.split("\n", -1)
+    val out = Seq.newBuilder[CodeElement]
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      l match {
+        case pyDef(name) if !l.trim.startsWith("#") =>
+          val end = blockEnd(lines, i)
+          out += CodeElement.make(name, "function", path, i + 1, end + 1,
+            lines.slice(i, end + 1).mkString("\n"), pyDocstring(lines, i, end))
+          i = end + 1
+        case pyClass(name) if !l.trim.startsWith("#") =>
+          // class header is emitted as one element; nested defs still found
+          val end = blockEnd(lines, i)
+          out += CodeElement.make(name, "class", path, i + 1, end + 1,
+            lines.slice(i, end + 1).mkString("\n"), pyDocstring(lines, i, end))
+          i += 1
+        case _ if isPyImport(l) =>
+          out += CodeElement.make("import", "import", path, i + 1, i + 1, l, "")
+          i += 1
+        case _ => i += 1
+      }
+    }
+    val els = out.result()
+    if (els.nonEmpty) els else textChunks(path, content)
+  }
+
+  private val jsFunction = """^\s*(?:export\s+)?(?:async\s+)?function\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r.unanchored
+  private val jsClass = """^\s*(?:export\s+)?class\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r.unanchored
+  private def isJsImport(l: String): Boolean = l.trim.startsWith("import")
+
+  /** Brace-balanced span from `start` (JS/TS block bodies). */
+  private def braceEnd(lines: Array[String], start: Int): Int = {
+    var depth = 0
+    var seen = false
+    var i = start
+    while (i < lines.length) {
+      for (c <- lines(i)) c match {
+        case '{' => depth += 1; seen = true
+        case '}' => depth -= 1
+        case _ =>
+      }
+      if (seen && depth <= 0) return i
+      i += 1
+    }
+    lines.length - 1
+  }
+
+  def chunkJs(path: String, content: String): Seq[CodeElement] = {
+    val lines = content.split("\n", -1)
+    val out = Seq.newBuilder[CodeElement]
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      l match {
+        case jsFunction(name) =>
+          val end = braceEnd(lines, i)
+          out += CodeElement.make(name, "function", path, i + 1, end + 1,
+            lines.slice(i, end + 1).mkString("\n"))
+          i = end + 1
+        case jsClass(name) =>
+          val end = braceEnd(lines, i)
+          out += CodeElement.make(name, "class", path, i + 1, end + 1,
+            lines.slice(i, end + 1).mkString("\n"))
+          i += 1
+        case _ if isJsImport(l) =>
+          out += CodeElement.make("import", "import", path, i + 1, i + 1, l, "")
+          i += 1
+        case _ => i += 1
+      }
+    }
+    val els = out.result()
+    if (els.nonEmpty) els else textChunks(path, content)
+  }
+
+  /** C5: '#'-heading sections; leading prose becomes "Introduction"; empty
+    * sections dropped (indexing_agent.py:242-288). */
+  def chunkMarkdown(path: String, content: String): Seq[CodeElement] = {
+    val lines = content.split("\n", -1)
+    val out = Seq.newBuilder[CodeElement]
+    var heading = "Introduction"
+    var sectionStart = 0
+    var buf = Vector.empty[String]
+    def flush(endLine: Int): Unit = {
+      if (buf.exists(_.trim.nonEmpty))
+        out += CodeElement.make(heading, "markdown_section", path,
+          sectionStart + 1, endLine, buf.mkString("\n"))
+    }
+    for ((l, i) <- lines.zipWithIndex) {
+      if (l.startsWith("#")) {
+        flush(i)
+        heading = l.dropWhile(_ == '#').trim
+        sectionStart = i
+        buf = Vector.empty
+      } else buf :+= l
+    }
+    flush(lines.length)
+    out.result()
+  }
+
+  /** C6: 50-line blocks, all-blank blocks skipped, names `chunk_<i>`
+    * (indexing_agent.py:290-312). */
+  def textChunks(path: String, content: String): Seq[CodeElement] = {
+    val lines = content.split("\n", -1)
+    lines.grouped(TextChunkLines).zipWithIndex.flatMap { case (block, i) =>
+      if (block.forall(_.trim.isEmpty)) None
+      else Some(CodeElement.make(s"chunk_$i", "text_chunk", path,
+        i * TextChunkLines + 1, i * TextChunkLines + block.length,
+        block.mkString("\n")))
+    }.toSeq
+  }
+
+  /** Distributed form: typed flatMap over (path, content) rows. */
+  def chunk(files: Dataset[(String, String)]): Dataset[CodeElement] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.flatMap { case (p, c) => chunkFile(p, c) }
+  }
+}

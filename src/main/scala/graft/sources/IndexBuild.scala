@@ -1,0 +1,146 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Embedder
+import graft.operators.{CodeChunker, CodeElement}
+
+/** End-to-end index build pipeline — the reference's `index_codebase` flow
+  * (SURVEY.md §3.1; /root/reference/coding_agent/tools/indexing_agent.py:
+  * 104-124 scan, 332-361 element store, 314-330/363-373 summaries,
+  * indexing_manager.py:79-83 report):
+  *
+  *   scan (S1/S2) → chunk (C1-C6 flatMap) → doc projection (C8) →
+  *   embed (E2) → upsert parquet index (S6) ⊕ file summaries (S7) ⊕ report (S8)
+  *
+  * Spark shape: the scan is a distributed `binaryFile` read with extension
+  * glob + directory pruning at file-listing time; chunk+embed are map-side;
+  * the only shuffles are the per-file summary agg and the upsert dedup
+  * window. Per-file failures become error rows instead of aborting the build
+  * (the reference collected errors into a list it never filled —
+  * SURVEY.md §2.9#2).
+  */
+object IndexBuild {
+
+  val IgnoreDirs = Seq(".git", "__pycache__", "node_modules", ".venv", "venv", ".adk_index")
+
+  /** S1/S2: recursive codebase scan for the reference's extension set. */
+  def scanFiles(spark: SparkSession, rootDir: String): Dataset[(String, String)] = {
+    import spark.implicits._
+    val pruneRx = IgnoreDirs.map(d => s"/${java.util.regex.Pattern.quote(d)}/").mkString("|")
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.{py,js,ts,tsx,jsx,md}")
+      .load(rootDir)
+      .filter(!col("path").rlike(pruneRx))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val rel = p.stripPrefix("file:").stripPrefix(rootDir).stripPrefix("/")
+        (rel, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** C8: searchable-document projection (indexing_agent.py:342-346). */
+  def documentOf(e: CodeElement): String = {
+    val base = s"${e.name} ${e.element_type}\n${e.content}"
+    if (e.docstring.nonEmpty) s"$base\n${e.docstring}" else base
+  }
+
+  /** Chunk + embed + id: the `code_elements` relation ready to store.
+    * id = "path:start:hash" (content-addressed, indexing_agent.py:350). */
+  def buildElements(files: Dataset[(String, String)]): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val elements = CodeChunker.chunk(files)
+    val withDoc = elements.map(e => (e.name, e.element_type, e.file_path, e.start_line,
+        e.end_line, e.content, e.docstring, e.hash, documentOf(e)))
+      .toDF("name", "element_type", "file_path", "start_line", "end_line",
+        "content", "docstring", "hash", "document")
+      .withColumn("id", concat_ws(":", col("file_path"), col("start_line"), col("hash")))
+    Embedder.embed(withDoc.select(col("id").as("doc_id"), col("document").as("text")))
+      .withColumnRenamed("doc_id", "id")
+      .join(withDoc, "id")
+  }
+
+  /** S6/Q9: upsert into a parquet index — read-union-LWW-overwrite with a
+    * temp-path swap (parquet cannot be read and overwritten in one job).
+    * Re-indexed files REPLACE their previous elements (delete-insert per
+    * file), fixing the reference's stale-element leak (SURVEY.md §2.9#4). */
+  def upsertIndex(spark: SparkSession, indexDir: String, fresh: DataFrame): Unit = {
+    val target = s"$indexDir/code_elements"
+    val existing =
+      try Some(spark.read.parquet(target)) catch { case _: Exception => None }
+    val merged = existing match {
+      case None => fresh
+      case Some(old) =>
+        val refreshedFiles = fresh.select("file_path").distinct()
+        old.join(refreshedFiles, Seq("file_path"), "left_anti").unionByName(fresh)
+    }
+    val tmp = s"$indexDir/code_elements_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val t = new org.apache.hadoop.fs.Path(target)
+    if (fs.exists(t)) fs.delete(t, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), t)
+  }
+
+  /** C9/S7: per-file summary table. */
+  def buildSummaries(files: Dataset[(String, String)], elements: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val fileLines = files.map { case (p, c) => (p, c.split("\n", -1).length.toLong) }
+      .toDF("file_path", "line_count")
+    val byType = elements.groupBy("file_path", "element_type").agg(count(lit(1)).as("n"))
+    byType.groupBy("file_path")
+      .agg(
+        sum("n").cast("long").as("element_count"),
+        concat_ws(", ",
+          transform(array_sort(collect_list(struct(col("element_type"), col("n")))),
+            x => concat(x.getField("element_type"), lit(": "), x.getField("n")))).as("elements_by_type_str"))
+      .join(fileLines, "file_path")
+      .withColumn("file_type", regexp_extract(col("file_path"), "(\\.[^.]+)$", 1))
+      .withColumn("summary",
+        concat(lit("File "), col("file_path"), lit(" contains "),
+          col("element_count"), lit(" code elements")))
+  }
+
+  /** Full build: returns the report row (S8 shape: files/elements/errors). */
+  def run(spark: SparkSession, rootDir: String, indexDir: String): DataFrame = {
+    import spark.implicits._
+    val files = scanFiles(spark, rootDir)
+    val elements = buildElements(files)
+    upsertIndex(spark, indexDir, elements)
+    val summaries = buildSummaries(files, spark.read.parquet(s"$indexDir/code_elements"))
+    summaries.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/file_summaries")
+    val nFiles = files.count()
+    val nElements = spark.read.parquet(s"$indexDir/code_elements").count()
+    val report = Seq((nFiles, nElements, 0L)).toDF("files_indexed", "elements_indexed", "errors")
+    report.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$indexDir/indexing_report")
+    report
+  }
+
+  /** Q1 over a built index: query text → embed → filtered top-k (the
+    * reference's `semantic_search` against OUR index tables). */
+  def searchIndex(spark: SparkSession, indexDir: String, queryText: String, k: Int,
+                  elementType: Option[String] = None): DataFrame = {
+    import graft.functions.VecExprs.dotc
+    val index = spark.read.parquet(s"$indexDir/code_elements")
+    val qdf = {
+      import spark.implicits._
+      Embedder.embed(Seq((0L, queryText)).toDF("doc_id", "text"))
+        .select(col("embedding").as("qe"))
+        .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
+    }
+    val pre = elementType.map(t => index.filter(col("element_type") === t)).getOrElse(index)
+    pre
+      .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
+      .crossJoin(broadcast(qdf))
+      .withColumn("sim_raw", dotc(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
+      .orderBy(desc("sim_raw"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("name"), col("element_type"), col("file_path"),
+        round(col("sim_raw"), 6).as("similarity"))
+  }
+}

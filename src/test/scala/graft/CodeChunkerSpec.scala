@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CodeChunker
+
+class CodeChunkerSpec extends AnyFunSuite {
+  private def read(rel: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(getClass.getResource(s"/sample_project/$rel").toURI)))
+
+  test("python chunker finds functions, class, imports, docstring") {
+    val els = CodeChunker.chunkFile("sample.py", read("sample.py"))
+    val byType = els.groupBy(_.element_type).view.mapValues(_.map(_.name)).toMap
+    assert(byType("import").size == 2)
+    assert(byType("function").toSet.contains("greet"))
+    assert(byType("class").map(_.toString).contains("Greeter"))
+    val greet = els.find(_.name == "greet").get
+    assert(greet.docstring == "Say hello to name.")
+    assert(greet.start_line == 4)  // 1-based like the reference
+    assert(greet.content.startsWith("def greet"))
+    // nested methods of the class are found as functions too
+    assert(byType("function").contains("run"))
+  }
+
+  test("js/ts chunker finds function, class, import") {
+    val els = CodeChunker.chunkFile("pkg/sample.ts", read("pkg/sample.ts"))
+    assert(els.exists(e => e.element_type == "function" && e.name == "parseThing"))
+    assert(els.exists(e => e.element_type == "class" && e.name == "Widget"))
+    assert(els.count(_.element_type == "import") == 1)
+    val fn = els.find(_.name == "parseThing").get
+    assert(fn.content.contains("return y;"))
+  }
+
+  test("markdown chunker: Introduction for leading prose, empty sections dropped") {
+    val els = CodeChunker.chunkFile("README.md", read("README.md"))
+    val names = els.map(_.name)
+    assert(names.head == "Introduction")
+    assert(names.contains("Setup") && names.contains("Usage"))
+    assert(!names.contains("Empty Section"))
+  }
+
+  test("text chunker: 50-line blocks, all-blank block skipped, chunk_<i> names") {
+    val els = CodeChunker.chunkFile("notes.txt", read("notes.txt"))
+    // 120 lines -> blocks [0,50) [50,100) (all blank -> skipped) [100,120)
+    assert(els.map(_.name) == Seq("chunk_0", "chunk_2"))
+    assert(els.head.start_line == 1 && els.head.end_line == 50)
+    assert(els(1).start_line == 101 && els(1).end_line == 120)
+  }
+
+  test("content hash is stable and md5-shaped (C7)") {
+    val a = CodeChunker.chunkFile("sample.py", read("sample.py"))
+    val b = CodeChunker.chunkFile("sample.py", read("sample.py"))
+    assert(a.map(_.hash) == b.map(_.hash))
+    assert(a.head.hash.matches("[0-9a-f]{32}"))
+  }
+
+  test("distributed flatMap matches local chunker") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val files = Seq(("sample.py", read("sample.py"))).toDS()
+    val dist = CodeChunker.chunk(files).collect().toSeq.sortBy(e => (e.file_path, e.start_line))
+    val local = CodeChunker.chunkFile("sample.py", read("sample.py")).sortBy(e => (e.file_path, e.start_line))
+    assert(dist == local)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.IndexBuild
+
+/** End-to-end index build over the crafted sample project (SURVEY.md §3.1
+  * lifecycle): scan → chunk → embed → store → search, plus re-index
+  * idempotence (the stale-element-leak fix, §2.9#4). */
+class IndexBuildSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val projectDir =
+    Paths.get(getClass.getResource("/sample_project").toURI).toString
+  private lazy val indexDir = Files.createTempDirectory("graft_index").toString
+
+  test("full build indexes the sample project") {
+    val report = IndexBuild.run(spark, projectDir, indexDir).collect()(0)
+    assert(report.getAs[Long]("files_indexed") == 3) // py, ts, md (txt not in ext set)
+    assert(report.getAs[Long]("elements_indexed") > 5)
+    val idx = spark.read.parquet(s"$indexDir/code_elements")
+    assert(idx.columns.toSet.contains("embedding"))
+    val types = idx.select("element_type").distinct().collect().map(_.getString(0)).toSet
+    assert(Set("function", "class", "import", "markdown_section").subsetOf(types))
+  }
+
+  test("re-index is idempotent (delete-insert per file, no stale growth)") {
+    val n1 = spark.read.parquet(s"$indexDir/code_elements").count()
+    IndexBuild.run(spark, projectDir, indexDir)
+    val n2 = spark.read.parquet(s"$indexDir/code_elements").count()
+    assert(n1 == n2)
+  }
+
+  test("search over the built index returns ranked, filtered hits") {
+    val hits = IndexBuild.searchIndex(spark, indexDir, "say hello to name", 3).collect()
+    assert(hits.length == 3)
+    val sims = hits.map(_.getAs[Double]("similarity"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    val fns = IndexBuild.searchIndex(spark, indexDir, "function definition", 5,
+      elementType = Some("function")).collect()
+    assert(fns.nonEmpty && fns.forall(_.getAs[String]("element_type") == "function"))
+  }
+
+  test("file summaries carry counts and type map string") {
+    val s = spark.read.parquet(s"$indexDir/file_summaries")
+    val py = s.filter(org.apache.spark.sql.functions.col("file_path").endsWith("sample.py")).collect()(0)
+    assert(py.getAs[Long]("element_count") > 3)
+    assert(py.getAs[String]("elements_by_type_str").contains("function:"))
+    assert(py.getAs[String]("file_type") == ".py")
+  }
+}

