@@ -47,21 +47,29 @@ object IndexBuild {
     if (e.docstring.nonEmpty) s"$base\n${e.docstring}" else base
   }
 
-  /** Chunk + embed + id: the `code_elements` relation ready to store.
-    * id = "path:start:hash" (content-addressed, indexing_agent.py:350). */
-  def buildElements(files: Dataset[(String, String)]): DataFrame = {
+  /** Chunk + doc projection + content-addressed id ("path:start:hash",
+    * indexing_agent.py:350) — everything EXCEPT the embedding, which is the
+    * expensive step and is applied only to rows that need it. */
+  def chunkedElements(files: Dataset[(String, String)]): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    val elements = CodeChunker.chunk(files)
-    val withDoc = elements.map(e => (e.name, e.element_type, e.file_path, e.start_line,
+    CodeChunker.chunk(files)
+      .map(e => (e.name, e.element_type, e.file_path, e.start_line,
         e.end_line, e.content, e.docstring, e.hash, documentOf(e)))
       .toDF("name", "element_type", "file_path", "start_line", "end_line",
         "content", "docstring", "hash", "document")
       .withColumn("id", concat_ws(":", col("file_path"), col("start_line"), col("hash")))
+  }
+
+  /** Embed the given element rows (adds the `embedding` column). */
+  def embedElements(withDoc: DataFrame): DataFrame =
     Embedder.embed(withDoc.select(col("id").as("doc_id"), col("document").as("text")))
       .withColumnRenamed("doc_id", "id")
       .join(withDoc, "id")
-  }
+
+  /** Chunk + embed everything (fresh build path). */
+  def buildElements(files: Dataset[(String, String)]): DataFrame =
+    embedElements(chunkedElements(files))
 
   /** S6/Q9: upsert into a parquet index — read-union-LWW-overwrite with a
     * temp-path swap (parquet cannot be read and overwritten in one job).
@@ -106,17 +114,39 @@ object IndexBuild {
           col("element_count"), lit(" code elements")))
   }
 
-  /** Full build: returns the report row (S8 shape: files/elements/errors). */
+  /** Full build: returns the report row (S8 shape: files/elements/errors
+    * plus `elements_embedded` — how many actually paid the embedding cost).
+    *
+    * Incremental skip (SURVEY.md §4): ids are content-addressed, so a
+    * left-anti join of the freshly chunked ids against the existing index
+    * isolates the NEW/changed elements — only those are embedded; unchanged
+    * elements of re-scanned files keep their stored embeddings via a
+    * semi-join. Embedding is the expensive operator (model inference on a
+    * real deployment), so re-index cost scales with the diff, not the tree.
+    */
   def run(spark: SparkSession, rootDir: String, indexDir: String): DataFrame = {
     import spark.implicits._
     val files = scanFiles(spark, rootDir)
-    val elements = buildElements(files)
+    val chunked = chunkedElements(files).cache()
+    val existing =
+      try Some(spark.read.parquet(s"$indexDir/code_elements")) catch { case _: Exception => None }
+    val (elements, nEmbedded) = existing match {
+      case None =>
+        val all = embedElements(chunked)
+        (all, chunked.count())
+      case Some(old) =>
+        val toEmbed = chunked.join(old.select("id"), Seq("id"), "left_anti")
+        val kept = old.join(chunked.select("id"), Seq("id"), "left_semi")
+        val fresh = embedElements(toEmbed)
+        (kept.select(fresh.columns.map(col): _*).unionByName(fresh), toEmbed.count())
+    }
     upsertIndex(spark, indexDir, elements)
     val summaries = buildSummaries(files, spark.read.parquet(s"$indexDir/code_elements"))
     summaries.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/file_summaries")
     val nFiles = files.count()
     val nElements = spark.read.parquet(s"$indexDir/code_elements").count()
-    val report = Seq((nFiles, nElements, 0L)).toDF("files_indexed", "elements_indexed", "errors")
+    val report = Seq((nFiles, nElements, nEmbedded, 0L))
+      .toDF("files_indexed", "elements_indexed", "elements_embedded", "errors")
     report.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$indexDir/indexing_report")
     report
   }

@@ -23,11 +23,30 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(Set("function", "class", "import", "markdown_section").subsetOf(types))
   }
 
-  test("re-index is idempotent (delete-insert per file, no stale growth)") {
+  test("re-index is idempotent and embeds nothing (anti-join incremental skip)") {
     val n1 = spark.read.parquet(s"$indexDir/code_elements").count()
-    IndexBuild.run(spark, projectDir, indexDir)
+    val report = IndexBuild.run(spark, projectDir, indexDir).collect()(0)
     val n2 = spark.read.parquet(s"$indexDir/code_elements").count()
     assert(n1 == n2)
+    assert(report.getAs[Long]("elements_embedded") == 0)
+  }
+
+  test("incremental re-index embeds only the changed file's new elements") {
+    import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
+    val work = JF.createTempDirectory("graft_incr")
+    Seq("sample.py", "README.md").foreach { f =>
+      JF.copy(JP.get(projectDir, f), work.resolve(f), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val idx = JF.createTempDirectory("graft_incr_idx").toString
+    val r1 = IndexBuild.run(spark, work.toString, idx).collect()(0)
+    assert(r1.getAs[Long]("elements_embedded") == r1.getAs[Long]("elements_indexed"))
+    // append one new function to sample.py
+    val py = work.resolve("sample.py")
+    JF.writeString(py, JF.readString(py) + "\n\ndef extra():\n    return 42\n")
+    val r2 = IndexBuild.run(spark, work.toString, idx).collect()(0)
+    assert(r2.getAs[Long]("elements_indexed") == r1.getAs[Long]("elements_indexed") + 1)
+    // only the new function is embedded; every unchanged element is kept
+    assert(r2.getAs[Long]("elements_embedded") == 1)
   }
 
   test("search over the built index returns ranked, filtered hits") {
