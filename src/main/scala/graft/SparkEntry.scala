@@ -53,6 +53,11 @@ object SparkEntry {
     "q_knn_lsh" -> ((s, dir) =>
       Knn.topKLsh(emb(s, dir), qvec(s, dir), k = 10, bits = 4)),
 
+    // IVF scale path: centroid-assign then probe top clusters only.
+    "q_knn_ivf" -> ((s, dir) =>
+      Knn.topKIvf(emb(s, dir), qvec(s, dir), k = 10,
+        numCentroids = 16, nprobe = 4, excludeId = Some(0L))),
+
     // Near-duplicate detection over embeddings: exact all-pairs θ-join.
     "q_sim_join_exact" -> ((s, dir) =>
       Knn.simJoinExact(emb(s, dir), threshold = 0.4)),
@@ -161,6 +166,22 @@ object SparkEntry {
          |      FROM embeddings e CROSS JOIN q
          |      WHERE ${duckSignBucket("e.embedding", 4)} = q.qbucket)
          |SELECT vec_id, label, bucket, round(sim_raw, 6) AS sim
+         |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_knn_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |asg AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
+         |        FROM embeddings e CROSS JOIN cent c),
+         |a AS (SELECT vec_id, label, embedding, cid AS cluster FROM asg WHERE crn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probes AS (SELECT c.cid AS pcid FROM cent c CROSS JOIN q
+         |           ORDER BY ${duckCosine("c.ce", "q.qv")} DESC, c.cid LIMIT 4),
+         |s AS (SELECT a.vec_id, a.label, a.cluster, ${duckCosine("a.embedding", "q.qv")} AS sim_raw
+         |      FROM a JOIN probes p ON a.cluster = p.pcid CROSS JOIN q
+         |      WHERE a.vec_id <> 0)
+         |SELECT vec_id, label, cluster, round(sim_raw, 6) AS sim
          |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_sim_join_exact" ->

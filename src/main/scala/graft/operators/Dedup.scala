@@ -53,18 +53,23 @@ object Dedup {
     * (potentially quadratic) shingle equijoin — the candidate set is the
     * whole point of LSH, so the expensive verify only ever touches it. */
   private def jaccardOf(sh: DataFrame, cand0: DataFrame, threshold: Double): DataFrame = {
-    // referenced 3× below (two semi-join prunes + the pair filter); without
-    // caching, the whole candidate-generation subtree (LSH band join /
-    // signature agg) re-executes per reference
-    val cand = cand0.cache()
+    // Candidate-FIRST intersection: the pair set is tiny (that is the whole
+    // point of LSH), so expand it by d1's shingles and probe (d2, s) —
+    // intermediate cardinality |cand| × shingles/doc. The alternative
+    // (self-equijoin of sh on s, then prune to cand) explodes on frequent
+    // shingles: a shingle present in f docs emits f² rows BEFORE the prune,
+    // which is exactly the skew that kills an inverted-index join at 100 TB.
+    val cand = cand0
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shA = sh.join(cand.select(col("d1").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("d1"), col("s"))
-    val shB = sh.join(cand.select(col("d2").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("d2"), col("s"))
-    val inter = shA.join(shB, "s")
-      .join(cand, Seq("d1", "d2"), "left_semi")
+    val inter = cand
+      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    jaccardTail(inter, sizes, threshold)
+  }
+
+  /** Shared tail: attach set sizes, compute Jaccard, filter ≥ threshold. */
+  private def jaccardTail(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
     inter
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
@@ -72,7 +77,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(asc("d1"), asc("d2"))
-  }
 
   /** MinHash + LSH banding: `seeds` hash functions, bands of `rowsPerBand`;
     * docs sharing any band bucket become candidates, then exact Jaccard
@@ -96,14 +100,20 @@ object Dedup {
     jaccardOf(sh, cand, threshold)
   }
 
-  /** Exact n-gram Jaccard via inverted-index self-join (full recall). */
+  /** Exact n-gram Jaccard via inverted-index self-join (full recall).
+    *
+    * Single pass: the s-equijoin that enumerates co-shingled pairs ALSO
+    * counts the intersection (groupBy instead of distinct-then-recount), so
+    * the quadratic part — unavoidable for full recall — runs exactly once.
+    */
   def ngramJaccard(documents: DataFrame, threshold: Double): DataFrame = {
     val sh = shingleRows(documents, 3)
-    val cand = sh.select(col("doc_id").as("d1"), col("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("d1"), col("s"))
       .join(sh.select(col("doc_id").as("d2"), col("s")), "s")
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    jaccardOf(sh, cand, threshold)
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    jaccardTail(inter, sizes, threshold)
   }
 
   // ----------------------------------------------------------- oracle SQL
@@ -173,9 +183,12 @@ object Dedup {
     val bitCols = (0 until 16).map(i => sum(nibbleHigh(col("m"), i)).as(s"b$i"))
     val sig = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"), simhashFromSums((0 until 16).map(i => col(s"b$i"))).as("simhash"))
+    // referenced twice (Jaccard verify + signature re-attach) — cache so the
+    // token-agg + signature self-join subtree runs once
     val cand = sig.as("x").join(sig.as("y"),
         col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), col("x.simhash").as("simhash"))
+      .cache()
     val sh = shingleRows(documents, 3)
     jaccardOf(sh, cand.select("d1", "d2"), 0.0)
       .join(cand, Seq("d1", "d2"))

@@ -25,25 +25,36 @@ object Diagnostics {
   private val LongLine = 70
 
   /** Per-line rule evaluation over chunk-lines. Returns one row per emitted
-    * message: (doc_id, line_no, severity, message). */
+    * message: (doc_id, line_no, severity, message).
+    *
+    * All rules evaluate in ONE pass: per line, an array of
+    * when(cond, struct(severity, message)) entries is built, nulls filtered,
+    * and the survivors exploded — the chunker/join subtree executes once,
+    * not once per rule (a union-of-filters re-reads the input per branch),
+    * and the whole rule bank stays inside one codegen stage.
+    */
   def lineDiagnostics(documents: DataFrame): DataFrame = {
     val lines = Chunkers.textChunks(documents)
       .join(documents.select("doc_id", "lang"), "doc_id")
       .select(col("doc_id"), col("lang"), col("chunk_idx").as("line_no"), col("content").as("line"))
-    def rule(cond: Column, severity: String, msg: Column): DataFrame =
-      lines.filter(cond).select(col("doc_id"), col("line_no"), lit(severity).as("severity"),
-        msg.as("message"))
-    val longLine = rule(length(col("line")) > LongLine, "warning",
-      concat(lit(s"Line exceeds $LongLine characters ("), length(col("line")), lit(")")))
-    val pyPrint = rule(col("lang") === "en" && col("line").contains("key"), "warning",
-      lit("py: suspicious call marker 'key'"))
-    val jsConsole = rule(col("lang") === "de" && col("line").contains("merge"), "warning",
-      lit("js: suspicious call marker 'merge'"))
-    // no regex backreferences anywhere: DuckDB's RE2 lacks them, so the
-    // oracle could not mirror a \1-style repeated-word rule
-    val contradiction = rule(col("line").contains("slow") && col("line").contains("fast"),
-      "error", lit("Contradictory speed markers"))
-    longLine.unionByName(pyPrint).unionByName(jsConsole).unionByName(contradiction)
+    def rule(cond: Column, severity: String, msg: Column): Column =
+      when(cond, struct(lit(severity).as("severity"), msg.as("message")))
+    val ruleBank = array(
+      rule(length(col("line")) > LongLine, "warning",
+        concat(lit(s"Line exceeds $LongLine characters ("), length(col("line")), lit(")"))),
+      rule(col("lang") === "en" && col("line").contains("key"), "warning",
+        lit("py: suspicious call marker 'key'")),
+      rule(col("lang") === "de" && col("line").contains("merge"), "warning",
+        lit("js: suspicious call marker 'merge'")),
+      // no regex backreferences anywhere: DuckDB's RE2 lacks them, so the
+      // oracle could not mirror a \1-style repeated-word rule
+      rule(col("line").contains("slow") && col("line").contains("fast"),
+        "error", lit("Contradictory speed markers")))
+    lines
+      .select(col("doc_id"), col("line_no"),
+        explode(filter(ruleBank, x => x.isNotNull)).as("r"))
+      .select(col("doc_id"), col("line_no"),
+        col("r.severity").as("severity"), col("r.message").as("message"))
   }
 
   /** D5: per-document report with severity counts and a deterministic

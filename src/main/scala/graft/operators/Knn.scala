@@ -109,6 +109,52 @@ object Knn {
       .select(col("vec_id"), col("label"), col("bucket"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** IVF (inverted-file) approximate kNN — the scale path for vector search.
+    *
+    * Layout phase: `numCentroids` deterministic centroids (the lowest
+    * `vec_id` rows — a k-means run would replace this at production scale,
+    * but the *query shape* is identical and determinism is what the oracle
+    * needs); every index row is assigned to its argmax-cosine centroid via a
+    * broadcast join + per-row rank. At cluster scale the assignment is a
+    * map-side O(N·C) pass and the result would be written bucketed by
+    * `cluster` so probes prune at the parquet-partition level.
+    *
+    * Probe phase: the query ranks centroids, keeps `nprobe`, and scans ONLY
+    * rows assigned to those clusters — candidate count ~ N·nprobe/C instead
+    * of N, while the per-candidate ranking stays exact. Recall loss is
+    * bounded to neighbors whose cluster wasn't probed (the standard IVF
+    * trade; raise nprobe to recover).
+    */
+  def topKIvf(index: DataFrame, queryVec: DataFrame, k: Int,
+              numCentroids: Int, nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
+    val cent = prep(index.filter(col("vec_id") < numCentroids), "c")
+    val e = index
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+    // assignment: argmax cosine over centroids (tiebreak: lowest centroid id)
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("csim", sim(col("ed"), col("nrm"), col("ce"), col("cn")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("label"), col("ed"), col("nrm"), col("cid").as("cluster"))
+    // probe list: top-nprobe centroids for the query
+    val q = queryVec.select(col("qv").cast("array<double>").as("qe"))
+      .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
+    val probes = cent.crossJoin(broadcast(q))
+      .withColumn("qsim", sim(col("ce"), col("cn"), col("qe"), col("qn")))
+      .orderBy(desc("qsim"), asc("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("pcid"), col("qe"), col("qn"))
+    val candidates0 = assigned.join(broadcast(probes), col("cluster") === col("pcid"))
+    val candidates = excludeId.map(id => candidates0.filter(col("vec_id") =!= id)).getOrElse(candidates0)
+    candidates
+      .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn")))
+      .orderBy(desc("sim_raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("cluster"), round(col("sim_raw"), 6).as("sim"))
+  }
+
   /** All-pairs similarity join: pairs with cosine ≥ threshold. Exact variant
     * — O(n²/2) candidate pairs; correct baseline for the LSH variant, viable
     * while the embedding table is the small side of the workload.

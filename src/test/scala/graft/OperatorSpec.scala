@@ -32,6 +32,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.map(_.getAs[String]("bucket")).toSet.size == 1)
   }
 
+  test("IVF kNN: results come from probed clusters, sims agree with exact ranking") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val ivf = Knn.topKIvf(emb, q, 10, numCentroids = 16, nprobe = 4, excludeId = Some(0L)).collect()
+    assert(ivf.length == 10)
+    assert(ivf.map(_.getAs[Long]("cluster")).toSet.size <= 4)
+    // every IVF hit's similarity matches its exact-ranking similarity
+    val exact = Knn.topK(emb, q, 2000, excludeId = Some(0L)).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    ivf.foreach { r =>
+      assert(exact(r.getAs[Long]("vec_id")) == r.getAs[Double]("sim"))
+    }
+  }
+
   test("minhash pairs are a subset of full-recall ngram pairs (same threshold)") {
     val mh = Dedup.minhash(docs, 0.8).select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ng = Dedup.ngramJaccard(docs, 0.8).select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
