@@ -71,6 +71,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhash(Tables.documents(s, dir), threshold = 0.8)),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir), threshold = 0.0)),
+    "q_dedup_embed" -> ((s, dir) => Dedup.embedCosine(Tables.documents(s, dir), threshold = 0.95)),
 
     // --- text analysis over documents ---
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
@@ -110,7 +111,8 @@ object SparkEntry {
       Embedder.bucketHistogram(Tables.documents(s, dir))
         .filter(col("doc_id") < 100).orderBy("doc_id", "bucket")),
     "q_index_knn" -> ((s, dir) => {
-      val embDf = Embedder.embed(Tables.documents(s, dir))
+      // embedder subtree feeds both the query row and the index side — cache
+      val embDf = Embedder.embed(Tables.documents(s, dir)).cache()
       val q = embDf.filter(col("doc_id") === 0)
         .select(col("embedding").as("qe"))
         .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
@@ -125,6 +127,8 @@ object SparkEntry {
 
     // --- structured streaming (stateful windowed agg via memory sink) ---
     "q_stream_window" -> ((s, dir) => StreamOps.streamedEventsWindow(s, dir)),
+    // custom keyed state via mapGroupsWithState (survives batch boundaries)
+    "q_stream_state" -> ((s, dir) => StreamOps.streamedUserTotals(s, dir)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -204,6 +208,7 @@ object SparkEntry {
     "q_dedup_minhash" -> Dedup.duckMinhashSql("documents", 0.8),
     "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),
     "q_dedup_simhash" -> Dedup.duckSimhashSql("documents", 0.0),
+    "q_dedup_embed"   -> Dedup.duckEmbedCosine("documents", 0.95),
     "q_lang_id"       -> TextAnalysis.duckLangId("documents"),
     "q_text_quality"  -> TextAnalysis.duckQuality("documents"),
     "q_token_counts"  -> TextAnalysis.duckTokenCounts("documents"),
@@ -245,5 +250,6 @@ object SparkEntry {
          |SELECT doc_id, round(sim_raw, 6) AS sim
          |FROM s ORDER BY sim_raw DESC, doc_id LIMIT 10""".stripMargin,
     "q_stream_window"   -> StreamOps.duckStreamedEventsWindow,
+    "q_stream_state"    -> StreamOps.duckStreamedUserTotals,
   )
 }

@@ -2,7 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.Embedder
 import graft.functions.TextFns._
+import graft.functions.VecExprs.dotc
+import graft.functions.VectorFns.signBucket
 
 /** Document deduplication family over the `documents` table — the
   * large-scale-pipeline extensions mandated alongside the reference surface
@@ -114,6 +117,47 @@ object Dedup {
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
     jaccardTail(inter, sizes, threshold)
+  }
+
+  /** Embedding-cosine near-dup: hashing-embedder vectors (integer bucket
+    * counts → exact arithmetic), sign-presence LSH prune on the first `bits`
+    * dimensions, exact cosine ≥ threshold on surviving candidates.
+    *
+    * The prune key is the presence bitstring of the leading dims — docs with
+    * different token-bucket footprints can never collide, so the all-pairs
+    * comparison becomes a shuffle-equijoin on the pattern key (the same
+    * 100 TB shape as [[Knn.simJoinLsh]], but over DERIVED embeddings: this
+    * is the full chunk→embed→near-dup pipeline as one declarative plan). */
+  def embedCosine(documents: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
+    val e = Embedder.embed(documents)
+      .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
+      .withColumn("pat", signBucket(col("embedding"), bits))
+    val a = e.select(col("doc_id").as("d1"), col("embedding").as("e1"), col("nrm").as("n1"), col("pat"))
+    val b = e.select(col("doc_id").as("d2"), col("embedding").as("e2"), col("nrm").as("n2"), col("pat"))
+    val rawSim = dotc(col("e1"), col("e2")) / (col("n1") * col("n2"))
+    a.join(b, Seq("pat"))
+      .filter(col("d1") < col("d2") && rawSim >= threshold)
+      .select(col("d1"), col("d2"), round(rawSim, 6).as("sim"))
+      .orderBy(asc("d1"), asc("d2"))
+  }
+
+  def duckEmbedCosine(table: String, threshold: Double, bits: Int = 8): String = {
+    val pat = (0 until bits).map(i =>
+      s"CASE WHEN max(CASE WHEN bucket = $i AND cnt > 0 THEN 1 ELSE 0 END) = 1 THEN '1' ELSE '0' END")
+      .mkString(", ")
+    s"""WITH h AS (${Embedder.duckBucketHistogram(table)}),
+       |nrm AS (SELECT doc_id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS n FROM h GROUP BY doc_id),
+       |pat AS (SELECT doc_id, concat($pat) AS pat FROM h GROUP BY doc_id),
+       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM pat a JOIN pat b ON a.pat = b.pat AND a.doc_id < b.doc_id),
+       |dots AS (SELECT c.d1, c.d2, CAST(sum(x.cnt * y.cnt) AS DOUBLE) AS dot
+       |         FROM cand c JOIN h x ON x.doc_id = c.d1
+       |         JOIN h y ON y.doc_id = c.d2 AND y.bucket = x.bucket
+       |         GROUP BY c.d1, c.d2),
+       |s AS (SELECT d.d1, d.d2, d.dot / (n1.n * n2.n) AS sim_raw
+       |      FROM dots d JOIN nrm n1 ON n1.doc_id = d.d1 JOIN nrm n2 ON n2.doc_id = d.d2)
+       |SELECT d1, d2, round(sim_raw, 6) AS sim
+       |FROM s WHERE sim_raw >= $threshold ORDER BY d1, d2""".stripMargin
   }
 
   // ----------------------------------------------------------- oracle SQL

@@ -110,9 +110,13 @@ object Relational {
   def segmentRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
+    // finest grain is ~|segments|×|statuses| rows; cache it so the fact scan
+    // + join + agg run ONCE and the subtotal levels re-aggregate the tiny
+    // cached output instead of re-scanning orders per rollup level
     val g2 = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"), col("o_orderstatus").as("status"))
       .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("revenue"))
+      .cache()
     val g1 = g2.groupBy("segment")
       .agg(sum("n_orders").as("n_orders"), sum("revenue").as("revenue"))
       .withColumn("status", lit("ALL"))

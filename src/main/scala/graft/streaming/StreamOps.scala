@@ -43,4 +43,69 @@ object StreamOps {
     s"""SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
        |       event_type, count(*)::BIGINT AS n
        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  /** Running per-user totals carried in explicit keyed state. */
+  case class UserTotals(n: Long, minUs: Long, maxUs: Long)
+
+  /** Stateful streaming aggregation via `mapGroupsWithState`: per-user
+    * running (count, first-seen, last-seen) totals held in a
+    * `GroupState[UserTotals]` that survives micro-batch boundaries — the
+    * custom-state shape (`KeyValueGroupedDataset.mapGroupsWithState`) that
+    * windowed aggs can't express. Every state field is an exact integer
+    * merged with order-insensitive ops (+, min, max), so the result is
+    * deterministic regardless of how the source splits into batches or how
+    * rows arrive within a group iterator.
+    *
+    * Update-mode emissions re-emit a key's totals each batch it appears in;
+    * the `row_number` keep-latest picks the final value (n is strictly
+    * monotone). On a live stream the same pattern runs unbounded with a
+    * state TTL; see StreamStateSpec for the multi-batch state-carry proof.
+    */
+  def streamedUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val schema = Tables.eventsRaw(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    streamedUserTotalsOf(stream, s"graft_stream_tot_${counter.incrementAndGet()}")
+  }
+
+  /** Core of [[streamedUserTotals]], parameterized by source for tests. */
+  def streamedUserTotalsOf(stream: DataFrame, qname: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val typed = stream
+      .select(col("user_id").cast("long"), expr("ts div 1000").as("us"))
+      .as[(Long, Long)]
+    val updated = typed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[UserTotals]) =>
+          var s = state.getOption.getOrElse(UserTotals(0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { case (_, us) =>
+            s = UserTotals(s.n + 1, math.min(s.minUs, us), math.max(s.maxUs, us))
+          }
+          state.update(s)
+          (uid, s.n, s.minUs, s.maxUs)
+      }
+      .toDF("user_id", "n_events", "first_us", "last_us")
+    val q = updated.writeStream.outputMode("update").format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("n_events"))
+    spark.table(qname)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("user_id") < 20)
+      .select("user_id", "n_events", "first_us", "last_us")
+      .orderBy("user_id")
+  }
+
+  def duckStreamedUserTotals: String =
+    s"""SELECT user_id, count(*)::BIGINT AS n_events,
+       |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+       |FROM events WHERE user_id < 20
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -52,6 +52,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(mh.subsetOf(ng))
   }
 
+  test("embed-cosine near-dup pairs all clear the threshold and match brute-force cosine") {
+    val pairs = Dedup.embedCosine(docs, threshold = 0.95).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("sim") >= 0.95 - 1e-9))
+    // brute-force check on one reported pair: recompute cosine from raw embeddings
+    val p = pairs.head
+    val e = Embedder.embed(docs)
+      .filter(col("doc_id").isin(p.getLong(0), p.getLong(1)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val (a, b) = (e(p.getLong(0)), e(p.getLong(1)))
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val sim = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    assert(math.abs(sim - p.getAs[Double]("sim")) < 1e-6)
+  }
+
   test("upsert merge: every key appears once, overridden keys take v2") {
     val m = IndexOps.upsertMerge(docs)
     assert(m.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
