@@ -73,6 +73,21 @@ object Diagnostics {
       .withColumn("valid", (col("error_count") === 0).cast("boolean"))
       .orderBy("doc_id")
 
+  /** D6: shadow-workspace validation (lsp_tool.py:344-373) — run the full
+    * rule pipeline on PROPOSED content as a one-row virtual document; no
+    * filesystem copy is needed because the engine's diagnostics are a pure
+    * function of (lang, content). `valid` = zero error-severity findings
+    * (the reference's uppercase-"ERROR" substring scan almost always
+    * returned true — SURVEY.md §2.9#6; we count from the structured
+    * severity column instead). */
+  def validate(spark: org.apache.spark.sql.SparkSession, lang: String,
+               content: String): Boolean = {
+    import spark.implicits._
+    val proposed = Seq((0L, lang, content)).toDF("doc_id", "lang", "text")
+    val rows = report(proposed).collect()
+    rows.isEmpty || rows.head.getAs[Boolean]("valid")
+  }
+
   def duckReport(table: String): String =
     s"""WITH ch AS (${Chunkers.duckTextChunks(table).replace("ORDER BY doc_id, chunk_idx", "")}),
        |ln AS (SELECT c.doc_id, d.lang, c.chunk_idx AS line_no, c.content AS line

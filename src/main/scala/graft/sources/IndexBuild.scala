@@ -94,14 +94,16 @@ object IndexBuild {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), t)
   }
 
-  /** C9/S7: per-file summary table. */
+  /** C9/S7: per-file summary table, with the summary string embedded so the
+    * table is kNN-searchable (the reference embeds exactly this template
+    * string — indexing_agent.py:365-366). */
   def buildSummaries(files: Dataset[(String, String)], elements: DataFrame): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     val fileLines = files.map { case (p, c) => (p, c.split("\n", -1).length.toLong) }
       .toDF("file_path", "line_count")
     val byType = elements.groupBy("file_path", "element_type").agg(count(lit(1)).as("n"))
-    byType.groupBy("file_path")
+    val base = byType.groupBy("file_path")
       .agg(
         sum("n").cast("long").as("element_count"),
         concat_ws(", ",
@@ -112,6 +114,10 @@ object IndexBuild {
       .withColumn("summary",
         concat(lit("File "), col("file_path"), lit(" contains "),
           col("element_count"), lit(" code elements")))
+    val emb = Embedder.embed(
+      base.select(col("file_path").as("doc_id"), col("summary").as("text")))
+      .withColumnRenamed("doc_id", "file_path")
+    base.join(emb, "file_path")
   }
 
   /** Full build: returns the report row (S8 shape: files/elements/errors
@@ -171,6 +177,29 @@ object IndexBuild {
       .orderBy(desc("sim_raw"), asc("id"))
       .limit(k)
       .select(col("id"), col("name"), col("element_type"), col("file_path"),
+        round(col("sim_raw"), 6).as("similarity"))
+  }
+
+  /** Q2 over a built index: kNN against the file_summaries embeddings (the
+    * reference's `find_files_by_content`, vector_search_tool.py:81-147) —
+    * same top-k kernel as [[searchIndex]], file granularity. */
+  def searchSummaries(spark: SparkSession, indexDir: String, queryText: String,
+                      k: Int): DataFrame = {
+    import graft.functions.VecExprs.dotc
+    val summaries = spark.read.parquet(s"$indexDir/file_summaries")
+    val qdf = {
+      import spark.implicits._
+      Embedder.embed(Seq((0L, queryText)).toDF("doc_id", "text"))
+        .select(col("embedding").as("qe"))
+        .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
+    }
+    summaries
+      .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
+      .crossJoin(broadcast(qdf))
+      .withColumn("sim_raw", dotc(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
+      .orderBy(desc("sim_raw"), asc("file_path"))
+      .limit(k)
+      .select(col("file_path"), col("file_type"), col("element_count"),
         round(col("sim_raw"), 6).as("similarity"))
   }
 }

@@ -66,4 +66,12 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(py.getAs[String]("elements_by_type_str").contains("function:"))
     assert(py.getAs[String]("file_type") == ".py")
   }
+
+  test("summary search (Q2) ranks files by query similarity") {
+    val hits = IndexBuild.searchSummaries(spark, indexDir, "file contains code elements", 2).collect()
+    assert(hits.length == 2)
+    val sims = hits.map(_.getAs[Double]("similarity"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(hits.forall(_.getAs[Double]("similarity") > 0.0))
+  }
 }

@@ -97,6 +97,11 @@ class OperatorSpec extends AnyFunSuite {
     stub.foreach { f => assert(f.mean_byte > 0 && f.n_frames >= 1) }
   }
 
+  test("shadow-workspace validate: error rule rejects, clean content passes") {
+    assert(!Diagnostics.validate(spark, "en", "this mixes slow and fast in one chunk"))
+    assert(Diagnostics.validate(spark, "en", "a perfectly ordinary short line"))
+  }
+
   test("diagnostics report counts match raw rule rows") {
     val raw = Diagnostics.lineDiagnostics(docs).count()
     val rep = Diagnostics.report(docs)

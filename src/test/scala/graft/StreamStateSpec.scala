@@ -52,4 +52,28 @@ class StreamStateSpec extends AnyFunSuite {
     assert(h1 > 0 && h2 > 0)
     ev.unpersist()
   }
+
+  test("streaming re-index picks up files appearing mid-stream and replaces changed ones") {
+    import java.nio.file.{Files => JF}
+    val watch = JF.createTempDirectory("graft_watch").toFile
+    val index = JF.createTempDirectory("graft_stream_idx").toFile
+    watch.deleteOnExit(); index.deleteOnExit()
+    JF.writeString(new java.io.File(watch, "a.py").toPath,
+      "def alpha():\n    return 1\n\nclass Alpha:\n    pass\n")
+
+    val q = StreamOps.streamingReindex(spark, watch.getAbsolutePath, index.getAbsolutePath)
+    try {
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(s"${index.getAbsolutePath}/code_elements")
+      assert(after1.filter(col("file_path") === "a.py").count() >= 2)
+
+      // a new file appears while the query is RUNNING — next batch must index it
+      JF.writeString(new java.io.File(watch, "b.py").toPath,
+        "def beta():\n    return 2\n")
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(s"${index.getAbsolutePath}/code_elements")
+      assert(after2.filter(col("file_path") === "b.py").count() >= 1)
+      assert(after2.filter(col("file_path") === "a.py").count() >= 2)
+    } finally q.stop()
+  }
 }
