@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Chunkers, CodeElement, Knn}
+
+/** ScalaCheck properties (SURVEY.md §5 strategy): invariants that must hold
+  * for EVERY input, not just fixtures — chunk partition/coverage, hash
+  * stability, upsert idempotence, top-k monotonicity. Run directly through
+  * scalacheck's Test runner (no scalatestplus bridge in the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def checkProp(prop: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val text: Gen[String] = Gen.choose(0, 60)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  test("text chunks partition the token stream: full coverage, no overlap, order kept") {
+    import spark.implicits._
+    checkProp(forAll(Gen.listOfN(4, text)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val chunks = Chunkers.textChunks(docs).collect()
+      texts.zipWithIndex.forall { case (t, i) =>
+        val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        val mine = chunks.filter(_.getAs[Long]("doc_id") == i.toLong)
+          .sortBy(_.getAs[Long]("chunk_idx"))
+        val rejoined = mine.flatMap(_.getAs[String]("content").split(" ").filter(_.nonEmpty)).toSeq
+        // concatenating chunks in order reproduces the token stream exactly
+        rejoined == toks &&
+          // every chunk except possibly the last is exactly full-size
+          mine.dropRight(1).forall(_.getAs[Long]("n_tokens") == Chunkers.ChunkTokens.toLong)
+      }
+    }, n = 10)
+  }
+
+  test("content hash (C7) is deterministic and input-sensitive") {
+    checkProp(forAll(word, word) { (a, b) =>
+      def h(s: String) = CodeElement.make(s, "function", "f.py", 1, 2, s"body of $s").hash
+      (h(a) == h(a)) && (a == b || h(a) != h(b))
+    }, n = 100)
+  }
+
+  test("upsert merge is idempotent: applying the same batch twice equals once") {
+    import spark.implicits._
+    checkProp(forAll(Gen.listOfN(30, Gen.choose(0L, 9L))) { keys =>
+      val batch = keys.zipWithIndex.map { case (k, i) => (k, s"v$i", i.toLong) }
+        .toDF("id", "payload", "version")
+      def lww(df: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(desc("version"), desc("payload"))
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      }
+      val once = lww(batch).collect().map(_.toSeq).toSet
+      val twice = lww(lww(batch).unionByName(batch)).collect().map(_.toSeq).toSet
+      once == twice
+    }, n = 10)
+  }
+
+  test("top-k monotonicity holds for every k: top-k is a prefix of top-(k+1)") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val ranked = Knn.topK(emb, q, 50, excludeId = Some(0L))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    checkProp(forAll(Gen.choose(1, 49)) { k =>
+      val topk = Knn.topK(emb, q, k, excludeId = Some(0L))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      ranked.take(k) == topk
+    }, n = 8)
+  }
+}
