@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embedder, VectorFns}
 import graft.functions.VecExprs.dotc
-import graft.operators.{Chunkers, Dedup, Diagnostics, IndexOps, Knn, Multimodal, Relational, SymbolNav, TextAnalysis}
+import graft.operators.{Chunkers, Curation, Dedup, Diagnostics, IndexOps, Knn, Multimodal, Relational, SymbolNav, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -72,6 +72,9 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir), threshold = 0.0)),
     "q_dedup_embed" -> ((s, dir) => Dedup.embedCosine(Tables.documents(s, dir), threshold = 0.95)),
+    // composed pretraining-data funnel: quality → exact dedup → near-dup
+    "q_curation" -> ((s, dir) =>
+      Curation.curate(Tables.documents(s, dir), minQuality = 0.45, nearDupThreshold = 0.8)),
 
     // --- text analysis over documents ---
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
@@ -209,6 +212,7 @@ object SparkEntry {
     "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),
     "q_dedup_simhash" -> Dedup.duckSimhashSql("documents", 0.0),
     "q_dedup_embed"   -> Dedup.duckEmbedCosine("documents", 0.95),
+    "q_curation"      -> Curation.duckCurate("documents", 0.45, 0.8),
     "q_lang_id"       -> TextAnalysis.duckLangId("documents"),
     "q_text_quality"  -> TextAnalysis.duckQuality("documents"),
     "q_token_counts"  -> TextAnalysis.duckTokenCounts("documents"),

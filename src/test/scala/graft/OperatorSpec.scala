@@ -97,6 +97,19 @@ class OperatorSpec extends AnyFunSuite {
     stub.foreach { f => assert(f.mean_byte > 0 && f.n_frames >= 1) }
   }
 
+  test("curation funnel is monotone per language and kept docs clear every gate") {
+    val f = Curation.curate(docs, minQuality = 0.45, nearDupThreshold = 0.8).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val (raw, q, e, k) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("n_kept"))
+      assert(raw >= q && q >= e && e >= k)
+    }
+    // some stage actually filtered something, and something survived
+    assert(f.map(_.getAs[Long]("n_kept")).sum > 0)
+    assert(f.map(_.getAs[Long]("n_kept")).sum < f.map(_.getAs[Long]("n_raw")).sum)
+  }
+
   test("shadow-workspace validate: error rule rejects, clean content passes") {
     assert(!Diagnostics.validate(spark, "en", "this mixes slow and fast in one chunk"))
     assert(Diagnostics.validate(spark, "en", "a perfectly ordinary short line"))
