@@ -107,6 +107,8 @@ object SparkEntry {
     "q_events_window" -> ((s, dir) => Relational.eventsWindow(s, dir)),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.asofPurchaseView(s, dir)),
+    // skew-safe two-phase agg (salting); result ≡ plain groupBy (the oracle)
+    "q_salted_agg" -> ((s, dir) => Relational.saltedEventTotals(s, dir)),
 
     // --- multimodal plumbing + hashing-embedder index pipeline ---
     "q_multimodal" -> ((s, dir) => Multimodal.features(Tables.documents(s, dir))),
@@ -236,6 +238,7 @@ object SparkEntry {
     "q_events_window"   -> Relational.duckEventsWindow,
     "q_sessionize"      -> Relational.duckSessionize,
     "q_asof_join"       -> Relational.duckAsofPurchaseView,
+    "q_salted_agg"      -> Relational.duckSaltedEventTotals,
     "q_multimodal"      -> Multimodal.duckFeatures("documents"),
     "q_embed_hist" ->
       s"""WITH h AS (${Embedder.duckBucketHistogram("documents")})

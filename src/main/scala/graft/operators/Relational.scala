@@ -196,6 +196,30 @@ object Relational {
        |FROM s WHERE user_id < 20
        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** Skew-safe two-phase aggregation: per-event-type totals where one key
+    * (e.g. 'view') dominates the stream. A single groupBy(event_type) sends
+    * EVERY 'view' row to one reducer — the classic skew bottleneck at
+    * 100 TB. Salting splits each key into `salts` sub-keys (deterministic:
+    * event_id % salts, no RNG so the oracle reproduces row routing), partial
+    * aggregation runs on (key, salt) — spreading the hot key over `salts`
+    * reducers — and a second, tiny aggregation folds the partials. Counts
+    * and decimal sums are associative, so the result is EXACTLY the plain
+    * groupBy (which is the oracle).
+    */
+  def saltedEventTotals(spark: SparkSession, sfDir: String, salts: Int = 16): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("salt", col("event_id") % salts)
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"), sum(col("value").cast("decimal(18,6)")).as("pv"))
+      .groupBy("event_type")
+      .agg(sum("pn").cast("long").as("n"), sum("pv").as("sum_value"))
+      .orderBy("event_type")
+
+  def duckSaltedEventTotals: String =
+    s"""SELECT event_type, count(*)::BIGINT AS n,
+       |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** As-of join: each purchase matched to the user's most recent prior
     * 'view' event — expressed as one window over the ordered stream (zero
     * joins; the 100 TB shape: shuffle once by user, sort by time). */

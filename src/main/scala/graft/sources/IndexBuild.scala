@@ -180,6 +180,26 @@ object IndexBuild {
         round(col("sim_raw"), 6).as("similarity"))
   }
 
+  /** Write both index tables BUCKETED by file_path (same bucket count), so
+    * every per-file join in the query surface — elements ⋈ summaries,
+    * def/ref, structure aggregation — is co-located: Spark's bucketed-scan
+    * join needs NO Exchange on either side. This is the cluster-scale
+    * layout decision (bucket pruning + shuffle-free joins grow with table
+    * size; the one-time bucketed write does not change query semantics).
+    * `sortBy` inside buckets also removes the join's Sort at read time.
+    */
+  def writeBucketed(spark: SparkSession, indexDir: String, tablePrefix: String,
+                    buckets: Int = 8): Unit = {
+    def one(name: String): Unit =
+      spark.read.parquet(s"$indexDir/$name")
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .option("path", s"$indexDir/bucketed_$name")
+        .bucketBy(buckets, "file_path").sortBy("file_path")
+        .saveAsTable(s"${tablePrefix}_$name")
+    one("code_elements")
+    one("file_summaries")
+  }
+
   /** Q2 over a built index: kNN against the file_summaries embeddings (the
     * reference's `find_files_by_content`, vector_search_tool.py:81-147) —
     * same top-k kernel as [[searchIndex]], file granularity. */

@@ -67,6 +67,28 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(py.getAs[String]("file_type") == ".py")
   }
 
+  test("bucketed index tables join on file_path with NO shuffle (co-located join)") {
+    IndexBuild.writeBucketed(spark, indexDir, "graft_b", buckets = 4)
+    // force the join shape a LARGE summaries side would get (no broadcast):
+    // with both scans bucketed alike the SMJ needs no repartitioning
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = spark.table("graft_b_code_elements")
+      val s = spark.table("graft_b_file_summaries")
+      val joined = e.join(s, "file_path")
+      // same result as the unbucketed join…
+      val plainE = spark.read.parquet(s"$indexDir/code_elements")
+      val plainS = spark.read.parquet(s"$indexDir/file_summaries")
+      assert(joined.count() == plainE.join(plainS, "file_path").count())
+      // …but with no shuffle: bucketed scans feed the join directly
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("summary search (Q2) ranks files by query similarity") {
     val hits = IndexBuild.searchSummaries(spark, indexDir, "file contains code elements", 2).collect()
     assert(hits.length == 2)
