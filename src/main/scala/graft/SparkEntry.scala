@@ -112,6 +112,7 @@ object SparkEntry {
 
     // --- multimodal plumbing + hashing-embedder index pipeline ---
     "q_multimodal" -> ((s, dir) => Multimodal.features(Tables.documents(s, dir))),
+    "q_frames" -> ((s, dir) => Multimodal.frameSamples(Tables.documents(s, dir))),
     "q_embed_hist" -> ((s, dir) =>
       Embedder.bucketHistogram(Tables.documents(s, dir))
         .filter(col("doc_id") < 100).orderBy("doc_id", "bucket")),
@@ -240,6 +241,7 @@ object SparkEntry {
     "q_asof_join"       -> Relational.duckAsofPurchaseView,
     "q_salted_agg"      -> Relational.duckSaltedEventTotals,
     "q_multimodal"      -> Multimodal.duckFeatures("documents"),
+    "q_frames"          -> Multimodal.duckFrameSamples("documents"),
     "q_embed_hist" ->
       s"""WITH h AS (${Embedder.duckBucketHistogram("documents")})
          |SELECT doc_id, bucket, cnt FROM h WHERE doc_id < 100

@@ -52,6 +52,52 @@ object Multimodal {
        |       md5(substring(text, 1, 16)) AS frame_md5
        |FROM $table ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling: 1 asset → N frame rows (the video shape). Frames are
+    * fixed 32-byte payload slices, capped at `maxFrames` per asset — at
+    * cluster scale this generator is map-side (explode, no shuffle) and the
+    * per-frame digest is where a real frame decoder would hook in. */
+  def frameSamples(documents: DataFrame, maxFrames: Int = 4): DataFrame =
+    assets(documents)
+      .select(col("doc_id"),
+        expr(s"""explode(transform(
+          sequence(1, least($maxFrames, cast(ceil(octet_length(payload) / 32.0) as int))),
+          i -> struct(i as frame_no,
+                      md5(substring(payload, (i - 1) * 32 + 1, 32)) as frame_md5)))""").as("f"))
+      .select(col("doc_id"), col("f.frame_no").cast("long").as("frame_no"), col("f.frame_md5"))
+      .orderBy("doc_id", "frame_no")
+
+  def duckFrameSamples(table: String, maxFrames: Int = 4): String =
+    s"""SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+       |       md5(substring(text, (i - 1) * 32 + 1, 32)) AS frame_md5
+       |FROM (SELECT doc_id, text,
+       |             unnest(generate_series(1, least($maxFrames,
+       |                    CAST(ceil(octet_length(text::BLOB) / 32.0) AS INT)))) AS i
+       |      FROM $table)
+       |ORDER BY doc_id, frame_no""".stripMargin
+
+  /** Resize-stub: metadata-level resize (halved dims, clamped ≥1) plus the
+    * stub "pixel" statistic recomputed over the proportionally truncated
+    * payload — the schema/partitioning shape of a real resize (map-side,
+    * output dims derived, payload transformed). */
+  def resizeStub(documents: DataFrame, factor: Int = 2): Dataset[AssetFeatures] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    assets(documents)
+      .select("doc_id", "payload", "width", "height")
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, w, h) =>
+          val (rw, rh) = (math.max(1, w / factor), math.max(1, h / factor))
+          val keep = math.max(1, payload.length / (factor * factor))
+          val slice = payload.take(keep)
+          val mean = if (slice.isEmpty) 0.0
+            else slice.map(b => (b & 0xff).toDouble).sum / slice.length
+          AssetFeatures(id, slice.length.toLong, rw, rh, mean,
+            math.max(1, slice.length / math.max(1, rw * rh)))
+        }
+      }
+  }
+
   /** Decode-stub over mapPartitions — the per-partition iterator seam a real
     * image decoder would occupy. STUB: "decoding" reads byte statistics from
     * the payload instead of pixels; deterministic and schema-faithful.

@@ -97,6 +97,18 @@ class OperatorSpec extends AnyFunSuite {
     stub.foreach { f => assert(f.mean_byte > 0 && f.n_frames >= 1) }
   }
 
+  test("frame sampling caps frames per asset; resize stub shrinks dims and payload") {
+    val fr = Multimodal.frameSamples(docs, maxFrames = 4)
+    val perDoc = fr.groupBy("doc_id").count().agg(max("count")).collect()(0).getLong(0)
+    assert(perDoc <= 4 && fr.count() > 0)
+    val orig = Multimodal.decodeFeatures(docs).collect().map(f => f.doc_id -> f).toMap
+    Multimodal.resizeStub(docs, factor = 2).collect().foreach { r =>
+      val o = orig(r.doc_id)
+      assert(r.width == math.max(1, o.width / 2) && r.height == math.max(1, o.height / 2))
+      assert(r.byte_len <= o.byte_len)
+    }
+  }
+
   test("curation funnel is monotone per language and kept docs clear every gate") {
     val f = Curation.curate(docs, minQuality = 0.45, nearDupThreshold = 0.8).collect()
     assert(f.nonEmpty)
