@@ -53,6 +53,42 @@ class StreamStateSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("watermarked append-mode window: only watermark-closed windows emit; late data dropped") {
+    import spark.implicits._
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("ts_t"), col("event_type")).orderBy("ts_t").cache()
+    val n = ev.count()
+    val rows = ev.collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm").toFile
+    dir.deleteOnExit()
+    def writeBatch(rs: Seq[org.apache.spark.sql.Row], path: String): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rs), ev.schema)
+        .coalesce(1).write.parquet(path)
+    // batch1 = newest 80% (advances the watermark); batch2 re-sends some of
+    // the OLDEST rows after newer data was seen — i.e. genuinely late events
+    val (early, recent) = rows.splitAt((n * 0.2).toInt)
+    writeBatch(recent.toSeq, s"${dir.getAbsolutePath}/b1.parquet")
+    writeBatch(early.take(10).toSeq, s"${dir.getAbsolutePath}/b2.parquet")
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").option("recursiveFileLookup", "true")
+      .parquet(dir.getAbsolutePath)
+    val agg = stream
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window(col("ts_t"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("graft_wm_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.table("graft_wm_spec")
+    // append mode emits ONLY windows the watermark has closed — never more
+    // than the total window count, and every emitted window is final
+    assert(emitted.count() > 0)
+    val complete = ev.groupBy(window(col("ts_t"), "6 hours"), col("event_type")).count()
+    assert(emitted.count() <= complete.count())
+    ev.unpersist()
+  }
+
   test("streaming re-index picks up files appearing mid-stream and replaces changed ones") {
     import java.nio.file.{Files => JF}
     val watch = JF.createTempDirectory("graft_watch").toFile
