@@ -225,8 +225,11 @@ object Dedup {
     val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .withColumn("m", md5(col("t")))
     val bitCols = (0 until 16).map(i => sum(nibbleHigh(col("m"), i)).as(s"b$i"))
+    // cached: the signature agg feeds BOTH sides of the candidate self-join —
+    // without it the token explode + 16-sum agg executes twice
     val sig = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"), simhashFromSums((0 until 16).map(i => col(s"b$i"))).as("simhash"))
+      .cache()
     // referenced twice (Jaccard verify + signature re-attach) — cache so the
     // token-agg + signature self-join subtree runs once
     val cand = sig.as("x").join(sig.as("y"),
