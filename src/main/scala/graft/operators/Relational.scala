@@ -13,7 +13,11 @@ import graft.Tables
   * DECIMAL cast first. Double addition is order-sensitive and Spark's
   * partial aggregation order differs from DuckDB's — decimal accumulation
   * is exact, so both engines get bit-identical totals regardless of
-  * partitioning. Averages divide the exact decimal sum in double precision.
+  * partitioning. The FINAL projection always converts the exact decimal
+  * to round(double, 6): Spark's sum(dec(18,x)) is dec(28,x) while DuckDB's
+  * is dec(38,x), and the driver's hash compare is type-sensitive — double
+  * is the type-stable exchange format. Rank/filter always on the raw
+  * decimal, round only at the end.
   *
   * Scale shapes: aggregations are partial-agg friendly (map-side combine);
   * dimension joins broadcast (nation/region/customer ≪ fact tables);
@@ -30,9 +34,13 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).as("sum_disc_price"),
+        // decimal accumulation (exact, order-insensitive) — but the FINAL
+        // projection is round(double): decimal output precision differs
+        // between Spark (dec(28,4)) and DuckDB (dec(38,4)) and the driver's
+        // hash is type-sensitive. Double after round(,6) is identical.
+        round(sum(dec(col("l_quantity"))).cast("double"), 6).as("sum_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double"), 6).as("sum_base_price"),
+        round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).cast("double"), 6).as("sum_disc_price"),
         round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
         round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"),
         round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 6).as("avg_disc"),
@@ -42,9 +50,9 @@ object Relational {
 
   def duckPricingSummary: String =
     s"""SELECT l_returnflag, l_linestatus,
-       |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-       |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-       |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_qty,
+       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_base_price,
+       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS sum_disc_price,
        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
@@ -63,20 +71,30 @@ object Relational {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        sum(dec(col("o_totalprice"))).as("revenue"),
+        // rank on the RAW exact decimal sum; round(double) only in the
+        // final projection (type-stable across Spark/DuckDB)
+        sum(dec(col("o_totalprice"))).as("revenue_raw"),
         count(lit(1)).as("n_orders"),
         countDistinct(col("c_custkey")).as("n_customers"))
-      .orderBy(desc("revenue"), asc("n_name"))
+      .orderBy(desc("revenue_raw"), asc("n_name"))
       .limit(10)
+      .select(col("r_name"), col("n_name"),
+        round(col("revenue_raw").cast("double"), 6).as("revenue"),
+        col("n_orders"), col("n_customers"))
+      .orderBy(desc("revenue"), asc("n_name")) // re-assert order post-limit
   }
 
   def duckTopNations: String =
-    s"""SELECT r_name, n_name, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue,
-       |       count(*)::BIGINT AS n_orders, count(DISTINCT c_custkey)::BIGINT AS n_customers
-       |FROM orders JOIN customer ON o_custkey = c_custkey
-       |JOIN nation ON c_nationkey = n_nationkey
-       |JOIN region ON n_regionkey = r_regionkey
-       |GROUP BY r_name, n_name ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin
+    s"""WITH g AS (
+       |  SELECT r_name, n_name, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue_raw,
+       |         count(*)::BIGINT AS n_orders, count(DISTINCT c_custkey)::BIGINT AS n_customers
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY r_name, n_name ORDER BY revenue_raw DESC, n_name LIMIT 10)
+       |SELECT r_name, n_name, round(CAST(revenue_raw AS DOUBLE), 6) AS revenue,
+       |       n_orders, n_customers
+       |FROM g ORDER BY revenue DESC, n_name""".stripMargin
 
   /** Top-3 orders per market segment: ranking window after a broadcast join. */
   def windowTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -101,30 +119,22 @@ object Relational {
        |FROM r WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin
 
   /** ROLLUP(segment, status): hierarchical totals with labeled subtotals.
-    * Expressed as one finest-grain aggregation whose partials are
-    * RE-aggregated for the subtotal levels — semantically identical to
-    * `ROLLUP` (count/sum are decomposable) and cheaper at scale: the fact
-    * table is scanned once and the upper levels aggregate the (tiny)
-    * grouped output. (Also sidesteps Spark's ambiguous-self-join check,
-    * which misfires on post-rollup references to grouping columns.) */
+    * Native `rollup()`: Expand feeds each input row to all three grouping
+    * levels BEFORE partial aggregation, so map-side combine reduces the
+    * shuffle to 3×|groups| rows — one fact scan, one shuffle, no cache.
+    * (Dataset has no NULL segments/statuses, so coalesce-to-'ALL' labels
+    * the subtotal levels unambiguously, matching DuckDB's ROLLUP.) */
   def segmentRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
-    // finest grain is ~|segments|×|statuses| rows; cache it so the fact scan
-    // + join + agg run ONCE and the subtotal levels re-aggregate the tiny
-    // cached output instead of re-scanning orders per rollup level
-    val g2 = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .groupBy(col("c_mktsegment").as("segment"), col("o_orderstatus").as("status"))
-      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("revenue"))
-      .cache()
-    val g1 = g2.groupBy("segment")
-      .agg(sum("n_orders").as("n_orders"), sum("revenue").as("revenue"))
-      .withColumn("status", lit("ALL"))
-    val g0 = g2.agg(sum("n_orders").as("n_orders"), sum("revenue").as("revenue"))
-      .withColumn("segment", lit("ALL")).withColumn("status", lit("ALL"))
-    g2.select("segment", "status", "n_orders", "revenue")
-      .unionByName(g1.select("segment", "status", "n_orders", "revenue"))
-      .unionByName(g0.select("segment", "status", "n_orders", "revenue"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .rollup(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("revenue_raw"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"),
+        round(col("revenue_raw").cast("double"), 6).as("revenue"))
       .orderBy("segment", "status")
   }
 
@@ -132,7 +142,7 @@ object Relational {
     s"""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
        |       coalesce(o_orderstatus, 'ALL') AS status,
        |       count(*)::BIGINT AS n_orders,
-       |       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue
+       |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
        |ORDER BY segment, status""".stripMargin
@@ -146,13 +156,14 @@ object Relational {
         sum(col("value").cast("decimal(18,6)")).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
-        col("event_type"), col("n"), col("sum_value"), col("n_users"))
+        col("event_type"), col("n"),
+        round(col("sum_value").cast("double"), 6).as("sum_value"), col("n_users"))
       .orderBy("bucket", "event_type")
 
   def duckEventsWindow: String =
     s"""SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
        |       event_type, count(*)::BIGINT AS n,
-       |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
+       |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
        |       count(DISTINCT user_id)::BIGINT AS n_users
        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
@@ -176,6 +187,7 @@ object Relational {
         sum(col("value").cast("decimal(18,6)")).as("sum_value"))
       .filter(col("user_id") < 20)
       .withColumn("duration_us", col("end_us") - col("start_us"))
+      .withColumn("sum_value", round(col("sum_value").cast("double"), 6))
       .orderBy("user_id", "session_id")
   }
 
@@ -191,7 +203,7 @@ object Relational {
        |      FROM n)
        |SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
        |       count(*)::BIGINT AS n_events,
-       |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
+       |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
        |       max(us) - min(us) AS duration_us
        |FROM s WHERE user_id < 20
        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
@@ -212,12 +224,13 @@ object Relational {
       .groupBy("event_type", "salt")
       .agg(count(lit(1)).as("pn"), sum(col("value").cast("decimal(18,6)")).as("pv"))
       .groupBy("event_type")
-      .agg(sum("pn").cast("long").as("n"), sum("pv").as("sum_value"))
+      .agg(sum("pn").cast("long").as("n"),
+        round(sum("pv").cast("double"), 6).as("sum_value"))
       .orderBy("event_type")
 
   def duckSaltedEventTotals: String =
     s"""SELECT event_type, count(*)::BIGINT AS n,
-       |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+       |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** As-of join: each purchase matched to the user's most recent prior

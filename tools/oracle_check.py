@@ -3,8 +3,12 @@
 
 Reads the Verify output dir (per-query parquet + oracle_sql.json), registers
 the sf parquet tables as DuckDB views, runs each oracle SQL, and compares
-against the Spark result: schema (sorted column names), row count, and a
-hash over values with columns sorted by name (mimicking the driver).
+against the Spark result: schema (sorted column names AND Arrow types — the
+driver's hash is type-sensitive, e.g. decimal(28,4) vs decimal(38,4) FAILS
+there), row count, and ordered values with columns sorted by name.
+
+Both sides go through Arrow (not pandas fetchdf, which coerces decimals to
+float64 and hides exactly the class of mismatch that cost 6 queries in r01).
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 """
@@ -19,6 +23,12 @@ def norm(v):
         return repr(v)
     return repr(v)
 
+def type_key(arrow_type):
+    """Driver-comparable type label: exact for decimals, family for the rest
+    (parquet round-trips can legitimately differ int64 vs int32 only if we
+    wrote them differently — surface that too)."""
+    return str(arrow_type)
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -32,18 +42,23 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark result written"); n_fail += 1; continue
         try:
-            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
-            want = con.execute(oracle[name]).fetchdf()
+            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table()
+            want = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
-        gcols, wcols = sorted(got.columns), sorted(want.columns)
+        gcols, wcols = sorted(got.column_names), sorted(want.column_names)
         if gcols != wcols:
             print(f"FAIL {name}: columns {gcols} vs {wcols}"); n_fail += 1; continue
-        g = got[gcols]; w = want[wcols]
-        if len(g) != len(w):
-            print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
-        grows = [tuple(norm(v) for v in r) for r in g.itertuples(index=False)]
-        wrows = [tuple(norm(v) for v in r) for r in w.itertuples(index=False)]
+        gtypes = {c: type_key(got.schema.field(c).type) for c in gcols}
+        wtypes = {c: type_key(want.schema.field(c).type) for c in wcols}
+        tdiff = {c: (gtypes[c], wtypes[c]) for c in gcols if gtypes[c] != wtypes[c]}
+        if tdiff:
+            print(f"FAIL {name}: type mismatch {tdiff}"); n_fail += 1; continue
+        if got.num_rows != want.num_rows:
+            print(f"FAIL {name}: rows {got.num_rows} vs {want.num_rows}"); n_fail += 1; continue
+        g = got.select(gcols); w = want.select(wcols)
+        grows = [tuple(norm(v) for v in r.values()) for r in g.to_pylist()]
+        wrows = [tuple(norm(v) for v in r.values()) for r in w.to_pylist()]
         if grows == wrows:
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
         elif sorted(grows) == sorted(wrows):
