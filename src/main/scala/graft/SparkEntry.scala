@@ -70,7 +70,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhash(Tables.documents(s, dir), threshold = 0.8)),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), threshold = 0.5)),
-    "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir), threshold = 0.0)),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_embed" -> ((s, dir) => Dedup.embedCosine(Tables.documents(s, dir), threshold = 0.95)),
     // composed pretraining-data funnel: quality → exact dedup → near-dup
     "q_curation" -> ((s, dir) =>
@@ -213,7 +213,7 @@ object SparkEntry {
     "q_dedup_exact"   -> Dedup.duckExact("documents"),
     "q_dedup_minhash" -> Dedup.duckMinhashSql("documents", 0.8),
     "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),
-    "q_dedup_simhash" -> Dedup.duckSimhashSql("documents", 0.0),
+    "q_dedup_simhash" -> Dedup.duckSimhashSql("documents", 0.5),
     "q_dedup_embed"   -> Dedup.duckEmbedCosine("documents", 0.95),
     "q_curation"      -> Curation.duckCurate("documents", 0.45, 0.8),
     "q_lang_id"       -> TextAnalysis.duckLangId("documents"),

@@ -45,21 +45,44 @@ object TextFns {
   def duckMinhash(shingle: String, seed: Int): String =
     s"md5('$seed:' || $shingle)"
 
-  /** 16-bit SimHash from the high bit of each md5 hex nibble of each token:
-    * bit i set iff sum over tokens of (+1 if nibble i ≥ 8 else −1) > 0.
-    * Pure string ops — identical in DuckDB.  `bitSums` are the per-token
-    * ±1 contributions; aggregate with sum() then [[simhashFromSums]].
-    */
-  def nibbleHigh(tokenMd5: Column, i: Int): Column =
-    when(substring(tokenMd5, i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
+  /** SimHash bit i (0-based, i < 128) of a token's md5: hex nibble i/4,
+    * bit 8>>(i%4) within the nibble — expressed as an IN-list over hex
+    * chars so Spark and DuckDB evaluate the identical pure-string test.
+    * Returns the signed ±1 contribution; aggregate with sum() then
+    * [[simhashFromSums]]. */
+  private val hexWithMask: Map[Int, Seq[String]] = Map(
+    8 -> Seq("8", "9", "a", "b", "c", "d", "e", "f"),
+    4 -> Seq("4", "5", "6", "7", "c", "d", "e", "f"),
+    2 -> Seq("2", "3", "6", "7", "a", "b", "e", "f"),
+    1 -> Seq("1", "3", "5", "7", "9", "b", "d", "f"))
 
-  def duckNibbleHigh(tokenMd5: String, i: Int): String =
-    s"CASE WHEN substr($tokenMd5, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"
+  def simhashBit(tokenMd5: Column, i: Int): Column = {
+    val hexes = hexWithMask(8 >> (i % 4))
+    when(substring(tokenMd5, i / 4 + 1, 1).isin(hexes: _*), 1).otherwise(-1)
+  }
 
-  /** Assemble the simhash bit string from 16 summed contributions. */
+  def duckSimhashBit(tokenMd5: String, i: Int): String = {
+    val hexes = hexWithMask(8 >> (i % 4)).map("'" + _ + "'").mkString(",")
+    s"CASE WHEN substr($tokenMd5, ${i / 4 + 1}, 1) IN ($hexes) THEN 1 ELSE -1 END"
+  }
+
+  /** Assemble the simhash bit string from the summed contributions. */
   def simhashFromSums(sums: Seq[Column]): Column =
     concat(sums.map(s => when(s > 0, "1").otherwise("0")): _*)
 
   def duckSimhashFromSums(sums: Seq[String]): String =
     sums.map(s => s"CASE WHEN $s > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+
+  /** Hamming distance between two equal-length bit strings, as a 64-term
+    * position-compare sum (codegen-friendly; runs only on LSH candidate
+    * pairs, never all-pairs). */
+  def hammingDist(s1: Column, s2: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      when(substring(s1, i + 1, 1) =!= substring(s2, i + 1, 1), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+
+  def duckHamming(s1: String, s2: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"(CASE WHEN substr($s1, ${i + 1}, 1) <> substr($s2, ${i + 1}, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
 }

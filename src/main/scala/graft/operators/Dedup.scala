@@ -19,7 +19,8 @@ import graft.functions.VectorFns.signBucket
   *   - exact:    hash groupBy (linear, map-side partial agg)
   *   - minhash:  signature agg (linear) → band-bucket equijoin (near-dups
   *     collide; the join key is the band hash, so shuffle is by bucket)
-  *   - simhash:  16-bit signature agg (linear) → signature equijoin
+  *   - simhash:  64-bit signature agg (linear) → 4×16-bit band equijoin
+  *     → hamming verify on candidates
   *   - ngram:    shared-shingle equijoin (inverted-index join) — no LSH,
   *     exact recall, used as the correctness baseline for minhash
   * Verification (exact Jaccard) runs only on surviving candidate pairs.
@@ -205,42 +206,85 @@ object Dedup {
        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
        |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin
 
-  def duckSimhashSql(table: String, threshold: Double): String = {
-    val sums = (0 until 16).map(i => s"sum(${duckNibbleHigh("m", i)})")
+  def duckSimhashSql(table: String, threshold: Double, maxHamming: Int = 8): String = {
+    val sums = (0 until 64).map(i => s"sum(${duckSimhashBit("m", i)})")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, substr(simhash, ${b * 16 + 1}, 16) AS bkey FROM sig")
+      .mkString("\n       UNION ALL ")
     s"""WITH ${duckSh(table)},
        |tok AS (SELECT doc_id, md5(t2.tt) AS m
        |        FROM (SELECT doc_id, unnest(t) AS tt FROM tk) t2),
        |sig AS (SELECT doc_id, ${duckSimhashFromSums(sums)} AS simhash
        |        FROM tok GROUP BY doc_id),
-       |cand AS (SELECT x.doc_id AS d1, y.doc_id AS d2, x.simhash
-       |         FROM sig x JOIN sig y ON x.simhash = y.simhash AND x.doc_id < y.doc_id),
-       |${duckJaccard("cand", s"round(jac, 6) >= $threshold",
-                      "d1, d2, c2.simhash, round(jac, 6) AS jaccard",
+       |bands AS ($bandRows),
+       |cand0 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+       |                 x.simhash AS s1, y.simhash AS s2
+       |          FROM bands x JOIN bands y
+       |          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |cand AS (SELECT d1, d2, hamming FROM
+       |           (SELECT d1, d2, CAST(${duckHamming("s1", "s2", 64)} AS BIGINT) AS hamming
+       |            FROM cand0) h
+       |         WHERE hamming <= $maxHamming),
+       |${duckJaccard("cand", s"jac >= $threshold",
+                      "d1, d2, c2.hamming, round(jac, 6) AS jaccard",
                       "JOIN cand c2 USING (d1, d2)")}""".stripMargin
   }
 
-  /** SimHash near-dup: 16-bit signature from token-level md5 nibbles; docs
-    * with EQUAL signatures are near-dup candidates, reported with Jaccard. */
-  def simhash(documents: DataFrame, threshold: Double): DataFrame = {
+  /** Banded SimHash near-dup: 64-bit signature per doc — bit i set iff the
+    * signed sum over tokens of md5-bit i is positive — split into 4×16-bit
+    * bands; docs sharing ANY band bucket become candidates (near-identical
+    * signatures differ in few bits, so at least one band usually matches).
+    * Candidates are verified on the FULL signature (hamming ≤ maxHamming),
+    * then by exact shingle Jaccard ≥ threshold.
+    *
+    * Scale shape: each band key ranges over 2^16 near-uniform md5-derived
+    * values, so buckets stay small and the per-band equijoin is the linear
+    * LSH shape — unlike whole-signature equality on a saturated 16-bit
+    * space (round-1 design), which paired quadratically inside each of at
+    * most 65,536 signatures. The hamming verify is a 64-term compare on
+    * candidate pairs only; the Jaccard verify is candidate-first
+    * ([[jaccardOf]] semantics), carrying `hamming` through the agg key so
+    * the candidate subtree is referenced exactly once — no caches. */
+  def simhash(documents: DataFrame, threshold: Double, maxHamming: Int = 8): DataFrame = {
     val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .withColumn("m", md5(col("t")))
-    val bitCols = (0 until 16).map(i => sum(nibbleHigh(col("m"), i)).as(s"b$i"))
-    // cached: the signature agg feeds BOTH sides of the candidate self-join —
-    // without it the token explode + 16-sum agg executes twice
+    val bitCols = (0 until 64).map(i => sum(simhashBit(col("m"), i)).as(s"b$i"))
+    // one row per doc (tiny); cached because the band self-join references
+    // it on both sides and the broadcast side can't reuse the exchange —
+    // without the cache the token explode + 64-sum agg executes twice.
+    // (Verify/Bench clear the cache after every query.)
     val sig = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"), simhashFromSums((0 until 16).map(i => col(s"b$i"))).as("simhash"))
+      .select(col("doc_id"), simhashFromSums((0 until 64).map(i => col(s"b$i"))).as("simhash"))
       .cache()
-    // referenced twice (Jaccard verify + signature re-attach) — cache so the
-    // token-agg + signature self-join subtree runs once
-    val cand = sig.as("x").join(sig.as("y"),
-        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), col("x.simhash").as("simhash"))
-      .cache()
+    val bands = sig.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until 4).map(b => struct(
+        lit(b).as("band"),
+        substring(col("simhash"), b * 16 + 1, 16).as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bkey"))
+    // self-join on (band, bkey): both sides are the identical subtree, so
+    // the physical plan reuses one shuffle exchange (no cache needed)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", hammingDist(col("s1"), col("s2"), 64))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+    // candidate-first exact-Jaccard verify (hamming rides the groupBy key)
     val sh = shingleRows(documents, 3)
-    jaccardOf(sh, cand.select("d1", "d2"), 0.0)
-      .join(cand, Seq("d1", "d2"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy("d1", "d2", "hamming").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
       .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("simhash"), col("jaccard"))
+      .select(col("d1"), col("d2"), col("hamming"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(asc("d1"), asc("d2"))
   }
 }
