@@ -20,6 +20,20 @@ object StreamOps {
 
   private val counter = new AtomicInteger(0)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered.
+    * Stateful streaming queries open/commit one state store per shuffle
+    * partition per micro-batch; for the memory-sink harness (bounded key
+    * space, single JVM) 32 stores are pure overhead. The conf is read at
+    * query START, so scoping it around `start()`+`processAllAvailable()`
+    * affects only this query; batch queries keep the session default.
+    */
+  private def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Tumbling 6-hour count per event type, executed as a streaming query. */
   def streamedEventsWindow(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = Tables.eventsRaw(spark, sfDir).schema
@@ -31,8 +45,10 @@ object StreamOps {
       .groupBy(window(col("ts_t"), "6 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val qname = s"graft_stream_win_${counter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    withShufflePartitions(spark, 4) {
+      val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(qname)
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"))
@@ -60,6 +76,12 @@ object StreamOps {
     * the `row_number` keep-latest picks the final value (n is strictly
     * monotone). On a live stream the same pattern runs unbounded with a
     * state TTL; see StreamStateSpec for the multi-batch state-carry proof.
+    *
+    * The static `user_id < 20` predicate is applied to the SOURCE, before
+    * `groupByKey`: keyed state is maintained only for the 20 queried users,
+    * not the whole user space — at 100 TB that's the difference between a
+    * bounded state store and an OOM. Semantics are identical (the predicate
+    * is on the grouping key, so it commutes with the aggregation).
     */
   def streamedUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -77,6 +99,7 @@ object StreamOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val typed = stream
+      .filter(col("user_id") < 20)
       .select(col("user_id").cast("long"), expr("ts div 1000").as("us"))
       .as[(Long, Long)]
     val updated = typed
@@ -92,13 +115,15 @@ object StreamOps {
           (uid, s.n, s.minUs, s.maxUs)
       }
       .toDF("user_id", "n_events", "first_us", "last_us")
-    val q = updated.writeStream.outputMode("update").format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    withShufflePartitions(spark, 4) {
+      val q = updated.writeStream.outputMode("update").format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(desc("n_events"))
     spark.table(qname)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("user_id") < 20)
+      .filter(col("rn") === 1)
       .select("user_id", "n_events", "first_us", "last_us")
       .orderBy("user_id")
   }
