@@ -78,17 +78,33 @@ object CodeChunker {
     t.startsWith("import ") || t.startsWith("from ")
   }
 
-  /** C4: first triple-quoted string of the block, quotes stripped. */
+  private def stripEdgeChars(s: String, c: Char): String =
+    s.dropWhile(_ == c).reverse.dropWhile(_ == c).reverse
+
+  /** C4: full first triple-quoted string literal of the block, spanning
+    * multiple lines, post-processed exactly like the reference's
+    * `_extract_python_docstring` (indexing_agent.py:227-240):
+    * `'\n'.join(lines).strip().strip('\"\"\"').strip(\"'''\").strip()`
+    * — i.e. whitespace, then edge quote CHARACTERS (Python `str.strip`
+    * takes a character set), then whitespace again. */
   private def pyDocstring(lines: Array[String], start: Int, end: Int): String = {
-    val body = lines.slice(start + 1, end + 1).map(_.trim).filter(_.nonEmpty)
-    body.headOption match {
-      case Some(l) if l.startsWith("\"\"\"") || l.startsWith("'''") =>
-        val q = l.substring(0, 3)
-        val stripped = l.stripPrefix(q)
-        if (stripped.contains(q)) stripped.substring(0, stripped.indexOf(q))
-        else stripped
-      case _ => ""
-    }
+    var i = start + 1
+    while (i <= end && lines(i).trim.isEmpty) i += 1
+    if (i > end) return ""
+    val t = lines(i).trim
+    val q =
+      if (t.startsWith("\"\"\"")) "\"\"\""
+      else if (t.startsWith("'''")) "'''"
+      else return ""
+    val closeLine =
+      if (t.substring(3).contains(q)) i
+      else {
+        var j = i + 1
+        while (j <= end && !lines(j).contains(q)) j += 1
+        math.min(j, end)
+      }
+    val joined = lines.slice(i, closeLine + 1).mkString("\n")
+    stripEdgeChars(stripEdgeChars(joined.trim, '"'), '\'').trim
   }
 
   def chunkPython(path: String, content: String): Seq[CodeElement] = {
@@ -99,10 +115,13 @@ object CodeChunker {
       val l = lines(i)
       l match {
         case pyDef(name) if !l.trim.startsWith("#") =>
+          // i advances by 1, not to block end: the reference's traverse_node
+          // recurses into every child (indexing_agent.py:158-172), so nested
+          // defs and imports inside a function body are emitted too.
           val end = blockEnd(lines, i)
           out += CodeElement.make(name, "function", path, i + 1, end + 1,
             lines.slice(i, end + 1).mkString("\n"), pyDocstring(lines, i, end))
-          i = end + 1
+          i += 1
         case pyClass(name) if !l.trim.startsWith("#") =>
           // class header is emitted as one element; nested defs still found
           val end = blockEnd(lines, i)
@@ -140,21 +159,48 @@ object CodeChunker {
     lines.length - 1
   }
 
+  /** method_definition recognizer (indexing_agent.py:165): `name(args) {`
+    * with optional static/async/get/set modifiers. Control-flow keywords are
+    * excluded so `if (...) {` never reads as a method. */
+  private val jsMethod =
+    """^\s*(?:static\s+)?(?:async\s+)?(?:(?:get|set)\s+)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\([^)]*\)\s*\{""".r.unanchored
+  private val jsKeywords =
+    Set("if", "for", "while", "switch", "catch", "function", "return", "else",
+      "do", "try", "new", "typeof", "await", "yield")
+
   def chunkJs(path: String, content: String): Seq[CodeElement] = {
     val lines = content.split("\n", -1)
+    // Class body ranges, so method_definition recognition fires only inside a
+    // class body (the reference's tree-sitter node set includes
+    // method_definition, indexing_agent.py:165; its extractor names it like a
+    // function).
+    val classBodies = Seq.newBuilder[(Int, Int)]
+    for (i <- lines.indices) lines(i) match {
+      case jsClass(_) => classBodies += ((i + 1, braceEnd(lines, i)))
+      case _ =>
+    }
+    val bodies = classBodies.result()
+    def inClassBody(i: Int): Boolean = bodies.exists { case (s, e) => i >= s && i <= e }
     val out = Seq.newBuilder[CodeElement]
     var i = 0
     while (i < lines.length) {
       val l = lines(i)
       l match {
         case jsFunction(name) =>
+          // i += 1, not end+1: traverse_node recursion means nested function
+          // declarations are emitted too (indexing_agent.py:158-172).
           val end = braceEnd(lines, i)
           out += CodeElement.make(name, "function", path, i + 1, end + 1,
             lines.slice(i, end + 1).mkString("\n"))
-          i = end + 1
+          i += 1
         case jsClass(name) =>
           val end = braceEnd(lines, i)
           out += CodeElement.make(name, "class", path, i + 1, end + 1,
+            lines.slice(i, end + 1).mkString("\n"))
+          i += 1
+        case jsMethod(name) if inClassBody(i) && !jsKeywords(name) =>
+          val end = braceEnd(lines, i)
+          out += CodeElement.make(name, "function", path, i + 1, end + 1,
             lines.slice(i, end + 1).mkString("\n"))
           i += 1
         case _ if isJsImport(l) =>

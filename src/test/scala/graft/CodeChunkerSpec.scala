@@ -31,6 +31,33 @@ class CodeChunkerSpec extends AnyFunSuite {
     assert(fn.content.contains("return y;"))
   }
 
+  test("python chunker recurses: nested defs, nested imports, multi-line docstrings") {
+    val els = CodeChunker.chunkFile("nested.py", read("nested.py"))
+    val fns = els.filter(_.element_type == "function").map(_.name)
+    assert(fns.contains("outer") && fns.contains("inner"))
+    // top-level `import os` plus `import json` inside outer's body
+    assert(els.count(_.element_type == "import") == 2)
+    val outer = els.find(_.name == "outer").get
+    assert(outer.docstring.startsWith("Outer does things."))
+    assert(outer.docstring.contains("Across multiple lines."))
+    assert(!outer.docstring.contains("\"\"\""))
+    val inner = els.find(_.name == "inner").get
+    assert(inner.docstring == "Inner helper.")
+    // outer's span still covers its whole body, nested def included
+    assert(outer.content.contains("def inner"))
+  }
+
+  test("js/ts chunker finds class methods (method_definition)") {
+    val els = CodeChunker.chunkFile("pkg/widget.ts", read("pkg/widget.ts"))
+    assert(els.exists(e => e.element_type == "class" && e.name == "Panel"))
+    val fns = els.filter(_.element_type == "function").map(_.name).toSet
+    assert(fns == Set("constructor", "load", "size"))
+    // control-flow keywords never read as methods
+    assert(!els.exists(_.name == "if"))
+    val load = els.find(_.name == "load").get
+    assert(load.content.contains("return fetch(url);"))
+  }
+
   test("markdown chunker: Introduction for leading prose, empty sections dropped") {
     val els = CodeChunker.chunkFile("README.md", read("README.md"))
     val names = els.map(_.name)
