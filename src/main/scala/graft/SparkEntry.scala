@@ -96,6 +96,7 @@ object SparkEntry {
 
     // --- diagnostics rule engine (D1-D6) + def/ref navigation (L2-L3) ---
     "q_diagnostics" -> ((s, dir) => Diagnostics.report(Tables.documents(s, dir))),
+    "q_diagnostics_code" -> ((s, dir) => Diagnostics.codeReportFromDocs(Tables.documents(s, dir))),
     "q_defs_refs" -> ((s, dir) =>
       SymbolNav.defsAndRefs(Tables.documents(s, dir), Seq("spark", "join", "table", "vector"))),
 
@@ -230,6 +231,7 @@ object SparkEntry {
     "q_upsert"           -> IndexOps.duckUpsertMerge("documents"),
     "q_collection_stats" -> IndexOps.duckCollectionStats("documents", "embeddings"),
     "q_diagnostics"      -> Diagnostics.duckReport("documents"),
+    "q_diagnostics_code" -> Diagnostics.duckCodeReport("documents"),
     "q_defs_refs"        -> SymbolNav.duckDefsAndRefs("documents", Seq("spark", "join", "table", "vector")),
 
     "q_pricing_summary" -> Relational.duckPricingSummary,

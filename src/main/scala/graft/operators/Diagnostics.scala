@@ -88,6 +88,202 @@ object Diagnostics {
     rows.isEmpty || rows.head.getAs[Boolean]("valid")
   }
 
+  // ---------------------------------------------------------------------------
+  // The reference's REAL rule banks (lsp_tool.py:141-156 python, :202-230
+  // js/ts, :250-267 generic), over (file_path, ext, line_no, line) rows.
+  // Same single-pass array-of-structs shape as the corpus analog above.
+  // Deviations, declared: the ast.parse syntax check and the pyflakes
+  // subprocess (lsp_tool.py:133-180) need a Python runtime — out of scope, so
+  // error_count is structurally present but only line rules feed it; and
+  // trim() strips spaces where Python's str.strip() strips all whitespace
+  // (identical on this corpus, and identical between Spark and DuckDB, which
+  // is what the oracle requires).
+  // ---------------------------------------------------------------------------
+
+  private val JsExts = Seq("js", "ts", "tsx", "jsx")
+
+  /** D2/D3/D4 per-line rules, dispatched on `ext` (the reference's
+    * `get_diagnostics` file-extension dispatch, lsp_tool.py:97-115).
+    * Input: (file_path, ext, line_no, line). Output one row per finding:
+    * (file_path, line_no, severity, message). */
+  def codeLineDiagnostics(lines: DataFrame): DataFrame = {
+    val l = col("line")
+    val sl = trim(col("line"))
+    val isPy = col("ext") === "py"
+    val isJs = col("ext").isin(JsExts: _*)
+    val isGeneric = !isPy && !isJs
+    def rule(cond: Column, severity: String, msg: Column): Column =
+      when(cond, struct(lit(severity).as("severity"), msg.as("message")))
+    val semiCount = size(split(sl, ";", -1)) - 1
+    val ruleBank = array(
+      // python: lsp_tool.py:146-156
+      rule(isPy && sl.startsWith("import ") && !sl.contains(" as ") && sl.contains("*"),
+        "warning", lit("Wildcard import detected")),
+      rule(isPy && l.contains("print(") && !sl.startsWith("#"),
+        "warning", lit("print() statement found (consider logging)")),
+      // long-line >120 appears in BOTH the py and js banks with the same text
+      rule((isPy || isJs) && length(l) > 120,
+        "warning", concat(lit("Line too long ("), length(l), lit(" chars)"))),
+      // js/ts: lsp_tool.py:205-230
+      rule(isJs && l.contains("console.log(") && !sl.startsWith("//"),
+        "warning", lit("console.log() found")),
+      rule(isJs && sl.endsWith(";") && semiCount > 1,
+        "warning", lit("Multiple statements on one line")),
+      rule(isJs && sl =!= "" && !sl.startsWith("//") && !sl.startsWith("/*") &&
+        !sl.endsWith(";") && !sl.endsWith("{") && !sl.endsWith("}") && !sl.endsWith(",") &&
+        !sl.contains("if (") && !sl.contains("for (") && !sl.contains("while ("),
+        "warning", lit("Missing semicolon?")),
+      // generic: lsp_tool.py:253-260
+      rule(isGeneric && length(l) > 200,
+        "warning", concat(lit("Very long line ("), length(l), lit(" chars)"))),
+      rule(isGeneric && rtrim(l) =!= l, "warning", lit("Trailing whitespace")))
+    lines
+      .select(col("file_path"), col("line_no"),
+        explode(filter(ruleBank, x => x.isNotNull)).as("r"))
+      .select(col("file_path"), col("line_no"),
+        col("r.severity").as("severity"), col("r.message").as("message"))
+  }
+
+  /** File-level generic checks (lsp_tool.py:262-267): empty file, missing
+    * trailing newline — independent predicates, both can fire. Input:
+    * (file_path, ext, content). line_no 0 sorts them ahead of line findings. */
+  def codeFileDiagnostics(files: DataFrame): DataFrame = {
+    val isGeneric = !(col("ext") === "py") && !col("ext").isin(JsExts: _*)
+    def rule(cond: Column, msg: String): Column =
+      when(cond, struct(lit("warning").as("severity"), lit(msg).as("message")))
+    val bank = array(
+      rule(isGeneric && trim(col("content")) === "", "File is empty"),
+      rule(isGeneric && !col("content").endsWith("\n"), "File doesn't end with newline"))
+    files
+      .select(col("file_path"), lit(0L).as("line_no"),
+        explode(filter(bank, x => x.isNotNull)).as("r"))
+      .select(col("file_path"), col("line_no"),
+        col("r.severity").as("severity"), col("r.message").as("message"))
+  }
+
+  /** D5 over real files: per-file report with the severity counts and sorted
+    * message digest. */
+  def codeReport(diag: DataFrame): DataFrame =
+    diag
+      .groupBy("file_path")
+      .agg(
+        sum(when(col("severity") === "error", 1).otherwise(0)).cast("long").as("error_count"),
+        sum(when(col("severity") === "warning", 1).otherwise(0)).cast("long").as("warning_count"),
+        concat_ws("; ",
+          transform(
+            array_sort(collect_list(struct(col("line_no"), col("severity"), col("message")))),
+            x => concat(x.getField("line_no"), lit(":"), x.getField("severity"),
+              lit(":"), x.getField("message")))).as("messages"))
+      .withColumn("valid", (col("error_count") === 0).cast("boolean"))
+      .orderBy("file_path")
+
+  /** Fixture entry: (file_path, content) rows — real files, real newlines. */
+  def codeDiagnostics(files: DataFrame): DataFrame = {
+    val withExt = files.withColumn("ext",
+      regexp_extract(col("file_path"), "\\.([^.]+)$", 1))
+    val lines = withExt
+      .select(col("file_path"), col("ext"),
+        posexplode(split(col("content"), "\n", -1)).as(Seq("idx", "line")))
+      .select(col("file_path"), col("ext"),
+        (col("idx") + 1).cast("long").as("line_no"), col("line"))
+    codeReport(codeLineDiagnostics(lines).unionByName(codeFileDiagnostics(withExt)))
+  }
+
+  /** Documents-as-files view for the oracle: each text chunk is a "line",
+    * doc_id mod 3 picks the extension, and a deterministic decoration makes
+    * every rule reachable on this corpus (print(, console.log, trailing
+    * whitespace, wildcard import, multi-statement). Mirrored verbatim in
+    * [[duckCodeReport]]. */
+  def docsAsFiles(documents: DataFrame): DataFrame = {
+    val ch = Chunkers.textChunks(documents)
+    val ext = when(col("doc_id") % 3 === 0, "py")
+      .when(col("doc_id") % 3 === 1, "js")
+      .otherwise("txt")
+    val m = col("chunk_idx") % 6
+    val line = when(m === 0, concat(lit("print(\""), col("content"), lit("\")")))
+      .when(m === 1, concat(lit("console.log(\""), col("content"), lit("\");")))
+      .when(m === 2, concat(col("content"), lit("  ")))
+      .when(m === 3, lit("import *"))
+      .when(m === 4, lit("const a = 1; const b = 2;"))
+      .otherwise(col("content"))
+    ch.select(col("doc_id"), col("chunk_idx"), ext.as("ext"), line.as("line"))
+      .select(concat(lit("doc_"), col("doc_id"), lit("."), col("ext")).as("file_path"),
+        col("ext"), (col("chunk_idx") + 1).as("line_no"), col("line"))
+  }
+
+  /** q_diagnostics_code: the real rule banks over the documents-as-files
+    * view. Chunk-joined lines never end in a newline, so every generic file
+    * carries the missing-trailing-newline warning — the file-level rule is
+    * exercised, deterministically, on both engines. */
+  def codeReportFromDocs(documents: DataFrame): DataFrame = {
+    val v = docsAsFiles(documents)
+    val fileLevel = v.filter(col("ext") === "txt").select("file_path").distinct()
+      .select(col("file_path"), lit(0L).as("line_no"),
+        lit("warning").as("severity"),
+        lit("File doesn't end with newline").as("message"))
+    codeReport(codeLineDiagnostics(v).unionByName(fileLevel))
+  }
+
+  def duckCodeReport(table: String): String = {
+    val js = "('js','ts','tsx','jsx')"
+    val code = "('py','js','ts','tsx','jsx')"
+    s"""WITH ch AS (${Chunkers.duckTextChunks(table).replace("ORDER BY doc_id, chunk_idx", "")}),
+       |v AS (SELECT 'doc_' || doc_id || '.' || ext AS file_path, ext,
+       |             chunk_idx + 1 AS line_no, line
+       |      FROM (SELECT doc_id, chunk_idx,
+       |              CASE WHEN doc_id % 3 = 0 THEN 'py'
+       |                   WHEN doc_id % 3 = 1 THEN 'js' ELSE 'txt' END AS ext,
+       |              CASE WHEN chunk_idx % 6 = 0 THEN 'print("' || content || '")'
+       |                   WHEN chunk_idx % 6 = 1 THEN 'console.log("' || content || '");'
+       |                   WHEN chunk_idx % 6 = 2 THEN content || '  '
+       |                   WHEN chunk_idx % 6 = 3 THEN 'import *'
+       |                   WHEN chunk_idx % 6 = 4 THEN 'const a = 1; const b = 2;'
+       |                   ELSE content END AS line
+       |            FROM ch)),
+       |msg AS (
+       |  SELECT file_path, line_no, 'warning' AS severity, 'Wildcard import detected' AS message
+       |  FROM v WHERE ext = 'py' AND starts_with(trim(line), 'import ')
+       |           AND NOT contains(trim(line), ' as ') AND contains(trim(line), '*')
+       |  UNION ALL
+       |  SELECT file_path, line_no, 'warning', 'print() statement found (consider logging)'
+       |  FROM v WHERE ext = 'py' AND contains(line, 'print(') AND NOT starts_with(trim(line), '#')
+       |  UNION ALL
+       |  SELECT file_path, line_no, 'warning', 'Line too long (' || length(line) || ' chars)'
+       |  FROM v WHERE ext IN $code AND length(line) > 120
+       |  UNION ALL
+       |  SELECT file_path, line_no, 'warning', 'console.log() found'
+       |  FROM v WHERE ext IN $js AND contains(line, 'console.log(')
+       |           AND NOT starts_with(trim(line), '//')
+       |  UNION ALL
+       |  SELECT file_path, line_no, 'warning', 'Multiple statements on one line'
+       |  FROM v WHERE ext IN $js AND ends_with(trim(line), ';')
+       |           AND len(string_split(trim(line), ';')) - 1 > 1
+       |  UNION ALL
+       |  SELECT file_path, line_no, 'warning', 'Missing semicolon?'
+       |  FROM v WHERE ext IN $js AND trim(line) <> ''
+       |           AND NOT starts_with(trim(line), '//') AND NOT starts_with(trim(line), '/*')
+       |           AND NOT ends_with(trim(line), ';') AND NOT ends_with(trim(line), '{')
+       |           AND NOT ends_with(trim(line), '}') AND NOT ends_with(trim(line), ',')
+       |           AND NOT contains(trim(line), 'if (') AND NOT contains(trim(line), 'for (')
+       |           AND NOT contains(trim(line), 'while (')
+       |  UNION ALL
+       |  SELECT file_path, line_no, 'warning', 'Very long line (' || length(line) || ' chars)'
+       |  FROM v WHERE ext NOT IN $code AND length(line) > 200
+       |  UNION ALL
+       |  SELECT file_path, line_no, 'warning', 'Trailing whitespace'
+       |  FROM v WHERE ext NOT IN $code AND rtrim(line) <> line
+       |  UNION ALL
+       |  SELECT DISTINCT file_path, 0 AS line_no, 'warning', 'File doesn''t end with newline'
+       |  FROM v WHERE ext NOT IN $code)
+       |SELECT file_path,
+       |  CAST(sum(CASE WHEN severity = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
+       |  CAST(sum(CASE WHEN severity = 'warning' THEN 1 ELSE 0 END) AS BIGINT) AS warning_count,
+       |  string_agg(line_no || ':' || severity || ':' || message, '; '
+       |             ORDER BY line_no, severity, message) AS messages,
+       |  (sum(CASE WHEN severity = 'error' THEN 1 ELSE 0 END) = 0) AS valid
+       |FROM msg GROUP BY file_path ORDER BY file_path""".stripMargin
+  }
+
   def duckReport(table: String): String =
     s"""WITH ch AS (${Chunkers.duckTextChunks(table).replace("ORDER BY doc_id, chunk_idx", "")}),
        |ln AS (SELECT c.doc_id, d.lang, c.chunk_idx AS line_no, c.content AS line
