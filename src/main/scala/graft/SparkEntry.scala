@@ -86,6 +86,10 @@ object SparkEntry {
     "q_chunk_text" -> ((s, dir) => Chunkers.textChunks(Tables.documents(s, dir))),
     "q_chunk_markdown" -> ((s, dir) => Chunkers.markdownSections(Tables.documents(s, dir))),
     "q_file_summaries" -> ((s, dir) => IndexOps.fileSummaries(Tables.documents(s, dir))),
+    // Q2: find-files-by-content — kNN over the summary collection
+    "q_knn_summaries" -> ((s, dir) =>
+      IndexOps.knnSummaries(Tables.documents(s, dir),
+        "file contains 40 code elements text chunk markdown section", k = 10)),
     "q_element_filter" -> ((s, dir) =>
       IndexOps.elementsByPredicate(Tables.documents(s, dir), contains = "spark", limit = 10)),
     "q_file_structure" -> ((s, dir) => IndexOps.fileStructure(Tables.documents(s, dir), docId = 7L)),
@@ -225,6 +229,8 @@ object SparkEntry {
     "q_chunk_text"       -> Chunkers.duckTextChunks("documents"),
     "q_chunk_markdown"   -> Chunkers.duckMarkdownSections("documents"),
     "q_file_summaries"   -> IndexOps.duckFileSummaries("documents"),
+    "q_knn_summaries"    -> IndexOps.duckKnnSummaries("documents",
+      "file contains 40 code elements text chunk markdown section", k = 10),
     "q_element_filter"   -> IndexOps.duckElementsByPredicate("documents", "spark", 10),
     "q_file_structure"   -> IndexOps.duckFileStructure("documents", 7L),
     "q_point_lookup"     -> IndexOps.duckPointLookup("documents", Seq(1L, 5L, 7L)),

@@ -57,6 +57,53 @@ object IndexOps {
        |       'File doc_' || d.doc_id || ' contains ' || ag.element_count || ' code elements' AS summary
        |FROM ag JOIN $table d USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Q2: kNN over file summaries — the reference's `find_files_by_content`
+    * (vector_search_tool.py:81-147): each file's searchable doc is its
+    * summary text, the query string is embedded with the same (hashing)
+    * embedder, ranking is cosine with doc_id tiebreak. The query side is a
+    * one-row broadcast; the index side is the map-side histogram + one
+    * (doc_id,bucket) agg — no shuffle wider than the summaries. */
+  def knnSummaries(documents: DataFrame, queryText: String, k: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    import graft.functions.{Embedder, VecExprs}
+    val sums = fileSummaries(documents)
+      .select(col("doc_id"),
+        concat_ws(" ", col("summary"), col("elements_by_type_str")).as("text"))
+    val emb = Embedder.embed(sums)
+    val q = Embedder.embed(Seq((-1L, queryText)).toDF("doc_id", "text"))
+      .select(col("embedding").as("qe"))
+      .withColumn("qn", sqrt(VecExprs.dotc(col("qe"), col("qe"))))
+    emb
+      .withColumn("nrm", sqrt(VecExprs.dotc(col("embedding"), col("embedding"))))
+      .crossJoin(broadcast(q))
+      .withColumn("sim_raw", VecExprs.dotc(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
+      .orderBy(desc("sim_raw"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("sim_raw"), 6).as("sim"))
+  }
+
+  def duckKnnSummaries(table: String, queryText: String, k: Int): String = {
+    import graft.functions.Embedder.duckBucket
+    import graft.functions.TextFns.duckTokens
+    val qlit = "'" + queryText.replace("'", "''") + "'"
+    s"""WITH fs AS (${duckFileSummaries(table).replace("ORDER BY doc_id", "")}),
+       |tx AS (SELECT doc_id, summary || ' ' || elements_by_type_str AS text FROM fs),
+       |h AS (SELECT doc_id, ${duckBucket("tok")} AS bucket, count(*)::BIGINT AS cnt
+       |      FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS tok FROM tx)
+       |      GROUP BY 1, 2),
+       |qh AS (SELECT ${duckBucket("tok")} AS bucket, count(*)::BIGINT AS cnt
+       |       FROM (SELECT unnest(${duckTokens(qlit)}) AS tok) GROUP BY 1),
+       |qn AS (SELECT sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS qnorm FROM qh),
+       |nrm AS (SELECT doc_id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS n FROM h GROUP BY doc_id),
+       |dots AS (SELECT a.doc_id, CAST(sum(a.cnt * b.cnt) AS DOUBLE) AS dot
+       |         FROM h a JOIN qh b USING (bucket) GROUP BY a.doc_id),
+       |s AS (SELECT nrm.doc_id, coalesce(d.dot, 0.0) / (nrm.n * qn.qnorm) AS sim_raw
+       |      FROM nrm LEFT JOIN dots d ON d.doc_id = nrm.doc_id CROSS JOIN qn)
+       |SELECT doc_id, round(sim_raw, 6) AS sim
+       |FROM s ORDER BY sim_raw DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Q3: metadata filter + deterministic limit over chunk elements. */
   def elementsByPredicate(documents: DataFrame, contains: String, limit: Int): DataFrame =
     Chunkers.textChunks(documents)
