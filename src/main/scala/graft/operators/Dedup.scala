@@ -186,10 +186,14 @@ object Dedup {
        |       CAST(max(n) AS BIGINT) AS max_group
        |FROM g""".stripMargin
 
-  def duckMinhashSql(table: String, threshold: Double): String = {
-    val mins = (0 until 8).map(s => s"min(${duckMinhash("s", s)}) AS h$s").mkString(", ")
-    val bandRows = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band, md5(h${2 * b} || '|' || h${2 * b + 1}) AS bkey FROM sig"
+  def duckMinhashSql(table: String, threshold: Double,
+                     seeds: Int = 8, rowsPerBand: Int = 2): String = {
+    // seeds/rowsPerBand mirror minhash()'s parameters — band list derived,
+    // not hard-coded, so non-default calls stay in sync with the oracle
+    val mins = (0 until seeds).map(s => s"min(${duckMinhash("s", s)}) AS h$s").mkString(", ")
+    val bandRows = (0 until seeds / rowsPerBand).map { b =>
+      val key = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
     }.mkString("\n       UNION ALL ")
     s"""WITH ${duckSh(table)},
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),

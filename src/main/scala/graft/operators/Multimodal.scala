@@ -59,8 +59,13 @@ object Multimodal {
   def frameSamples(documents: DataFrame, maxFrames: Int = 4): DataFrame =
     assets(documents)
       .select(col("doc_id"),
+        // empty-payload guard: Spark's sequence(1, 0) yields a DESCENDING
+        // [1, 0] while DuckDB's generate_series(1, 0) is empty — same hazard
+        // TextFns.shingles guards against. Empty payload → zero frame rows.
         expr(s"""explode(transform(
-          sequence(1, least($maxFrames, cast(ceil(octet_length(payload) / 32.0) as int))),
+          case when octet_length(payload) > 0
+               then sequence(1, least($maxFrames, cast(ceil(octet_length(payload) / 32.0) as int)))
+               else array() end,
           i -> struct(i as frame_no,
                       md5(substring(payload, (i - 1) * 32 + 1, 32)) as frame_md5)))""").as("f"))
       .select(col("doc_id"), col("f.frame_no").cast("long").as("frame_no"), col("f.frame_md5"))

@@ -59,6 +59,11 @@ object IndexBuild {
       .toDF("name", "element_type", "file_path", "start_line", "end_line",
         "content", "docstring", "hash", "document")
       .withColumn("id", concat_ws(":", col("file_path"), col("start_line"), col("hash")))
+      // derived file_type on ELEMENTS too (not just summaries) so both the
+      // element_type and file_type metadata filters work — the reference
+      // stores only file_path here, making its own file_type filter a no-op
+      // on code_elements (quirk SURVEY.md §2.9#1, fully fixed)
+      .withColumn("file_type", regexp_extract(col("file_path"), "(\\.[^.]+)$", 1))
   }
 
   /** Embed the given element rows (adds the `embedding` column). */

@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, LinkOption, Path, Paths}
 
 /** Sandboxed file read/write (S3/S4,
   * /root/reference/coding_agent/tools/file_system_tool.py:7-36): every path
@@ -14,10 +14,27 @@ import java.nio.file.{Files, Path, Paths}
 class Sandbox(rootDir: String) {
   private val root: Path = Paths.get(rootDir).toAbsolutePath.normalize()
 
-  /** Path-safety guard: Some(resolved) iff the path stays under root. */
+  private lazy val realRoot: Path =
+    if (Files.exists(root)) root.toRealPath() else root
+
+  /** Path-safety guard: Some(resolved) iff the path stays under root.
+    * Two checks: lexical (normalize + startsWith, catching `../` and
+    * absolute escapes) and physical (the deepest existing ancestor's
+    * toRealPath must still sit under the real root, catching a symlink
+    * INSIDE the root that points outside it). A broken/unresolvable link
+    * is rejected rather than followed. */
   def resolve(rel: String): Option[Path] = {
     val p = root.resolve(rel).normalize()
-    if (p.startsWith(root)) Some(p) else None
+    if (!p.startsWith(root)) None
+    else {
+      var e = p
+      while (e != null && e.startsWith(root) &&
+        !Files.exists(e, LinkOption.NOFOLLOW_LINKS)) e = e.getParent
+      val physicallyInside =
+        try e == null || e.toRealPath().startsWith(realRoot)
+        catch { case _: java.io.IOException => false }
+      if (physicallyInside) Some(p) else None
+    }
   }
 
   def isSafe(rel: String): Boolean = resolve(rel).isDefined

@@ -21,6 +21,11 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(idx.columns.toSet.contains("embedding"))
     val types = idx.select("element_type").distinct().collect().map(_.getString(0)).toSet
     assert(Set("function", "class", "import", "markdown_section").subsetOf(types))
+    // BOTH metadata filter paths work on code_elements: element_type (above)
+    // and the derived file_type (quirk SURVEY.md §2.9#1, fully fixed)
+    import org.apache.spark.sql.functions.col
+    assert(idx.filter(col("file_type") === ".py").count() > 0)
+    assert(idx.filter(col("file_type") === ".ts").count() > 0)
   }
 
   test("re-index is idempotent and embeds nothing (anti-join incremental skip)") {

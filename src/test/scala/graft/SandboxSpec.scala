@@ -37,6 +37,27 @@ class SandboxSpec extends AnyFunSuite {
     assert(sb.readFile("deep/nested/g.txt") == Right("v2"))
   }
 
+  test("symlinked escapes rejected (physical containment, not just lexical)") {
+    val outside = Files.createTempDirectory("graft_outside")
+    Files.write(outside.resolve("secret.txt"), "top secret".getBytes)
+    val rootPath = java.nio.file.Paths.get(root)
+    Files.createSymbolicLink(rootPath.resolve("link_dir"), outside)
+    Files.createSymbolicLink(rootPath.resolve("link_file"), outside.resolve("secret.txt"))
+    Files.createSymbolicLink(rootPath.resolve("broken"), outside.resolve("gone.txt"))
+    assert(!sb.isSafe("link_dir"))
+    assert(!sb.isSafe("link_dir/secret.txt"))
+    assert(!sb.isSafe("link_dir/new.txt")) // write THROUGH the link: refused
+    assert(!sb.isSafe("link_file"))
+    assert(!sb.isSafe("broken")) // unresolvable link: refused, not followed
+    assert(sb.readFile("link_file").isLeft)
+    assert(sb.writeFile("link_dir/new.txt", "x").isLeft)
+    // a symlink inside the root pointing INSIDE the root stays allowed
+    Files.write(rootPath.resolve("inside.txt"), "ok".getBytes)
+    Files.createSymbolicLink(rootPath.resolve("link_inside"), rootPath.resolve("inside.txt"))
+    assert(sb.isSafe("link_inside"))
+    assert(sb.readFile("link_inside") == Right("ok"))
+  }
+
   test("read missing file and unsafe paths error") {
     assert(sb.readFile("nope.txt").isLeft)
     assert(sb.readFile("../escape.txt").isLeft)
