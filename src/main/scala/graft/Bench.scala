@@ -1,5 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line, per-query warm seconds at the
+  * SPARK_GRAFT_SF_DIR scale.
+  *
+  * Honesty rules (round-1 verdict #5/#7):
+  *  - each query gets one untimed warm-up rep first — whole-stage-codegen
+  *    compile, parquet footer reads and JVM JIT are one-time session costs,
+  *    not properties of the plan being graded;
+  *  - caches are cleared between reps and between queries, so the timed rep
+  *    builds its own caches (cache build is part of the plan's cost) and
+  *    executor memory stays flat across the run;
+  *  - materialization drives the FULL final projection via
+  *    `queryExecution.toRdd.count()` — a plain `.count()` lets Catalyst
+  *    prune unreferenced projection columns (md5/round/concat) and
+  *    under-measures projection cost.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +23,30 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    def materialize(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      fn(spark, sfDir).queryExecution.toRdd.count(); ()
+    }
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val sec =
+        try {
+          materialize(fn) // warm-up rep, untimed
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          materialize(fn)
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sharedState.cacheManager.clearCache()
+          dt
+        } catch { case _: Throwable => -1.0 }
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

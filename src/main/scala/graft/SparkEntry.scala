@@ -94,6 +94,8 @@ object SparkEntry {
       IndexOps.elementsByPredicate(Tables.documents(s, dir), contains = "spark", limit = 10)),
     "q_file_structure" -> ((s, dir) => IndexOps.fileStructure(Tables.documents(s, dir), docId = 7L)),
     "q_point_lookup" -> ((s, dir) => IndexOps.pointLookup(Tables.documents(s, dir), Seq(1L, 5L, 7L))),
+    // Q8: formatted search results (docstring→100, content→300 truncation)
+    "q_result_format" -> ((s, dir) => IndexOps.searchFormatted(Tables.documents(s, dir), k = 5)),
     "q_upsert" -> ((s, dir) => IndexOps.upsertMerge(Tables.documents(s, dir))),
     "q_collection_stats" -> ((s, dir) =>
       IndexOps.collectionStats(Tables.documents(s, dir), Tables.embeddings(s, dir))),
@@ -234,6 +236,7 @@ object SparkEntry {
     "q_element_filter"   -> IndexOps.duckElementsByPredicate("documents", "spark", 10),
     "q_file_structure"   -> IndexOps.duckFileStructure("documents", 7L),
     "q_point_lookup"     -> IndexOps.duckPointLookup("documents", Seq(1L, 5L, 7L)),
+    "q_result_format"    -> IndexOps.duckSearchFormatted("documents", k = 5),
     "q_upsert"           -> IndexOps.duckUpsertMerge("documents"),
     "q_collection_stats" -> IndexOps.duckCollectionStats("documents", "embeddings"),
     "q_diagnostics"      -> Diagnostics.duckReport("documents"),

@@ -10,8 +10,12 @@ object TimeQ {
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- args.drop(1); rep <- 1 to 6) {
       val t0 = System.nanoTime()
-      val c = SparkEntry.queries(n)(spark, sfDir).count()
+      // toRdd.count(): full final projection (plain count() lets Catalyst
+      // prune projection columns); clearCache: each rep builds its own
+      // caches, so reps after the first measure the plan, not the cache
+      val c = SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
       println(f"[timeq] $n rep$rep: ${(System.nanoTime()-t0)/1e9}%.2f s ($c rows)")
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

@@ -65,9 +65,16 @@ object Dedup {
     // which is exactly the skew that kills an inverted-index join at 100 TB.
     val cand = cand0
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // hint("merge"): NEVER let the inverted index become a broadcast build
+    // side. Before materialization the cached sh's size estimate can sneak
+    // under autoBroadcastJoinThreshold while the LSH candidate side's
+    // join-product estimate looks huge — Spark then broadcasts the 2.5M-row
+    // shingle relation (measured: 680 s vs 9 s at sf0.1, GC thrash), and a
+    // planned broadcast is locked in (AQE cannot demote it). A shuffle SMJ
+    // on d1/(d2,s) is the shape that survives 100 TB on both sides.
     val inter = cand
-      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .join(sh.select(col("doc_id").as("d1"), col("s")).hint("merge"), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s")).hint("merge"), Seq("d2", "s"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
     jaccardTail(inter, sizes, threshold)
   }
@@ -266,22 +273,25 @@ object Dedup {
         substring(col("simhash"), b * 16 + 1, 16).as("bkey"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bkey"))
     // self-join on (band, bkey): both sides are the identical subtree, so
-    // the physical plan reuses one shuffle exchange (no cache needed)
+    // the physical plan reuses one shuffle exchange (no cache needed).
+    // hamming is computed and filtered BEFORE the distinct: collisions drop
+    // early and the dedup Exchange carries (d1, d2, hamming) instead of two
+    // 64-char signatures.
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
-      .distinct()
-      .withColumn("hamming", hammingDist(col("s1"), col("s2"), 64))
+        hammingDist(col("x.simhash"), col("y.simhash"), 64).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("d1", "d2", "hamming")
-    // candidate-first exact-Jaccard verify (hamming rides the groupBy key)
+      .distinct()
+    // candidate-first exact-Jaccard verify (hamming rides the groupBy key);
+    // hint("merge") on the inverted-index sides — see jaccardOf for why a
+    // broadcast there is catastrophic (measured 680 s → 9 s at sf0.1)
     val sh = shingleRows(documents, 3)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .join(sh.select(col("doc_id").as("d1"), col("s")).hint("merge"), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s")).hint("merge"), Seq("d2", "s"))
       .groupBy("d1", "d2", "hamming").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")

@@ -104,6 +104,92 @@ object IndexOps {
        |FROM s ORDER BY sim_raw DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Q8 truncation rule (vector_search_tool.py:70-76): cut at `n` chars and
+    * append "..." — only when over the limit. */
+  private def trunc(c: org.apache.spark.sql.Column, n: Int) =
+    when(length(c) > n, concat(substring(c, 1, n), lit("..."))).otherwise(c)
+
+  /** Q8: the reference's result-formatting projection
+    * (vector_search_tool.py:59-79): "Result N:" header, name/type/file/lines
+    * metadata block, docstring truncated at 100 chars, content truncated at
+    * 300, "-"*50 separator. The similarity stays a separate rounded column
+    * rather than %.3f-formatted into the text — declared deviation: float
+    * FORMATTING (not value) differs between engines, the truncation surface
+    * is what this projection proves. */
+  def formatHits(hits: DataFrame): DataFrame =
+    hits.select(col("rank"), col("sim"),
+      concat(
+        lit("Result "), col("rank"), lit(":\n"),
+        lit("  Name: "), col("name"), lit("\n"),
+        lit("  Type: "), col("element_type"), lit("\n"),
+        lit("  File: "), col("file_path"), lit("\n"),
+        lit("  Lines: "), col("start_line"), lit("-"), col("end_line"), lit("\n"),
+        when(col("docstring").isNotNull && col("docstring") =!= "",
+          concat(lit("  Docstring: "), trunc(col("docstring"), 100), lit("\n")))
+          .otherwise(lit("")),
+        lit("  Content:\n"), trunc(col("content"), 300), lit("\n"),
+        lit("-" * 50)).as("result_text"))
+      .orderBy("rank")
+
+  /** Q1+Q8 end to end: top-k cosine hits against doc 0's embedding, joined
+    * back to the corpus and pushed through [[formatHits]]. */
+  def searchFormatted(documents: DataFrame, k: Int): DataFrame = {
+    import graft.functions.{Embedder, VecExprs}
+    val emb = Embedder.embed(documents)
+    val q = emb.filter(col("doc_id") === 0)
+      .select(col("embedding").as("qe"))
+      .withColumn("qn", sqrt(VecExprs.dotc(col("qe"), col("qe"))))
+    val top = emb.filter(col("doc_id") =!= 0)
+      .withColumn("nrm", sqrt(VecExprs.dotc(col("embedding"), col("embedding"))))
+      .crossJoin(broadcast(q))
+      .withColumn("sim_raw", VecExprs.dotc(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
+      .orderBy(desc("sim_raw"), asc("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("sim_raw"), asc("doc_id"))).cast("long"))
+    val hits = top.join(documents, "doc_id")
+      .select(col("rank"), round(col("sim_raw"), 6).as("sim"),
+        concat(lit("doc_"), col("doc_id")).as("name"),
+        lit("document").as("element_type"),
+        concat(lit("doc_"), col("doc_id"), lit(".txt")).as("file_path"),
+        lit(1L).as("start_line"), col("n_chars").cast("long").as("end_line"),
+        col("text").as("docstring"), col("text").as("content"))
+    formatHits(hits)
+  }
+
+  def duckSearchFormatted(table: String, k: Int): String = {
+    import graft.functions.Embedder.duckBucketHistogram
+    s"""WITH h AS (${duckBucketHistogram(table)}),
+       |nrm AS (SELECT doc_id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS n FROM h GROUP BY doc_id),
+       |q AS (SELECT bucket, cnt FROM h WHERE doc_id = 0),
+       |qn AS (SELECT n AS qnorm FROM nrm WHERE doc_id = 0),
+       |dots AS (SELECT a.doc_id, CAST(sum(a.cnt * b.cnt) AS DOUBLE) AS dot
+       |         FROM h a JOIN q b ON a.bucket = b.bucket
+       |         WHERE a.doc_id <> 0 GROUP BY a.doc_id),
+       |s AS (SELECT d.doc_id, d.dot / (nrm.n * qn.qnorm) AS sim_raw
+       |      FROM dots d JOIN nrm ON nrm.doc_id = d.doc_id CROSS JOIN qn),
+       |top AS (SELECT doc_id, sim_raw,
+       |               row_number() OVER (ORDER BY sim_raw DESC, doc_id) AS rank
+       |        FROM s ORDER BY sim_raw DESC, doc_id LIMIT $k)
+       |SELECT t.rank, round(t.sim_raw, 6) AS sim,
+       |  'Result ' || t.rank || ':' || chr(10) ||
+       |  '  Name: doc_' || t.doc_id || chr(10) ||
+       |  '  Type: document' || chr(10) ||
+       |  '  File: doc_' || t.doc_id || '.txt' || chr(10) ||
+       |  '  Lines: 1-' || d.n_chars || chr(10) ||
+       |  CASE WHEN d.text IS NOT NULL AND d.text <> ''
+       |       THEN '  Docstring: ' ||
+       |            CASE WHEN length(d.text) > 100 THEN substr(d.text, 1, 100) || '...'
+       |                 ELSE d.text END || chr(10)
+       |       ELSE '' END ||
+       |  '  Content:' || chr(10) ||
+       |  CASE WHEN length(d.text) > 300 THEN substr(d.text, 1, 300) || '...'
+       |       ELSE d.text END || chr(10) ||
+       |  repeat('-', 50) AS result_text
+       |FROM top t JOIN $table d USING (doc_id)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Q3: metadata filter + deterministic limit over chunk elements. */
   def elementsByPredicate(documents: DataFrame, contains: String, limit: Int): DataFrame =
     Chunkers.textChunks(documents)
