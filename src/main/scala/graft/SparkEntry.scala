@@ -142,6 +142,8 @@ object SparkEntry {
     "q_stream_window" -> ((s, dir) => StreamOps.streamedEventsWindow(s, dir)),
     // custom keyed state via mapGroupsWithState (survives batch boundaries)
     "q_stream_state" -> ((s, dir) => StreamOps.streamedUserTotals(s, dir)),
+    // streaming dropDuplicates state operator; batch-equivalent oracle
+    "q_stream_dedup" -> ((s, dir) => StreamOps.streamedDedupCounts(s, dir)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -271,5 +273,6 @@ object SparkEntry {
          |FROM s ORDER BY sim_raw DESC, doc_id LIMIT 10""".stripMargin,
     "q_stream_window"   -> StreamOps.duckStreamedEventsWindow,
     "q_stream_state"    -> StreamOps.duckStreamedUserTotals,
+    "q_stream_dedup"    -> StreamOps.duckStreamedDedupCounts,
   )
 }

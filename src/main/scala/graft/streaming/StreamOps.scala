@@ -134,6 +134,36 @@ object StreamOps {
        |FROM events WHERE user_id < 20
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming exact dedup — the LLM-pipeline dedup shape on a stream:
+    * `dropDuplicates` keyed on (lang, content-hash) inside the streaming
+    * query (the canonical streaming-dedup state operator), append-mode sink
+    * of the surviving rows, then a batch per-lang distinct count over the
+    * sink. The key includes lang, so the result is arrival-order
+    * independent and equals the batch oracle exactly. On an unbounded
+    * stream the same pipeline runs with a watermark +
+    * `dropDuplicatesWithinWatermark` so the key state has a TTL. */
+  def streamedDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = Tables.documents(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val deduped = stream
+      .select(col("lang"), md5(col("text")).as("h"))
+      .dropDuplicates("lang", "h")
+    val qname = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    withShufflePartitions(spark, 4) {
+      val q = deduped.writeStream.outputMode("append").format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qname)
+      .groupBy("lang").agg(count(lit(1)).as("n_unique"))
+      .orderBy("lang")
+  }
+
+  def duckStreamedDedupCounts: String =
+    """SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_unique
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Continuous incremental re-index: the reference's planned-but-unwritten
     * file-watch loop (watchdog dependency with zero call sites,
     * requirements.txt:12; content hashes "for change detection",
