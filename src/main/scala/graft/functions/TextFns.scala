@@ -32,6 +32,26 @@ object TextFns {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
     ).otherwise(array().cast("array<string>"))
 
+  /** Row form of [[shingles]]: one (doc_id, s) row per n-gram, via
+    * posexplode + lead() sliding window instead of building the shingle
+    * ARRAY with `transform` — higher-order-function lambdas evaluate
+    * INTERPRETED (outside whole-stage codegen), which made the array form
+    * the shared hot-spot of the whole dedup family. The window's
+    * doc_id-partitioned sort is the natural 100 TB shape (tokens co-located
+    * per doc); emits the exact same shingle strings as the array form. */
+  def shingleRowsOf(documents: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
+    val tok = documents.select(org.apache.spark.sql.functions.col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("i", "t0")))
+    val withLeads = (1 until n).foldLeft(tok) { (df, j) =>
+      df.withColumn(s"t$j", lead(col("t0"), j).over(w))
+    }
+    withLeads
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("s"))
+  }
+
   def duckShingles(toks: String, n: Int): String = {
     val parts = (0 until n).map(j => s"($toks)[i + $j]").mkString(" || ' ' || ")
     s"CASE WHEN len($toks) >= $n THEN list_transform(generate_series(1, len($toks) - ${n - 1}), i -> $parts) ELSE [] END"

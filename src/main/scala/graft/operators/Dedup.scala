@@ -33,8 +33,7 @@ object Dedup {
     * intersection sides) — at cluster scale this is the materialize-once
     * intermediate table of the pipeline. */
   private def shingleRows(documents: DataFrame, n: Int): DataFrame =
-    documents
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("s"))
+    graft.functions.TextFns.shingleRowsOf(documents, n)
       .distinct()
       .cache()
 

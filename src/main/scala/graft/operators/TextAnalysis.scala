@@ -153,14 +153,20 @@ object TextAnalysis {
 
   /** Winnowing-lite document fingerprint: min md5 over 3-gram shingles
     * (whole-text md5 when too short). */
-  def fingerprint(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("sh", shingles(tokens(col("text")), 3))
+  def fingerprint(documents: DataFrame): DataFrame = {
+    // explode + min-agg, not transform+array_min: ArrayTransform is a
+    // higher-order function that evaluates its lambda INTERPRETED (outside
+    // whole-stage codegen), so md5-per-element ran ~10× slower than the
+    // same md5 in an exploded projection (measured 25 s → 3 s at sf0.1).
+    // The agg is a map-side partial min — no wider shuffle than the output.
+    val mins = graft.functions.TextFns.shingleRowsOf(documents, 3)
+      .groupBy("doc_id").agg(min(md5(col("s"))).as("mfp"))
+    documents.select(col("doc_id"), md5(col("text")).as("tfp"))
+      .join(mins, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        substring(
-          when(size(col("sh")) > 0, array_min(transform(col("sh"), s => md5(s))))
-            .otherwise(md5(col("text"))), 1, 16).as("fp"))
+        substring(coalesce(col("mfp"), col("tfp")), 1, 16).as("fp"))
       .orderBy("doc_id")
+  }
 
   def duckFingerprint(table: String): String =
     s"""WITH sh AS (SELECT doc_id, text, ${duckShingles(duckTokens("text"), 3)} AS s FROM $table)
