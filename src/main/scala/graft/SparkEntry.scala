@@ -80,6 +80,9 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    // BM25 ranking over token stats (fixed query bag, fixed-order float sum)
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(Tables.documents(s, dir), Seq("spark", "table", "stream"), k = 10)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
 
     // --- chunkers (C5/C6/C7) + index surface (Q3-Q6, Q9, Q10, C9) ---
@@ -228,6 +231,7 @@ object SparkEntry {
     "q_lang_id"       -> TextAnalysis.duckLangId("documents"),
     "q_text_quality"  -> TextAnalysis.duckQuality("documents"),
     "q_token_counts"  -> TextAnalysis.duckTokenCounts("documents"),
+    "q_bm25"          -> TextAnalysis.duckBm25("documents", Seq("spark", "table", "stream"), k = 10),
     "q_fingerprint"   -> TextAnalysis.duckFingerprint("documents"),
 
     "q_chunk_text"       -> Chunkers.duckTextChunks("documents"),

@@ -151,6 +151,67 @@ object TextAnalysis {
        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens, round(avg(ws), 6) AS avg_ws_tokens
        |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** BM25 ranking for a fixed bag of query terms — the classic retrieval
+    * scorer over the same token statistics the quality/token-count
+    * operators already derive. All-relational: tf and doc-length are one
+    * grouped count each, the corpus stats row (N, avgdl) broadcasts, and
+    * scoring is a per-row projection — at 100 TB this is two keyed
+    * aggregations plus map-side work, no all-pairs anything.
+    *
+    * Float discipline for the oracle: every constant is written as the SAME
+    * literal on both sides (2.2, not 1.2+1 — those are different doubles),
+    * per-term contributions are summed in a FIXED order (conditional-agg
+    * pivot, not a float sum whose order the engine picks), ranking is on
+    * the raw double, round(6) only in the final projection. ln() is the one
+    * non-arithmetic op; Spark and DuckDB agree to the ulp on this corpus
+    * (gate-verified), and ties one ulp apart are broken by doc_id. */
+  def bm25(documents: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(countDistinct("doc_id").as("df"))
+    val contrib = tf
+      .join(broadcast(df), "t")
+      .crossJoin(broadcast(stats))
+      .join(dl, "doc_id")
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val scoreCol = terms.map(t =>
+        coalesce(max(when(col("t") === t, col("contrib"))), lit(0.0)))
+      .reduceLeft(_ + _)
+    contrib
+      .groupBy("doc_id").agg(scoreCol.as("score_raw"))
+      .orderBy(desc("score_raw"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("score_raw"), 6).as("score"))
+  }
+
+  def duckBm25(table: String, terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivot = terms.map(t =>
+      s"coalesce(max(CASE WHEN t = '$t' THEN contrib END), 0.0)").mkString("\n      + ")
+    s"""WITH tk AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM $table),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY doc_id),
+       |st AS (SELECT count(*)::BIGINT AS n_docs,
+       |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tk
+       |       WHERE t IN ($inList) GROUP BY 1, 2),
+       |df AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY t),
+       |c AS (SELECT tf.doc_id, tf.t,
+       |        ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |        (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+       |      FROM tf JOIN df USING (t) CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id),
+       |s AS (SELECT doc_id, $pivot AS score_raw FROM c GROUP BY doc_id)
+       |SELECT doc_id, round(score_raw, 6) AS score
+       |FROM s ORDER BY score_raw DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Winnowing-lite document fingerprint: min md5 over 3-gram shingles
     * (whole-text md5 when too short). */
   def fingerprint(documents: DataFrame): DataFrame = {
