@@ -147,6 +147,8 @@ object SparkEntry {
     "q_stream_state" -> ((s, dir) => StreamOps.streamedUserTotals(s, dir)),
     // streaming dropDuplicates state operator; batch-equivalent oracle
     "q_stream_dedup" -> ((s, dir) => StreamOps.streamedDedupCounts(s, dir)),
+    // stream-stream interval join (watermarked, event-time range condition)
+    "q_stream_join" -> ((s, dir) => StreamOps.streamedViewPurchaseJoin(s, dir)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -278,5 +280,6 @@ object SparkEntry {
     "q_stream_window"   -> StreamOps.duckStreamedEventsWindow,
     "q_stream_state"    -> StreamOps.duckStreamedUserTotals,
     "q_stream_dedup"    -> StreamOps.duckStreamedDedupCounts,
+    "q_stream_join"     -> StreamOps.duckStreamedViewPurchaseJoin,
   )
 }

@@ -164,6 +164,52 @@ object StreamOps {
     """SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_unique
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Stream-stream interval join: purchases attributed to a prior view by
+    * the same user within one hour — the canonical event-time join shape
+    * (two watermarked streams, equi-key + time-range condition). Inner
+    * stream-stream joins emit matches eagerly; the 2-hour watermarks bound
+    * join STATE, which is what survives an unbounded run — without them
+    * both sides buffer forever. The memory sink collects the matched pairs
+    * (append mode); the per-user rollup is batch over the sink, identical
+    * to the batch oracle. */
+  def streamedViewPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = Tables.eventsRaw(spark, sfDir).schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_t").as("v_ts"), col("event_id").as("v_id"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_t").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = views.join(purchases,
+      expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"))
+    val qname = s"graft_stream_join_${counter.incrementAndGet()}"
+    withShufflePartitions(spark, 4) {
+      val q = joined.writeStream.outputMode("append").format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qname)
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("v_id")).as("n_views_matched"),
+        countDistinct(col("p_id")).as("n_purchases_matched"))
+      .orderBy("user_id")
+  }
+
+  def duckStreamedViewPurchaseJoin: String =
+    """SELECT v.user_id, count(*)::BIGINT AS n_pairs,
+      |       count(DISTINCT v.event_id)::BIGINT AS n_views_matched,
+      |       count(DISTINCT p.event_id)::BIGINT AS n_purchases_matched
+      |FROM events v JOIN events p
+      |  ON p.user_id = v.user_id
+      | AND epoch_us(p.ts) >= epoch_us(v.ts)
+      | AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+      |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
+
   /** Continuous incremental re-index: the reference's planned-but-unwritten
     * file-watch loop (watchdog dependency with zero call sites,
     * requirements.txt:12; content hashes "for change detection",
