@@ -117,6 +117,9 @@ object SparkEntry {
     "q_events_window" -> ((s, dir) => Relational.eventsWindow(s, dir)),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.asofPurchaseView(s, dir)),
+    // semi-structured JSON extraction + exact interpolated quantiles
+    "q_json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
+    "q_quantiles" -> ((s, dir) => Relational.valueQuantiles(s, dir)),
     // skew-safe two-phase agg (salting); result ≡ plain groupBy (the oracle)
     "q_salted_agg" -> ((s, dir) => Relational.saltedEventTotals(s, dir)),
 
@@ -258,6 +261,8 @@ object SparkEntry {
     "q_events_window"   -> Relational.duckEventsWindow,
     "q_sessionize"      -> Relational.duckSessionize,
     "q_asof_join"       -> Relational.duckAsofPurchaseView,
+    "q_json_props"      -> Relational.duckJsonProps,
+    "q_quantiles"       -> Relational.duckValueQuantiles,
     "q_salted_agg"      -> Relational.duckSaltedEventTotals,
     "q_multimodal"      -> Multimodal.duckFeatures("documents"),
     "q_frames"          -> Multimodal.duckFrameSamples("documents"),

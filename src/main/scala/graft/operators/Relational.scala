@@ -258,4 +258,52 @@ object Relational {
        |SELECT user_id, event_id, us AS purchase_us, last_view_us, us - last_view_us AS gap_us
        |FROM w WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
        |ORDER BY user_id, event_id""".stripMargin
+
+  /** Semi-structured extraction: the events `props` column is a JSON blob;
+    * `get_json_object` pulls the typed field in the scan projection (at
+    * scale: evaluated map-side, before the one keyed agg — never a UDF).
+    * Integer sums stay exact; the mean is an explicit exact-sum/count. */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+      .select(col("event_type"), col("n"), col("sum_k"), col("min_k"), col("max_k"),
+        round(col("sum_k").cast("double") / col("n"), 6).as("avg_k"))
+      .orderBy("event_type")
+
+  def duckJsonProps: String =
+    s"""SELECT event_type, count(*)::BIGINT AS n,
+       |       CAST(sum(k) AS BIGINT) AS sum_k,
+       |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+       |       round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS avg_k
+       |FROM (SELECT event_type, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |      FROM events)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Exact linear-interpolation quantiles of `value` per event type.
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * rank = p·(n−1), v_l + (v_u − v_l)·frac formulation; round(6) in the
+    * final projection absorbs any last-ulp interpolation difference. */
+  def valueQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("q"))
+      .select(col("event_type"),
+        round(element_at(col("q"), 1), 6).as("p25"),
+        round(element_at(col("q"), 2), 6).as("p50"),
+        round(element_at(col("q"), 3), 6).as("p75"),
+        round(element_at(col("q"), 4), 6).as("p95"))
+      .orderBy("event_type")
+
+  def duckValueQuantiles: String =
+    s"""SELECT event_type,
+       |       round(q[1], 6) AS p25, round(q[2], 6) AS p50,
+       |       round(q[3], 6) AS p75, round(q[4], 6) AS p95
+       |FROM (SELECT event_type,
+       |             quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS q
+       |      FROM events GROUP BY event_type)
+       |ORDER BY event_type""".stripMargin
 }
