@@ -174,19 +174,25 @@ object StreamOps {
     * to the batch oracle. */
   def streamedViewPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = Tables.eventsRaw(spark, sfDir).schema
-    def src = spark.readStream.schema(schema)
+    val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    viewPurchaseJoinOf(src, s"graft_stream_join_${counter.incrementAndGet()}", "2 hours")
+  }
+
+  /** Core of [[streamedViewPurchaseJoin]], parameterized by source and
+    * watermark delay for the multi-batch state-carry spec. */
+  def viewPurchaseJoinOf(src: DataFrame, qname: String, delay: String): DataFrame = {
+    val spark = src.sparkSession
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts_t").as("v_ts"), col("event_id").as("v_id"))
-      .withWatermark("v_ts", "2 hours")
+      .withWatermark("v_ts", delay)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts_t").as("p_ts"), col("event_id").as("p_id"))
-      .withWatermark("p_ts", "2 hours")
+      .withWatermark("p_ts", delay)
     val joined = views.join(purchases,
       expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"))
-    val qname = s"graft_stream_join_${counter.incrementAndGet()}"
     withShufflePartitions(spark, 4) {
       val q = joined.writeStream.outputMode("append").format("memory").queryName(qname).start()
       try q.processAllAvailable() finally q.stop()

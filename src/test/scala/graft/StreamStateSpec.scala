@@ -53,6 +53,42 @@ class StreamStateSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("stream-stream join buffers one side across micro-batches") {
+    // views arrive in batch 1, purchases ONLY in batch 2: every matched pair
+    // requires the views to still sit in join state when batch 2 processes.
+    // The huge watermark keeps the test about state-carry, not lateness;
+    // the production path (q_stream_join) runs the same core with 2 hours.
+    val ev = Tables.eventsRaw(spark, TestSpark.sf)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000"))).cache()
+    val dir = Files.createTempDirectory("graft_stream_join").toFile
+    dir.deleteOnExit()
+    ev.filter(col("event_type") === "view").coalesce(1)
+      .write.parquet(s"${dir.getAbsolutePath}/batch1.parquet")
+    ev.filter(col("event_type") === "purchase").coalesce(1)
+      .write.parquet(s"${dir.getAbsolutePath}/batch2.parquet")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir.getAbsolutePath)
+    val got = StreamOps.viewPurchaseJoinOf(stream, "graft_stream_join_spec", "3650 days")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts_t").as("vt"), col("event_id").as("vi"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts_t").as("pt"), col("event_id").as("pi"))
+    val want = v.join(p, expr("vu = pu AND pt >= vt AND pt <= vt + interval 1 hour"))
+      .groupBy(col("vu").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("vi")).as("nv"), countDistinct(col("pi")).as("np"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    assert(want.nonEmpty) // the corpus really contains view→purchase pairs
+    assert(got.toSeq == want.toSeq)
+    ev.unpersist()
+  }
+
   test("watermarked append-mode window: only watermark-closed windows emit; late data dropped") {
     import spark.implicits._
     val ev = Tables.events(spark, TestSpark.sf)
