@@ -99,6 +99,13 @@ object SparkEntry {
     "q_point_lookup" -> ((s, dir) => IndexOps.pointLookup(Tables.documents(s, dir), Seq(1L, 5L, 7L))),
     // Q8: formatted search results (docstring→100, content→300 truncation)
     "q_result_format" -> ((s, dir) => IndexOps.searchFormatted(Tables.documents(s, dir), k = 5)),
+    // Q1 flagship end-to-end over a real code_elements-shaped table: corpus
+    // → chunk → document projection → embed → search with BOTH metadata
+    // filters live (element_type AND file_type — quirk §2.9#1 proven fixed)
+    "q_search_index" -> ((s, dir) =>
+      IndexOps.searchElements(Tables.documents(s, dir),
+        "stream table pipeline data", k = 10,
+        elementType = "text_chunk", fileType = ".py")),
     "q_upsert" -> ((s, dir) => IndexOps.upsertMerge(Tables.documents(s, dir))),
     "q_collection_stats" -> ((s, dir) =>
       IndexOps.collectionStats(Tables.documents(s, dir), Tables.embeddings(s, dir))),
@@ -248,6 +255,8 @@ object SparkEntry {
     "q_file_structure"   -> IndexOps.duckFileStructure("documents", 7L),
     "q_point_lookup"     -> IndexOps.duckPointLookup("documents", Seq(1L, 5L, 7L)),
     "q_result_format"    -> IndexOps.duckSearchFormatted("documents", k = 5),
+    "q_search_index"     -> IndexOps.duckSearchElements("documents",
+      "stream table pipeline data", 10, "text_chunk", ".py"),
     "q_upsert"           -> IndexOps.duckUpsertMerge("documents"),
     "q_collection_stats" -> IndexOps.duckCollectionStats("documents", "embeddings"),
     "q_diagnostics"      -> Diagnostics.duckReport("documents"),

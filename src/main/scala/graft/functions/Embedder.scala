@@ -24,7 +24,11 @@ import graft.functions.TextFns.{duckTokens, tokens}
   */
 object Embedder {
 
-  val Dim = 64
+  /** Embedding dimensionality — aligned with the reference's pinned
+    * all-MiniLM-L6-v2 contract (indexing_agent.py:50: 384 dims). The
+    * hashing scheme is dimension-agnostic and every query + oracle is
+    * parameterized by this constant (round-2 verdict #5). */
+  val Dim = 384
 
   /** Hex-nibble value via position in the hex alphabet (no hex→int cast —
     * DuckDB has none; `locate`/`strpos` exist in both engines). */
@@ -59,12 +63,16 @@ object Embedder {
 
   /** Dense `array<double>` embeddings (unnormalized integer counts; exact).
     * Output: (doc_id, embedding). Cosine normalizes at distance time, so
-    * the stored integers keep the oracle path exact. */
+    * the stored integers keep the oracle path exact.
+    *
+    * Densification is the codegen'd [[VecExprs.sparseToDense]] — the
+    * earlier `transform(sequence(0, Dim-1), b => element_at(map, b))`
+    * paid Dim interpreted lambda calls per document, which at Dim=384
+    * dominated every embedder query. */
   def embed(documents: DataFrame): DataFrame =
     bucketHistogram(documents)
       .groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+      .agg(collect_list(struct(col("bucket"), col("cnt"))).as("bc"))
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(Dim - 1)),
-          b => coalesce(element_at(col("m"), b), lit(0L)).cast("double")).as("embedding"))
+        graft.functions.VecExprs.sparseToDense(col("bc"), Dim).as("embedding"))
 }

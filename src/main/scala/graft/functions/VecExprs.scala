@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Codegen'd dot product over two `array<double>` columns.
   *
@@ -59,6 +59,151 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codegen'd IVF centroid assignment: argmax-cosine centroid id for one row.
+  *
+  * `cents` is an `array<struct<cid:long, ce:array<double>, cn:double>>` —
+  * the full (tiny) centroid table collapsed to ONE broadcast row — `vec` the
+  * row's embedding as array<double>, `norm` its precomputed L2 norm. Returns
+  * the cid with the highest cosine(vec, ce); ties break to the lowest cid.
+  *
+  * This makes IVF assignment a pure map-side PROJECTION: no N·C row
+  * expansion, no aggregate, no shuffle, no sort (round-2 verdict #2 — the
+  * max_by formulation suggested there cannot hash-aggregate either, because
+  * its struct ordering key lands in the aggregation buffer and Spark's
+  * HashAggregate requires fixed-width buffer fields, so it silently falls
+  * back to SortAggregate; a per-row codegen'd argmax sidesteps the aggregate
+  * entirely). Per-pair cosine accumulates sequentially (index 0..n-1) in
+  * double precision — bit-identical to [[DotProduct]]/`sim` and therefore to
+  * the DuckDB oracle's row_number-over-cosine formulation.
+  *
+  * Argmax under the strict total order (sim desc, cid asc) is independent of
+  * the order of `cents`, so the non-deterministic ordering of `collect_list`
+  * upstream cannot affect the result.
+  */
+case class BestCentroid(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+
+  override protected def nullSafeEval(centsAny: Any, vecAny: Any, normAny: Any): Any = {
+    val cents = centsAny.asInstanceOf[ArrayData]
+    val vec = vecAny.asInstanceOf[ArrayData]
+    val norm = normAny.asInstanceOf[Double]
+    val d = vec.numElements()
+    var best = Long.MaxValue
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.numElements()) {
+      val c = cents.getStruct(i, 3)
+      val cid = c.getLong(0)
+      val ce = c.getArray(1)
+      val cn = c.getDouble(2)
+      val m = math.min(d, ce.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += vec.getDouble(j) * ce.getDouble(j); j += 1 }
+      val sim = s / (norm * cn)
+      if (sim > bestSim || (sim == bestSim && cid < best)) { best = cid; bestSim = sim }
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cents, vec, norm) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val ce = ctx.freshName("ce")
+      val cn = ctx.freshName("cn")
+      val cid = ctx.freshName("cid")
+      val s = ctx.freshName("s")
+      val simV = ctx.freshName("sim")
+      val best = ctx.freshName("best")
+      val bestSim = ctx.freshName("bestSim")
+      s"""
+         |long $best = Long.MAX_VALUE;
+         |double $bestSim = Double.NEGATIVE_INFINITY;
+         |int $n = $cents.numElements();
+         |int $d = $vec.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $c = $cents.getStruct($i, 3);
+         |  long $cid = $c.getLong(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $ce = $c.getArray(1);
+         |  double $cn = $c.getDouble(2);
+         |  int $m = java.lang.Math.min($d, $ce.numElements());
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $s += $vec.getDouble($j) * $ce.getDouble($j);
+         |  }
+         |  double $simV = $s / ($norm * $cn);
+         |  if ($simV > $bestSim || ($simV == $bestSim && $cid < $best)) {
+         |    $best = $cid; $bestSim = $simV;
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BestCentroid =
+    copy(first = f, second = s, third = t)
+}
+
+/** Codegen'd sparse→dense embedding materialization:
+  * `array<struct<bucket:int, cnt:long>>` → `array<double>` of length `dim`
+  * with `out(bucket) = cnt` and zeros elsewhere.
+  *
+  * The HOF formulation (`transform(sequence(0, dim-1), b =>
+  * element_at(map, b))`) evaluates `dim` interpreted lambda calls + map
+  * probes per row — at dim=384 that dominated every embedder query
+  * (the CLAUDE.md HOF rule). Here it is one primitive-array allocation and
+  * one write per NONZERO bucket, inside whole-stage codegen. Duplicate
+  * buckets cannot occur (entries come from a groupBy(bucket) aggregate);
+  * out-of-range buckets are ignored defensively. */
+case class SparseToDense(child: Expression, dim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(entriesAny: Any): Any = {
+    val entries = entriesAny.asInstanceOf[ArrayData]
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < entries.numElements()) {
+      val r = entries.getStruct(i, 2)
+      val b = r.getInt(0)
+      if (b >= 0 && b < dim) out(b) = r.getLong(1).toDouble
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, entries => {
+      val i = ctx.freshName("i")
+      val r = ctx.freshName("r")
+      val b = ctx.freshName("b")
+      val tmp = ctx.freshName("tmp")
+      s"""
+         |double[] $tmp = new double[$dim];
+         |for (int $i = 0; $i < $entries.numElements(); $i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $r = $entries.getStruct($i, 2);
+         |  int $b = $r.getInt(0);
+         |  if ($b >= 0 && $b < $dim) $tmp[$b] = (double) $r.getLong(1);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SparseToDense =
+    copy(child = c)
+}
+
 object VecExprs {
   /** Column wrapper for [[DotProduct]]; casts both sides to array<double>
     * (the expression reads doubles unconditionally). */
@@ -66,4 +211,17 @@ object VecExprs {
     Bridge.column(DotProduct(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
+
+  /** Column wrapper for [[BestCentroid]]. `cents` must be
+    * array<struct<cid:long, ce:array<double>, cn:double>> (positional). */
+  def bestCentroid(cents: Column, vec: Column, norm: Column): Column =
+    Bridge.column(BestCentroid(
+      Bridge.expression(cents),
+      Bridge.expression(vec.cast("array<double>")),
+      Bridge.expression(norm.cast("double"))))
+
+  /** Column wrapper for [[SparseToDense]]. `entries` must be
+    * array<struct<bucket:int, cnt:long>> (positional). */
+  def sparseToDense(entries: Column, dim: Int): Column =
+    Bridge.column(SparseToDense(Bridge.expression(entries), dim))
 }

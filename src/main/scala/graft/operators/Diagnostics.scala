@@ -93,8 +93,10 @@ object Diagnostics {
   // js/ts, :250-267 generic), over (file_path, ext, line_no, line) rows.
   // Same single-pass array-of-structs shape as the corpus analog above.
   // Deviations, declared: the ast.parse syntax check and the pyflakes
-  // subprocess (lsp_tool.py:133-180) need a Python runtime — out of scope, so
-  // error_count is structurally present but only line rules feed it; and
+  // subprocess (lsp_tool.py:133-180) need a Python runtime — out of scope;
+  // the error channel they fed is kept live by a relational
+  // syntax-plausibility check instead ([[syntaxDiagnostics]]: per-file
+  // delimiter-balance + triple-quote-parity aggregates, error severity); and
   // trim() strips spaces where Python's str.strip() strips all whitespace
   // (identical on this corpus, and identical between Spark and DuckDB, which
   // is what the oracle requires).
@@ -144,6 +146,44 @@ object Diagnostics {
         col("r.severity").as("severity"), col("r.message").as("message"))
   }
 
+  /** Error-severity syntax-plausibility check (round-2 verdict #3): a
+    * relational stand-in for the reference's `ast.parse` error path
+    * (lsp_tool.py:133-139), which needs a Python runtime. A file whose net
+    * delimiter balance — Σ opens − Σ closes per `()`/`[]`/`{}` pair — is
+    * nonzero, or (python) whose `\"\"\"` count is odd, cannot parse; both
+    * are pure per-file aggregates over the line relation, so the check is
+    * one map-side counting pass plus the same keyed aggregation the report
+    * already pays. Scoped to code files (py + js family), like the
+    * reference's parser-backed checks. This is what makes `error_count` and
+    * `valid=false` carry real signal: the line-rule banks are warning-only.
+    * Input: (file_path, ext, line_no, line); output rows at line_no 0. */
+  def syntaxDiagnostics(lines: DataFrame): DataFrame = {
+    val l = col("line")
+    def cnt(s: String): Column = length(l) - length(replace(l, lit(s), lit("")))
+    val isPy = col("ext") === "py"
+    val isJs = col("ext").isin(JsExts: _*)
+    val agg = lines.filter(isPy || isJs)
+      .groupBy(col("file_path"), col("ext"))
+      .agg(
+        sum(cnt("(") - cnt(")")).as("paren"),
+        sum(cnt("[") - cnt("]")).as("bracket"),
+        sum(cnt("{") - cnt("}")).as("brace"),
+        sum((cnt("\"\"\"") / lit(3)).cast("long")).as("tq"))
+    def rule(cond: Column, msg: Column): Column =
+      when(cond, struct(lit("error").as("severity"), msg.as("message")))
+    val bank = array(
+      rule(col("paren") =!= 0 || col("bracket") =!= 0 || col("brace") =!= 0,
+        concat(lit("Syntax error: unbalanced delimiters (paren="), col("paren"),
+          lit(", bracket="), col("bracket"), lit(", brace="), col("brace"), lit(")"))),
+      rule(col("ext") === "py" && col("tq") % 2 =!= 0,
+        lit("Syntax error: unterminated triple-quoted string")))
+    agg
+      .select(col("file_path"), lit(0L).as("line_no"),
+        explode(filter(bank, x => x.isNotNull)).as("r"))
+      .select(col("file_path"), col("line_no"),
+        col("r.severity").as("severity"), col("r.message").as("message"))
+  }
+
   /** File-level generic checks (lsp_tool.py:262-267): empty file, missing
     * trailing newline — independent predicates, both can fire. Input:
     * (file_path, ext, content). line_no 0 sorts them ahead of line findings. */
@@ -186,7 +226,9 @@ object Diagnostics {
         posexplode(split(col("content"), "\n", -1)).as(Seq("idx", "line")))
       .select(col("file_path"), col("ext"),
         (col("idx") + 1).cast("long").as("line_no"), col("line"))
-    codeReport(codeLineDiagnostics(lines).unionByName(codeFileDiagnostics(withExt)))
+    codeReport(codeLineDiagnostics(lines)
+      .unionByName(codeFileDiagnostics(withExt))
+      .unionByName(syntaxDiagnostics(lines)))
   }
 
   /** Documents-as-files view for the oracle: each text chunk is a "line",
@@ -205,7 +247,12 @@ object Diagnostics {
       .when(m === 2, concat(col("content"), lit("  ")))
       .when(m === 3, lit("import *"))
       .when(m === 4, lit("const a = 1; const b = 2;"))
-      .otherwise(col("content"))
+      // every 7th doc gets one unclosed paren on its m=5 lines, so the
+      // error-severity syntax channel (syntaxDiagnostics) fires on a
+      // deterministic minority of code files and valid=false is observable
+      // in the oracle gate — not just in unit fixtures
+      .otherwise(when(col("doc_id") % 7 === 0, concat(lit("( "), col("content")))
+        .otherwise(col("content")))
     ch.select(col("doc_id"), col("chunk_idx"), ext.as("ext"), line.as("line"))
       .select(concat(lit("doc_"), col("doc_id"), lit("."), col("ext")).as("file_path"),
         col("ext"), (col("chunk_idx") + 1).as("line_no"), col("line"))
@@ -221,7 +268,9 @@ object Diagnostics {
       .select(col("file_path"), lit(0L).as("line_no"),
         lit("warning").as("severity"),
         lit("File doesn't end with newline").as("message"))
-    codeReport(codeLineDiagnostics(v).unionByName(fileLevel))
+    codeReport(codeLineDiagnostics(v)
+      .unionByName(fileLevel)
+      .unionByName(syntaxDiagnostics(v)))
   }
 
   def duckCodeReport(table: String): String = {
@@ -238,6 +287,7 @@ object Diagnostics {
        |                   WHEN chunk_idx % 6 = 2 THEN content || '  '
        |                   WHEN chunk_idx % 6 = 3 THEN 'import *'
        |                   WHEN chunk_idx % 6 = 4 THEN 'const a = 1; const b = 2;'
+       |                   WHEN doc_id % 7 = 0 THEN '( ' || content
        |                   ELSE content END AS line
        |            FROM ch)),
        |msg AS (
@@ -274,7 +324,26 @@ object Diagnostics {
        |  FROM v WHERE ext NOT IN $code AND rtrim(line) <> line
        |  UNION ALL
        |  SELECT DISTINCT file_path, 0 AS line_no, 'warning', 'File doesn''t end with newline'
-       |  FROM v WHERE ext NOT IN $code)
+       |  FROM v WHERE ext NOT IN $code
+       |  UNION ALL
+       |  SELECT file_path, 0 AS line_no, 'error',
+       |         'Syntax error: unbalanced delimiters (paren=' || paren ||
+       |         ', bracket=' || bracket || ', brace=' || brace || ')'
+       |  FROM (SELECT file_path,
+       |          sum((length(line) - length(replace(line, '(', ''))) -
+       |              (length(line) - length(replace(line, ')', '')))) AS paren,
+       |          sum((length(line) - length(replace(line, '[', ''))) -
+       |              (length(line) - length(replace(line, ']', '')))) AS bracket,
+       |          sum((length(line) - length(replace(line, '{', ''))) -
+       |              (length(line) - length(replace(line, '}', '')))) AS brace
+       |        FROM v WHERE ext IN $code GROUP BY file_path)
+       |  WHERE paren <> 0 OR bracket <> 0 OR brace <> 0
+       |  UNION ALL
+       |  SELECT file_path, 0 AS line_no, 'error', 'Syntax error: unterminated triple-quoted string'
+       |  FROM (SELECT file_path,
+       |          sum((length(line) - length(replace(line, '${"\"\"\""}', ''))) // 3) AS tq
+       |        FROM v WHERE ext = 'py' GROUP BY file_path)
+       |  WHERE tq % 2 <> 0)
        |SELECT file_path,
        |  CAST(sum(CASE WHEN severity = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
        |  CAST(sum(CASE WHEN severity = 'warning' THEN 1 ELSE 0 END) AS BIGINT) AS warning_count,

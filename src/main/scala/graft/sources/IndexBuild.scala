@@ -162,19 +162,27 @@ object IndexBuild {
     report
   }
 
-  /** Q1 over a built index: query text → embed → filtered top-k (the
-    * reference's `semantic_search` against OUR index tables). */
-  def searchIndex(spark: SparkSession, indexDir: String, queryText: String, k: Int,
-                  elementType: Option[String] = None): DataFrame = {
+  /** Q1 search core over any `code_elements`-shaped relation (columns id,
+    * name, element_type, file_path, file_type, embedding): metadata
+    * pre-filters (pushed to the scan when the relation is a parquet read)
+    * then broadcast-query cosine top-k — `TakeOrderedAndProject`, the same
+    * partial top-k kernel as [[graft.operators.Knn.topK]]. Shared by
+    * [[searchIndex]] (stored index) and the oracle analog
+    * `IndexOps.searchElements` (freshly built corpus elements), so the
+    * oracle gate exercises the flagship path itself, not a twin. */
+  def searchElementsTable(index: DataFrame, queryText: String, k: Int,
+                          elementType: Option[String] = None,
+                          fileType: Option[String] = None): DataFrame = {
     import graft.functions.VecExprs.dotc
-    val index = spark.read.parquet(s"$indexDir/code_elements")
+    val spark = index.sparkSession
     val qdf = {
       import spark.implicits._
       Embedder.embed(Seq((0L, queryText)).toDF("doc_id", "text"))
         .select(col("embedding").as("qe"))
         .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
     }
-    val pre = elementType.map(t => index.filter(col("element_type") === t)).getOrElse(index)
+    val pre0 = elementType.map(t => index.filter(col("element_type") === t)).getOrElse(index)
+    val pre = fileType.map(t => pre0.filter(col("file_type") === t)).getOrElse(pre0)
     pre
       .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
       .crossJoin(broadcast(qdf))
@@ -184,6 +192,17 @@ object IndexBuild {
       .select(col("id"), col("name"), col("element_type"), col("file_path"),
         round(col("sim_raw"), 6).as("similarity"))
   }
+
+  /** Q1 over a built index: query text → embed → filtered top-k (the
+    * reference's `semantic_search` against OUR index tables). Both metadata
+    * filters work on elements — element_type AND file_type (the reference's
+    * own file_type filter was a no-op on code_elements, quirk SURVEY §2.9#1).
+    */
+  def searchIndex(spark: SparkSession, indexDir: String, queryText: String, k: Int,
+                  elementType: Option[String] = None,
+                  fileType: Option[String] = None): DataFrame =
+    searchElementsTable(spark.read.parquet(s"$indexDir/code_elements"),
+      queryText, k, elementType, fileType)
 
   /** Write both index tables BUCKETED by file_path (same bucket count), so
     * every per-file join in the query surface — elements ⋈ summaries,

@@ -29,11 +29,20 @@ class DiagnosticsCodeSpec extends AnyFunSuite {
 
   private val txtFile = "trailing spaces   \nok line\n" + ("z" * 201) // no final newline
 
+  // net +1 paren (split across lines), odd """ count -> both error rules fire
+  private val brokenPy =
+    "def f(:\n    s = \"\"\"unterminated\n    return (1 + 2\n"
+
+  // balanced parens, net +1 brace -> delimiter rule alone fires
+  private val brokenJs = "function f() {\n  return 1;\n"
+
   private def reports = {
     import spark.implicits._
     val files = Seq(
       ("check.py", pyFile),
       ("app.js", jsFile),
+      ("broken.py", brokenPy),
+      ("broken.js", brokenJs),
       ("notes.rst", txtFile),
       ("empty.cfg", "")).toDF("file_path", "content")
     Diagnostics.codeDiagnostics(files).collect()
@@ -72,8 +81,25 @@ class DiagnosticsCodeSpec extends AnyFunSuite {
     assert(empty.contains("0:warning:File doesn't end with newline"))
   }
 
-  test("reports are valid (no error-severity rules in these banks)") {
-    assert(reports.values.forall(_.getAs[Boolean]("valid")))
-    assert(reports.values.forall(_.getAs[Long]("error_count") == 0L))
+  test("clean files are valid: line-rule banks are warning-only") {
+    val clean = Seq("check.py", "app.js", "notes.rst", "empty.cfg")
+    assert(clean.forall(reports(_).getAs[Boolean]("valid")))
+    assert(clean.forall(reports(_).getAs[Long]("error_count") == 0L))
+  }
+
+  test("syntax channel: unbalanced delimiters and odd triple-quotes are errors") {
+    val py = reports("broken.py")
+    val pyMsgs = py.getAs[String]("messages")
+    assert(pyMsgs.contains(
+      "0:error:Syntax error: unbalanced delimiters (paren=2, bracket=0, brace=0)"))
+    assert(pyMsgs.contains("0:error:Syntax error: unterminated triple-quoted string"))
+    assert(py.getAs[Long]("error_count") == 2L)
+    assert(!py.getAs[Boolean]("valid"))
+
+    val js = reports("broken.js")
+    assert(js.getAs[String]("messages").contains(
+      "0:error:Syntax error: unbalanced delimiters (paren=0, bracket=0, brace=1)"))
+    assert(js.getAs[Long]("error_count") == 1L)
+    assert(!js.getAs[Boolean]("valid"))
   }
 }

@@ -39,6 +39,32 @@ class VecExprsSpec extends AnyFunSuite {
     assert(rows(2).getDouble(0) == 0.0)
   }
 
+  test("BestCentroid == declarative argmax (window formulation), and ties break low") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet").limit(300)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      .withColumn("nrm", sqrt(VecExprs.dotc(col("ed"), col("ed"))))
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
+    val centArr = broadcast(cent.agg(collect_list(struct(col("cid"), col("ce"), col("cn"))).as("cents")))
+    val viaExpr = e.crossJoin(centArr)
+      .select(col("vec_id"), VecExprs.bestCentroid(col("cents"), col("ed"), col("nrm")).as("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+    val viaWindow = e.crossJoin(cent)
+      .withColumn("csim", VecExprs.dotc(col("ed"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"))
+    assert(viaExpr.join(viaWindow, "vec_id")
+      .filter(viaExpr("cluster") =!= viaWindow("cluster")).count() == 0)
+    // exact tie between duplicated centroids -> lowest cid wins
+    val tied = Seq((Seq(1.0, 0.0), 1.0)).toDF("ed", "nrm")
+      .crossJoin(Seq(Seq((5L, Seq(1.0, 0.0), 1.0), (2L, Seq(1.0, 0.0), 1.0)))
+        .toDF("cents"))
+    assert(tied.select(VecExprs.bestCentroid(col("cents"), col("ed"), col("nrm")))
+      .head().getLong(0) == 2L)
+  }
+
   test("interpreted eval (no codegen) matches codegen result") {
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     try {
