@@ -107,13 +107,46 @@ object CodeChunker {
     stripEdgeChars(stripEdgeChars(joined.trim, '"'), '\'').trim
   }
 
+  /** Lines that BEGIN inside an open triple-quoted string. Recognizers must
+    * not fire on them: a `def name(` or `import` inside a docstring is
+    * string content, not a node — tree-sitter would never emit it. A simple
+    * forward scan toggling on unclosed `\"\"\"` / `'''` occurrences; the
+    * opening line itself is not masked (a def cannot also start inside a
+    * string it opens). */
+  private def tripleStringMask(lines: Array[String]): Array[Boolean] = {
+    val mask = new Array[Boolean](lines.length)
+    var open: String = null
+    for (i <- lines.indices) {
+      if (open != null) mask(i) = true
+      val l = lines(i)
+      var pos = 0
+      var scan = true
+      while (scan) {
+        if (open == null) {
+          val a = l.indexOf("\"\"\"", pos)
+          val b = l.indexOf("'''", pos)
+          val idx = if (a < 0) b else if (b < 0) a else math.min(a, b)
+          if (idx < 0) scan = false
+          else { open = if (idx == a && a >= 0) "\"\"\"" else "'''"; pos = idx + 3 }
+        } else {
+          val idx = l.indexOf(open, pos)
+          if (idx < 0) scan = false
+          else { open = null; pos = idx + 3 }
+        }
+      }
+    }
+    mask
+  }
+
   def chunkPython(path: String, content: String): Seq[CodeElement] = {
     val lines = content.split("\n", -1)
+    val inStr = tripleStringMask(lines)
     val out = Seq.newBuilder[CodeElement]
     var i = 0
     while (i < lines.length) {
       val l = lines(i)
       l match {
+        case _ if inStr(i) => i += 1 // string content is never a node
         case pyDef(name) if !l.trim.startsWith("#") =>
           // i advances by 1, not to block end: the reference's traverse_node
           // recurses into every child (indexing_agent.py:158-172), so nested

@@ -25,6 +25,14 @@ import graft.functions.VectorFns.signBucket
   *     exact recall, used as the correctness baseline for minhash
   * Verification (exact Jaccard) runs only on surviving candidate pairs.
   * All arithmetic is integer counts → ratios, bit-identical to the oracle.
+  *
+  * Cache lifecycle: [[shingleRows]] and `simhash`'s signature relation are
+  * `.cache()`d because their plans are referenced more than once per query.
+  * The harness entry points (Verify / Bench / TimeQ) clear the session
+  * cache after every query; a LIBRARY embedder that calls these operators
+  * directly should do the same once results are materialized —
+  * `spark.sharedState.cacheManager.clearCache()` (or
+  * `spark.catalog.clearCache()`) — so no scratch cache outlives the query.
   */
 object Dedup {
 

@@ -286,7 +286,10 @@ object Relational {
   /** Exact linear-interpolation quantiles of `value` per event type.
     * Spark's `percentile` and DuckDB's `quantile_cont` share the
     * rank = p·(n−1), v_l + (v_u − v_l)·frac formulation; round(6) in the
-    * final projection absorbs any last-ulp interpolation difference. */
+    * final projection absorbs ulp-level interpolation differences AWAY from
+    * rounding boundaries (a raw quantile within an ulp of a 0.0000005
+    * boundary could still flip the 6th decimal — gate-verified exact on
+    * this corpus, not a universal guarantee). */
   def valueQuantiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy("event_type")

@@ -14,8 +14,13 @@ import java.nio.file.{Files, LinkOption, Path, Paths}
 class Sandbox(rootDir: String) {
   private val root: Path = Paths.get(rootDir).toAbsolutePath.normalize()
 
-  private lazy val realRoot: Path =
-    if (Files.exists(root)) root.toRealPath() else root
+  // The root is materialized at construction, BEFORE realRoot is resolved:
+  // a lazily cached lexical fallback would permanently reject every path
+  // when the root did not exist at first resolve() (and writeFile could no
+  // longer bootstrap a fresh workspace), or cache a stale lexical value if
+  // the root later appeared under a symlinked parent.
+  Files.createDirectories(root)
+  private val realRoot: Path = root.toRealPath()
 
   /** Path-safety guard: Some(resolved) iff the path stays under root.
     * Two checks: lexical (normalize + startsWith, catching `../` and

@@ -142,15 +142,26 @@ object StreamOps {
     * independent and equals the batch oracle exactly. On an unbounded
     * stream the same pipeline runs with a watermark +
     * `dropDuplicatesWithinWatermark` so the key state has a TTL. */
-  def streamedDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The streaming dedup pipeline itself (source → key projection →
+    * dropDuplicates), shared by the memory-sink harness entry and the
+    * production-sink spec so the two paths cannot diverge. */
+  def dedupedDocsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = Tables.documents(spark, sfDir).schema
-    val stream = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
-    val deduped = stream
       .select(col("lang"), md5(col("text")).as("h"))
       .dropDuplicates("lang", "h")
+  }
+
+  def streamedDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = dedupedDocsStream(spark, sfDir)
     val qname = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    // memory sink is HARNESS-ONLY (bounded aggregated output, single JVM —
+    // it buffers results on the driver). The production sink for the same
+    // pipeline is foreachBatch → parquet: proven result-identical in
+    // StreamStateSpec ("foreachBatch parquet sink"), and demonstrated
+    // end-to-end by streamingReindex below.
     withShufflePartitions(spark, 4) {
       val q = deduped.writeStream.outputMode("append").format("memory").queryName(qname).start()
       try q.processAllAvailable() finally q.stop()

@@ -74,6 +74,28 @@ class CodeChunkerSpec extends AnyFunSuite {
     assert(els(1).start_line == 101 && els(1).end_line == 120)
   }
 
+  test("recognizers skip def/class/import text inside triple-quoted strings") {
+    val q3 = "\"\"\""
+    val src = Seq(
+      "def real():",
+      "    '''docstring mentioning def fake(x) and",
+      "    import os",
+      "    class NotAClass:",
+      "    '''",
+      "    return 1",
+      "",
+      s"DOC = $q3",
+      "def also_fake():",
+      "import sys",
+      q3,
+      "import json",
+      "").mkString("\n")
+    val els = CodeChunker.chunkPython("s.py", src)
+    assert(els.map(e => (e.name, e.element_type)) ==
+      Seq(("real", "function"), ("import", "import")))
+    assert(els.last.content == "import json")
+  }
+
   test("content hash is stable and md5-shaped (C7)") {
     val a = CodeChunker.chunkFile("sample.py", read("sample.py"))
     val b = CodeChunker.chunkFile("sample.py", read("sample.py"))

@@ -15,6 +15,29 @@ import graft.streaming.StreamOps
 class StreamStateSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("foreachBatch parquet sink: production path equals the memory-sink result") {
+    // The memory sink in the q_stream_* harness entries buffers results on
+    // the driver — fine for bounded oracle outputs, not the cluster shape.
+    // Prove the production sink (foreachBatch → parquet append, the
+    // streamingReindex pattern) yields the identical result for the same
+    // dedup pipeline.
+    val out = Files.createTempDirectory("graft_fb_sink").toString
+    val ckpt = Files.createTempDirectory("graft_fb_ckpt").toString
+    val q = StreamOps.dedupedDocsStream(spark, TestSpark.sf)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val viaParquet = spark.read.parquet(out)
+      .groupBy("lang").agg(count(lit(1)).as("n_unique"))
+      .orderBy("lang").collect().toSeq
+    val viaMemory = StreamOps.streamedDedupCounts(spark, TestSpark.sf).collect().toSeq
+    assert(viaParquet == viaMemory && viaParquet.nonEmpty)
+  }
+
   test("keyed state carries across micro-batches; totals equal batch agg") {
     import spark.implicits._
     val ev = Tables.eventsRaw(spark, TestSpark.sf).cache()

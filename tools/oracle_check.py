@@ -24,9 +24,10 @@ def norm(v):
     return repr(v)
 
 def type_key(arrow_type):
-    """Driver-comparable type label: exact for decimals, family for the rest
-    (parquet round-trips can legitimately differ int64 vs int32 only if we
-    wrote them differently — surface that too)."""
+    """Driver-comparable type label. STRICTLY EXACT for every type: int64 vs
+    int32 or string vs large_string fails even though the values round-trip —
+    deliberately stricter than the driver, so any engine-side type drift
+    surfaces here first (queries cast to the canonical type explicitly)."""
     return str(arrow_type)
 
 def main(sf_dir, out_dir):
