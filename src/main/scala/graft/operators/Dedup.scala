@@ -144,9 +144,14 @@ object Dedup {
     * 100 TB shape as [[Knn.simJoinLsh]], but over DERIVED embeddings: this
     * is the full chunk→embed→near-dup pipeline as one declarative plan). */
   def embedCosine(documents: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
+    // cached: the derived-embedding subtree (tokenize → md5 → histogram agg)
+    // is referenced by BOTH sides of the pattern self-join and is the
+    // expensive half of the query — without the cache it executes twice.
+    // Same materialize-once rule as q_index_knn; harness clears per query.
     val e = Embedder.embed(documents)
       .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
       .withColumn("pat", signBucket(col("embedding"), bits))
+      .cache()
     val a = e.select(col("doc_id").as("d1"), col("embedding").as("e1"), col("nrm").as("n1"), col("pat"))
     val b = e.select(col("doc_id").as("d2"), col("embedding").as("e2"), col("nrm").as("n2"), col("pat"))
     val rawSim = dotc(col("e1"), col("e2")) / (col("n1") * col("n2"))

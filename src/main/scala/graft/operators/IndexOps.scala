@@ -181,16 +181,22 @@ object IndexOps {
     when(length(c) > n, concat(substring(c, 1, n), lit("..."))).otherwise(c)
 
   /** Q8: the reference's result-formatting projection
-    * (vector_search_tool.py:59-79): "Result N:" header, name/type/file/lines
+    * (vector_search_tool.py:59-79): "Result N (similarity: X.XXX):" header
+    * — the `:.3f` similarity rendered INTO the text — name/type/file/lines
     * metadata block, docstring truncated at 100 chars, content truncated at
-    * 300, "-"*50 separator. The similarity stays a separate rounded column
-    * rather than %.3f-formatted into the text — declared deviation: float
-    * FORMATTING (not value) differs between engines, the truncation surface
-    * is what this projection proves. */
+    * 300, "-"*50 separator. The 3-decimal rendering goes through
+    * `round(sim_raw, 3)` → `decimal(10,3)` → string: HALF_UP in both
+    * engines with the scale preserved ("0.820", not "0.82"), computed from
+    * the RAW similarity so no double-rounding through the displayed
+    * 6-decimal column can flip the 3rd decimal. Requires a `sim_raw`
+    * column alongside the display `sim`. */
   def formatHits(hits: DataFrame): DataFrame =
     hits.select(col("rank"), col("sim"),
       concat(
-        lit("Result "), col("rank"), lit(":\n"),
+        lit("Result "), col("rank"),
+        lit(" (similarity: "),
+        round(col("sim_raw"), 3).cast("decimal(10,3)").cast("string"),
+        lit("):\n"),
         lit("  Name: "), col("name"), lit("\n"),
         lit("  Type: "), col("element_type"), lit("\n"),
         lit("  File: "), col("file_path"), lit("\n"),
@@ -219,7 +225,7 @@ object IndexOps {
       .withColumn("rank",
         row_number().over(Window.orderBy(desc("sim_raw"), asc("doc_id"))).cast("long"))
     val hits = top.join(documents, "doc_id")
-      .select(col("rank"), round(col("sim_raw"), 6).as("sim"),
+      .select(col("rank"), col("sim_raw"), round(col("sim_raw"), 6).as("sim"),
         concat(lit("doc_"), col("doc_id")).as("name"),
         lit("document").as("element_type"),
         concat(lit("doc_"), col("doc_id"), lit(".txt")).as("file_path"),
@@ -244,7 +250,8 @@ object IndexOps {
        |               row_number() OVER (ORDER BY sim_raw DESC, doc_id) AS rank
        |        FROM s ORDER BY sim_raw DESC, doc_id LIMIT $k)
        |SELECT t.rank, round(t.sim_raw, 6) AS sim,
-       |  'Result ' || t.rank || ':' || chr(10) ||
+       |  'Result ' || t.rank || ' (similarity: ' ||
+       |  CAST(CAST(round(t.sim_raw, 3) AS DECIMAL(10,3)) AS VARCHAR) || '):' || chr(10) ||
        |  '  Name: doc_' || t.doc_id || chr(10) ||
        |  '  Type: document' || chr(10) ||
        |  '  File: doc_' || t.doc_id || '.txt' || chr(10) ||
