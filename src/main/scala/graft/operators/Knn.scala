@@ -127,25 +127,33 @@ object Knn {
     * bounded to neighbors whose cluster wasn't probed (the standard IVF
     * trade; raise nprobe to recover).
     */
-  def topKIvf(index: DataFrame, queryVec: DataFrame, k: Int,
-              numCentroids: Int, nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
+  /** IVF layout phase, exposed as its own operator: every index row gets
+    * its argmax-cosine centroid id (tiebreak: lowest cid), computed per row
+    * by the codegen'd BestCentroid expression over the centroid table
+    * collapsed to ONE broadcast array-of-structs row. A pure map-side
+    * projection: no N·C row expansion, no aggregate, no shuffle, no sort
+    * (round-2 verdict #2 — and strictly tighter than the max_by form
+    * suggested there, whose struct ordering key forces a SortAggregate
+    * fallback; see BestCentroid's scaladoc). A deployment runs this
+    * offline and writes the result `partitionBy("cluster")` so probes
+    * prune at the parquet-partition level (asserted in IndexBuildSpec).
+    * Output: (vec_id, label, ed, nrm, cluster). */
+  def ivfAssign(index: DataFrame, numCentroids: Int): DataFrame = {
     val cent = prep(index.filter(col("vec_id") < numCentroids), "c")
     val e = index
       .withColumn("ed", col("embedding").cast("array<double>"))
       .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
-    // assignment: argmax cosine over centroids (tiebreak: lowest centroid
-    // id), computed per row by the codegen'd BestCentroid expression over
-    // the centroid table collapsed to ONE broadcast array-of-structs row.
-    // The assignment is a pure map-side projection: no N·C row expansion,
-    // no aggregate, no shuffle, no sort (round-2 verdict #2 — and strictly
-    // tighter than the max_by form suggested there, whose struct ordering
-    // key forces a SortAggregate fallback; see BestCentroid's scaladoc).
-    // At cluster scale this is one fused codegen stage over the scan.
     val centArr = broadcast(
       cent.agg(collect_list(struct(col("cid"), col("ce"), col("cn"))).as("cents")))
-    val assigned = e.crossJoin(centArr)
+    e.crossJoin(centArr)
       .withColumn("cluster", bestCentroid(col("cents"), col("ed"), col("nrm")))
       .select(col("vec_id"), col("label"), col("ed"), col("nrm"), col("cluster"))
+  }
+
+  def topKIvf(index: DataFrame, queryVec: DataFrame, k: Int,
+              numCentroids: Int, nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
+    val cent = prep(index.filter(col("vec_id") < numCentroids), "c")
+    val assigned = ivfAssign(index, numCentroids)
     // probe list: top-nprobe centroids for the query
     val q = queryVec.select(col("qv").cast("array<double>").as("qe"))
       .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))

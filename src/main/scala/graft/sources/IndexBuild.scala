@@ -66,11 +66,19 @@ object IndexBuild {
       .withColumn("file_type", regexp_extract(col("file_path"), "(\\.[^.]+)$", 1))
   }
 
-  /** Embed the given element rows (adds the `embedding` column). */
-  def embedElements(withDoc: DataFrame): DataFrame =
+  /** Embed the given element rows (adds `embedding` AND its precomputed L2
+    * `nrm`). Norms are a pure function of the stored vector, so they are
+    * paid ONCE at index-build time and read back by every search — at
+    * cluster scale that removes a full O(N·D) pass from each query against
+    * a static index ([[searchElementsTable]] uses the stored column when
+    * present). */
+  def embedElements(withDoc: DataFrame): DataFrame = {
+    import graft.functions.VecExprs.dotc
     Embedder.embed(withDoc.select(col("id").as("doc_id"), col("document").as("text")))
       .withColumnRenamed("doc_id", "id")
+      .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
       .join(withDoc, "id")
+  }
 
   /** Chunk + embed everything (fresh build path). */
   def buildElements(files: Dataset[(String, String)]): DataFrame =
@@ -122,6 +130,7 @@ object IndexBuild {
     val emb = Embedder.embed(
       base.select(col("file_path").as("doc_id"), col("summary").as("text")))
       .withColumnRenamed("doc_id", "file_path")
+      .withColumn("nrm", sqrt(graft.functions.VecExprs.dotc(col("embedding"), col("embedding"))))
     base.join(emb, "file_path")
   }
 
@@ -182,9 +191,13 @@ object IndexBuild {
         .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
     }
     val pre0 = elementType.map(t => index.filter(col("element_type") === t)).getOrElse(index)
-    val pre = fileType.map(t => pre0.filter(col("file_type") === t)).getOrElse(pre0)
+    val pre1 = fileType.map(t => pre0.filter(col("file_type") === t)).getOrElse(pre0)
+    // use the norm stored at build time when the index carries one
+    // (embedElements); derive it only for relations that don't
+    val pre =
+      if (index.columns.contains("nrm")) pre1
+      else pre1.withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
     pre
-      .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
       .crossJoin(broadcast(qdf))
       .withColumn("sim_raw", dotc(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
       .orderBy(desc("sim_raw"), asc("id"))
@@ -237,8 +250,12 @@ object IndexBuild {
         .select(col("embedding").as("qe"))
         .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
     }
-    summaries
-      .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
+    // summaries store their norm at build time (buildSummaries); derive it
+    // only for pre-nrm tables
+    val withNrm =
+      if (summaries.columns.contains("nrm")) summaries
+      else summaries.withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
+    withNrm
       .crossJoin(broadcast(qdf))
       .withColumn("sim_raw", dotc(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
       .orderBy(desc("sim_raw"), asc("file_path"))

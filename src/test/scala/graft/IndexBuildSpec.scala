@@ -62,6 +62,14 @@ class IndexBuildSpec extends AnyFunSuite {
     val fns = IndexBuild.searchIndex(spark, indexDir, "function definition", 5,
       elementType = Some("function")).collect()
     assert(fns.nonEmpty && fns.forall(_.getAs[String]("element_type") == "function"))
+    // both metadata filters composed on the STORED index (quirk §2.9#1):
+    // only .py functions survive the pre-filter
+    val pyFns = IndexBuild.searchIndex(spark, indexDir, "function definition", 5,
+      elementType = Some("function"), fileType = Some(".py")).collect()
+    assert(pyFns.nonEmpty && pyFns.forall(_.getAs[String]("file_path").endsWith(".py")))
+    val tsOnly = IndexBuild.searchIndex(spark, indexDir, "function definition", 5,
+      fileType = Some(".ts")).collect()
+    assert(tsOnly.nonEmpty && tsOnly.forall(_.getAs[String]("file_path").endsWith(".ts")))
   }
 
   test("file summaries carry counts and type map string") {
@@ -92,6 +100,24 @@ class IndexBuildSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange hashpartitioning"),
         s"unexpected shuffle in:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("IVF layout: cluster-partitioned index prunes probes at the file level") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft_ivf_layout").toString + "/ivf"
+    graft.operators.Knn.ivfAssign(e, numCentroids = 8)
+      .write.partitionBy("cluster").parquet(dir)
+    val all = spark.read.parquet(dir)
+    val probe = all.filter(col("cluster") === 0 || col("cluster") === 3)
+    // the probe's scan carries partition filters — pruning happens at
+    // file-listing time, not as a post-scan filter
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters in:\n$plan")
+    // and it physically reads fewer files than the full index
+    val filesRead = probe.select(input_file_name()).distinct().count()
+    val filesTotal = all.select(input_file_name()).distinct().count()
+    assert(filesRead < filesTotal && probe.count() > 0)
   }
 
   test("summary search (Q2) ranks files by query similarity") {
