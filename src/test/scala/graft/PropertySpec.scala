@@ -66,6 +66,47 @@ class PropertySpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("SparseToDense equals a scala reference densification for random sparse entries") {
+    import spark.implicits._
+    import graft.functions.VecExprs
+    val dim = 32
+    val entriesGen: Gen[List[(Int, Long)]] = for {
+      n <- Gen.choose(0, dim)
+      buckets <- Gen.pick(n, 0 until dim)
+      counts <- Gen.listOfN(n, Gen.choose(1L, 99L))
+    } yield buckets.toList.zip(counts)
+    checkProp(forAll(entriesGen) { entries =>
+      val df = Seq(Tuple1(entries)).toDF("bc")
+      val got = df.select(VecExprs.sparseToDense(col("bc"), dim))
+        .head().getSeq[Double](0).toList
+      val want = (0 until dim).map(b =>
+        entries.collectFirst { case (`b`, c) => c.toDouble }.getOrElse(0.0)).toList
+      got == want
+    }, n = 50)
+  }
+
+  test("BestCentroid equals a scala reference argmax for random vectors") {
+    import spark.implicits._
+    import graft.functions.VecExprs
+    val vec: Gen[List[Double]] = Gen.listOfN(6, Gen.choose(0, 9).map(_.toDouble))
+      .suchThat(v => v.exists(_ != 0.0))
+    val centsGen: Gen[List[(Long, List[Double], Double)]] = Gen.choose(1, 5)
+      .flatMap(n => Gen.listOfN(n, vec))
+      .map(_.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v, math.sqrt(v.map(x => x * x).sum)) })
+    checkProp(forAll(vec, centsGen) { (v, cents) =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val df = Seq((v, nrm, cents)).toDF("ed", "nrm", "cents")
+      val got = df.select(VecExprs.bestCentroid(col("cents"), col("ed"), col("nrm")))
+        .head().getLong(0)
+      val want = cents.map { case (cid, ce, cn) =>
+        val dot = v.zip(ce).map { case (a, b) => a * b }.sum
+        (cid, dot / (nrm * cn))
+      }.minBy { case (cid, sim) => (-sim, cid) }._1
+      got == want
+    }, n = 50)
+  }
+
   test("top-k monotonicity holds for every k: top-k is a prefix of top-(k+1)") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
