@@ -70,6 +70,15 @@ class IndexBuildSpec extends AnyFunSuite {
     val tsOnly = IndexBuild.searchIndex(spark, indexDir, "function definition", 5,
       fileType = Some(".ts")).collect()
     assert(tsOnly.nonEmpty && tsOnly.forall(_.getAs[String]("file_path").endsWith(".ts")))
+    // both metadata predicates reach the parquet reader of the stored index
+    val plan = IndexBuild.searchIndex(spark, indexDir, "x", 5,
+      elementType = Some("function"), fileType = Some(".py"))
+      .queryExecution.executedPlan.toString
+    // (the rendered PushedFilters list is length-truncated, so match the
+    // first equality in full and the second by prefix)
+    assert(plan.contains("PushedFilters: [IsNotNull(element_type), IsNotNull(file_type), " +
+      "EqualTo(element_type,function), EqualTo(file_type"),
+      s"filters not pushed:\n$plan")
   }
 
   test("file summaries carry counts and type map string") {
