@@ -69,6 +69,8 @@ object SparkEntry {
     // --- dedup family over documents (BASELINE.json extensions) ---
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhash(Tables.documents(s, dir), threshold = 0.8)),
+    // connected components over the near-dup pair graph → canonical keepers
+    "q_dedup_clusters" -> ((s, dir) => Dedup.clusters(Tables.documents(s, dir), threshold = 0.8)),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_embed" -> ((s, dir) => Dedup.embedCosine(Tables.documents(s, dir), threshold = 0.95)),
@@ -236,6 +238,7 @@ object SparkEntry {
 
     "q_dedup_exact"   -> Dedup.duckExact("documents"),
     "q_dedup_minhash" -> Dedup.duckMinhashSql("documents", 0.8),
+    "q_dedup_clusters" -> Dedup.duckClustersSql("documents", 0.8),
     "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),
     "q_dedup_simhash" -> Dedup.duckSimhashSql("documents", 0.5),
     "q_dedup_embed"   -> Dedup.duckEmbedCosine("documents", 0.95),

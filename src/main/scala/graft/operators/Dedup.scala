@@ -118,6 +118,67 @@ object Dedup {
     jaccardOf(sh, cand, threshold)
   }
 
+  /** Duplicate-cluster canonicalization: connected components over the
+    * MinHash near-dup pair graph, then one keeper per component — the step a
+    * production pipeline runs AFTER pair detection, because near-duplicate
+    * is not transitive pairwise (A~B, B~C does not list A~C) and dropping
+    * one side of every pair independently over-deletes chains.
+    *
+    * Algorithm: iterative min-label propagation. Every node starts labeled
+    * with itself; each round takes `min(own label, min of neighbors'
+    * labels)` until a fixpoint — the label is then the smallest doc_id in
+    * the component (deterministic canonical pick). Each round is ONE
+    * shuffle of the edge relation joined to the (node,label) relation —
+    * both tiny relative to the corpus, since only docs that appear in a
+    * near-dup pair participate. Rounds needed = graph diameter; near-dup
+    * components are short chains in practice. At 1000-executor scale the
+    * same loop holds (edges ≪ corpus); if components grew adversarially
+    * deep, the standard fix is alternating large-star/small-star rounds
+    * (O(log n) convergence) — same join shape, different grouping — which
+    * this loop structure accommodates without changing the contract.
+    * `localCheckpoint` truncates the per-iteration lineage so the plan does
+    * not grow with the iteration count.
+    *
+    * Output: one row per clustered doc — (doc_id, cluster = canonical
+    * doc_id, is_canonical, cluster_size). Singleton docs (no near-dup pair)
+    * are not emitted; the downstream "keep" set is all singletons plus the
+    * canonical row of each cluster.
+    */
+  def clusters(documents: DataFrame, threshold: Double, maxIter: Int = 20): DataFrame = {
+    val pairs = minhash(documents, threshold).select(col("d1"), col("d2"))
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a")).agg(min("nl").as("mn"))
+        .select(col("a").as("node"), col("mn"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    val out = labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster"),
+        (col("node") === col("label")).as("is_canonical"),
+        col("cluster_size"))
+      .orderBy(asc("cluster"), asc("doc_id"))
+    edges.unpersist()
+    out
+  }
+
   /** Exact n-gram Jaccard via inverted-index self-join (full recall).
     *
     * Single pass: the s-equijoin that enumerates co-shingled pairs ALSO
@@ -187,15 +248,21 @@ object Dedup {
        |sh AS (SELECT DISTINCT doc_id, s
        |       FROM (SELECT doc_id, unnest(${duckShingles("t", 3)}) AS s FROM tk))""".stripMargin
 
-  private def duckJaccard(candCte: String, filterExpr: String, selectCols: String,
-                          extraJoin: String = ""): String =
+  /** CTE chain `sizes, inter, j` computing exact Jaccard for the candidate
+    * pairs in `candCte` — shared by the per-variant final selects and by
+    * [[duckClustersSql]]'s recursive wrapper. */
+  private def duckJaccardCtes(candCte: String): String =
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |          JOIN $candCte c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
        |          GROUP BY 1, 2),
        |j AS (SELECT d1, d2, i::DOUBLE / (s1.n + s2.n - i) AS jac
-       |      FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)
+       |      FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)""".stripMargin
+
+  private def duckJaccard(candCte: String, filterExpr: String, selectCols: String,
+                          extraJoin: String = ""): String =
+    s"""${duckJaccardCtes(candCte)}
        |SELECT $selectCols FROM j $extraJoin WHERE $filterExpr ORDER BY d1, d2""".stripMargin
 
   def duckExact(table: String): String =
@@ -205,23 +272,50 @@ object Dedup {
        |       CAST(max(n) AS BIGINT) AS max_group
        |FROM g""".stripMargin
 
-  def duckMinhashSql(table: String, threshold: Double,
-                     seeds: Int = 8, rowsPerBand: Int = 2): String = {
-    // seeds/rowsPerBand mirror minhash()'s parameters — band list derived,
-    // not hard-coded, so non-default calls stay in sync with the oracle
+  /** CTE chain `tk, sh, sig, bands, cand` producing the MinHash+LSH band
+    * candidate pairs — shared by [[duckMinhashSql]] and [[duckClustersSql]].
+    * seeds/rowsPerBand mirror minhash()'s parameters — band list derived,
+    * not hard-coded, so non-default calls stay in sync with the oracle. */
+  private def duckMinhashCandCtes(table: String, seeds: Int, rowsPerBand: Int): String = {
     val mins = (0 until seeds).map(s => s"min(${duckMinhash("s", s)}) AS h$s").mkString(", ")
     val bandRows = (0 until seeds / rowsPerBand).map { b =>
       val key = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
     }.mkString("\n       UNION ALL ")
-    s"""WITH ${duckSh(table)},
+    s"""${duckSh(table)},
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS ($bandRows),
        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |         FROM bands x JOIN bands y
-       |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin
+       |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
   }
+
+  def duckMinhashSql(table: String, threshold: Double,
+                     seeds: Int = 8, rowsPerBand: Int = 2): String =
+    s"""WITH ${duckMinhashCandCtes(table, seeds, rowsPerBand)},
+       |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin
+
+  /** DuckDB mirror of [[clusters]]: the same MinHash pair CTEs, then
+    * connected components as a recursive min-label closure — `reach` holds
+    * every (node, reachable-node) pair, so `min(root)` per node is the
+    * smallest doc_id in its component, which is exactly the fixpoint the
+    * Spark loop converges to. */
+  def duckClustersSql(table: String, threshold: Double,
+                      seeds: Int = 8, rowsPerBand: Int = 2): String =
+    s"""WITH RECURSIVE ${duckMinhashCandCtes(table, seeds, rowsPerBand)},
+       |${duckJaccardCtes("cand")},
+       |pairs AS (SELECT d1, d2 FROM j WHERE jac >= $threshold),
+       |nodes AS (SELECT d1 AS node FROM pairs UNION SELECT d2 FROM pairs),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |          UNION SELECT d2 AS a, d1 AS b FROM pairs),
+       |reach(node, root) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+       |cc AS (SELECT node AS doc_id, min(root) AS cluster FROM reach GROUP BY node)
+       |SELECT doc_id, cluster, (doc_id = cluster) AS is_canonical,
+       |       (count(*) OVER (PARTITION BY cluster))::BIGINT AS cluster_size
+       |FROM cc ORDER BY cluster, doc_id""".stripMargin
 
   def duckNgramSql(table: String, threshold: Double): String =
     s"""WITH ${duckSh(table)},

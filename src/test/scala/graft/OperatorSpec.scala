@@ -52,6 +52,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(mh.subsetOf(ng))
   }
 
+  test("dedup clusters: labels are component minima of the minhash pair graph") {
+    val pairs = Dedup.minhash(docs, 0.8).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cl = Dedup.clusters(docs, 0.8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Boolean]("is_canonical"), r.getAs[Long]("cluster_size")))
+      .toMap
+    // reference union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val comp = nodes.groupBy(find).map { case (_, ns) => ns.min -> ns.toSet }
+    assert(cl.keySet == nodes.toSet)
+    nodes.foreach { n =>
+      val root = comp.find(_._2.contains(n)).get._1
+      val (label, canon, size) = cl(n)
+      assert(label == root && canon == (n == root) && size == comp(root).size)
+    }
+  }
+
   test("embed-cosine near-dup pairs all clear the threshold and match brute-force cosine") {
     val pairs = Dedup.embedCosine(docs, threshold = 0.95).collect()
     assert(pairs.nonEmpty)
