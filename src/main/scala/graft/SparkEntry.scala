@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embedder, VectorFns}
 import graft.functions.VecExprs.dotc
-import graft.operators.{Chunkers, Curation, Dedup, Diagnostics, IndexOps, Knn, Multimodal, Relational, SymbolNav, TextAnalysis}
+import graft.operators.{Chunkers, CorpusOps, Curation, Dedup, Diagnostics, IndexOps, Knn, Multimodal, Relational, SymbolNav, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -86,6 +86,16 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), Seq("spark", "table", "stream"), k = 10)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    // within-doc repetition signals (Gopher-style filters, token/n-gram form)
+    "q_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))),
+    // cross-doc incremental novelty: share of shingles unseen in earlier docs
+    "q_novelty" -> ((s, dir) => TextAnalysis.novelty(Tables.documents(s, dir))),
+    // benchmark decontamination: n-gram collision drop-list vs held-out slice
+    "q_decontam" -> ((s, dir) => CorpusOps.decontaminate(Tables.documents(s, dir))),
+    // domain-mixing rate table for a half-corpus token budget
+    "q_mix_weights" -> ((s, dir) => CorpusOps.mixtureWeights(Tables.documents(s, dir), budgetFrac = 0.5)),
+    // deterministic hash-stratified sample accounting under those rates
+    "q_sample_stratified" -> ((s, dir) => CorpusOps.stratifiedSample(Tables.documents(s, dir), budgetFrac = 0.5)),
 
     // --- chunkers (C5/C6/C7) + index surface (Q3-Q6, Q9, Q10, C9) ---
     "q_chunk_text" -> ((s, dir) => Chunkers.textChunks(Tables.documents(s, dir))),
@@ -248,6 +258,11 @@ object SparkEntry {
     "q_token_counts"  -> TextAnalysis.duckTokenCounts("documents"),
     "q_bm25"          -> TextAnalysis.duckBm25("documents", Seq("spark", "table", "stream"), k = 10),
     "q_fingerprint"   -> TextAnalysis.duckFingerprint("documents"),
+    "q_repetition"    -> TextAnalysis.duckRepetition("documents"),
+    "q_novelty"       -> TextAnalysis.duckNovelty("documents"),
+    "q_decontam"      -> CorpusOps.duckDecontaminate("documents"),
+    "q_mix_weights"   -> CorpusOps.duckMixtureWeights("documents", 0.5),
+    "q_sample_stratified" -> CorpusOps.duckStratifiedSample("documents", 0.5),
 
     "q_chunk_text"       -> Chunkers.duckTextChunks("documents"),
     "q_chunk_markdown"   -> Chunkers.duckMarkdownSections("documents"),

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+/** Corpus-level curation operators a large-scale training-data pipeline
+  * runs between dedup and training: benchmark decontamination, and
+  * deterministic stratified sampling driven by domain-mixing weights.
+  * Extensions mandated alongside the reference surface (BASELINE.json
+  * north star; SURVEY.md §2.4 extension families) — the reference's own
+  * corpus ends at index-build (indexing_agent.py), these operate on the
+  * corpus as a dataset product.
+  */
+object CorpusOps {
+
+  // ------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag training docs sharing any word n-gram
+    * with a held-out benchmark set — the standard guard against evaluation
+    * leakage (n-gram-collision decontamination; production pipelines use
+    * 13-grams, scaled here to n=4 for the synthetic corpus' ~50-token
+    * docs). The benchmark set is the deterministic `doc_id % benchMod = 0`
+    * slice, standing in for an external eval suite.
+    *
+    * Scale shape: the benchmark shingle set is tiny next to the training
+    * corpus (that is the premise of decontamination — eval suites are MBs,
+    * corpora are TBs), so it is BROADCAST and the contamination probe is a
+    * map-side semi-join over the training shingles: no shuffle of the big
+    * side at all. Per-doc overlap counts are then one keyed agg. Only
+    * contaminated docs are emitted (inner join) — the output is the
+    * drop-list, not the corpus.
+    */
+  def decontaminate(documents: DataFrame, benchMod: Int = 50, n: Int = 4): DataFrame = {
+    val bench = documents.filter(col("doc_id") % benchMod === 0)
+    val train = documents.filter(col("doc_id") % benchMod =!= 0)
+    val bsh = shingleRowsOf(bench, n).select(col("s")).distinct()
+    val tsh = shingleRowsOf(train, n).distinct().cache()
+    val sizes = tsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = tsh.join(broadcast(bsh), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    sizes.join(hits, "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6).as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[decontaminate]]. */
+  def duckDecontaminate(table: String, benchMod: Int = 50, n: Int = 4): String =
+    s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS t FROM $table),
+       |sh AS (SELECT DISTINCT doc_id, s
+       |       FROM (SELECT doc_id, unnest(${duckShingles("t", n)}) AS s FROM tk)),
+       |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % $benchMod = 0),
+       |tsh AS (SELECT doc_id, s FROM sh WHERE doc_id % $benchMod <> 0),
+       |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM tsh GROUP BY doc_id),
+       |hits AS (SELECT doc_id, count(*)::BIGINT AS n_overlap
+       |         FROM tsh JOIN bsh USING (s) GROUP BY doc_id)
+       |SELECT doc_id, n_shingles, n_overlap,
+       |       round(n_overlap::DOUBLE / n_shingles, 6) AS contam_frac
+       |FROM sizes JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------- domain mixing + stratified sample
+
+  /** Fixed target mixture over languages (public-recipe shape: upweight
+    * the dominant language, floor the tail). Declared once so the weights
+    * query and the sampler can never drift apart. */
+  val MixWeights: Seq[(String, Double)] = Seq(
+    "en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1)
+
+  private def weightCol(lang: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    MixWeights.foldRight(lit(0.0): org.apache.spark.sql.Column) { case ((l, w), rest) =>
+      when(lang === l, w).otherwise(rest)
+    }
+
+  /** DuckDB mirror of [[weightCol]]. Literals cast to DOUBLE: DuckDB types
+    * a bare 0.4 as DECIMAL(2,1) and would run the rate arithmetic in
+    * decimal, diverging from Spark's double expression tree. */
+  private def duckWeightExpr(lang: String): String =
+    MixWeights.foldRight("0.0::DOUBLE") { case ((l, w), rest) =>
+      s"CASE WHEN $lang = '$l' THEN $w::DOUBLE ELSE $rest END"
+    }
+
+  /** Domain-mixing rates: given per-language available tokens and the
+    * target mixture [[MixWeights]], allocate a token budget
+    * (`budgetFrac` × corpus tokens) across languages and derive the
+    * per-language sampling rate `min(1, budget·weight / available)` — the
+    * arithmetic every mixture-weighted sampler (temperature sampling,
+    * fixed-recipe mixing) runs before drawing the sample.
+    *
+    * One map-side token count + one 5-row agg; the output is the broadcast
+    * side of [[stratifiedSample]].
+    */
+  def mixtureWeights(documents: DataFrame, budgetFrac: Double): DataFrame = {
+    val perLang = documents
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("ntok"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("ntok").as("lang_tokens"))
+    val total = perLang.agg(sum("lang_tokens").as("total_tokens"))
+    perLang.crossJoin(broadcast(total))
+      .withColumn("weight", weightCol(col("lang")))
+      .withColumn("rate_raw",
+        least(lit(1.0),
+          (col("total_tokens") * lit(budgetFrac) * col("weight")) / col("lang_tokens")))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"), col("weight"),
+        round(col("rate_raw"), 6).as("rate"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[mixtureWeights]]. */
+  def duckMixtureWeights(table: String, budgetFrac: Double): String =
+    s"""WITH m AS (SELECT lang, len(${duckTokens("text")})::BIGINT AS ntok FROM $table),
+       |pl AS (SELECT lang, count(*)::BIGINT AS n_docs, CAST(sum(ntok) AS BIGINT) AS lang_tokens
+       |       FROM m GROUP BY lang),
+       |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM pl)
+       |SELECT lang, n_docs, lang_tokens, ${duckWeightExpr("lang")} AS weight,
+       |       round(least(1.0, (total_tokens * $budgetFrac::DOUBLE * ${duckWeightExpr("lang")})
+       |                        / lang_tokens), 6) AS rate
+       |FROM pl CROSS JOIN tot ORDER BY lang""".stripMargin
+
+  /** Deterministic hash uniform in [0,1): the first 8 hex chars of
+    * md5(doc_id) as an integer over 2³². Content-independent, engine-
+    * independent, reproducible — the property a sampling pipeline needs so
+    * a re-run (or a different engine) draws the SAME sample. */
+  private def hashUniform(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("bigint") / lit(4294967296.0)
+
+  private def duckHashUniform(id: String): String =
+    s"(('0x' || substr(md5($id::VARCHAR), 1, 8))::BIGINT / 4294967296.0)"
+
+  /** Deterministic stratified sample: keep a doc iff its hash-uniform draw
+    * falls under its language's mixing rate. Emits the per-language sample
+    * accounting (docs and tokens kept vs available) — the observability
+    * row a pipeline logs for every mixture draw.
+    *
+    * Scale shape: the rate table (5 rows) broadcasts; the keep decision is
+    * a map-side filter on a per-row hash — no shuffle touches the corpus
+    * until the final 5-group agg (map-side partials). The same filter with
+    * the agg removed IS the sampled corpus writer.
+    *
+    * Float discipline: the keep predicate compares the raw uniform against
+    * the RAW rate (both exact-integer-derived doubles, identical expression
+    * trees in both engines); round() only in [[mixtureWeights]]' display
+    * projection, never here.
+    */
+  def stratifiedSample(documents: DataFrame, budgetFrac: Double): DataFrame = {
+    val rateRaw = documents
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("ntok"))
+      .groupBy("lang").agg(sum("ntok").as("lang_tokens"))
+    val total = rateRaw.agg(sum("lang_tokens").as("total_tokens"))
+    val rawRates = rateRaw.crossJoin(broadcast(total))
+      .select(col("lang"),
+        least(lit(1.0),
+          (col("total_tokens") * lit(budgetFrac) * weightCol(col("lang"))) / col("lang_tokens"))
+          .as("rate_raw"))
+    documents
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("ntok"))
+      .join(broadcast(rawRates), "lang")
+      .withColumn("u", hashUniform(col("doc_id")))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("ntok").as("avail_tokens"),
+        sum(when(col("u") < col("rate_raw"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("u") < col("rate_raw"), col("ntok")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[stratifiedSample]]. */
+  def duckStratifiedSample(table: String, budgetFrac: Double): String =
+    s"""WITH m AS (SELECT doc_id, lang, len(${duckTokens("text")})::BIGINT AS ntok FROM $table),
+       |pl AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS lang_tokens FROM m GROUP BY lang),
+       |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM pl),
+       |rr AS (SELECT lang, least(1.0, (total_tokens * $budgetFrac::DOUBLE * ${duckWeightExpr("lang")})
+       |                               / lang_tokens) AS rate_raw
+       |       FROM pl CROSS JOIN tot),
+       |d AS (SELECT m.doc_id, m.lang, m.ntok, rr.rate_raw,
+       |             ${duckHashUniform("m.doc_id")} AS u
+       |      FROM m JOIN rr ON rr.lang = m.lang)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |       CAST(sum(ntok) AS BIGINT) AS avail_tokens,
+       |       CAST(sum(CASE WHEN u < rate_raw THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN u < rate_raw THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+}

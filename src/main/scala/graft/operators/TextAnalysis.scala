@@ -235,4 +235,134 @@ object TextAnalysis {
        |  substr(CASE WHEN len(s) > 0 THEN list_min(list_transform(s, x -> md5(x)))
        |              ELSE md5(text) END, 1, 16) AS fp
        |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** Repetition signals per document — the within-doc repetitiveness
+    * filters a pretraining pipeline runs alongside quality scoring (the
+    * Gopher-style "fraction of content that is the same thing over and
+    * over" family, adapted to this corpus: texts have no line structure,
+    * so the metrics are over tokens and word n-grams, count-weighted):
+    *   - dup_token_frac:  1 − distinct/total tokens
+    *   - top_token_frac:  occurrences of the most frequent token / tokens
+    *   - top_2gram_frac:  occurrences of the most frequent 2-gram / 2-grams
+    *   - dup_3gram_frac:  fraction of 3-gram occurrences whose gram repeats
+    * Ties for "most frequent" break to the lexicographically smallest gram,
+    * so the reported top token/gram is deterministic.
+    *
+    * Scale shape: three per-doc keyed aggregations (tokens, 2-grams,
+    * 3-grams), each a map-side partial count; the top-1 windows partition
+    * by doc_id, so they are per-doc heaps, never a global sort. The three
+    * per-doc summaries then join on doc_id — all shuffles are on the same
+    * key and AQE coalesces them.
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tcnt = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+    val wt = Window.partitionBy("doc_id").orderBy(desc("cnt"), asc("t"))
+    val ta = tcnt.withColumn("rn", row_number().over(wt))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(when(col("rn") === 1, col("t"))).as("top_token"),
+        max(when(col("rn") === 1, col("cnt"))).as("top_cnt"))
+    val g2cnt = graft.functions.TextFns.shingleRowsOf(documents, 2)
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("cnt"))
+    val w2 = Window.partitionBy("doc_id").orderBy(desc("cnt"), asc("s"))
+    val g2 = g2cnt.withColumn("rn", row_number().over(w2))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n2"),
+        max(when(col("rn") === 1, col("s"))).as("top_2gram"),
+        max(when(col("rn") === 1, col("cnt"))).as("top2_cnt"))
+    val g3 = graft.functions.TextFns.shingleRowsOf(documents, 3)
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n3"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup3"))
+    ta.join(g2, Seq("doc_id"), "left")
+      .join(g3, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(lit(1.0) - col("n_types").cast("double") / col("n_tokens"), 6).as("dup_token_frac"),
+        col("top_token"),
+        round(col("top_cnt").cast("double") / col("n_tokens"), 6).as("top_token_frac"),
+        coalesce(col("top_2gram"), lit("")).as("top_2gram"),
+        round(coalesce(col("top2_cnt").cast("double") / col("n2"), lit(0.0)), 6).as("top_2gram_frac"),
+        round(coalesce(col("dup3").cast("double") / col("n3"), lit(0.0)), 6).as("dup_3gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[repetition]]. */
+  def duckRepetition(table: String): String =
+    s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS t FROM $table),
+       |tcnt AS (SELECT doc_id, tt, count(*) AS cnt
+       |         FROM (SELECT doc_id, unnest(t) AS tt FROM tk) GROUP BY 1, 2),
+       |trk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tt ASC) AS rn FROM tcnt),
+       |ta AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*)::BIGINT AS n_types,
+       |              max(CASE WHEN rn = 1 THEN tt END) AS top_token,
+       |              max(CASE WHEN rn = 1 THEN cnt END) AS top_cnt
+       |       FROM trk GROUP BY doc_id),
+       |g2cnt AS (SELECT doc_id, s, count(*) AS cnt
+       |          FROM (SELECT doc_id, unnest(${duckShingles("t", 2)}) AS s FROM tk) GROUP BY 1, 2),
+       |g2rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, s ASC) AS rn FROM g2cnt),
+       |g2 AS (SELECT doc_id, sum(cnt) AS n2,
+       |              max(CASE WHEN rn = 1 THEN s END) AS top_2gram,
+       |              max(CASE WHEN rn = 1 THEN cnt END) AS top2_cnt
+       |       FROM g2rk GROUP BY doc_id),
+       |g3cnt AS (SELECT doc_id, s, count(*) AS cnt
+       |          FROM (SELECT doc_id, unnest(${duckShingles("t", 3)}) AS s FROM tk) GROUP BY 1, 2),
+       |g3 AS (SELECT doc_id, sum(cnt) AS n3,
+       |              sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3
+       |       FROM g3cnt GROUP BY doc_id)
+       |SELECT ta.doc_id, n_tokens,
+       |  round(1.0 - n_types::DOUBLE / n_tokens, 6) AS dup_token_frac,
+       |  top_token,
+       |  round(top_cnt::DOUBLE / n_tokens, 6) AS top_token_frac,
+       |  coalesce(top_2gram, '') AS top_2gram,
+       |  round(coalesce(top2_cnt::DOUBLE / n2, 0.0), 6) AS top_2gram_frac,
+       |  round(coalesce(dup3::DOUBLE / n3, 0.0), 6) AS dup_3gram_frac
+       |FROM ta LEFT JOIN g2 ON g2.doc_id = ta.doc_id
+       |        LEFT JOIN g3 ON g3.doc_id = ta.doc_id
+       |ORDER BY ta.doc_id""".stripMargin
+
+  /** Per-document n-gram novelty: the fraction of a doc's distinct 3-gram
+    * shingles NOT already present in any earlier document (doc_id order —
+    * the deterministic stand-in for ingestion order). Curation pipelines
+    * use this as an incremental-information score: a doc whose shingles all
+    * appeared before adds nothing even if it is not a near-duplicate of any
+    * single doc.
+    *
+    * Scale shape: one global groupBy(shingle) for the first-owner table
+    * (map-side partial min), then a join back on the shingle key — the
+    * frequent-shingle skew is linear here (f rows join 1 first-owner row,
+    * never f²), so unlike an inverted-index SELF-join this survives hot
+    * shingles; AQE handles residual partition skew. The distinct shingle
+    * relation is cached: both the first-owner agg and the join probe read
+    * it (harness clears caches per query).
+    */
+  def novelty(documents: DataFrame): DataFrame = {
+    val sh = graft.functions.TextFns.shingleRowsOf(documents, 3).distinct().cache()
+    val first = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "s")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6).as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[novelty]]. */
+  def duckNovelty(table: String): String =
+    s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS t FROM $table),
+       |sh AS (SELECT DISTINCT doc_id, s
+       |       FROM (SELECT doc_id, unnest(${duckShingles("t", 3)}) AS s FROM tk)),
+       |fo AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+       |SELECT sh.doc_id,
+       |  count(*)::BIGINT AS n_shingles,
+       |  CAST(sum(CASE WHEN first_doc < sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       |  round(1.0 - CAST(sum(CASE WHEN first_doc < sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |              / count(*), 6) AS novelty_frac
+       |FROM sh JOIN fo USING (s)
+       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
 }

@@ -52,6 +52,66 @@ class OperatorSpec extends AnyFunSuite {
     assert(mh.subsetOf(ng))
   }
 
+  test("decontamination: flagged docs are training-side only, overlap bounded") {
+    val rows = CorpusOps.decontaminate(docs).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 50 != 0, "benchmark docs must not be flagged")
+      val (n, o) = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_overlap"))
+      assert(o >= 1 && o <= n)
+      assert(math.abs(r.getAs[Double]("contam_frac") - o.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("mixture weights: declared weights sum to 1, rates within (0,1]") {
+    assert(math.abs(CorpusOps.MixWeights.map(_._2).sum - 1.0) < 1e-12)
+    val rows = CorpusOps.mixtureWeights(docs, budgetFrac = 0.5).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet.subsetOf(Set("en", "de", "es", "fr", "zh")))
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("stratified sample: deterministic, kept counts bounded by availability") {
+    val a = CorpusOps.stratifiedSample(docs, budgetFrac = 0.5).collect()
+    val b = CorpusOps.stratifiedSample(docs, budgetFrac = 0.5).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("avail_tokens"))
+    }
+    assert(a.map(_.getAs[Long]("n_kept")).sum > 0)
+  }
+
+  test("repetition signals: fractions bounded, doc-0 metrics match a scala recount") {
+    val rows = TextAnalysis.repetition(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("dup_token_frac", "top_token_frac", "top_2gram_frac", "dup_3gram_frac").foreach { c =>
+        val v = r.getAs[Double](c); assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+      }
+    }
+    val text = docs.filter(col("doc_id") === 0).head.getAs[String]("text")
+    val toks = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").split(" ").filter(_.nonEmpty).toSeq
+    val cnts = toks.groupBy(identity).view.mapValues(_.size).toMap
+    val top = cnts.toSeq.sortBy { case (t, c) => (-c, t) }.head
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[Long]("n_tokens") == toks.size)
+    assert(r0.getAs[String]("top_token") == top._1)
+    assert(math.abs(r0.getAs[Double]("top_token_frac") - top._2.toDouble / toks.size) < 1e-6)
+  }
+
+  test("novelty: first doc is fully novel, n_seen bounded by shingle count") {
+    val rows = TextAnalysis.novelty(docs).collect()
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[Double]("novelty_frac") == 1.0 && r0.getAs[Long]("n_seen") == 0L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_seen") <= r.getAs[Long]("n_shingles"))
+    }
+    // the shared word-soup vocabulary guarantees SOME cross-doc overlap
+    assert(rows.exists(r => r.getAs[Double]("novelty_frac") < 1.0))
+  }
+
   test("dedup clusters: labels are component minima of the minhash pair graph") {
     val pairs = Dedup.minhash(docs, 0.8).select("d1", "d2").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
