@@ -332,18 +332,21 @@ object TextAnalysis {
     * appeared before adds nothing even if it is not a near-duplicate of any
     * single doc.
     *
-    * Scale shape: one global groupBy(shingle) for the first-owner table
-    * (map-side partial min), then a join back on the shingle key — the
-    * frequent-shingle skew is linear here (f rows join 1 first-owner row,
-    * never f²), so unlike an inverted-index SELF-join this survives hot
-    * shingles; AQE handles residual partition skew. The distinct shingle
-    * relation is cached: both the first-owner agg and the join probe read
-    * it (harness clears caches per query).
+    * Scale shape: the first-owner value is attached with `min(doc_id) OVER
+    * (PARTITION BY s)` — ONE shuffle on the shingle key and no join at
+    * all. The groupBy-then-join-back alternative reads the shingle
+    * relation twice and, because the relation would have to be cached, its
+    * first-owner side carries a pre-materialization size estimate that
+    * Catalyst happily turns into a locked-in BroadcastHashJoin — broadcast
+    * of a distinct-shingle-cardinality table, the exact pathology of the
+    * round-2 simhash fix (680 s → 9 s). Plan-audited: Window + two
+    * HashAggregate exchanges, zero joins. Frequent-shingle skew is a
+    * within-partition sort cost only; AQE handles residual partition skew.
     */
   def novelty(documents: DataFrame): DataFrame = {
-    val sh = graft.functions.TextFns.shingleRowsOf(documents, 3).distinct().cache()
-    val first = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
-    sh.join(first, "s")
+    import org.apache.spark.sql.expressions.Window
+    val sh = graft.functions.TextFns.shingleRowsOf(documents, 3).distinct()
+    sh.withColumn("first_doc", min("doc_id").over(Window.partitionBy("s")))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
@@ -357,12 +360,11 @@ object TextAnalysis {
     s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS t FROM $table),
        |sh AS (SELECT DISTINCT doc_id, s
        |       FROM (SELECT doc_id, unnest(${duckShingles("t", 3)}) AS s FROM tk)),
-       |fo AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
-       |SELECT sh.doc_id,
+       |fd AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY s) AS first_doc FROM sh)
+       |SELECT doc_id,
        |  count(*)::BIGINT AS n_shingles,
-       |  CAST(sum(CASE WHEN first_doc < sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
-       |  round(1.0 - CAST(sum(CASE WHEN first_doc < sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |  CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       |  round(1.0 - CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE)
        |              / count(*), 6) AS novelty_frac
-       |FROM sh JOIN fo USING (s)
-       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+       |FROM fd GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
