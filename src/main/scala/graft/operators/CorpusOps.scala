@@ -163,6 +163,73 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  // --------------------------------------------- embedding-outlier filter
+
+  /** Embedding-based outlier filter: the k docs per language whose
+    * embedding is least similar to the language centroid — the
+    * "centroid-distance" curation filter (flag docs that do not look like
+    * their declared domain) used alongside quality scores in embedding-
+    * aware dataset work.
+    *
+    * Exactness: works on the hashing embedder's SPARSE integer histogram
+    * end-to-end, and the "centroid" is the per-language per-bucket SUM
+    * (not mean) — cosine is scale-invariant, so similarity to the sum
+    * vector IS similarity to the mean vector, with every dot product and
+    * squared norm an exact integer sum (order-independent, engine-
+    * independent). No float accumulation anywhere before the final
+    * divide.
+    *
+    * Scale shape: one (doc,lang,bucket) count agg over the corpus
+    * (map-side partials); the centroid table is |langs|·Dim rows — small
+    * BY CONSTRUCTION (fixed dims, bounded languages), so it broadcasts
+    * safely; the dot product is a map-side probe of that broadcast plus
+    * one doc-keyed agg; the per-lang bottom-k window partitions by lang.
+    * The histogram relation is cached — centroid, norms, and dots all
+    * read it (harness clears caches per query).
+    */
+  def embeddingOutliers(documents: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = documents
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"), graft.functions.Embedder.bucket(col("tok")).as("bucket"))
+      .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val cent = h.groupBy("lang", "bucket").agg(sum("cnt").as("csum"))
+    val cn = cent.groupBy("lang").agg(sqrt(sum(col("csum") * col("csum")).cast("double")).as("cn"))
+    val dn = h.groupBy("doc_id", "lang")
+      .agg(sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("dn"))
+    val dots = h.join(broadcast(cent), Seq("lang", "bucket"))
+      .groupBy("doc_id", "lang").agg(sum(col("cnt") * col("csum")).cast("double").as("dot"))
+    val sim = dots.join(dn, Seq("doc_id", "lang")).join(broadcast(cn), "lang")
+      .withColumn("sim_raw", col("dot") / (col("dn") * col("cn")))
+    val w = Window.partitionBy("lang").orderBy(asc("sim_raw"), asc("doc_id"))
+    sim.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("doc_id"), round(col("sim_raw"), 6).as("sim"), col("rn"))
+      .orderBy(asc("lang"), asc("rn"))
+  }
+
+  /** DuckDB mirror of [[embeddingOutliers]]. */
+  def duckEmbeddingOutliers(table: String, k: Int): String =
+    s"""WITH h AS (SELECT doc_id, lang, ${graft.functions.Embedder.duckBucket("tok")} AS bucket,
+       |                  count(*)::BIGINT AS cnt
+       |           FROM (SELECT doc_id, lang, unnest(${duckTokens("text")}) AS tok FROM $table)
+       |           GROUP BY 1, 2, 3),
+       |cent AS (SELECT lang, bucket, CAST(sum(cnt) AS BIGINT) AS csum FROM h GROUP BY 1, 2),
+       |cn AS (SELECT lang, sqrt(CAST(sum(csum * csum) AS DOUBLE)) AS cn FROM cent GROUP BY lang),
+       |dn AS (SELECT doc_id, lang, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS dn
+       |       FROM h GROUP BY 1, 2),
+       |dots AS (SELECT h.doc_id, h.lang, CAST(sum(h.cnt * c.csum) AS DOUBLE) AS dot
+       |         FROM h JOIN cent c ON c.lang = h.lang AND c.bucket = h.bucket
+       |         GROUP BY 1, 2),
+       |s AS (SELECT d.doc_id, d.lang, d.dot / (dn.dn * cn.cn) AS sim_raw
+       |      FROM dots d JOIN dn ON dn.doc_id = d.doc_id AND dn.lang = d.lang
+       |      JOIN cn ON cn.lang = d.lang),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY sim_raw ASC, doc_id ASC) AS rn
+       |      FROM s)
+       |SELECT lang, doc_id, round(sim_raw, 6) AS sim, rn
+       |FROM r WHERE rn <= $k ORDER BY lang, rn""".stripMargin
+
   /** DuckDB mirror of [[stratifiedSample]]. */
   def duckStratifiedSample(table: String, budgetFrac: Double): String =
     s"""WITH m AS (SELECT doc_id, lang, len(${duckTokens("text")})::BIGINT AS ntok FROM $table),

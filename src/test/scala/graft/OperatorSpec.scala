@@ -83,6 +83,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.map(_.getAs[Long]("n_kept")).sum > 0)
   }
 
+  test("embedding outliers: k rows per language, ascending similarity, valid range") {
+    val rows = CorpusOps.embeddingOutliers(docs, k = 3).collect()
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet == langs)
+    byLang.values.foreach { rs =>
+      assert(rs.length == 3)
+      val sims = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("sim"))
+      assert(sims.forall(s => s >= 0.0 && s <= 1.0))
+      assert(sims.sorted.sameElements(sims), "rank order must follow ascending similarity")
+    }
+  }
+
   test("repetition signals: fractions bounded, doc-0 metrics match a scala recount") {
     val rows = TextAnalysis.repetition(docs).collect()
     assert(rows.nonEmpty)
