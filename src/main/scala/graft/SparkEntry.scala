@@ -173,6 +173,8 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, dir) => StreamOps.streamedDedupCounts(s, dir)),
     // stream-stream interval join (watermarked, event-time range condition)
     "q_stream_join" -> ((s, dir) => StreamOps.streamedViewPurchaseJoin(s, dir)),
+    // streaming decontamination through the PRODUCTION foreachBatch→parquet sink
+    "q_stream_decontam" -> ((s, dir) => StreamOps.streamedDecontam(s, dir)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -316,5 +318,8 @@ object SparkEntry {
     "q_stream_state"    -> StreamOps.duckStreamedUserTotals,
     "q_stream_dedup"    -> StreamOps.duckStreamedDedupCounts,
     "q_stream_join"     -> StreamOps.duckStreamedViewPurchaseJoin,
+    // same oracle as the batch operator: per-doc metrics vs a static
+    // benchmark side are micro-batch-partitioning-invariant
+    "q_stream_decontam" -> CorpusOps.duckDecontaminate("documents"),
   )
 }

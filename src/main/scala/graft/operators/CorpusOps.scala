@@ -35,14 +35,25 @@ object CorpusOps {
     val bench = documents.filter(col("doc_id") % benchMod === 0)
     val train = documents.filter(col("doc_id") % benchMod =!= 0)
     val bsh = shingleRowsOf(bench, n).select(col("s")).distinct()
-    val tsh = shingleRowsOf(train, n).distinct().cache()
+    overlapOf(shingleRowsOf(train, n).distinct().cache(), bsh)
+      .orderBy("doc_id")
+  }
+
+  /** Shared decontamination core over pre-shingled relations: per-doc
+    * overlap of training shingles `tsh` against the benchmark shingle set
+    * `bsh` (broadcast). Shared by the batch operator above and the
+    * streaming per-micro-batch path ([[graft.streaming.StreamOps
+    * .streamedDecontam]]), so the two cannot diverge. The caller owns
+    * `tsh`'s cache lifecycle (the batch path caches the corpus-wide
+    * relation; a micro-batch is already materialized, so the streaming
+    * path does not cache). */
+  private[graft] def overlapOf(tsh: DataFrame, bsh: DataFrame): DataFrame = {
     val sizes = tsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = tsh.join(broadcast(bsh), "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     sizes.join(hits, "doc_id")
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         round(col("n_overlap").cast("double") / col("n_shingles"), 6).as("contam_frac"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB mirror of [[decontaminate]]. */

@@ -175,6 +175,42 @@ object StreamOps {
     """SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_unique
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Streaming benchmark decontamination — the continuous-ingest form of
+    * [[graft.operators.CorpusOps.decontaminate]]: documents arrive as a
+    * stream, the benchmark shingle set is STATIC (the eval suite exists
+    * before ingestion starts) and broadcast into every micro-batch, and
+    * each batch's per-doc overlap rows append to a parquet sink via
+    * `foreachBatch` — the PRODUCTION sink shape, exercised here as an
+    * oracle-gated query, not only as a spec. Per-doc metrics against a
+    * static reference side are batch-partitioning-invariant (each doc is
+    * wholly inside one micro-batch), so the streamed result is row-equal
+    * to the batch operator and shares its DuckDB oracle.
+    */
+  def streamedDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFns.shingleRowsOf
+    import graft.operators.CorpusOps
+    val docs = Tables.documents(spark, sfDir)
+    val bsh = shingleRowsOf(docs.filter(col("doc_id") % 50 === 0), 4)
+      .select(col("s")).distinct().cache()
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_decontam").toString
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 50 =!= 0)
+    withShufflePartitions(spark, 4) {
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          CorpusOps.overlapOf(shingleRowsOf(batch, 4).distinct(), bsh)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   /** Stream-stream interval join: purchases attributed to a prior view by
     * the same user within one hour — the canonical event-time join shape
     * (two watermarked streams, equi-key + time-range condition). Inner

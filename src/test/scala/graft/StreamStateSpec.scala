@@ -38,6 +38,14 @@ class StreamStateSpec extends AnyFunSuite {
     assert(viaParquet == viaMemory && viaParquet.nonEmpty)
   }
 
+  test("streamed decontamination equals the batch operator row for row") {
+    val streamed = StreamOps.streamedDecontam(spark, TestSpark.sf).collect().toSeq
+    val batch = graft.operators.CorpusOps.decontaminate(Tables.documents(spark, TestSpark.sf))
+      .collect().toSeq
+    assert(streamed == batch)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("keyed state carries across micro-batches; totals equal batch agg") {
     import spark.implicits._
     val ev = Tables.eventsRaw(spark, TestSpark.sf).cache()
