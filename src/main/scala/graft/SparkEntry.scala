@@ -98,6 +98,8 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) => CorpusOps.stratifiedSample(Tables.documents(s, dir), budgetFrac = 0.5)),
     // centroid-distance outliers: least-typical docs per language domain
     "q_embed_outliers" -> ((s, dir) => CorpusOps.embeddingOutliers(Tables.documents(s, dir), k = 5)),
+    // sequence packing via distributed two-phase prefix sum
+    "q_pack_sequences" -> ((s, dir) => CorpusOps.packSequences(Tables.documents(s, dir), seqLen = 512)),
 
     // --- chunkers (C5/C6/C7) + index surface (Q3-Q6, Q9, Q10, C9) ---
     "q_chunk_text" -> ((s, dir) => Chunkers.textChunks(Tables.documents(s, dir))),
@@ -268,6 +270,7 @@ object SparkEntry {
     "q_mix_weights"   -> CorpusOps.duckMixtureWeights("documents", 0.5),
     "q_sample_stratified" -> CorpusOps.duckStratifiedSample("documents", 0.5),
     "q_embed_outliers" -> CorpusOps.duckEmbeddingOutliers("documents", 5),
+    "q_pack_sequences" -> CorpusOps.duckPackSequences("documents", 512),
 
     "q_chunk_text"       -> Chunkers.duckTextChunks("documents"),
     "q_chunk_markdown"   -> Chunkers.duckMarkdownSections("documents"),

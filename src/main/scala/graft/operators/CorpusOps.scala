@@ -174,6 +174,65 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  // ------------------------------------------------------ sequence packing
+
+  /** Sequence-packing layout: concatenate all docs' tokens in doc_id order
+    * (the deterministic stand-in for ingestion order) and cut every
+    * `seqLen` tokens — the standard pretraining packing. Emits, per doc,
+    * its global token offset, the first training sequence it lands in, and
+    * how many sequences it spans (n_seqs > 1 ⇒ the doc straddles a
+    * sequence boundary).
+    *
+    * The global running offset is a PREFIX SUM — the naive formulation is
+    * a window over `ORDER BY doc_id` with no partition, which moves the
+    * entire corpus into ONE task (Spark even warns). This implementation
+    * is the scale-correct two-phase scan:
+    *   1. per-bucket token totals (`doc_id DIV bucketSize`; one keyed agg,
+    *      map-side partials) — a relation ~N/bucketSize rows;
+    *   2. exclusive prefix over THAT tiny relation (single-partition
+    *      window over bucket count rows — the only sequential step, and
+    *      it is |buckets|-sized, not corpus-sized);
+    *   3. bucket offsets broadcast back; within-bucket exclusive cumsum
+    *      windows partition by bucket — parallel across buckets.
+    * At 100 TB, bucketSize scales so |buckets| stays ~10⁵: the sequential
+    * step never grows with the corpus.
+    *
+    * Integer discipline: offsets and sequence ids use integral DIV, so
+    * there is no float division anywhere and the oracle matches exactly.
+    */
+  def packSequences(documents: DataFrame, seqLen: Int, bucketSize: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("ntok"))
+      .filter(col("ntok") > 0)
+      .withColumn("bkt", expr(s"doc_id DIV $bucketSize"))
+    val btot = d.groupBy("bkt").agg(sum("ntok").as("btok"))
+    val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val boff = btot.withColumn("boffset", coalesce(sum("btok").over(wB), lit(0L)))
+    val wD = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(boff.select(col("bkt"), col("boffset"))), "bkt")
+      .withColumn("offset", col("boffset") + coalesce(sum("ntok").over(wD), lit(0L)))
+      .withColumn("first_seq", expr(s"offset DIV $seqLen"))
+      .withColumn("n_seqs",
+        expr(s"(offset + ntok - 1) DIV $seqLen") - col("first_seq") + lit(1L))
+      .select(col("doc_id"), col("ntok"), col("offset"), col("first_seq"), col("n_seqs"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[packSequences]] — the single-scan cumsum form (the
+    * oracle need not be distributed; it must only define the same rows). */
+  def duckPackSequences(table: String, seqLen: Int): String =
+    s"""WITH d AS (SELECT doc_id, len(${duckTokens("text")})::BIGINT AS ntok FROM $table),
+       |c AS (SELECT doc_id, ntok,
+       |             CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+       |      FROM d WHERE ntok > 0)
+       |SELECT doc_id, ntok, "offset",
+       |       "offset" // $seqLen AS first_seq,
+       |       (("offset" + ntok - 1) // $seqLen) - ("offset" // $seqLen) + 1 AS n_seqs
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------- embedding-outlier filter
 
   /** Embedding-based outlier filter: the k docs per language whose

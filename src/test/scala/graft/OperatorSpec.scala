@@ -83,6 +83,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.map(_.getAs[Long]("n_kept")).sum > 0)
   }
 
+  test("sequence packing: offsets are contiguous and spans match integral arithmetic") {
+    val rows = CorpusOps.packSequences(docs, seqLen = 512).collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+    assert(rows.nonEmpty)
+    var expectedOffset = 0L
+    rows.foreach { r =>
+      val (ntok, off) = (r.getAs[Long]("ntok"), r.getAs[Long]("offset"))
+      assert(off == expectedOffset, s"offset gap at doc ${r.getAs[Long]("doc_id")}")
+      expectedOffset = off + ntok
+      assert(r.getAs[Long]("first_seq") == off / 512)
+      assert(r.getAs[Long]("n_seqs") == (off + ntok - 1) / 512 - off / 512 + 1)
+    }
+  }
+
   test("embedding outliers: k rows per language, ascending similarity, valid range") {
     val rows = CorpusOps.embeddingOutliers(docs, k = 3).collect()
     val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
