@@ -144,8 +144,14 @@ object Dedup {
     * are not emitted; the downstream "keep" set is all singletons plus the
     * canonical row of each cluster.
     */
-  def clusters(documents: DataFrame, threshold: Double, maxIter: Int = 20): DataFrame = {
-    val pairs = minhash(documents, threshold).select(col("d1"), col("d2"))
+  def clusters(documents: DataFrame, threshold: Double, maxIter: Int = 20): DataFrame =
+    clustersOfPairs(minhash(documents, threshold).select(col("d1"), col("d2")), maxIter)
+
+  /** Label-propagation core over an arbitrary (d1, d2) pair relation —
+    * factored out so the convergence loop is testable on synthetic graphs
+    * (long chains stress diameter; the corpus' near-dup components are
+    * shallow). */
+  private[graft] def clustersOfPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .cache()

@@ -160,6 +160,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("label propagation converges on a deep chain and a star beyond corpus diameters") {
+    import spark.implicits._
+    // a 14-node path (worst-case diameter), a star, and an isolated pair
+    val path = (100L until 113L).map(i => (i, i + 1))
+    val star = Seq((200L, 201L), (200L, 202L), (200L, 203L))
+    val pair = Seq((300L, 301L))
+    val pairs = (path ++ star ++ pair).toDF("d1", "d2")
+    val cl = Dedup.clustersOfPairs(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    (100L to 113L).foreach(n => assert(cl(n) == 100L, s"path node $n"))
+    (200L to 203L).foreach(n => assert(cl(n) == 200L))
+    assert(cl(300L) == 300L && cl(301L) == 300L)
+    assert(cl.size == 14 + 4 + 2)
+  }
+
   test("embed-cosine near-dup pairs all clear the threshold and match brute-force cosine") {
     val pairs = Dedup.embedCosine(docs, threshold = 0.95).collect()
     assert(pairs.nonEmpty)
