@@ -81,6 +81,8 @@ object SparkEntry {
     // --- text analysis over documents ---
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
+    // distribution-aware filter: drop the bottom decile per language
+    "q_quality_cut" -> ((s, dir) => TextAnalysis.qualityCut(Tables.documents(s, dir), dropFrac = 0.1)),
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     // BM25 ranking over token stats (fixed query bag, fixed-order float sum)
     "q_bm25" -> ((s, dir) =>
@@ -264,6 +266,7 @@ object SparkEntry {
     "q_token_counts"  -> TextAnalysis.duckTokenCounts("documents"),
     "q_bm25"          -> TextAnalysis.duckBm25("documents", Seq("spark", "table", "stream"), k = 10),
     "q_fingerprint"   -> TextAnalysis.duckFingerprint("documents"),
+    "q_quality_cut"   -> TextAnalysis.duckQualityCut("documents", 0.1),
     "q_repetition"    -> TextAnalysis.duckRepetition("documents"),
     "q_novelty"       -> TextAnalysis.duckNovelty("documents"),
     "q_decontam"      -> CorpusOps.duckDecontaminate("documents"),

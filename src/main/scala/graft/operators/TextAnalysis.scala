@@ -126,6 +126,48 @@ object TextAnalysis {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language quality-percentile cut: drop the bottom `dropFrac` of
+    * docs by composite quality score WITHIN each language — the
+    * distribution-aware form of quality filtering (a fixed global
+    * threshold over-prunes whichever language scores systematically
+    * lower). Emits the per-language accounting plus the realized cut
+    * score (lowest surviving score).
+    *
+    * Determinism: the rank orders on (quality_score, doc_id), so
+    * `percent_rank` is unique per row and the drop set is exact in both
+    * engines — (rank−1)/(n−1) is integer-derived, and the `< dropFrac`
+    * compare sees identical doubles. Scale shape: the window partitions by
+    * lang (per-language sort, parallel across languages); one 5-group agg
+    * after it. At 100 TB a per-lang sort is the honest cost of an exact
+    * percentile cut; the approximate alternative (percentile_approx
+    * threshold, then a map-side filter) is the documented relaxation.
+    */
+  def qualityCut(documents: DataFrame, dropFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quality(documents)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+    val w = Window.partitionBy("lang").orderBy(asc("quality_score"), asc("doc_id"))
+    q.withColumn("pr", percent_rank().over(w))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pr") < dropFrac, 1L).otherwise(0L)).as("n_dropped"),
+        min(when(col("pr") >= dropFrac, col("quality_score"))).as("cut_score"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[qualityCut]] (nests the quality oracle as a CTE). */
+  def duckQualityCut(table: String, dropFrac: Double): String =
+    s"""WITH q AS (${duckQuality(table)}),
+       |l AS (SELECT doc_id, lang FROM $table),
+       |r AS (SELECT q.*, l.lang,
+       |             percent_rank() OVER (PARTITION BY l.lang
+       |                                  ORDER BY q.quality_score ASC, q.doc_id ASC) AS pr
+       |      FROM q JOIN l ON l.doc_id = q.doc_id)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |       CAST(sum(CASE WHEN pr < $dropFrac THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       min(CASE WHEN pr >= $dropFrac THEN quality_score END) AS cut_score
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Token-counting rollup per (lang, source): whitespace tokens and a
     * BPE-ish regex token count (letter runs / digit runs / other marks). */
   def tokenCounts(documents: DataFrame): DataFrame =

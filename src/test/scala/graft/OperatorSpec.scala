@@ -83,6 +83,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.map(_.getAs[Long]("n_kept")).sum > 0)
   }
 
+  test("quality cut: per-language drop counts match a scala percent-rank recount") {
+    val rows = TextAnalysis.qualityCut(docs, dropFrac = 0.1).collect()
+    val scored = TextAnalysis.quality(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select("lang", "doc_id", "quality_score").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"), r.getAs[Double]("quality_score")))
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val group = scored.filter(_._1 == lang).sortBy(t => (t._3, t._2))
+      val n = group.length
+      val dropped = group.zipWithIndex.count { case (_, i) => i.toDouble / (n - 1) < 0.1 }
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_dropped") == dropped)
+      assert(r.getAs[Double]("cut_score") == group(dropped)._3)
+    }
+  }
+
   test("sequence packing: offsets are contiguous and spans match integral arithmetic") {
     val rows = CorpusOps.packSequences(docs, seqLen = 512).collect()
       .sortBy(_.getAs[Long]("doc_id"))
