@@ -165,9 +165,21 @@ object Dedup {
         .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a")).agg(min("nl").as("mn"))
         .select(col("a").as("node"), col("mn"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+      // Pointer jumping: also take the label OF the current label
+      // (labels are node ids, so they can be looked up as nodes). The
+      // neighbor step alone moves a min one hop per round (rounds =
+      // component diameter); composing it with this label-of-label hop
+      // halves the remaining label-tree depth each round, giving
+      // O(log n) convergence on ANY component shape — a path of 2^20
+      // nodes converges in ~20 rounds, not 2^20.
+      val parent = stepped.select(col("node").as("pnode"), col("label").as("plabel"))
+      val next = stepped
+        .join(parent, stepped("label") === parent("pnode"), "left")
+        .select(stepped("node"),
+          least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
         .localCheckpoint()
       converged = next.as("n").join(labels.as("o"), "node")
         .filter(col("n.label") =!= col("o.label"))
@@ -175,6 +187,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // never emit a silently-unconverged labeling: only sf0.01 passes the
+    // oracle gate, so larger runs must fail loudly instead of wrongly
+    if (!converged)
+      throw new IllegalStateException(
+        s"clustersOfPairs: no fixpoint after $maxIter rounds (component deeper than 2^$maxIter?)")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     val out = labels.join(sizes, "label")
       .select(col("node").as("doc_id"), col("label").as("cluster"),
