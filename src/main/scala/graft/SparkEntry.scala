@@ -53,6 +53,10 @@ object SparkEntry {
     "q_knn_lsh" -> ((s, dir) =>
       Knn.topKLsh(emb(s, dir), qvec(s, dir), k = 10, bits = 4)),
 
+    // Multi-probe LSH: home bucket + hamming-1 shells (recall recovery).
+    "q_knn_lsh_multiprobe" -> ((s, dir) =>
+      Knn.topKLshMultiprobe(emb(s, dir), qvec(s, dir), k = 10, bits = 4)),
+
     // IVF scale path: centroid-assign then probe top clusters only.
     "q_knn_ivf" -> ((s, dir) =>
       Knn.topKIvf(emb(s, dir), qvec(s, dir), k = 10,
@@ -220,6 +224,26 @@ object SparkEntry {
          |      FROM embeddings e CROSS JOIN q
          |      WHERE ${duckSignBucket("e.embedding", 4)} = q.qbucket)
          |SELECT vec_id, label, bucket, round(sim_raw, 6) AS sim
+         |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_knn_lsh_multiprobe" ->
+      s"""WITH q AS (SELECT embedding AS qv, ${duckSignBucket("embedding", 4)} AS qbucket
+         |           FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT qv, qbucket AS pbucket, 0::BIGINT AS pdist FROM q
+         |  UNION ALL
+         |  SELECT qv,
+         |         concat(substr(qbucket, 1, i - 1),
+         |                CASE WHEN substr(qbucket, i, 1) = '1' THEN '0' ELSE '1' END,
+         |                substr(qbucket, i + 1)) AS pbucket,
+         |         1::BIGINT AS pdist
+         |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i)),
+         |s AS (SELECT e.vec_id, e.label, ${duckSignBucket("e.embedding", 4)} AS bucket,
+         |             p.pdist AS probe_dist,
+         |             ${duckCosine("e.embedding", "p.qv")} AS sim_raw
+         |      FROM embeddings e JOIN probes p
+         |      ON ${duckSignBucket("e.embedding", 4)} = p.pbucket)
+         |SELECT vec_id, label, bucket, probe_dist, round(sim_raw, 6) AS sim
          |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_knn_ivf" ->

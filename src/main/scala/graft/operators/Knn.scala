@@ -109,6 +109,43 @@ object Knn {
       .select(col("vec_id"), col("label"), col("bucket"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** Multi-probe LSH top-k: scans the query's sign-bucket PLUS every
+    * hamming-1 neighbor bucket — the standard recall-recovery technique
+    * for LSH (near-neighbors straddling one bucket-boundary bit are the
+    * dominant miss mode of [[topKLsh]]). Candidate volume grows from
+    * ~N/2^bits to ~N·(bits+1)/2^bits, still sub-linear; the probe table
+    * (bits+1 rows, derived from the 1-row query) is broadcast, so the
+    * probe remains one map-side equijoin on the bucket key. `probe_dist`
+    * reports which shell each hit came from (0 = home bucket, 1 = flip).
+    */
+  def topKLshMultiprobe(index: DataFrame, queryVec: DataFrame, k: Int, bits: Int): DataFrame = {
+    val q = queryVec.select(col("qv").cast("array<double>").as("qe"))
+      .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
+      .withColumn("qbucket", signBucket(col("qe"), bits))
+    val flips = (1 to bits).map { i =>
+      struct(
+        concat(
+          substring(col("qbucket"), 1, i - 1),
+          when(substring(col("qbucket"), i, 1) === "1", "0").otherwise("1"),
+          substring(col("qbucket"), i + 1, bits - i)).as("pbucket"),
+        lit(1L).as("pdist"))
+    }
+    val home = struct(col("qbucket").as("pbucket"), lit(0L).as("pdist"))
+    val probes = q.select(col("qe"), col("qn"),
+        explode(array(home +: flips: _*)).as("p"))
+      .select(col("qe"), col("qn"), col("p.pbucket"), col("p.pdist"))
+    index
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+      .join(broadcast(probes), col("bucket") === col("pbucket"))
+      .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn")))
+      .orderBy(desc("sim_raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("bucket"), col("pdist").as("probe_dist"),
+        round(col("sim_raw"), 6).as("sim"))
+  }
+
   /** IVF (inverted-file) approximate kNN — the scale path for vector search.
     *
     * Layout phase: `numCentroids` deterministic centroids (the lowest

@@ -32,6 +32,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.map(_.getAs[String]("bucket")).toSet.size == 1)
   }
 
+  test("multiprobe LSH: buckets within hamming-1 of home, recall dominates single-probe") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val single = Knn.topKLsh(emb, q, 10, bits = 4).collect()
+    val multi = Knn.topKLshMultiprobe(emb, q, 10, bits = 4).collect()
+    val home = single.head.getAs[String]("bucket")
+    multi.foreach { r =>
+      val d = r.getAs[String]("bucket").zip(home).count { case (a, b) => a != b }
+      assert(d == r.getAs[Long]("probe_dist") && d <= 1)
+    }
+    // the multiprobe candidate space contains the single-probe one, so its
+    // k-th best similarity can only improve
+    assert(multi.map(_.getAs[Double]("sim")).min >= single.map(_.getAs[Double]("sim")).min)
+  }
+
   test("IVF kNN: results come from probed clusters, sims agree with exact ranking") {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val ivf = Knn.topKIvf(emb, q, 10, numCentroids = 16, nprobe = 4, excludeId = Some(0L)).collect()
