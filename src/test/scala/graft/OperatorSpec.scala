@@ -159,6 +159,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(r0.getAs[Double]("top_token_frac") - top._2.toDouble / toks.size) < 1e-6)
   }
 
+  test("round-3 plan shapes: novelty is join-free; packing's sequential window sees buckets only") {
+    // novelty: the first-owner attach must be a window, never a join whose
+    // build side is the distinct-shingle-cardinality relation
+    val nPlan = TextAnalysis.novelty(docs).queryExecution.executedPlan.toString
+    assert(!nPlan.contains("Join"), s"novelty must not join:\n$nPlan")
+    assert(nPlan.contains("Window"), "expected the first-owner window")
+    // packing: the corpus-side window partitions by bkt (parallel), and the
+    // single unpartitioned (sequential) window lives in the BROADCAST build
+    // subtree, above the per-bucket HashAggregate — it never sees corpus rows
+    val pPlan = CorpusOps.packSequences(docs, seqLen = 512).queryExecution.executedPlan.toString
+    val lines = pPlan.linesIterator.toVector
+    val partitioned = "windowspecdefinition\\(bkt#\\d+L?, doc_id".r
+    val winIdx = lines.zipWithIndex.filter(_._1.contains("windowspecdefinition"))
+    val (bucketWins, seqWins) = winIdx.partition(l => partitioned.findFirstIn(l._1).isDefined)
+    val bx = lines.indexWhere(_.contains("BroadcastExchange"))
+    assert(pPlan.contains("BroadcastHashJoin"), "bucket offsets must broadcast")
+    assert(bucketWins.size == 1 && seqWins.size == 1, s"unexpected window set:\n$pPlan")
+    assert(bx >= 0 && seqWins.head._2 > bx && bucketWins.head._2 < bx,
+      s"sequential window must sit in the broadcast (bucket-level) subtree:\n$pPlan")
+    assert(lines.drop(seqWins.head._2).exists(_.contains("HashAggregate")),
+      s"sequential window must consume the per-bucket aggregate:\n$pPlan")
+  }
+
   test("novelty: first doc is fully novel, n_seen bounded by shingle count") {
     val rows = TextAnalysis.novelty(docs).collect()
     val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
