@@ -127,6 +127,65 @@ object CorpusOps {
        |                        / lang_tokens), 6) AS rate
        |FROM pl CROSS JOIN tot ORDER BY lang""".stripMargin
 
+  /** Temperature-sampling mixture (τ = 2): language weight ∝ share^(1/τ) =
+    * sqrt(share) — the standard multilingual re-balancing that upweights
+    * low-resource languages relative to proportional sampling without
+    * going fully uniform.
+    *
+    * Float discipline (the BM25 lesson): the normalizing sum
+    * Σ_l sqrt(share_l) is over FLOATS, and an engine-chosen aggregation
+    * order would differ in ulps between Spark and DuckDB. So the per-lang
+    * token totals are PIVOTED into one row (conditional aggregation — the
+    * aggregated values are exact integers, order-free) and every float
+    * step after that is a fixed-order scalar expression tree, identical in
+    * both engines: sqrt is IEEE-exactly-rounded, the chain
+    * t_en + t_de + … is written in declared language order. τ is fixed at
+    * 2 because sqrt is the one fractional power both engines round
+    * identically; other τ would hit pow() ulp divergence.
+    */
+  def temperatureMixture(documents: DataFrame): DataFrame = {
+    val langs = MixWeights.map(_._1)
+    val pivoted = documents
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("ntok"))
+      .agg(
+        sum(when(col("lang") === langs.head, col("ntok")).otherwise(0L)).as(s"t_${langs.head}"),
+        langs.tail.map(l =>
+          sum(when(col("lang") === l, col("ntok")).otherwise(0L)).as(s"t_$l")): _*)
+    val total = langs.map(l => col(s"t_$l")).reduce(_ + _)
+    val withShares = langs.foldLeft(pivoted.withColumn("total", total)) { (df, l) =>
+      df.withColumn(s"r_$l", sqrt(col(s"t_$l").cast("double") / col("total")))
+    }
+    val z = langs.map(l => col(s"r_$l")).reduce(_ + _)
+    val rows = withShares.withColumn("z", z)
+      .select(explode(array(langs.map(l => struct(
+        lit(l).as("lang"),
+        col(s"t_$l").as("lang_tokens"),
+        round(col(s"r_$l") * col(s"r_$l"), 6).as("share"),
+        round(col(s"r_$l") / col("z"), 6).as("temp_weight"))): _*)).as("m"))
+      .select(col("m.lang"), col("m.lang_tokens"), col("m.share"), col("m.temp_weight"))
+    rows.orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[temperatureMixture]]. */
+  def duckTemperatureMixture(table: String): String = {
+    val langs = MixWeights.map(_._1)
+    val pivots = langs.map(l =>
+      s"CAST(sum(CASE WHEN lang = '$l' THEN ntok ELSE 0 END) AS BIGINT) AS t_$l").mkString(",\n       ")
+    val total = langs.map(l => s"t_$l").mkString(" + ")
+    val roots = langs.map(l => s"sqrt(t_$l::DOUBLE / total) AS r_$l").mkString(", ")
+    val zSum = langs.map(l => s"r_$l").mkString(" + ")
+    val unions = langs.map(l =>
+      s"SELECT '$l' AS lang, t_$l AS lang_tokens, round(r_$l * r_$l, 6) AS share, round(r_$l / z, 6) AS temp_weight FROM w")
+      .mkString("\n       UNION ALL ")
+    s"""WITH m AS (SELECT lang, len(${duckTokens("text")})::BIGINT AS ntok FROM $table),
+       |p AS (SELECT $pivots FROM m),
+       |t AS (SELECT *, ($total) AS total FROM p),
+       |r AS (SELECT *, $roots FROM t),
+       |w AS (SELECT *, ($zSum) AS z FROM r)
+       |SELECT lang, lang_tokens, share, temp_weight FROM ($unions)
+       |ORDER BY lang""".stripMargin
+  }
+
   /** Deterministic hash uniform in [0,1): the first 8 hex chars of
     * md5(doc_id) as an integer over 2³². Content-independent, engine-
     * independent, reproducible — the property a sampling pipeline needs so

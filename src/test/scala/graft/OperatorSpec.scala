@@ -66,6 +66,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(mh.subsetOf(ng))
   }
 
+  test("temperature mixture: weights normalize to 1 and compress proportional shares") {
+    val rows = CorpusOps.temperatureMixture(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("share"), r.getAs[Double]("temp_weight")))
+    assert(rows.length == 5)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+    // τ=2 compresses: above-average languages shrink, below-average grow
+    rows.foreach { case (_, share, w) =>
+      if (share > 0.2) assert(w < share) else if (share < 0.2 && share > 0) assert(w > share)
+    }
+  }
+
+  test("curation operators tolerate an empty corpus slice") {
+    val empty = docs.filter(col("doc_id") < 0)
+    assert(CorpusOps.decontaminate(empty).isEmpty)
+    assert(CorpusOps.packSequences(empty, 512).isEmpty)
+    assert(CorpusOps.embeddingOutliers(empty, 3).isEmpty)
+    assert(CorpusOps.stratifiedSample(empty, 0.5).isEmpty)
+    assert(TextAnalysis.repetition(empty).isEmpty)
+    assert(TextAnalysis.novelty(empty).isEmpty)
+    assert(TextAnalysis.qualityCut(empty, 0.1).isEmpty)
+    assert(Dedup.clusters(empty, 0.8).isEmpty)
+  }
+
   test("decontamination: flagged docs are training-side only, overlap bounded") {
     val rows = CorpusOps.decontaminate(docs).collect()
     rows.foreach { r =>
