@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Diagnostics, SymbolNav}
+import graft.sources.{IndexBuild, Sandbox}
+
+/** User-facing facade: the reference's tool surface, one method per tool,
+  * so a user of `ADK-noUI-vectorDB` can switch by name. Each method is a
+  * thin delegation to the operator library — the facade adds no logic, it
+  * only fixes the entry-point names and argument shapes to the reference's
+  * (tool signatures cited per method). Results are DataFrames rather than
+  * formatted strings; `IndexOps.searchFormatted` renders the reference's
+  * "Result N (similarity: X.XXX):" text blocks when string output is
+  * wanted (Q8).
+  */
+object Graft {
+
+  /** `index_codebase_tool()` — indexing_tool.py:5; full build: scan →
+    * chunk → embed → upsert both index tables + JSON-able report row. */
+  def indexCodebase(spark: SparkSession, rootDir: String, indexDir: String): DataFrame =
+    IndexBuild.run(spark, rootDir, indexDir)
+
+  /** `search_code_tool(query, max_results, element_types)` —
+    * vector_search_tool.py:272; filtered kNN over `code_elements`. The
+    * reference accepts a comma-separated element-type list and filters on
+    * the first; `fileType` exposes the filter the reference declared but
+    * never honored (quirk SURVEY §2.9#1, fixed here). */
+  def searchCode(spark: SparkSession, indexDir: String, query: String,
+                 maxResults: Int = 10,
+                 elementTypes: Seq[String] = Nil,
+                 fileType: Option[String] = None): DataFrame =
+    IndexBuild.searchIndex(spark, indexDir, query, maxResults,
+      elementType = elementTypes.headOption, fileType = fileType)
+
+  /** `search_files_tool(query, max_results)` — vector_search_tool.py:289;
+    * kNN over `file_summaries`. */
+  def searchFiles(spark: SparkSession, indexDir: String, query: String,
+                  maxResults: Int = 5): DataFrame =
+    IndexBuild.searchSummaries(spark, indexDir, query, maxResults)
+
+  /** `get_file_context_tool(file_path, max_elements)` —
+    * vector_search_tool.py:297; a file's elements in source order. */
+  def getFileContext(spark: SparkSession, indexDir: String, filePath: String,
+                     maxElements: Int = 20): DataFrame =
+    spark.read.parquet(s"$indexDir/code_elements")
+      .filter(col("file_path") === filePath)
+      .orderBy(asc("start_line"), asc("id"))
+      .limit(maxElements)
+      .select(col("id"), col("name"), col("element_type"),
+        col("start_line"), col("end_line"), col("docstring"))
+
+  /** `get_diagnostics_tool(file_path, content)` — lsp_tool.py:417; the
+    * real per-extension rule banks over one file's lines. */
+  def getDiagnostics(spark: SparkSession, filePath: String, content: String): DataFrame = {
+    import spark.implicits._
+    Diagnostics.codeDiagnostics(Seq((filePath, content)).toDF("file_path", "content"))
+  }
+
+  /** `validate_code_tool(file_path, new_content)` — lsp_tool.py:451;
+    * shadow-workspace verdict: no error-severity findings. */
+  def validateCode(spark: SparkSession, filePath: String, newContent: String): Boolean = {
+    val rep = getDiagnostics(spark, filePath, newContent).collect()
+    rep.isEmpty || rep.forall(_.getAs[Long]("error_count") == 0L)
+  }
+
+  /** `go_to_definition_tool` / `find_references_tool` — lsp_tool.py:429/
+    * :440, as the relational analog (SURVEY §2.6): definition sites and
+    * reference counts for the given symbols over a documents corpus. */
+  def symbolNavigation(documents: DataFrame, symbols: Seq[String]): DataFrame =
+    SymbolNav.defsAndRefs(documents, symbols)
+
+  /** `read_file(file_path)` — file_system_tool.py:12, sandboxed. */
+  def readFile(sandbox: Sandbox, path: String): Either[String, String] =
+    sandbox.readFile(path)
+
+  /** `write_file(file_path, content)` — file_system_tool.py:24, sandboxed. */
+  def writeFile(sandbox: Sandbox, path: String, content: String): Either[String, java.nio.file.Path] =
+    sandbox.writeFile(path, content)
+}
