@@ -107,6 +107,28 @@ object IndexBuild {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), t)
   }
 
+  /** Small-file compaction for an index table: every incremental upsert /
+    * streaming micro-batch appends its own parquet files, and at cluster
+    * scale the accumulated small files dominate scan cost (footer reads +
+    * task-per-file scheduling — the classic small-files problem). Rewrites
+    * the table into `max(1, ceil(bytes / targetFileBytes))` files via the
+    * same temp-path swap as [[upsertIndex]]; content is untouched
+    * (row-count-invariant, spec-asserted). A deployment runs this as the
+    * maintenance job between ingest windows. */
+  def compact(spark: SparkSession, indexDir: String, table: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val target = s"$indexDir/$table"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val t = new org.apache.hadoop.fs.Path(target)
+    val bytes = fs.getContentSummary(t).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = s"$indexDir/${table}_compact_tmp"
+    spark.read.parquet(target).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(t, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), t)
+  }
+
   /** C9/S7: per-file summary table, with the summary string embedded so the
     * table is kNN-searchable (the reference embeds exactly this template
     * string — indexing_agent.py:365-366). */

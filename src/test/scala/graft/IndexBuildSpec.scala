@@ -111,6 +111,24 @@ class IndexBuildSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("compaction collapses incremental small files without changing content") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_compact").toString
+    // simulate many tiny incremental appends
+    val docs = Tables.documents(spark, TestSpark.sf).limit(40)
+    docs.repartition(20).write.parquet(s"$dir/code_elements")
+    def files() = new java.io.File(s"$dir/code_elements")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(s"$dir/code_elements")
+      .orderBy("doc_id").collect().toSeq
+    assert(files() >= 20)
+    IndexBuild.compact(spark, dir, "code_elements")
+    val after = spark.read.parquet(s"$dir/code_elements")
+      .orderBy("doc_id").collect().toSeq
+    assert(files() == 1, "tiny table must compact to a single file")
+    assert(after == before, "compaction must not change content")
+  }
+
   test("IVF layout: cluster-partitioned index prunes probes at the file level") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
