@@ -59,10 +59,9 @@ object Graft {
 
   /** `validate_code_tool(file_path, new_content)` — lsp_tool.py:451;
     * shadow-workspace verdict: no error-severity findings. */
-  def validateCode(spark: SparkSession, filePath: String, newContent: String): Boolean = {
-    val rep = getDiagnostics(spark, filePath, newContent).collect()
-    rep.isEmpty || rep.forall(_.getAs[Long]("error_count") == 0L)
-  }
+  def validateCode(spark: SparkSession, filePath: String, newContent: String): Boolean =
+    getDiagnostics(spark, filePath, newContent).collect()
+      .forall(_.getAs[Long]("error_count") == 0L)
 
   /** `go_to_definition_tool` / `find_references_tool` — lsp_tool.py:429/
     * :440, as the relational analog (SURVEY §2.6): definition sites and

@@ -48,18 +48,23 @@ object Embedder {
     s"CAST((${duckNib(m, 1)} * 256 + ${duckNib(m, 2)} * 16 + ${duckNib(m, 3)}) % $Dim AS INT)"
   }
 
-  /** (doc_id, bucket, cnt) histogram rows — the sparse embedding. */
-  def bucketHistogram(documents: DataFrame): DataFrame =
+  /** (doc_id, [carry...,] bucket, cnt) histogram rows — the sparse
+    * embedding. `carry` passes metadata columns (e.g. lang) through the
+    * aggregation so group-level consumers need no join back. */
+  def bucketHistogram(documents: DataFrame, carry: Seq[String] = Nil): DataFrame =
     documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), bucket(col("tok")).as("bucket"))
-      .groupBy("doc_id", "bucket")
+      .select(col("doc_id") +: carry.map(col) :+ explode(tokens(col("text"))).as("tok"): _*)
+      .select(col("doc_id") +: carry.map(col) :+ bucket(col("tok")).as("bucket"): _*)
+      .groupBy("doc_id", carry :+ "bucket": _*)
       .agg(count(lit(1)).as("cnt"))
 
-  def duckBucketHistogram(table: String): String =
-    s"""SELECT doc_id, ${duckBucket("tok")} AS bucket, count(*)::BIGINT AS cnt
-       |FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS tok FROM $table)
-       |GROUP BY 1, 2""".stripMargin
+  def duckBucketHistogram(table: String, carry: Seq[String] = Nil): String = {
+    val cs = carry.map(c => s"$c, ").mkString
+    val groupCols = (1 to carry.size + 2).mkString(", ")
+    s"""SELECT doc_id, $cs${duckBucket("tok")} AS bucket, count(*)::BIGINT AS cnt
+       |FROM (SELECT doc_id, ${cs}unnest(${duckTokens("text")}) AS tok FROM $table)
+       |GROUP BY $groupCols""".stripMargin
+  }
 
   /** Dense `array<double>` embeddings (unnormalized integer counts; exact).
     * Output: (doc_id, embedding). Cosine normalizes at distance time, so

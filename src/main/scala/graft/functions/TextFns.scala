@@ -39,10 +39,21 @@ object TextFns {
     * the shared hot-spot of the whole dedup family. The window's
     * doc_id-partitioned sort is the natural 100 TB shape (tokens co-located
     * per doc); emits the exact same shingle strings as the array form. */
-  def shingleRowsOf(documents: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
-    val tok = documents.select(org.apache.spark.sql.functions.col("doc_id"),
+  def shingleRowsOf(documents: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame =
+    shingleRowsOfTokens(tokenRowsOf(documents), n)
+
+  /** (doc_id, i, t0) positional token rows — the shared base relation for
+    * token counts and shingle generation. Callers that derive several
+    * n-gram widths (or counts + shingles) from the same corpus should
+    * build this ONCE and cache it, instead of re-tokenizing the parquet
+    * scan per branch. */
+  def tokenRowsOf(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    documents.select(org.apache.spark.sql.functions.col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("i", "t0")))
+
+  /** [[shingleRowsOf]] over a pre-built [[tokenRowsOf]] relation. */
+  def shingleRowsOfTokens(tok: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
     val withLeads = (1 until n).foldLeft(tok) { (df, j) =>
       df.withColumn(s"t$j", lead(col("t0"), j).over(w))
     }

@@ -31,7 +31,14 @@ object CorpusOps {
     * contaminated docs are emitted (inner join) — the output is the
     * drop-list, not the corpus.
     */
-  def decontaminate(documents: DataFrame, benchMod: Int = 50, n: Int = 4): DataFrame = {
+  /** Defaults shared by the batch operator, its oracle, and the streaming
+    * path ([[graft.streaming.StreamOps.streamedDecontam]]) — one place to
+    * change the benchmark slice or shingle width. */
+  val DefaultBenchMod = 50
+  val DefaultShingleN = 4
+
+  def decontaminate(documents: DataFrame, benchMod: Int = DefaultBenchMod,
+                    n: Int = DefaultShingleN): DataFrame = {
     val bench = documents.filter(col("doc_id") % benchMod === 0)
     val train = documents.filter(col("doc_id") % benchMod =!= 0)
     val bsh = shingleRowsOf(bench, n).select(col("s")).distinct()
@@ -57,7 +64,8 @@ object CorpusOps {
   }
 
   /** DuckDB mirror of [[decontaminate]]. */
-  def duckDecontaminate(table: String, benchMod: Int = 50, n: Int = 4): String =
+  def duckDecontaminate(table: String, benchMod: Int = DefaultBenchMod,
+                        n: Int = DefaultShingleN): String =
     s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS t FROM $table),
        |sh AS (SELECT DISTINCT doc_id, s
        |       FROM (SELECT doc_id, unnest(${duckShingles("t", n)}) AS s FROM tk)),
@@ -101,31 +109,53 @@ object CorpusOps {
     * One map-side token count + one 5-row agg; the output is the broadcast
     * side of [[stratifiedSample]].
     */
-  def mixtureWeights(documents: DataFrame, budgetFrac: Double): DataFrame = {
-    val perLang = documents
-      .select(col("lang"), size(tokens(col("text"))).cast("long").as("ntok"))
-      .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("ntok").as("lang_tokens"))
+  /** (lang, n_docs, lang_tokens, weight, rate_raw) — THE rate derivation,
+    * shared by [[mixtureWeights]] (display) and [[stratifiedSample]] (keep
+    * predicate), so the published rates and the sampler's arithmetic are
+    * one expression tree by construction. `perLang` is cached here: the
+    * corpus-total agg and the per-lang join both read it, and without the
+    * cache its (corpus-tokenizing) subtree would execute twice. */
+  private def rawRatesOf(perLang0: DataFrame, budgetFrac: Double): DataFrame = {
+    val perLang = perLang0.cache()
     val total = perLang.agg(sum("lang_tokens").as("total_tokens"))
     perLang.crossJoin(broadcast(total))
       .withColumn("weight", weightCol(col("lang")))
       .withColumn("rate_raw",
         least(lit(1.0),
           (col("total_tokens") * lit(budgetFrac) * col("weight")) / col("lang_tokens")))
+  }
+
+  private def perLangOf(docTokens: DataFrame): DataFrame =
+    docTokens.groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("ntok").as("lang_tokens"))
+
+  private def docTokensOf(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("ntok"))
+
+  def mixtureWeights(documents: DataFrame, budgetFrac: Double): DataFrame =
+    rawRatesOf(perLangOf(docTokensOf(documents)), budgetFrac)
       .select(col("lang"), col("n_docs"), col("lang_tokens"), col("weight"),
         round(col("rate_raw"), 6).as("rate"))
       .orderBy("lang")
-  }
+
+  /** Shared rate CTEs (`m, pl, tot, rr`) — the SQL twin of [[rawRatesOf]],
+    * reused by both duck mirrors so the rate arithmetic exists once per
+    * engine. */
+  private def duckRateCtes(table: String, budgetFrac: Double): String =
+    s"""m AS (SELECT doc_id, lang, len(${duckTokens("text")})::BIGINT AS ntok FROM $table),
+       |pl AS (SELECT lang, count(*)::BIGINT AS n_docs, CAST(sum(ntok) AS BIGINT) AS lang_tokens
+       |       FROM m GROUP BY lang),
+       |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM pl),
+       |rr AS (SELECT lang, n_docs, lang_tokens, ${duckWeightExpr("lang")} AS weight,
+       |              least(1.0, (total_tokens * $budgetFrac::DOUBLE * ${duckWeightExpr("lang")})
+       |                    / lang_tokens) AS rate_raw
+       |       FROM pl CROSS JOIN tot)""".stripMargin
 
   /** DuckDB mirror of [[mixtureWeights]]. */
   def duckMixtureWeights(table: String, budgetFrac: Double): String =
-    s"""WITH m AS (SELECT lang, len(${duckTokens("text")})::BIGINT AS ntok FROM $table),
-       |pl AS (SELECT lang, count(*)::BIGINT AS n_docs, CAST(sum(ntok) AS BIGINT) AS lang_tokens
-       |       FROM m GROUP BY lang),
-       |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM pl)
-       |SELECT lang, n_docs, lang_tokens, ${duckWeightExpr("lang")} AS weight,
-       |       round(least(1.0, (total_tokens * $budgetFrac::DOUBLE * ${duckWeightExpr("lang")})
-       |                        / lang_tokens), 6) AS rate
-       |FROM pl CROSS JOIN tot ORDER BY lang""".stripMargin
+    s"""WITH ${duckRateCtes(table, budgetFrac)}
+       |SELECT lang, n_docs, lang_tokens, weight, round(rate_raw, 6) AS rate
+       |FROM rr ORDER BY lang""".stripMargin
 
   /** Temperature-sampling mixture (τ = 2): language weight ∝ share^(1/τ) =
     * sqrt(share) — the standard multilingual re-balancing that upweights
@@ -152,7 +182,10 @@ object CorpusOps {
         langs.tail.map(l =>
           sum(when(col("lang") === l, col("ntok")).otherwise(0L)).as(s"t_$l")): _*)
     val total = langs.map(l => col(s"t_$l")).reduce(_ + _)
-    val withShares = langs.foldLeft(pivoted.withColumn("total", total)) { (df, l) =>
+    // empty corpus: the global agg still emits one row of NULL sums —
+    // filter it out so the operator returns empty, not 5 NULL-metric rows
+    val withShares = langs.foldLeft(
+      pivoted.withColumn("total", total).filter(col("total") > 0)) { (df, l) =>
       df.withColumn(s"r_$l", sqrt(col(s"t_$l").cast("double") / col("total")))
     }
     val z = langs.map(l => col(s"r_$l")).reduce(_ + _)
@@ -179,7 +212,7 @@ object CorpusOps {
       .mkString("\n       UNION ALL ")
     s"""WITH m AS (SELECT lang, len(${duckTokens("text")})::BIGINT AS ntok FROM $table),
        |p AS (SELECT $pivots FROM m),
-       |t AS (SELECT *, ($total) AS total FROM p),
+       |t AS (SELECT *, ($total) AS total FROM p WHERE ($total) > 0),
        |r AS (SELECT *, $roots FROM t),
        |w AS (SELECT *, ($zSum) AS z FROM r)
        |SELECT lang, lang_tokens, share, temp_weight FROM ($unions)
@@ -212,18 +245,12 @@ object CorpusOps {
     * projection, never here.
     */
   def stratifiedSample(documents: DataFrame, budgetFrac: Double): DataFrame = {
-    val rateRaw = documents
-      .select(col("lang"), size(tokens(col("text"))).cast("long").as("ntok"))
-      .groupBy("lang").agg(sum("ntok").as("lang_tokens"))
-    val total = rateRaw.agg(sum("lang_tokens").as("total_tokens"))
-    val rawRates = rateRaw.crossJoin(broadcast(total))
-      .select(col("lang"),
-        least(lit(1.0),
-          (col("total_tokens") * lit(budgetFrac) * weightCol(col("lang"))) / col("lang_tokens"))
-          .as("rate_raw"))
-    documents
-      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("ntok"))
-      .join(broadcast(rawRates), "lang")
+    // one tokenization: the cached per-doc token relation feeds BOTH the
+    // rate derivation (via its per-lang agg) and the per-doc keep filter
+    val m = docTokensOf(documents).cache()
+    val rates = rawRatesOf(perLangOf(m), budgetFrac).select(col("lang"), col("rate_raw"))
+    m
+      .join(broadcast(rates), "lang")
       .withColumn("u", hashUniform(col("doc_id")))
       .groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
@@ -318,11 +345,7 @@ object CorpusOps {
     */
   def embeddingOutliers(documents: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = documents
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), col("lang"), graft.functions.Embedder.bucket(col("tok")).as("bucket"))
-      .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("cnt"))
-      .cache()
+    val h = graft.functions.Embedder.bucketHistogram(documents, carry = Seq("lang")).cache()
     val cent = h.groupBy("lang", "bucket").agg(sum("cnt").as("csum"))
     val cn = cent.groupBy("lang").agg(sqrt(sum(col("csum") * col("csum")).cast("double")).as("cn"))
     val dn = h.groupBy("doc_id", "lang")
@@ -340,10 +363,7 @@ object CorpusOps {
 
   /** DuckDB mirror of [[embeddingOutliers]]. */
   def duckEmbeddingOutliers(table: String, k: Int): String =
-    s"""WITH h AS (SELECT doc_id, lang, ${graft.functions.Embedder.duckBucket("tok")} AS bucket,
-       |                  count(*)::BIGINT AS cnt
-       |           FROM (SELECT doc_id, lang, unnest(${duckTokens("text")}) AS tok FROM $table)
-       |           GROUP BY 1, 2, 3),
+    s"""WITH h AS (${graft.functions.Embedder.duckBucketHistogram(table, carry = Seq("lang"))}),
        |cent AS (SELECT lang, bucket, CAST(sum(cnt) AS BIGINT) AS csum FROM h GROUP BY 1, 2),
        |cn AS (SELECT lang, sqrt(CAST(sum(csum * csum) AS DOUBLE)) AS cn FROM cent GROUP BY lang),
        |dn AS (SELECT doc_id, lang, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS dn
@@ -361,12 +381,7 @@ object CorpusOps {
 
   /** DuckDB mirror of [[stratifiedSample]]. */
   def duckStratifiedSample(table: String, budgetFrac: Double): String =
-    s"""WITH m AS (SELECT doc_id, lang, len(${duckTokens("text")})::BIGINT AS ntok FROM $table),
-       |pl AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS lang_tokens FROM m GROUP BY lang),
-       |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM pl),
-       |rr AS (SELECT lang, least(1.0, (total_tokens * $budgetFrac::DOUBLE * ${duckWeightExpr("lang")})
-       |                               / lang_tokens) AS rate_raw
-       |       FROM pl CROSS JOIN tot),
+    s"""WITH ${duckRateCtes(table, budgetFrac)},
        |d AS (SELECT m.doc_id, m.lang, m.ntok, rr.rate_raw,
        |             ${duckHashUniform("m.doc_id")} AS u
        |      FROM m JOIN rr ON rr.lang = m.lang)

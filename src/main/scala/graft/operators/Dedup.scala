@@ -165,9 +165,13 @@ object Dedup {
         .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a")).agg(min("nl").as("mn"))
         .select(col("a").as("node"), col("mn"))
+      // materialized: the pointer-jump below reads `stepped` TWICE (probe
+      // and parent side); without this the edges-join + min agg would
+      // execute twice per round (CLAUDE.md cache rule)
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+        .localCheckpoint()
       // Pointer jumping: also take the label OF the current label
       // (labels are node ids, so they can be looked up as nodes). The
       // neighbor step alone moves a min one hop per round (rounds =

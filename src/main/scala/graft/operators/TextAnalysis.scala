@@ -147,11 +147,17 @@ object TextAnalysis {
     val q = quality(documents)
       .join(documents.select(col("doc_id"), col("lang")), "doc_id")
     val w = Window.partitionBy("lang").orderBy(asc("quality_score"), asc("doc_id"))
+    val wN = Window.partitionBy("lang")
+    // the n > 1 guard keeps singleton languages intact: percent_rank of a
+    // 1-row partition is 0.0 in both engines, which `pr < dropFrac` would
+    // read as "drop the language's only doc" — a 100% cut, not a decile
+    val isDropped = col("pr") < dropFrac && col("n") > 1
     q.withColumn("pr", percent_rank().over(w))
+      .withColumn("n", count(lit(1)).over(wN))
       .groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("pr") < dropFrac, 1L).otherwise(0L)).as("n_dropped"),
-        min(when(col("pr") >= dropFrac, col("quality_score"))).as("cut_score"))
+        sum(when(isDropped, 1L).otherwise(0L)).as("n_dropped"),
+        min(when(!isDropped, col("quality_score"))).as("cut_score"))
       .orderBy("lang")
   }
 
@@ -161,11 +167,12 @@ object TextAnalysis {
        |l AS (SELECT doc_id, lang FROM $table),
        |r AS (SELECT q.*, l.lang,
        |             percent_rank() OVER (PARTITION BY l.lang
-       |                                  ORDER BY q.quality_score ASC, q.doc_id ASC) AS pr
+       |                                  ORDER BY q.quality_score ASC, q.doc_id ASC) AS pr,
+       |             count(*) OVER (PARTITION BY l.lang) AS n
        |      FROM q JOIN l ON l.doc_id = q.doc_id)
        |SELECT lang, count(*)::BIGINT AS n_docs,
-       |       CAST(sum(CASE WHEN pr < $dropFrac THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-       |       min(CASE WHEN pr >= $dropFrac THEN quality_score END) AS cut_score
+       |       CAST(sum(CASE WHEN pr < $dropFrac AND n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       min(CASE WHEN NOT (pr < $dropFrac AND n > 1) THEN quality_score END) AS cut_score
        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Token-counting rollup per (lang, source): whitespace tokens and a
@@ -298,7 +305,12 @@ object TextAnalysis {
     */
   def repetition(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tcnt = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    // tokenize ONCE: the three branches (token counts, 2-grams, 3-grams)
+    // all read this cached relation — without it each branch re-scans and
+    // re-tokenizes the corpus (3× the dominant cost at scale). Harness
+    // clears caches per query.
+    val tok = graft.functions.TextFns.tokenRowsOf(documents).cache()
+    val tcnt = tok.select(col("doc_id"), col("t0").as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
     val wt = Window.partitionBy("doc_id").orderBy(desc("cnt"), asc("t"))
     val ta = tcnt.withColumn("rn", row_number().over(wt))
@@ -307,7 +319,7 @@ object TextAnalysis {
         count(lit(1)).as("n_types"),
         max(when(col("rn") === 1, col("t"))).as("top_token"),
         max(when(col("rn") === 1, col("cnt"))).as("top_cnt"))
-    val g2cnt = graft.functions.TextFns.shingleRowsOf(documents, 2)
+    val g2cnt = graft.functions.TextFns.shingleRowsOfTokens(tok, 2)
       .groupBy("doc_id", "s").agg(count(lit(1)).as("cnt"))
     val w2 = Window.partitionBy("doc_id").orderBy(desc("cnt"), asc("s"))
     val g2 = g2cnt.withColumn("rn", row_number().over(w2))
@@ -315,7 +327,7 @@ object TextAnalysis {
         sum("cnt").as("n2"),
         max(when(col("rn") === 1, col("s"))).as("top_2gram"),
         max(when(col("rn") === 1, col("cnt"))).as("top2_cnt"))
-    val g3 = graft.functions.TextFns.shingleRowsOf(documents, 3)
+    val g3 = graft.functions.TextFns.shingleRowsOfTokens(tok, 3)
       .groupBy("doc_id", "s").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(
         sum("cnt").as("n3"),

@@ -190,18 +190,19 @@ object StreamOps {
     import graft.functions.TextFns.shingleRowsOf
     import graft.operators.CorpusOps
     val docs = Tables.documents(spark, sfDir)
-    val bsh = shingleRowsOf(docs.filter(col("doc_id") % 50 === 0), 4)
+    val (benchMod, n) = (CorpusOps.DefaultBenchMod, CorpusOps.DefaultShingleN)
+    val bsh = shingleRowsOf(docs.filter(col("doc_id") % benchMod === 0), n)
       .select(col("s")).distinct().cache()
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_decontam").toString
     val schema = docs.schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
-      .filter(col("doc_id") % 50 =!= 0)
+      .filter(col("doc_id") % benchMod =!= 0)
     withShufflePartitions(spark, 4) {
       val q = stream.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          CorpusOps.overlapOf(shingleRowsOf(batch, 4).distinct(), bsh)
+          CorpusOps.overlapOf(shingleRowsOf(batch, n).distinct(), bsh)
             .write.mode("append").parquet(outDir)
           ()
         }

@@ -42,8 +42,11 @@ class OperatorSpec extends AnyFunSuite {
       assert(d == r.getAs[Long]("probe_dist") && d <= 1)
     }
     // the multiprobe candidate space contains the single-probe one, so its
-    // k-th best similarity can only improve
-    assert(multi.map(_.getAs[Double]("sim")).min >= single.map(_.getAs[Double]("sim")).min)
+    // k-th best similarity can only improve — but only comparable when the
+    // home bucket filled all k slots (otherwise single's min is over fewer
+    // rows and legitimately higher)
+    if (single.length == 10)
+      assert(multi.map(_.getAs[Double]("sim")).min >= single.map(_.getAs[Double]("sim")).min)
   }
 
   test("IVF kNN: results come from probed clusters, sims agree with exact ranking") {
@@ -88,6 +91,8 @@ class OperatorSpec extends AnyFunSuite {
     assert(TextAnalysis.novelty(empty).isEmpty)
     assert(TextAnalysis.qualityCut(empty, 0.1).isEmpty)
     assert(Dedup.clusters(empty, 0.8).isEmpty)
+    assert(CorpusOps.mixtureWeights(empty, 0.5).isEmpty)
+    assert(CorpusOps.temperatureMixture(empty).isEmpty)
   }
 
   test("decontamination: flagged docs are training-side only, overlap bounded") {
