@@ -108,6 +108,8 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, dir) => CorpusOps.packSequences(Tables.documents(s, dir), seqLen = 512)),
     // temperature (τ=2) mixture: sqrt-share re-balancing, fixed-order sums
     "q_temp_mixture" -> ((s, dir) => CorpusOps.temperatureMixture(Tables.documents(s, dir))),
+    // fixed-size consistent sample: smallest-k md5 order per language
+    "q_sample_fixed_k" -> ((s, dir) => CorpusOps.fixedKSample(Tables.documents(s, dir), k = 10)),
 
     // --- chunkers (C5/C6/C7) + index surface (Q3-Q6, Q9, Q10, C9) ---
     "q_chunk_text" -> ((s, dir) => Chunkers.textChunks(Tables.documents(s, dir))),
@@ -301,6 +303,7 @@ object SparkEntry {
     "q_embed_outliers" -> CorpusOps.duckEmbeddingOutliers("documents", 5),
     "q_pack_sequences" -> CorpusOps.duckPackSequences("documents", 512),
     "q_temp_mixture"  -> CorpusOps.duckTemperatureMixture("documents"),
+    "q_sample_fixed_k" -> CorpusOps.duckFixedKSample("documents", 10),
 
     "q_chunk_text"       -> Chunkers.duckTextChunks("documents"),
     "q_chunk_markdown"   -> Chunkers.duckMarkdownSections("documents"),

@@ -319,6 +319,37 @@ object CorpusOps {
        |       (("offset" + ntok - 1) // $seqLen) - ("offset" // $seqLen) + 1 AS n_seqs
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Fixed-size consistent sample: the k docs per language with the
+    * SMALLEST md5(doc_id) — the deterministic complement of the rate-based
+    * [[stratifiedSample]], used where the output must have exact size
+    * (eval slices, human-review batches) rather than an expected rate.
+    * Consistency property: growing the corpus only ever substitutes docs
+    * whose hash beats an existing member's; two engines (or two runs)
+    * always draw the identical set.
+    *
+    * Scale shape: per-lang top-k by hash = a ranking window partitioned by
+    * lang; at 100 TB the same result comes from per-partition top-k + a
+    * k·partitions merge (TakeOrdered per group), which AQE-era Spark plans
+    * from this exact window + filter when k is small.
+    */
+  def fixedKSample(documents: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(asc("h"), asc("doc_id"))
+    documents
+      .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn"), col("doc_id"), col("h"))
+      .orderBy(asc("lang"), asc("rn"))
+  }
+
+  /** DuckDB mirror of [[fixedKSample]]. */
+  def duckFixedKSample(table: String, k: Int): String =
+    s"""WITH h AS (SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h FROM $table),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
+       |      FROM h)
+       |SELECT lang, rn, doc_id, h FROM r WHERE rn <= $k ORDER BY lang, rn""".stripMargin
+
   // --------------------------------------------- embedding-outlier filter
 
   /** Embedding-based outlier filter: the k docs per language whose

@@ -81,6 +81,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed-k sample: exact size per language, consistent under corpus growth") {
+    val full = CorpusOps.fixedKSample(docs, k = 5).collect()
+      .groupBy(_.getAs[String]("lang")).map { case (l, rs) => l -> rs.map(_.getAs[Long]("doc_id")).toSet }
+    full.values.foreach(s => assert(s.size == 5))
+    // consistency: sampling a SUBSET of the corpus keeps every member whose
+    // hash still ranks top-k — the half-corpus sample per lang shares most
+    // members with the full sample restricted to that half
+    val half = CorpusOps.fixedKSample(docs.filter(col("doc_id") % 2 === 0), k = 5).collect()
+      .groupBy(_.getAs[String]("lang")).map { case (l, rs) => l -> rs.map(_.getAs[Long]("doc_id")).toSet }
+    half.foreach { case (lang, ids) =>
+      val fullEven = full(lang).filter(_ % 2 == 0)
+      assert(fullEven.subsetOf(ids), s"$lang: members surviving the cut must stay sampled")
+    }
+  }
+
   test("curation operators tolerate an empty corpus slice") {
     val empty = docs.filter(col("doc_id") < 0)
     assert(CorpusOps.decontaminate(empty).isEmpty)
