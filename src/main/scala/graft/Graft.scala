@@ -33,6 +33,18 @@ object Graft {
     IndexBuild.searchIndex(spark, indexDir, query, maxResults,
       elementType = elementTypes.headOption, fileType = fileType)
 
+  /** [[searchCode]] rendered as the reference's actual tool output — the
+    * joined "Result N (similarity: X.XXX):" text (vector_search_tool
+    * .py:60-78): the string a reference caller receives today. */
+  def searchCodeText(spark: SparkSession, indexDir: String, query: String,
+                     maxResults: Int = 10,
+                     elementTypes: Seq[String] = Nil,
+                     fileType: Option[String] = None): String =
+    IndexBuild.searchElementsText(
+        spark.read.parquet(s"$indexDir/code_elements"), query, maxResults,
+        elementTypes.headOption, fileType)
+      .collect().map(_.getAs[String]("result_text")).mkString("\n")
+
   /** `search_files_tool(query, max_results)` — vector_search_tool.py:289;
     * kNN over `file_summaries`. */
   def searchFiles(spark: SparkSession, indexDir: String, query: String,

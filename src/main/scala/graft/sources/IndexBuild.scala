@@ -200,10 +200,13 @@ object IndexBuild {
     * partial top-k kernel as [[graft.operators.Knn.topK]]. Shared by
     * [[searchIndex]] (stored index) and the oracle analog
     * `IndexOps.searchElements` (freshly built corpus elements), so the
-    * oracle gate exercises the flagship path itself, not a twin. */
-  def searchElementsTable(index: DataFrame, queryText: String, k: Int,
-                          elementType: Option[String] = None,
-                          fileType: Option[String] = None): DataFrame = {
+    * oracle gate exercises the flagship path itself, not a twin.
+    * `rankedElements` keeps every index column plus `sim_raw`;
+    * [[searchElementsTable]] projects the tabular shape,
+    * [[searchElementsText]] renders the reference's string blocks. */
+  private def rankedElements(index: DataFrame, queryText: String, k: Int,
+                             elementType: Option[String] = None,
+                             fileType: Option[String] = None): DataFrame = {
     import graft.functions.VecExprs.dotc
     val spark = index.sparkSession
     val qdf = {
@@ -224,8 +227,28 @@ object IndexBuild {
       .withColumn("sim_raw", dotc(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
       .orderBy(desc("sim_raw"), asc("id"))
       .limit(k)
+  }
+
+  def searchElementsTable(index: DataFrame, queryText: String, k: Int,
+                          elementType: Option[String] = None,
+                          fileType: Option[String] = None): DataFrame =
+    rankedElements(index, queryText, k, elementType, fileType)
       .select(col("id"), col("name"), col("element_type"), col("file_path"),
         round(col("sim_raw"), 6).as("similarity"))
+
+  /** The reference's ACTUAL tool output: ranked hits rendered as
+    * "Result N (similarity: X.XXX):" blocks (vector_search_tool.py:60-78)
+    * through the shared Q8 formatter. The rank window runs over the k
+    * surviving rows only, never the index. */
+  def searchElementsText(index: DataFrame, queryText: String, k: Int,
+                         elementType: Option[String] = None,
+                         fileType: Option[String] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("sim_raw"), asc("id"))
+    graft.operators.IndexOps.formatHits(
+      rankedElements(index, queryText, k, elementType, fileType)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("sim", round(col("sim_raw"), 6)))
   }
 
   /** Q1 over a built index: query text → embed → filtered top-k (the

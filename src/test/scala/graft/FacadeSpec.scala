@@ -27,6 +27,14 @@ class FacadeSpec extends AnyFunSuite {
     assert(hits.forall(_.getAs[String]("file_path").endsWith(".py")))
   }
 
+  test("search_code text output renders the reference's result blocks") {
+    val text = Graft.searchCodeText(spark, indexDir, "process data", maxResults = 3)
+    assert(text.startsWith("Result 1 (similarity: "))
+    assert(text.contains("  Name: ") && text.contains("  Type: ") &&
+      text.contains("  File: ") && text.contains("  Lines: "))
+    assert(text.contains("-" * 50))
+  }
+
   test("search_files returns ranked file summaries") {
     val hits = Graft.searchFiles(spark, indexDir, "markdown documentation", maxResults = 3).collect()
     assert(hits.nonEmpty && hits.length <= 3)
