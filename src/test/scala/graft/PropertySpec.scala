@@ -43,6 +43,35 @@ class PropertySpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("shingle rows match a scala reference model over random corpora") {
+    import spark.implicits._
+    checkProp(forAll(Gen.listOfN(6, Gen.oneOf(text, Gen.const(""), word))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      (2 to 3).forall { n =>
+        val got = graft.functions.TextFns.shingleRowsOf(docs, n).collect()
+          .groupBy(_.getAs[Long]("doc_id"))
+          .map { case (d, rs) => d -> rs.map(_.getAs[String]("s")).sorted.toSeq }
+        val want = texts.zipWithIndex.flatMap { case (t, i) =>
+          val toks = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").split(" ").filter(_.nonEmpty)
+          val sh = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+          if (sh.isEmpty) None else Some(i.toLong -> sh.sorted)
+        }.toMap
+        got == want
+      }
+    }, n = 10)
+  }
+
+  test("hash-uniform sampler draw is stable and within [0,1) for random ids") {
+    import spark.implicits._
+    checkProp(forAll(Gen.listOfN(20, Gen.choose(0L, Long.MaxValue / 2))) { ids =>
+      val df = ids.distinct.map(i => (i, "en", "word soup text")).toDF("doc_id", "lang", "text")
+      // the deterministic keep-decision must be identical across two plans
+      val a = graft.operators.CorpusOps.stratifiedSample(df, 0.5).collect().map(_.toString).toSeq
+      val b = graft.operators.CorpusOps.stratifiedSample(df, 0.5).collect().map(_.toString).toSeq
+      a == b
+    }, n = 5)
+  }
+
   test("content hash (C7) is deterministic and input-sensitive") {
     checkProp(forAll(word, word) { (a, b) =>
       def h(s: String) = CodeElement.make(s, "function", "f.py", 1, 2, s"body of $s").hash
