@@ -21,6 +21,21 @@ object Graft {
   def indexCodebase(spark: SparkSession, rootDir: String, indexDir: String): DataFrame =
     IndexBuild.run(spark, rootDir, indexDir)
 
+  /** Missing-index behavior: the reference's tools degrade gracefully
+    * ("No code index found…", vector_search_tool.py:34-35) instead of
+    * raising — mirror that with an empty, correctly-typed result rather
+    * than an AnalysisException from the parquet reader. */
+  private def tableOrEmpty(spark: SparkSession, path: String): Option[DataFrame] =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) Some(spark.read.parquet(path))
+    else None
+
+  private def emptyResult(spark: SparkSession, schemaDDL: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+
+  private val SearchSchema =
+    "id STRING, name STRING, element_type STRING, file_path STRING, similarity DOUBLE"
+
   /** `search_code_tool(query, max_results, element_types)` —
     * vector_search_tool.py:272; filtered kNN over `code_elements`. The
     * reference accepts a comma-separated element-type list and filters on
@@ -30,8 +45,11 @@ object Graft {
                  maxResults: Int = 10,
                  elementTypes: Seq[String] = Nil,
                  fileType: Option[String] = None): DataFrame =
-    IndexBuild.searchIndex(spark, indexDir, query, maxResults,
-      elementType = elementTypes.headOption, fileType = fileType)
+    tableOrEmpty(spark, s"$indexDir/code_elements") match {
+      case Some(idx) => IndexBuild.searchElementsTable(idx, query, maxResults,
+        elementType = elementTypes.headOption, fileType = fileType)
+      case None => emptyResult(spark, SearchSchema)
+    }
 
   /** [[searchCode]] rendered as the reference's actual tool output — the
     * joined "Result N (similarity: X.XXX):" text (vector_search_tool
@@ -40,27 +58,38 @@ object Graft {
                      maxResults: Int = 10,
                      elementTypes: Seq[String] = Nil,
                      fileType: Option[String] = None): String =
-    IndexBuild.searchElementsText(
-        spark.read.parquet(s"$indexDir/code_elements"), query, maxResults,
-        elementTypes.headOption, fileType)
-      .collect().map(_.getAs[String]("result_text")).mkString("\n")
+    tableOrEmpty(spark, s"$indexDir/code_elements") match {
+      case Some(idx) =>
+        IndexBuild.searchElementsText(idx, query, maxResults,
+            elementTypes.headOption, fileType)
+          .collect().map(_.getAs[String]("result_text")).mkString("\n")
+      case None => "No code index found. Please run indexing first."
+    }
 
   /** `search_files_tool(query, max_results)` — vector_search_tool.py:289;
     * kNN over `file_summaries`. */
   def searchFiles(spark: SparkSession, indexDir: String, query: String,
                   maxResults: Int = 5): DataFrame =
-    IndexBuild.searchSummaries(spark, indexDir, query, maxResults)
+    tableOrEmpty(spark, s"$indexDir/file_summaries") match {
+      case Some(_) => IndexBuild.searchSummaries(spark, indexDir, query, maxResults)
+      case None => emptyResult(spark,
+        "file_path STRING, file_type STRING, element_count BIGINT, similarity DOUBLE")
+    }
 
   /** `get_file_context_tool(file_path, max_elements)` —
     * vector_search_tool.py:297; a file's elements in source order. */
   def getFileContext(spark: SparkSession, indexDir: String, filePath: String,
                      maxElements: Int = 20): DataFrame =
-    spark.read.parquet(s"$indexDir/code_elements")
-      .filter(col("file_path") === filePath)
-      .orderBy(asc("start_line"), asc("id"))
-      .limit(maxElements)
-      .select(col("id"), col("name"), col("element_type"),
-        col("start_line"), col("end_line"), col("docstring"))
+    tableOrEmpty(spark, s"$indexDir/code_elements") match {
+      case Some(idx) => idx
+        .filter(col("file_path") === filePath)
+        .orderBy(asc("start_line"), asc("id"))
+        .limit(maxElements)
+        .select(col("id"), col("name"), col("element_type"),
+          col("start_line"), col("end_line"), col("docstring"))
+      case None => emptyResult(spark,
+        "id STRING, name STRING, element_type STRING, start_line INT, end_line INT, docstring STRING")
+    }
 
   /** `get_diagnostics_tool(file_path, content)` — lsp_tool.py:417; the
     * real per-extension rule banks over one file's lines. */

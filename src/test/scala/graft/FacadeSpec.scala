@@ -63,6 +63,15 @@ class FacadeSpec extends AnyFunSuite {
     assert(nav.nonEmpty)
   }
 
+  test("missing index degrades gracefully like the reference, never throws") {
+    val nowhere = "/tmp/graft_facade_no_such_index"
+    assert(Graft.searchCode(spark, nowhere, "q").isEmpty)
+    assert(Graft.searchFiles(spark, nowhere, "q").isEmpty)
+    assert(Graft.getFileContext(spark, nowhere, "a.py").isEmpty)
+    assert(Graft.searchCodeText(spark, nowhere, "q") ==
+      "No code index found. Please run indexing first.")
+  }
+
   test("sandboxed read_file / write_file round-trip, escapes rejected") {
     val sb = new Sandbox(Files.createTempDirectory("graft_facade_sb").toString)
     assert(Graft.writeFile(sb, "a/b.txt", "hello").isRight)
