@@ -49,6 +49,14 @@ object SparkEntry {
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
         k = 3).withColumn("rn", col("rn").cast("long"))),
 
+    // same semantics through the NATIVE bounded-heap operator
+    // (graft.plans.TopKPerKey): custom LogicalPlan + Strategy + SparkPlan
+    "q_knn_multi_native" -> ((s, dir) =>
+      Knn.multiTopKNative(emb(s, dir),
+        emb(s, dir).filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        k = 3)),
+
     // Sub-linear path: sign-bucket LSH prune before ranking.
     "q_knn_lsh" -> ((s, dir) =>
       Knn.topKLsh(emb(s, dir), qvec(s, dir), k = 10, bits = 4)),
@@ -211,6 +219,17 @@ object SparkEntry {
          |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 5""".stripMargin,
 
     "q_knn_multi" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT q.qid, e.vec_id, $cosEQ AS sim_raw
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, sim_raw,
+         |             row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rn
+         |      FROM s)
+         |SELECT qid, vec_id, round(sim_raw, 6) AS sim, rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // identical SQL: the native operator must answer the window's oracle
+    "q_knn_multi_native" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 16),
          |s AS (SELECT q.qid, e.vec_id, $cosEQ AS sim_raw
          |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),

@@ -72,8 +72,10 @@ object Knn {
     * shuffle is partitioned by qid — at scale that is |queries| independent
     * top-k heaps, no global sort.
     */
-  def multiTopK(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(desc("sim_raw"), asc("vec_id"))
+  /** Shared multi-query scoring subtree: every (query, index) pair scored,
+    * no ranking yet — consumed by the window formulation ([[multiTopK]])
+    * and the native bounded-heap operator ([[multiTopKNative]]). */
+  private def multiScored(index: DataFrame, queries: DataFrame): DataFrame = {
     val q = queries.select(
       col("qid"),
       col("qv").cast("array<double>").as("qe"))
@@ -84,8 +86,29 @@ object Knn {
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn")))
+  }
+
+  def multiTopK(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("sim_raw"), asc("vec_id"))
+    multiScored(index, queries)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), round(col("sim_raw"), 6).as("sim"), col("rn"))
+      .orderBy(asc("qid"), asc("rn"))
+  }
+
+  /** [[multiTopK]] through the native [[graft.plans.TopKPerKey]] operator:
+    * same rows, but the per-key pruning is a bounded heap inside each task
+    * instead of WindowExec's full partition sort — the rank window that
+    * follows runs over ≤ k·|queries| survivors only. */
+  def multiTopKNative(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val pruned = graft.plans.TopKPerKey.perKey(
+      multiScored(index, queries).select(col("qid"), col("vec_id"), col("sim_raw")),
+      keyCols = Seq("qid"),
+      orderCols = Seq(("sim_raw", false), ("vec_id", true)), k = k)
+    val w = Window.partitionBy("qid").orderBy(desc("sim_raw"), asc("vec_id"))
+    pruned
+      .withColumn("rn", row_number().over(w).cast("long"))
       .select(col("qid"), col("vec_id"), round(col("sim_raw"), 6).as("sim"), col("rn"))
       .orderBy(asc("qid"), asc("rn"))
   }

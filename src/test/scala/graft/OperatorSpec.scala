@@ -32,6 +32,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.map(_.getAs[String]("bucket")).toSet.size == 1)
   }
 
+  test("native top-k-per-key operator matches the window formulation, plans no sort") {
+    val queries = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val viaWindow = Knn.multiTopK(emb, queries, k = 3)
+      .withColumn("rn", col("rn").cast("long")).collect().map(_.toString).toSeq
+    val native = Knn.multiTopKNative(emb, queries, k = 3)
+    val viaNative = native.collect().map(_.toString).toSeq
+    assert(viaNative == viaWindow && viaNative.nonEmpty)
+    // AQE prints the final plan first, then an "Initial Plan" dump — only
+    // the executed (final) section is evidence
+    val plan = native.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toVector
+    val pruneIdx = plan.indexWhere(_.contains("TopKPerKey "))
+    assert(pruneIdx >= 0, s"custom operator not planned:\n${plan.mkString("\n")}")
+    // the heap prune consumes the exchange directly — no SortExec below it
+    val sortBelow = plan.drop(pruneIdx).indexWhere(_.contains("Sort "))
+    assert(sortBelow == -1, s"unexpected sort under the heap prune:\n${plan.mkString("\n")}")
+  }
+
   test("multiprobe LSH: buckets within hamming-1 of home, recall dominates single-probe") {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val single = Knn.topKLsh(emb, q, 10, bits = 4).collect()
