@@ -334,11 +334,15 @@ object CorpusOps {
     */
   def fixedKSample(documents: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // per-lang pruning via the native bounded-heap operator — no per-lang
+    // sort of the corpus; the rank window runs over ≤ k·|langs| survivors
+    val pruned = graft.plans.TopKPerKey.perKey(
+      documents.select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h")),
+      keyCols = Seq("lang"), orderCols = Seq(("h", true), ("doc_id", true)), k = k)
     val w = Window.partitionBy("lang").orderBy(asc("h"), asc("doc_id"))
-    documents
-      .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))
+    pruned
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
       .select(col("lang"), col("rn"), col("doc_id"), col("h"))
       .orderBy(asc("lang"), asc("rn"))
   }
@@ -385,9 +389,13 @@ object CorpusOps {
       .groupBy("doc_id", "lang").agg(sum(col("cnt") * col("csum")).cast("double").as("dot"))
     val sim = dots.join(dn, Seq("doc_id", "lang")).join(broadcast(cn), "lang")
       .withColumn("sim_raw", col("dot") / (col("dn") * col("cn")))
+    // bottom-k per lang through the native bounded-heap operator; the rank
+    // window then touches ≤ k·|langs| rows
+    val pruned = graft.plans.TopKPerKey.perKey(
+      sim.select(col("lang"), col("doc_id"), col("sim_raw")),
+      keyCols = Seq("lang"), orderCols = Seq(("sim_raw", true), ("doc_id", true)), k = k)
     val w = Window.partitionBy("lang").orderBy(asc("sim_raw"), asc("doc_id"))
-    sim.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    pruned.withColumn("rn", row_number().over(w).cast("long"))
       .select(col("lang"), col("doc_id"), round(col("sim_raw"), 6).as("sim"), col("rn"))
       .orderBy(asc("lang"), asc("rn"))
   }
