@@ -72,6 +72,43 @@ class PropertySpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("native top-k-per-key equals the window formulation on adversarial random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // small value range forces heavy ties; ids are the unique tiebreak;
+    // k sometimes exceeds group sizes; some keys absent from some partitions
+    val rows = Gen.listOfN(120,
+      for { key <- Gen.choose(0, 5); v <- Gen.choose(0, 3) } yield (key, v))
+    checkProp(forAll(rows, Gen.choose(1, 8)) { (data, k) =>
+      val df = data.zipWithIndex.map { case ((key, v), id) => (key, v, id.toLong) }
+        .toDF("key", "v", "id")
+      val viaWindow = df.withColumn("rn",
+          row_number().over(Window.partitionBy("key").orderBy(desc("v"), asc("id"))))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      val viaNative = graft.plans.TopKPerKey.perKey(df,
+          Seq("key"), Seq(("v", false), ("id", true)), k)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      viaNative == viaWindow
+    }, n = 8)
+  }
+
+  test("native top-k-per-key null ordering matches the window default") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1, Some(5), 1L), (1, None, 2L), (1, Some(7), 3L), (1, None, 4L),
+      (2, None, 5L), (2, Some(1), 6L))
+      .toDF("key", "v", "id")
+    val viaWindow = df.withColumn("rn",
+        row_number().over(Window.partitionBy("key").orderBy(desc("v"), asc("id"))))
+      .filter(col("rn") <= 2).drop("rn")
+      .collect().map(_.toString).toSet
+    val viaNative = graft.plans.TopKPerKey.perKey(df,
+        Seq("key"), Seq(("v", false), ("id", true)), 2)
+      .collect().map(_.toString).toSet
+    assert(viaNative == viaWindow)
+  }
+
   test("content hash (C7) is deterministic and input-sensitive") {
     checkProp(forAll(word, word) { (a, b) =>
       def h(s: String) = CodeElement.make(s, "function", "f.py", 1, 2, s"body of $s").hash
