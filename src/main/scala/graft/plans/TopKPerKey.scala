@@ -50,6 +50,49 @@ object TopKPerKey {
     }
   }
 
+  /** Optimizer rewrite (mechanism: `Rule[LogicalPlan]` via
+    * `experimental.extraOptimizations`): any
+    * `Filter(row_number <= k, Window(row_number() OVER (PARTITION BY …
+    * ORDER BY …)))` — the idiom every per-group top-k query in this
+    * engine writes — gets a [[Node]] inserted UNDER the window, so the
+    * heavy relation is heap-pruned before WindowExec ranks the ≤ k-per-key
+    * survivors. The filter and window stay in place (the recomputed
+    * row_number over exactly the surviving rows is identical), which is
+    * what makes the rewrite semantics-preserving by construction. Opt-in
+    * per session: [[enableRewrite]] / [[disableRewrite]].
+    */
+  object Rewrite extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+
+    private def limitOf(cond: Expression, rn: ExprId): Option[Int] = cond match {
+      case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn => Some(k)
+      case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn => Some(k - 1)
+      case EqualTo(a: AttributeReference, IntegerLiteral(1)) if a.exprId == rn => Some(1)
+      case _ => None
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond,
+          w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+            partSpec, orderSpec, child, _))
+          if partSpec.nonEmpty && orderSpec.nonEmpty &&
+            !child.isInstanceOf[Node] && limitOf(cond, alias.exprId).exists(_ > 0) =>
+        val k = limitOf(cond, alias.exprId).get
+        f.copy(child = w.copy(child = Node(partSpec, orderSpec, k, child)))
+    }
+  }
+
+  /** Turn the window-top-k auto-rewrite on for a session (registers the
+    * planner strategy too — the rewrite plans [[Node]]s). */
+  def enableRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Bridge.addStrategy(spark, Strategy)
+    Bridge.addOptimization(spark, Rewrite)
+  }
+
+  def disableRewrite(spark: org.apache.spark.sql.SparkSession): Unit =
+    Bridge.removeOptimization(spark, Rewrite)
+
   /** Public entry: top-k rows per key by the given ordering.
     * `orderCols`: (column name, ascending?) — include a unique tiebreak.
     * Registers [[Strategy]] on the session (idempotent) and wraps the

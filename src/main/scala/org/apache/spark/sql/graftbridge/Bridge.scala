@@ -29,4 +29,16 @@ object Bridge {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
+
+  /** Idempotent optimizer-rule registration; remove re-enables the stock plan. */
+  def addOptimization(spark: SparkSession, r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ r
+  }
+
+  def removeOptimization(spark: SparkSession, r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.experimental.extraOptimizations = cs.experimental.extraOptimizations.filterNot(_ == r)
+  }
 }

@@ -51,6 +51,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(sortBelow == -1, s"unexpected sort under the heap prune:\n${plan.mkString("\n")}")
   }
 
+  test("window-top-k auto-rewrite: same rows, heap prune inserted under the window") {
+    def q() = Relational.windowTopK(spark, TestSpark.sf)
+    val stock = q().collect().map(_.toString).toSeq
+    graft.plans.TopKPerKey.enableRewrite(spark)
+    try {
+      val rewritten = q()
+      assert(rewritten.collect().map(_.toString).toSeq == stock && stock.nonEmpty)
+      val plan = rewritten.queryExecution.executedPlan.toString
+        .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toVector
+      val prune = plan.indexWhere(_.contains("TopKPerKey "))
+      assert(prune >= 0, s"rewrite did not fire:\n${plan.mkString("\n")}")
+      // the window still ranks — but only the pruned survivors reach it
+      assert(plan.take(prune).exists(_.contains("Window")),
+        s"window must remain above the prune:\n${plan.mkString("\n")}")
+    } finally graft.plans.TopKPerKey.disableRewrite(spark)
+  }
+
   test("multiprobe LSH: buckets within hamming-1 of home, recall dominates single-probe") {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val single = Knn.topKLsh(emb, q, 10, bits = 4).collect()
