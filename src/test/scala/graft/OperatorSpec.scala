@@ -65,6 +65,13 @@ class OperatorSpec extends AnyFunSuite {
       // the window still ranks — but only the pruned survivors reach it
       assert(plan.take(prune).exists(_.contains("Window")),
         s"window must remain above the prune:\n${plan.mkString("\n")}")
+      // the rn = 1 (argmax-per-group) form rewrites too
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
+      val argmax = docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      assert(argmax.queryExecution.executedPlan.toString.contains("TopKPerKey "),
+        "rn = 1 form must rewrite")
+      assert(argmax.count() == docs.select("lang").distinct().count())
     } finally graft.plans.TopKPerKey.disableRewrite(spark)
   }
 
