@@ -84,6 +84,10 @@ object SparkEntry {
     // connected components over the near-dup pair graph → canonical keepers
     "q_dedup_clusters" -> ((s, dir) => Dedup.clusters(Tables.documents(s, dir), threshold = 0.8)),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), threshold = 0.5)),
+    // df-capped variant: stopword-shingles cut from candidate generation —
+    // the scale path (bounded fan-out) vs the exact-recall baseline above
+    "q_dedup_ngram_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardCapped(Tables.documents(s, dir), threshold = 0.5, maxDf = 20)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_embed" -> ((s, dir) => Dedup.embedCosine(Tables.documents(s, dir), threshold = 0.95)),
     // composed pretraining-data funnel: quality → exact dedup → near-dup
@@ -305,6 +309,7 @@ object SparkEntry {
     "q_dedup_minhash" -> Dedup.duckMinhashSql("documents", 0.8),
     "q_dedup_clusters" -> Dedup.duckClustersSql("documents", 0.8),
     "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),
+    "q_dedup_ngram_capped" -> Dedup.duckNgramCappedSql("documents", 0.5, 20),
     "q_dedup_simhash" -> Dedup.duckSimhashSql("documents", 0.5),
     "q_dedup_embed"   -> Dedup.duckEmbedCosine("documents", 0.95),
     "q_curation"      -> Curation.duckCurate("documents", 0.45, 0.8),

@@ -387,7 +387,11 @@ object CorpusOps {
       .agg(sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("dn"))
     val dots = h.join(broadcast(cent), Seq("lang", "bucket"))
       .groupBy("doc_id", "lang").agg(sum(col("cnt") * col("csum")).cast("double").as("dot"))
-    val sim = dots.join(dn, Seq("doc_id", "lang")).join(broadcast(cn), "lang")
+    // hint("merge") on dn: both dots and dn are doc-cardinality aggregates
+    // over the cached h, and a cached aggregate's pre-materialization size
+    // estimate can plan a locked-in BroadcastHashJoin of a corpus-sized
+    // relation (the simhash/novelty lesson) — pin the doc-keyed join to SMJ.
+    val sim = dots.join(dn.hint("merge"), Seq("doc_id", "lang")).join(broadcast(cn), "lang")
       .withColumn("sim_raw", col("dot") / (col("dn") * col("cn")))
     // bottom-k per lang through the native bounded-heap operator; the rank
     // window then touches ≤ k·|langs| rows

@@ -167,9 +167,11 @@ object Dedup {
         .select(col("a").as("node"), col("mn"))
       // materialized: the pointer-jump below reads `stepped` TWICE (probe
       // and parent side); without this the edges-join + min agg would
-      // execute twice per round (CLAUDE.md cache rule)
+      // execute twice per round (CLAUDE.md cache rule). `prev` (the
+      // round-start label) rides along so convergence is a column compare,
+      // not a join back to the previous checkpoint.
       val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
         .localCheckpoint()
       // Pointer jumping: also take the label OF the current label
@@ -180,15 +182,17 @@ object Dedup {
       // O(log n) convergence on ANY component shape — a path of 2^20
       // nodes converges in ~20 rounds, not 2^20.
       val parent = stepped.select(col("node").as("pnode"), col("label").as("plabel"))
+      // LAZY checkpoint + count as the materializing action: one job both
+      // truncates lineage and answers "did any label change this round?" —
+      // replacing the eager checkpoint PLUS join-back isEmpty probe (two
+      // jobs and a shuffle) of the original loop (round-3 verdict #5).
       val next = stepped
         .join(parent, stepped("label") === parent("pnode"), "left")
-        .select(stepped("node"),
+        .select(stepped("node"), stepped("prev"),
           least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
-        .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("label") =!= col("prev")).count() == 0
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
     // never emit a silently-unconverged labeling: only sf0.01 passes the
@@ -221,6 +225,40 @@ object Dedup {
       .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
     jaccardTail(inter, sizes, threshold)
   }
+
+  /** Df-capped n-gram Jaccard — [[ngramJaccard]] with the quadratic edge
+    * removed: shingles with document frequency > `maxDf` are dropped from
+    * CANDIDATE GENERATION (the standard stopword-shingle cut), bounding the
+    * per-shingle fan-out of the inverted-index self-join to maxDf² rows —
+    * O(|shingles|·maxDf) total instead of O(Σ f²), the shape that survives
+    * a 100× corpus where the head shingle appears in millions of docs.
+    *
+    * The Jaccard VERIFY still runs over the FULL shingle sets
+    * (candidate-first, [[jaccardOf]]), so every emitted pair carries the
+    * exact uncapped Jaccard — the cap only costs recall for pairs whose
+    * shared shingles are ALL frequent, which a ≥-threshold near-dup pair
+    * essentially never is (near-identical docs share their rare shingles).
+    * Recall vs the exact baseline is measurable by diffing against
+    * [[ngramJaccard]]; at the oracle scales the outputs are identical.
+    */
+  def ngramJaccardCapped(documents: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
+    val sh = shingleRows(documents, 3)
+    val rare = sh.join(
+      sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select("s"), "s")
+    val cand = rare.select(col("doc_id").as("d1"), col("s"))
+      .join(rare.select(col("doc_id").as("d2"), col("s")), "s")
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    jaccardOf(sh, cand, threshold)
+  }
+
+  def duckNgramCappedSql(table: String, threshold: Double, maxDf: Int): String =
+    s"""WITH ${duckSh(table)},
+       |rare AS (SELECT sh.doc_id, sh.s FROM sh
+       |         JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= $maxDf) f USING (s)),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin
 
   /** Embedding-cosine near-dup: hashing-embedder vectors (integer bucket
     * counts → exact arithmetic), sign-presence LSH prune on the first `bits`

@@ -100,11 +100,27 @@ object IndexBuild {
     }
     val tmp = s"$indexDir/code_elements_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    swapInto(spark, tmp, target)
+  }
+
+  /** Crash-safe table swap: rename the live table ASIDE first (target →
+    * target_old, tmp → target, delete target_old) instead of
+    * delete-then-rename — a crash mid-swap leaves either the old or the new
+    * table recoverable on disk, never neither. The non-atomic visibility
+    * window for concurrent readers shrinks to the instant between the two
+    * renames (a real deployment would put a format with atomic commit —
+    * table-format metadata pointers — under this seam; the swap ORDER here
+    * is the part that must be right either way). */
+  private def swapInto(spark: SparkSession, tmp: String, target: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val t = new org.apache.hadoop.fs.Path(target)
-    if (fs.exists(t)) fs.delete(t, true)
+    val old = new org.apache.hadoop.fs.Path(target + "_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadPrev = fs.exists(t)
+    if (hadPrev) fs.rename(t, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), t)
+    if (hadPrev) fs.delete(old, true)
   }
 
   /** Small-file compaction for an index table: every incremental upsert /
@@ -125,8 +141,7 @@ object IndexBuild {
     val tmp = s"$indexDir/${table}_compact_tmp"
     spark.read.parquet(target).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    fs.delete(t, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), t)
+    swapInto(spark, tmp, target)
   }
 
   /** C9/S7: per-file summary table, with the summary string embedded so the

@@ -199,6 +199,11 @@ object StreamOps {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
       .filter(col("doc_id") % benchMod =!= 0)
+    // overlapOf's output schema is static — derive it from a zero-row plan
+    // (analysis only, no job) so the read-back below works even when no
+    // micro-batch wrote a file (clean corpus → empty dir would otherwise
+    // throw a schema-inference AnalysisException)
+    val outSchema = CorpusOps.overlapOf(shingleRowsOf(docs.limit(0), n), bsh).schema
     withShufflePartitions(spark, 4) {
       val q = stream.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -209,7 +214,19 @@ object StreamOps {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.read.parquet(outDir).orderBy("doc_id")
+    // materialize off the temp files (result is per-doc metric rows — the
+    // same cardinality the memory sink would hold), then delete the dir:
+    // the scratch parquet must not outlive the query
+    val out = spark.read.schema(outSchema).parquet(outDir)
+      .orderBy("doc_id").localCheckpoint()
+    deleteRecursively(new java.io.File(outDir))
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   /** Stream-stream interval join: purchases attributed to a prior view by
