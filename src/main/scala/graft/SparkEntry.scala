@@ -70,6 +70,13 @@ object SparkEntry {
       Knn.topKIvf(emb(s, dir), qvec(s, dir), k = 10,
         numCentroids = 16, nprobe = 4, excludeId = Some(0L))),
 
+    // Measured recall@10 of every ANN variant vs exact top-k over a fixed
+    // 16-query set — the parameters mirror the engine's query defaults
+    // (bits=4 as q_knn_lsh, 16 centroids / nprobe=4 as q_knn_ivf).
+    "q_knn_recall" -> ((s, dir) =>
+      graft.operators.KnnRecall.annRecall(emb(s, dir), k = 10, nQueries = 16,
+        bits = 4, numCentroids = 16, nprobe = 4)),
+
     // Near-duplicate detection over embeddings: exact all-pairs θ-join.
     "q_sim_join_exact" -> ((s, dir) =>
       Knn.simJoinExact(emb(s, dir), threshold = 0.4)),
@@ -304,6 +311,9 @@ object SparkEntry {
          |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT bucket, v1, v2, round(sim_raw, 6) AS sim
          |FROM s WHERE sim_raw >= 0.3 ORDER BY sim DESC, v1, v2""".stripMargin,
+
+    "q_knn_recall" -> graft.operators.KnnRecall.duckAnnRecall("embeddings",
+      k = 10, nQueries = 16, bits = 4, numCentroids = 16, nprobe = 4),
 
     "q_dedup_exact"   -> Dedup.duckExact("documents"),
     "q_dedup_minhash" -> Dedup.duckMinhashSql("documents", 0.8),

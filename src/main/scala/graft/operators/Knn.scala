@@ -75,7 +75,7 @@ object Knn {
   /** Shared multi-query scoring subtree: every (query, index) pair scored,
     * no ranking yet — consumed by the window formulation ([[multiTopK]])
     * and the native bounded-heap operator ([[multiTopKNative]]). */
-  private def multiScored(index: DataFrame, queries: DataFrame): DataFrame = {
+  private[operators] def multiScored(index: DataFrame, queries: DataFrame): DataFrame = {
     val q = queries.select(
       col("qid"),
       col("qv").cast("array<double>").as("qe"))

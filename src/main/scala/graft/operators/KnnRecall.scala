@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VecExprs.dotc
+import graft.functions.VectorFns.{duckCosine, duckSignBucket, signBucket}
+
+/** Recall accounting for the approximate-nearest-neighbor paths — the
+  * measurement the production ANN story needs and the reference never took
+  * (it delegates to ChromaDB's HNSW and reports whatever comes back,
+  * /root/reference/coding_agent/tools/vector_search_tool.py:42-46; recall is
+  * never quantified there).
+  *
+  * For a fixed deterministic query set (`vec_id < nQueries`, self excluded
+  * everywhere), each ANN variant's top-k is compared as a SET of
+  * (qid, vec_id) pairs against the exact top-k: one output row per variant
+  * with returned/hit/expected counts and recall@k. Everything is integer
+  * counts until the final divide, so the result is engine-exact and
+  * oracle-gated like any other query — recall claims in SCALE.md are
+  * measurements, not assertions.
+  *
+  * Scale shape: each variant is its own sub-linear probe plan (the same
+  * plans [[Knn.topKLsh]] / [[Knn.topKLshMultiprobe]] / [[Knn.topKIvf]] run
+  * per query, batched per-qid via a rank window); the exact side is the
+  * [[Knn.multiTopK]] batch kernel. The set-intersection join runs on
+  * ≤ nQueries·k rows per side — driver-free, broadcast-safe by cardinality
+  * construction. At 100 TB this is the query you run on a SAMPLE of queries
+  * to pick (bits, nprobe) before committing a layout; the per-variant
+  * parameters here mirror the engine's query defaults exactly.
+  */
+object KnnRecall {
+
+  private def sim(e1: Column, n1: Column, e2: Column, n2: Column): Column =
+    dotc(e1, e2) / (n1 * n2)
+
+  /** Per-qid top-k of `scored` (columns qid, vec_id, sim_raw) as bare
+    * (qid, vec_id) pairs — ordering matches every kNN oracle (raw sim desc,
+    * vec_id tiebreak). */
+  private def topPairs(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("sim_raw"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** One row per ANN variant: (variant, n_returned, n_hits, n_expected,
+    * recall) — recall@k vs the exact top-k over the same query set. */
+  def annRecall(index: DataFrame, k: Int, nQueries: Int,
+                bits: Int, numCentroids: Int, nprobe: Int): DataFrame = {
+    val q = index.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+      .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
+      .withColumn("qbucket", signBucket(col("qe"), bits))
+
+    val e = index
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+
+    // exact baseline: the multiTopK batch kernel's scoring subtree
+    val exact = topPairs(
+      Knn.multiScored(index, q.select(col("qid"), col("qe").as("qv"))), k)
+      .cache() // referenced twice: intersection probe + expected-count agg
+
+    // sign-LSH: candidates share the query's home bucket
+    val lsh = topPairs(
+      e.withColumn("bucket", signBucket(col("ed"), bits))
+        .join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+        .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
+
+    // multi-probe LSH: home bucket + every hamming-1 shell
+    val flips = (1 to bits).map { i =>
+      concat(
+        substring(col("qbucket"), 1, i - 1),
+        when(substring(col("qbucket"), i, 1) === "1", "0").otherwise("1"),
+        substring(col("qbucket"), i + 1, bits - i))
+    }
+    val probes = q.select(col("qid"), col("qe"), col("qn"),
+      explode(array(col("qbucket") +: flips: _*)).as("pbucket"))
+    val mp = topPairs(
+      e.withColumn("bucket", signBucket(col("ed"), bits))
+        .join(broadcast(probes), col("bucket") === col("pbucket") && col("vec_id") =!= col("qid"))
+        .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
+
+    // IVF: per-qid top-nprobe centroid shortlist, then probe those clusters
+    val cent = e.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
+    val assigned = Knn.ivfAssign(index, numCentroids)
+    val wProbe = Window.partitionBy("qid").orderBy(desc("qsim"), asc("cid"))
+    val iprobes = cent.crossJoin(broadcast(q.select(col("qid"), col("qe"), col("qn"))))
+      .withColumn("qsim", sim(col("ce"), col("cn"), col("qe"), col("qn")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("cid").as("pcid"), col("qe"), col("qn"))
+    val ivf = topPairs(
+      assigned.join(broadcast(iprobes),
+          col("cluster") === col("pcid") && col("vec_id") =!= col("qid"))
+        .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
+
+    val ann = lsh.withColumn("variant", lit("lsh"))
+      .unionByName(mp.withColumn("variant", lit("lsh_multiprobe")))
+      .unionByName(ivf.withColumn("variant", lit("ivf")))
+
+    val nExpected = exact.agg(count(lit(1)).as("n_expected"))
+    ann.join(exact.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(nExpected))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_expected").cast("double"), 6))
+      .select(col("variant"), col("n_returned"), col("n_hits"),
+        col("n_expected"), col("recall"))
+      .orderBy("variant")
+  }
+
+  /** DuckDB mirror of [[annRecall]]. */
+  def duckAnnRecall(table: String, k: Int, nQueries: Int,
+                    bits: Int, numCentroids: Int, nprobe: Int): String = {
+    val cosEQ = duckCosine("e.embedding", "q.qv")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+       |                  ${duckSignBucket("embedding", bits)} AS qbucket
+       |           FROM $table WHERE vec_id < $nQueries),
+       |ex AS (SELECT qid, vec_id FROM (
+       |         SELECT q.qid, e.vec_id,
+       |                row_number() OVER (PARTITION BY q.qid
+       |                  ORDER BY $cosEQ DESC, e.vec_id) AS rn
+       |         FROM $table e CROSS JOIN q WHERE e.vec_id <> q.qid) t
+       |       WHERE rn <= $k),
+       |lsh AS (SELECT qid, vec_id FROM (
+       |          SELECT q.qid, e.vec_id,
+       |                 row_number() OVER (PARTITION BY q.qid
+       |                   ORDER BY $cosEQ DESC, e.vec_id) AS rn
+       |          FROM $table e JOIN q
+       |          ON ${duckSignBucket("e.embedding", bits)} = q.qbucket
+       |          AND e.vec_id <> q.qid) t
+       |        WHERE rn <= $k),
+       |probes AS (
+       |  SELECT qid, qv, qbucket AS pbucket FROM q
+       |  UNION ALL
+       |  SELECT qid, qv,
+       |         concat(substr(qbucket, 1, i - 1),
+       |                CASE WHEN substr(qbucket, i, 1) = '1' THEN '0' ELSE '1' END,
+       |                substr(qbucket, i + 1)) AS pbucket
+       |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, $bits)) AS i)),
+       |mp AS (SELECT qid, vec_id FROM (
+       |         SELECT p.qid, e.vec_id,
+       |                row_number() OVER (PARTITION BY p.qid
+       |                  ORDER BY ${duckCosine("e.embedding", "p.qv")} DESC, e.vec_id) AS rn
+       |         FROM $table e JOIN probes p
+       |         ON ${duckSignBucket("e.embedding", bits)} = p.pbucket
+       |         AND e.vec_id <> p.qid) t
+       |       WHERE rn <= $k),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce FROM $table WHERE vec_id < $numCentroids),
+       |asg AS (SELECT e.vec_id, e.embedding, c.cid,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
+       |        FROM $table e CROSS JOIN cent c),
+       |a AS (SELECT vec_id, embedding, cid AS cluster FROM asg WHERE crn = 1),
+       |iprobes AS (SELECT qid, qv, pcid FROM (
+       |              SELECT q.qid, q.qv, c.cid AS pcid,
+       |                     row_number() OVER (PARTITION BY q.qid
+       |                       ORDER BY ${duckCosine("c.ce", "q.qv")} DESC, c.cid) AS prn
+       |              FROM cent c CROSS JOIN q) t
+       |            WHERE prn <= $nprobe),
+       |ivf AS (SELECT qid, vec_id FROM (
+       |          SELECT p.qid, a.vec_id,
+       |                 row_number() OVER (PARTITION BY p.qid
+       |                   ORDER BY ${duckCosine("a.embedding", "p.qv")} DESC, a.vec_id) AS rn
+       |          FROM a JOIN iprobes p ON a.cluster = p.pcid
+       |          WHERE a.vec_id <> p.qid) t
+       |        WHERE rn <= $k),
+       |ann AS (SELECT 'lsh' AS variant, qid, vec_id FROM lsh
+       |        UNION ALL SELECT 'lsh_multiprobe', qid, vec_id FROM mp
+       |        UNION ALL SELECT 'ivf', qid, vec_id FROM ivf),
+       |m AS (SELECT a.variant, count(*) AS n_returned,
+       |             sum(CASE WHEN e.qid IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+       |      FROM ann a LEFT JOIN ex e ON e.qid = a.qid AND e.vec_id = a.vec_id
+       |      GROUP BY a.variant),
+       |nexp AS (SELECT count(*) AS n_expected FROM ex)
+       |SELECT m.variant, CAST(m.n_returned AS BIGINT) AS n_returned,
+       |       CAST(m.n_hits AS BIGINT) AS n_hits,
+       |       CAST(n.n_expected AS BIGINT) AS n_expected,
+       |       round(CAST(m.n_hits AS DOUBLE) / CAST(n.n_expected AS DOUBLE), 6) AS recall
+       |FROM m CROSS JOIN nexp n ORDER BY m.variant""".stripMargin
+  }
+}

@@ -331,6 +331,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(sim - p.getAs[Double]("sim")) < 1e-6)
   }
 
+  test("ANN recall accounting: bounds hold and exhaustive IVF probing recovers recall 1.0") {
+    val r = KnnRecall.annRecall(emb, k = 10, nQueries = 8,
+      bits = 4, numCentroids = 16, nprobe = 4).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("ivf", "lsh", "lsh_multiprobe"))
+    r.foreach { row =>
+      val (ret, hits, exp, rec) = (row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
+      assert(exp == 80, s"exact side must return k rows per query, got $exp")
+      assert(ret <= exp && hits <= ret && rec >= 0.0 && rec <= 1.0, row.toString)
+    }
+    // probing every centroid degenerates IVF to exact search — recall must
+    // be exactly 1.0 (the invariant that proves the probe plumbing loses
+    // nothing beyond the cluster shortlist)
+    val full = KnnRecall.annRecall(emb, k = 10, nQueries = 8,
+      bits = 4, numCentroids = 16, nprobe = 16).collect()
+      .find(_.getString(0) == "ivf").get
+    assert(full.getDouble(4) == 1.0, s"exhaustive IVF not exact: $full")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("upsert merge: every key appears once, overridden keys take v2") {
     val m = IndexOps.upsertMerge(docs)
     assert(m.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
