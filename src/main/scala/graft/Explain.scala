@@ -18,6 +18,8 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (!sys.env.get("SPARK_GRAFT_REWRITE").contains("0"))
+      graft.plans.TopKPerKey.enableRewrite(spark)
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -8,6 +8,8 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (!sys.env.get("SPARK_GRAFT_REWRITE").contains("0"))
+      graft.plans.TopKPerKey.enableRewrite(spark)
     for (n <- args.drop(1); rep <- 1 to 6) {
       val t0 = System.nanoTime()
       // toRdd.count(): full final projection (plain count() lets Catalyst

@@ -343,6 +343,9 @@ object CorpusOps {
     val w = Window.partitionBy("lang").orderBy(asc("h"), asc("doc_id"))
     pruned
       .withColumn("rn", row_number().over(w).cast("long"))
+      // re-prune: native operator emits a superset under memory-pressure
+      // flushes (TopKPerKey contract); the filter restores exact top-k
+      .filter(col("rn") <= k)
       .select(col("lang"), col("rn"), col("doc_id"), col("h"))
       .orderBy(asc("lang"), asc("rn"))
   }
@@ -400,6 +403,9 @@ object CorpusOps {
       keyCols = Seq("lang"), orderCols = Seq(("sim_raw", true), ("doc_id", true)), k = k)
     val w = Window.partitionBy("lang").orderBy(asc("sim_raw"), asc("doc_id"))
     pruned.withColumn("rn", row_number().over(w).cast("long"))
+      // re-prune: native operator emits a superset under memory-pressure
+      // flushes (TopKPerKey contract); the filter restores exact bottom-k
+      .filter(col("rn") <= k)
       .select(col("lang"), col("doc_id"), round(col("sim_raw"), 6).as("sim"), col("rn"))
       .orderBy(asc("lang"), asc("rn"))
   }

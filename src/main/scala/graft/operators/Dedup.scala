@@ -242,14 +242,46 @@ object Dedup {
     * [[ngramJaccard]]; at the oracle scales the outputs are identical.
     */
   def ngramJaccardCapped(documents: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
-    val sh = shingleRows(documents, 3)
-    val rare = sh.join(
-      sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select("s"), "s")
-    val cand = rare.select(col("doc_id").as("d1"), col("s"))
-      .join(rare.select(col("doc_id").as("d2"), col("s")), "s")
+    // df via `count OVER (PARTITION BY s)` — NOT groupBy + join-back: the
+    // join-back form plans the cached-relation-derived aggregate as a
+    // locked-in broadcast build side on BOTH self-join sides and computes
+    // it twice (the CLAUDE.md group-aggregate rule; measured 8.6 s at
+    // sf0.1). One cached relation carries (doc_id, s, df); rare/freq are
+    // cheap filters over it.
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val shDf = graft.functions.TextFns.shingleRowsOf(documents, 3).distinct()
+      .withColumn("df", count(lit(1)).over(wS))
+      .cache()
+    val rare = shDf.filter(col("df") <= maxDf)
+    val freq = shDf.filter(col("df") > maxDf)
+    // Pass 1 — the bounded quadratic: self-join the RARE partition on s and
+    // count shared-rare-shingles in the SAME pass (the single-pass trick of
+    // [[ngramJaccard]]; a separate candidate-distinct + full re-expansion
+    // verify measured 10× slower at sf0.1). Fan-out per shingle ≤ maxDf².
+    // hint("merge"): the df-filter's selectivity estimate makes either side
+    // look broadcastable while rare is nearly the whole shingle relation.
+    val iRare = rare.select(col("doc_id").as("d1"), col("s")).hint("merge")
+      .join(rare.select(col("doc_id").as("d2"), col("s")).hint("merge"), "s")
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    jaccardOf(sh, cand, threshold)
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i_r"))
+      .cache() // referenced twice: frequent-probe driver + final intersection sum
+    // Pass 2 — exact completion: pairs sharing a rare shingle get their
+    // FREQUENT shared shingles counted candidate-first against the freq
+    // partition, whose total row count is small by construction (few
+    // distinct shingles exceed the cap). Emitted pairs therefore carry the
+    // exact UNCAPPED Jaccard; the cap only limits which pairs are found
+    // (pairs sharing exclusively frequent shingles — the declared recall
+    // trade, and at 100 TB exactly the pairs one WANTS dropped: boilerplate
+    // co-occurrence, not near-duplication).
+    val iFreq = iRare.select(col("d1"), col("d2"))
+      .join(freq.select(col("doc_id").as("d1"), col("s")).hint("merge"), "d1")
+      .join(freq.select(col("doc_id").as("d2"), col("s")).hint("merge"), Seq("d2", "s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i_f"))
+    val inter = iRare.join(iFreq, Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"),
+        (col("i_r") + coalesce(col("i_f"), lit(0L))).as("i"))
+    val sizes = shDf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    jaccardTail(inter, sizes, threshold)
   }
 
   def duckNgramCappedSql(table: String, threshold: Double, maxDf: Int): String =

@@ -109,6 +109,9 @@ object Knn {
     val w = Window.partitionBy("qid").orderBy(desc("sim_raw"), asc("vec_id"))
     pruned
       .withColumn("rn", row_number().over(w).cast("long"))
+      // re-prune: the native operator's contract is a top-k SUPERSET (it
+      // drains early under memory pressure — TopKPerKey flush contract)
+      .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"), round(col("sim_raw"), 6).as("sim"), col("rn"))
       .orderBy(asc("qid"), asc("rn"))
   }

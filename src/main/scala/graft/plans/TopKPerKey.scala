@@ -11,20 +11,39 @@ import org.apache.spark.sql.graftbridge.Bridge
 
 /** Bounded top-k per key as a NATIVE Catalyst operator — the custom
   * LogicalPlan + Strategy + SparkPlan path (extension mechanism (c) of the
-  * build mandate) for the one shape Spark's built-ins genuinely cannot
-  * express efficiently: `row_number() OVER (PARTITION BY key ORDER BY …)
-  * <= k` plans a WindowExec, which SORTS every key-partition in full even
-  * though only k rows per key survive. [[TopKPerKeyExec]] instead keeps a
-  * k-bounded heap per key inside each task: O(n log k) comparisons, O(keys
-  * · k) memory, NO sort of the input — per-partition state is bounded no
-  * matter how skewed the per-key row counts are, which is exactly what the
-  * window formulation cannot promise at 100 TB.
+  * build mandate) for `row_number() OVER (PARTITION BY key ORDER BY …)
+  * <= k`. Spark 3.5+ DOES bound this idiom itself — `InferWindowGroupLimit`
+  * plans partial+final `WindowGroupLimitExec` around the exchange (verified
+  * in this engine's own q_knn_multi plan) — but each WindowGroupLimit
+  * requires a SortExec of its input: the full candidate relation is sorted
+  * once per side even though only k rows per key survive.
+  * [[TopKPerKeyExec]] keeps a k-bounded heap per key inside each task
+  * instead: O(n log k) comparisons, NO sort of the input, and memory
+  * bounded even against adversarial KEY cardinality (see flush contract
+  * below) — the properties the sort-based form can't give at 100 TB.
   *
   * Distribution contract: `requiredChildDistribution =
   * ClusteredDistribution(keys)` — EnsureRequirements inserts the same
   * hash-partition Exchange the window would need, but no SortExec follows
-  * it. Determinism: callers must include a unique tiebreak column in the
-  * ordering (the same rule every oracle query already follows).
+  * it.
+  *
+  * Output contract — SUPERSET, not exact: the operator guarantees every
+  * true per-key top-k row of the partition is emitted, and under normal
+  * memory emits exactly those; when buffered heap bytes exceed
+  * `spark.graft.topk.flushBytes` (default 64 MiB per task) it drains all
+  * heaps to the output and starts fresh, so a high-cardinality key stream
+  * degrades to bounded-memory multi-chunk pruning instead of an executor
+  * OOM (a per-chunk top-k is a superset of the partition top-k restricted
+  * to that chunk). Consumers therefore re-rank: every call site runs the
+  * ranking window + `rn <= k` filter over the survivors, and the
+  * [[Rewrite]] path keeps the original Filter+Window above the node, so
+  * exactness is restored by construction in both paths.
+  *
+  * Determinism: callers must include a unique tiebreak column in the
+  * ordering (the same rule every oracle query already follows). Rows TIED
+  * on a non-unique ordering may differ between the heap and sort forms —
+  * which is also why [[Rewrite]] only fires on deterministic orderings and
+  * why the tiebreak rule is part of the public contract.
   *
   * Capability context: generalizes the reference's single-query top-k
   * (vector_search_tool.py:33-79) to the batch/multi-query form as a
@@ -56,10 +75,25 @@ object TopKPerKey {
     * ORDER BY …)))` — the idiom every per-group top-k query in this
     * engine writes — gets a [[Node]] inserted UNDER the window, so the
     * heavy relation is heap-pruned before WindowExec ranks the ≤ k-per-key
-    * survivors. The filter and window stay in place (the recomputed
-    * row_number over exactly the surviving rows is identical), which is
-    * what makes the rewrite semantics-preserving by construction. Opt-in
-    * per session: [[enableRewrite]] / [[disableRewrite]].
+    * survivors (plus any flush-superset rows, which the retained filter
+    * re-prunes). The filter and window stay in place: the recomputed
+    * row_number over the surviving rows is identical to the original AS
+    * LONG AS the ordering is deterministic and survivors are ranked the
+    * same way, so the rule is guarded on deterministic partition/order
+    * expressions — a nondeterministic order expression (e.g. rand()) would
+    * re-evaluate differently above the node and the prune could keep the
+    * wrong rows. Tie caveat (docstring contract, not checked statically):
+    * with a non-unique ordering the heap may keep different boundary-tied
+    * rows than WindowExec would — every query in this engine orders with a
+    * unique tiebreak, which makes ties impossible.
+    *
+    * Relation to stock Spark: without this rule, `InferWindowGroupLimit`
+    * (3.5+) still bounds rows per key via Sort + WindowGroupLimitExec on
+    * both sides of the exchange; this rewrite replaces those full local
+    * sorts with heap scans. Session default: ON in this engine's own
+    * harness entry points (Verify/Bench/TimeQ/Explain honor
+    * `SPARK_GRAFT_REWRITE=0` as the off-switch; see SCALE.md for the
+    * measured decision record).
     */
   object Rewrite extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions._
@@ -77,6 +111,7 @@ object TopKPerKey {
           w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
             partSpec, orderSpec, child, _))
           if partSpec.nonEmpty && orderSpec.nonEmpty &&
+            partSpec.forall(_.deterministic) && orderSpec.forall(_.deterministic) &&
             !child.isInstanceOf[Node] && limitOf(cond, alias.exprId).exists(_ > 0) =>
         val k = limitOf(cond, alias.exprId).get
         f.copy(child = w.copy(child = Node(partSpec, orderSpec, k, child)))
@@ -129,6 +164,13 @@ final case class TopKPerKeyExec(keyExprs: Seq[Expression], sortOrder: Seq[SortOr
     val kLocal = k
     val keys = keyExprs
     val order = sortOrder
+    // memory bound for the per-task heap map (see the flush contract in the
+    // companion scaladoc): buffered row+key bytes past this threshold drain
+    // every heap to the output and restart — the operator's state stays
+    // O(flushBytes) no matter how many distinct keys a partition holds,
+    // where the unbounded map would OOM on a high-cardinality key column.
+    val flushBytes = conf.getConfString("spark.graft.topk.flushBytes",
+      (64L * 1024 * 1024).toString).toLong
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keys, schema)
       // "smaller" per this ordering = earlier in the requested sort =
@@ -136,21 +178,52 @@ final case class TopKPerKeyExec(keyExprs: Seq[Expression], sortOrder: Seq[SortOr
       val ord = RowOrdering.create(order, schema)
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      var bufferedBytes = 0L
+      def sizeOf(row: InternalRow): Long = row match {
+        case u: UnsafeRow => u.getSizeInBytes.toLong
+        case _ => 64L // conservative placeholder for non-Unsafe rows
+      }
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(heap) =>
-            if (heap.size < kLocal) heap.enqueue(row.copy())
-            else if (ord.compare(row, heap.head) < 0) {
-              heap.dequeue(); heap.enqueue(row.copy())
+            if (heap.size < kLocal) {
+              val c = row.copy(); heap.enqueue(c); bufferedBytes += sizeOf(c)
+            } else if (ord.compare(row, heap.head) < 0) {
+              val out = heap.dequeue(); bufferedBytes -= sizeOf(out)
+              val c = row.copy(); heap.enqueue(c); bufferedBytes += sizeOf(c)
             }
           case None =>
             val heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
-            heap.enqueue(row.copy())
-            heaps.put(key.copy(), heap)
+            val c = row.copy(); heap.enqueue(c)
+            val kc = key.copy()
+            heaps.put(kc, heap)
+            bufferedBytes += sizeOf(c) + kc.getSizeInBytes
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      def drain(): Iterator[InternalRow] = {
+        val queues = heaps.values.toList
+        heaps.clear()
+        bufferedBytes = 0L
+        queues.iterator.flatMap(_.iterator)
+      }
+      new scala.collection.AbstractIterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!cur.hasNext && (iter.hasNext || heaps.nonEmpty)) {
+            if (!iter.hasNext) cur = drain() // input exhausted: final drain
+            else {
+              insert(iter.next())
+              if (bufferedBytes > flushBytes) cur = drain()
+            }
+          }
+          cur.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          cur.next()
+        }
+      }
     }, preservesPartitioning = true)
   }
 }

@@ -331,6 +331,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(sim - p.getAs[Double]("sim")) < 1e-6)
   }
 
+  test("native top-k survives memory-pressure flushes: superset contract + re-rank = exact") {
+    val queries = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val expected = Knn.multiTopK(emb, queries, k = 3)
+      .withColumn("rn", col("rn").cast("long")).collect().map(_.toString).toSeq
+    // flushBytes=1: EVERY insert overflows, so each input row drains the
+    // heap map immediately — the operator degenerates to a pass-through
+    // superset and only the downstream window+filter restores top-k.
+    // This exercises the flush path end-to-end; the default 64 MiB bound
+    // never fires at test scale.
+    spark.conf.set("spark.graft.topk.flushBytes", "1")
+    try {
+      val viaFlush = Knn.multiTopKNative(emb, queries, k = 3).collect().map(_.toString).toSeq
+      assert(viaFlush == expected && viaFlush.nonEmpty)
+    } finally spark.conf.unset("spark.graft.topk.flushBytes")
+  }
+
   test("ANN recall accounting: bounds hold and exhaustive IVF probing recovers recall 1.0") {
     val r = KnnRecall.annRecall(emb, k = 10, nQueries = 8,
       bits = 4, numCentroids = 16, nprobe = 4).collect()
