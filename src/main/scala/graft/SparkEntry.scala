@@ -152,6 +152,10 @@ object SparkEntry {
         "stream table pipeline data", k = 10,
         elementType = "text_chunk", fileType = ".py")),
     "q_upsert" -> ((s, dir) => IndexOps.upsertMerge(Tables.documents(s, dir))),
+    // incremental re-index through the PRODUCTION parquet upsert: index,
+    // mutate doc_id%7==0, re-chunk only those, merge; oracle = full rebuild
+    "q_reindex_delta" -> ((s, dir) =>
+      graft.sources.IndexBuild.reindexDelta(s, Tables.documents(s, dir))),
     "q_collection_stats" -> ((s, dir) =>
       IndexOps.collectionStats(Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
@@ -351,6 +355,7 @@ object SparkEntry {
     "q_search_index"     -> IndexOps.duckSearchElements("documents",
       "stream table pipeline data", 10, "text_chunk", ".py"),
     "q_upsert"           -> IndexOps.duckUpsertMerge("documents"),
+    "q_reindex_delta"    -> graft.sources.IndexBuild.duckReindexDelta("documents"),
     "q_collection_stats" -> IndexOps.duckCollectionStats("documents", "embeddings"),
     "q_diagnostics"      -> Diagnostics.duckReport("documents"),
     "q_diagnostics_code" -> Diagnostics.duckCodeReport("documents"),

@@ -144,6 +144,70 @@ object IndexBuild {
     swapInto(spark, tmp, target)
   }
 
+  /** Q9 end-to-end, oracle-gated: incremental re-index equivalence. Builds
+    * a real parquet index from the documents corpus (one "file" per doc,
+    * text-chunk elements — the chunker with an exact SQL mirror), then
+    * MUTATES a deterministic subset (doc_id % 7 == 0 gets appended text —
+    * the reference's content-hash change-detection trigger,
+    * indexing_agent.py:28-31,350), re-chunks ONLY the mutated files, and
+    * merges them through the production delete-insert [[upsertIndex]].
+    * Emits per-file element accounting of the STORED index; the DuckDB
+    * oracle computes the same accounting on the post-mutation corpus
+    * directly, so a pass proves merged-index ≡ full-rebuild — stale
+    * elements leaked (reference quirk SURVEY.md §2.9#4) or fresh rows
+    * dropped would break counts or the hash extrema.
+    *
+    * Scale shape: the upsert is an anti-join + union keyed by file_path
+    * (shuffle bounded by the index, not the corpus); the mutated-subset
+    * re-chunk is the incremental path — re-index cost scales with the
+    * diff. The scratch index lives in a temp dir, is read back with the
+    * result materialized (localCheckpoint), then deleted.
+    */
+  def reindexDelta(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import graft.operators.Chunkers
+    def elementsOf(d: DataFrame): DataFrame =
+      Chunkers.textChunks(d)
+        .withColumn("file_path",
+          concat(lit("doc_"), col("doc_id").cast("string"), lit(".txt")))
+        .withColumn("id", concat_ws(":", col("file_path"), col("chunk_idx"), col("hash")))
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_reindex").toString
+    try {
+      upsertIndex(spark, indexDir, elementsOf(documents))
+      val mutated = documents.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" reindexed extra tokens")))
+      upsertIndex(spark, indexDir, elementsOf(mutated))
+      spark.read.parquet(s"$indexDir/code_elements")
+        .groupBy("file_path")
+        .agg(count(lit(1)).as("n_elements"),
+          sum("n_tokens").as("n_tokens"),
+          min("hash").as("min_hash"),
+          max("hash").as("max_hash"))
+        .orderBy("file_path")
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(indexDir))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** DuckDB mirror of [[reindexDelta]]: the same accounting computed on the
+    * post-mutation corpus directly (equivalence by construction). */
+  def duckReindexDelta(table: String): String =
+    s"""WITH v2 AS (SELECT doc_id,
+       |                   CASE WHEN doc_id % 7 = 0
+       |                        THEN text || ' reindexed extra tokens'
+       |                        ELSE text END AS text
+       |            FROM $table),
+       |ch AS (SELECT * FROM (${graft.operators.Chunkers.duckTextChunks("v2")}) t)
+       |SELECT 'doc_' || doc_id || '.txt' AS file_path,
+       |       count(*)::BIGINT AS n_elements,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       min(hash) AS min_hash, max(hash) AS max_hash
+       |FROM ch GROUP BY 1 ORDER BY file_path""".stripMargin
+
   /** C9/S7: per-file summary table, with the summary string embedded so the
     * table is kNN-searchable (the reference embeds exactly this template
     * string — indexing_agent.py:365-366). */
