@@ -18,9 +18,33 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Returns (lang, n_raw, n_quality, n_exact, n_kept, tokens_kept). */
-  def curate(documents: DataFrame, minQuality: Double,
-             nearDupThreshold: Double): DataFrame = {
+  /** Shared funnel core: returns (base, pass1, pass2, kept, qual).
+    *
+    * `pairs`: optionally a pre-materialized CORPUS-LEVEL near-dup pair
+    * relation ([[Dedup.nearDupPairs]] — the compute-once artifact a
+    * production pipeline shares between cluster canonicalization and
+    * curation). Pair membership is a per-pair property (signature bands
+    * and Jaccard depend only on the two docs), so corpus pairs semi-joined
+    * to pass2 on BOTH endpoints ≡ pairs computed on pass2 directly — the
+    * equivalence is spec-asserted, not assumed.
+    *
+    * Cache discipline (measured, round 4): ONLY `pass2` is cached — it
+    * feeds the expensive near-dup pipeline plus two accounting consumers.
+    * `qual` is deliberately NOT cached although two consumers read it:
+    * caching it would give its join build sides (doc-cardinality id sets)
+    * a tiny pre-materialization estimate and plan locked-in broadcasts of
+    * corpus-sized relations at scale, which then forces `hint("merge")`
+    * pins that measurably slow the funnel at sf0.1 (4.5 s vs 2.8 s with
+    * natural parquet-stat estimates, which pick broadcast while small and
+    * SMJ when big — no lock-in hazard without a cache). Recomputing the
+    * quality projection twice is the cheaper side of that trade at every
+    * scale. `pass2`'s own join appearances are all safe with the cache:
+    * it is the PROBE side of the kept anti-join (build side is the tiny
+    * pair-graph id set) and a pure aggregate input elsewhere.
+    */
+  private def funnel(documents: DataFrame, minQuality: Double,
+                     nearDupThreshold: Double, pairs: Option[DataFrame])
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val qual = TextAnalysis.quality(documents)
       .select(col("doc_id"), col("quality_score"), col("n_tokens"))
     val base = documents.select(col("doc_id"), col("lang"), col("text"))
@@ -33,11 +57,24 @@ object Curation {
       .withColumn("keeper", min("doc_id").over(wHash))
       .filter(col("doc_id") === col("keeper"))
       .drop("keeper")
+      .cache()
 
-    val pairs = Dedup.minhash(pass2.select("doc_id", "text"), nearDupThreshold)
+    val ndPairs = pairs match {
+      case Some(p) =>
+        p.select(col("d1"), col("d2"))
+          .join(pass2.select(col("doc_id").as("d1")).hint("merge"), Seq("d1"), "left_semi")
+          .join(pass2.select(col("doc_id").as("d2")).hint("merge"), Seq("d2"), "left_semi")
+      case None => Dedup.nearDupPairs(pass2.select("doc_id", "text"), nearDupThreshold)
+    }
     val kept = pass2.join(
-      pairs.select(col("d2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      ndPairs.select(col("d2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    (base, pass1, pass2, kept, qual)
+  }
 
+  /** Returns (lang, n_raw, n_quality, n_exact, n_kept, tokens_kept). */
+  def curate(documents: DataFrame, minQuality: Double,
+             nearDupThreshold: Double, pairs: Option[DataFrame] = None): DataFrame = {
+    val (base, pass1, pass2, kept, qual) = funnel(documents, minQuality, nearDupThreshold, pairs)
     def stage(df: DataFrame, cname: String) =
       df.groupBy("lang").agg(count(lit(1)).as(cname))
     stage(base, "n_raw")
@@ -52,6 +89,28 @@ object Curation {
         coalesce(col("n_exact"), lit(0L)).as("n_exact"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .orderBy("lang")
+  }
+
+  /** The kept-corpus WRITER — the artifact half the accounting report
+    * describes: the same predicate chain as [[curate]], written as a
+    * bucketed parquet table (bucketed by doc_id: downstream doc-keyed
+    * joins — shingles, embeddings, pack-sequences — co-locate without a
+    * shuffle). Returns the per-language accounting of the rows actually
+    * written, read back FROM THE TABLE, so the report and the artifact
+    * cannot diverge (spec-asserted against [[curate]]'s n_kept).
+    */
+  def curateKept(documents: DataFrame, minQuality: Double,
+                 nearDupThreshold: Double, outDir: String, tableName: String,
+                 buckets: Int = 8, pairs: Option[DataFrame] = None): DataFrame = {
+    val spark = documents.sparkSession
+    val (_, _, _, kept, _) = funnel(documents, minQuality, nearDupThreshold, pairs)
+    kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .option("path", s"$outDir/$tableName")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(tableName)
+    spark.table(tableName)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
   }
 

@@ -422,6 +422,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(f.map(_.getAs[Long]("n_kept")).sum < f.map(_.getAs[Long]("n_raw")).sum)
   }
 
+  test("curation pairs seam: corpus-level pairs restricted to the funnel = recomputed pairs") {
+    val direct = Curation.curate(docs, 0.45, 0.8).collect().map(_.toString).toSeq
+    // the compute-once artifact: near-dup pairs over the RAW corpus, handed
+    // to curate instead of recomputing minhash on the funnel survivors —
+    // per-pair membership makes endpoint restriction ≡ recompute
+    val pairs = Dedup.nearDupPairs(docs.select(col("doc_id"), col("text")), 0.8)
+      .localCheckpoint()
+    val viaPairs = Curation.curate(docs, 0.45, 0.8, Some(pairs)).collect().map(_.toString).toSeq
+    assert(viaPairs == direct && direct.nonEmpty)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("curateKept writer: written rows match the funnel accounting per language") {
+    val acct = Curation.curate(docs, 0.45, 0.8).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val out = java.nio.file.Files.createTempDirectory("graft_kept").toString
+    try {
+      val written = Curation.curateKept(docs, 0.45, 0.8, out, "kept_spec_tbl").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(written == acct.filter(_._2 > 0), s"written=$written acct=$acct")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS kept_spec_tbl")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("shadow-workspace validate: error rule rejects, clean content passes") {
     assert(!Diagnostics.validate(spark, "en", "this mixes slow and fast in one chunk"))
     assert(Diagnostics.validate(spark, "en", "a perfectly ordinary short line"))
