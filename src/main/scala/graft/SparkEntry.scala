@@ -115,6 +115,14 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))),
     // cross-doc incremental novelty: share of shingles unseen in earlier docs
     "q_novelty" -> ((s, dir) => TextAnalysis.novelty(Tables.documents(s, dir))),
+    // LM-style fluency: quantized (floor-log2) corpus-bigram likelihood —
+    // the perplexity-filter analog with exact integer arithmetic
+    "q_fluency" -> ((s, dir) => TextAnalysis.fluency(Tables.documents(s, dir))),
+    // HyperLogLog distinct-shingle sketch per language (constant state per
+    // group at 100 TB), engine-exact: md5 registers + fixed-order pivot;
+    // exact count + measured error carried as the honesty columns
+    "q_hll_distinct" -> ((s, dir) =>
+      graft.operators.Sketches.hllDistinctShingles(Tables.documents(s, dir))),
     // benchmark decontamination: n-gram collision drop-list vs held-out slice
     "q_decontam" -> ((s, dir) => CorpusOps.decontaminate(Tables.documents(s, dir))),
     // domain-mixing rate table for a half-corpus token budget
@@ -335,6 +343,8 @@ object SparkEntry {
     "q_quality_cut"   -> TextAnalysis.duckQualityCut("documents", 0.1),
     "q_repetition"    -> TextAnalysis.duckRepetition("documents"),
     "q_novelty"       -> TextAnalysis.duckNovelty("documents"),
+    "q_fluency"       -> TextAnalysis.duckFluency("documents"),
+    "q_hll_distinct"  -> graft.operators.Sketches.duckHllDistinctShingles("documents"),
     "q_decontam"      -> CorpusOps.duckDecontaminate("documents"),
     "q_mix_weights"   -> CorpusOps.duckMixtureWeights("documents", 0.5),
     "q_sample_stratified" -> CorpusOps.duckStratifiedSample("documents", 0.5),

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns.{duckShingles, duckTokens}
+
+/** Distributed cardinality sketches — the approximate-statistics layer a
+  * 100 TB pipeline runs where exact `count(distinct)` stops being viable
+  * (corpus-wide vocabulary/shingle cardinality needs a shuffle of every
+  * distinct value; a sketch needs a CONSTANT-size state per group).
+  *
+  * Engine-exactness is the design constraint (every operator here is
+  * oracle-gated like any other query): the hash is md5 — same bytes on
+  * both engines — register updates are integer max-aggregations, and the
+  * final harmonic-mean estimate is a FIXED-ORDER float expression over a
+  * literal register list (the BM25 pivot trick), so both engines evaluate
+  * the identical expression tree on identical integers. No randomness, no
+  * platform-dependent hashing, no accumulation-order dependence anywhere.
+  *
+  * Scale shape: one linear pass → groupBy (group, register) max — map-side
+  * partial max, 16·|groups| rows out — then one |groups|-row pivot. The
+  * exact count carried alongside at test scale is the honesty column (the
+  * measured error is part of the contract); a deployment drops it.
+  */
+object Sketches {
+
+  private val M = 16 // registers (bucket nibble = first hex char)
+  private val Alpha = 0.673 // standard HLL bias constant for m=16
+
+  /** HyperLogLog distinct-shingle estimate per language, with the exact
+    * count and relative error alongside: (lang, m, est, exact, err_frac).
+    *
+    * Register math (all integer): h = md5(shingle); bucket = first hex
+    * nibble (16 registers); the next 15 hex chars are a 60-bit positive
+    * int x, and the rank is the 1-based position of its highest set bit
+    * from the top: rho = 61 - length(bin(x)) (+1 when x = 0 cannot occur:
+    * md5 of distinct shingles hitting 60 zero bits has probability 2^-60,
+    * and the oracle would catch the discrepancy anyway — the expression
+    * still clamps it into range via greatest()).
+    */
+  def hllDistinctShingles(documents: DataFrame, n: Int = 3): DataFrame = {
+    // shingle rows with lang carried (shingleRowsOf keeps only doc_id):
+    // same posexplode + lead shape as TextFns.shingleRowsOfTokens
+    val tok = documents.select(col("lang"), col("doc_id"),
+      posexplode(graft.functions.TextFns.tokens(col("text"))).as(Seq("i", "t0")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
+    val withLeads = (1 until n).foldLeft(tok) { (df, j) =>
+      df.withColumn(s"t$j", lead(col("t0"), j).over(w))
+    }
+    val rows = withLeads
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("lang"),
+        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("s"))
+    val h = md5(col("s"))
+    val x = conv(substring(h, 2, 15), 16, 10).cast("long")
+    val reg = rows
+      .withColumn("b", conv(substring(h, 1, 1), 16, 10).cast("int"))
+      .withColumn("rho", greatest(lit(1), lit(61) - length(bin(x))))
+      .groupBy("lang", "b").agg(max("rho").as("m_j"))
+    // pivot the 16 registers into literal columns (fixed order); absent
+    // registers are 0 (the HLL empty-register value)
+    val regCols = (0 until M).map(j =>
+      coalesce(max(when(col("b") === j, col("m_j"))), lit(0)).as(s"r$j"))
+    val pivoted = reg.groupBy("lang").agg(regCols.head, regCols.tail: _*)
+    // fixed-order harmonic sum + zero-register count, as literal chains
+    val harm: Column = (0 until M).map(j =>
+      pow(lit(2.0), -col(s"r$j"))).reduceLeft(_ + _)
+    val zeros: Column = (0 until M).map(j =>
+      when(col(s"r$j") === 0, 1).otherwise(0): Column).reduceLeft(_ + _)
+    val eRaw = lit(Alpha) * lit(M) * lit(M) / harm
+    // small-range correction (linear counting) when registers are sparse
+    val est = when(zeros > 0 && eRaw <= lit(2.5 * M),
+      lit(M.toDouble) * log(lit(M.toDouble) / zeros.cast("double"))).otherwise(eRaw)
+    val exact = rows.select(col("lang"), col("s")).distinct()
+      .groupBy("lang").agg(count(lit(1)).as("exact"))
+    pivoted
+      .withColumn("est_raw", est)
+      .join(exact, "lang")
+      .select(col("lang"), lit(M).cast("long").as("m"),
+        round(col("est_raw"), 6).as("est"), col("exact"),
+        round(abs(col("est_raw") - col("exact").cast("double")) / col("exact").cast("double"), 6)
+          .as("err_frac"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[hllDistinctShingles]]. */
+  def duckHllDistinctShingles(table: String, n: Int = 3): String = {
+    val harm = (0 until M).map(j => s"pow(2.0, -r$j)").mkString(" + ")
+    val zeros = (0 until M).map(j => s"(CASE WHEN r$j = 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val regCols = (0 until M).map(j =>
+      s"coalesce(max(CASE WHEN b = $j THEN m_j END), 0) AS r$j").mkString(",\n       |       ")
+    s"""WITH tk AS (SELECT lang, doc_id, ${duckTokens("text")} AS t FROM $table),
+       |sh AS (SELECT lang, unnest(${duckShingles("t", n)}) AS s FROM tk),
+       |hx AS (SELECT lang, s, md5(s) AS h FROM sh),
+       |rr AS (SELECT lang,
+       |              ('0x' || substr(h, 1, 1))::BIGINT AS b,
+       |              greatest(1, 61 - length(bin(('0x' || substr(h, 2, 15))::BIGINT))) AS rho
+       |       FROM hx),
+       |reg AS (SELECT lang, b, max(rho) AS m_j FROM rr GROUP BY 1, 2),
+       |pv AS (SELECT lang,
+       |       $regCols
+       |       FROM reg GROUP BY lang),
+       |e AS (SELECT lang,
+       |             $Alpha::DOUBLE * $M * $M / ($harm) AS e_raw,
+       |             ($zeros) AS zeros
+       |      FROM pv),
+       |est AS (SELECT lang,
+       |               CASE WHEN zeros > 0 AND e_raw <= ${2.5 * M}
+       |                    THEN ${M.toDouble} * ln(${M.toDouble} / CAST(zeros AS DOUBLE))
+       |                    ELSE e_raw END AS est_raw
+       |        FROM e),
+       |ex AS (SELECT lang, count(*)::BIGINT AS exact
+       |       FROM (SELECT DISTINCT lang, s FROM sh) GROUP BY lang)
+       |SELECT est.lang, ${M}::BIGINT AS m, round(est_raw, 6) AS est, ex.exact,
+       |       round(abs(est_raw - CAST(ex.exact AS DOUBLE)) / CAST(ex.exact AS DOUBLE), 6) AS err_frac
+       |FROM est JOIN ex ON ex.lang = est.lang ORDER BY est.lang""".stripMargin
+  }
+}

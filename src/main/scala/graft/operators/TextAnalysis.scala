@@ -421,4 +421,45 @@ object TextAnalysis {
        |  round(1.0 - CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE)
        |              / count(*), 6) AS novelty_frac
        |FROM fd GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Statistical fluency score — the LM-perplexity-style curation filter
+    * (pipelines gate documents on a language-model likelihood; with no
+    * model runtime available the corpus ITSELF is the model), made
+    * engine-exact by quantizing the log: each bigram occurrence scores
+    * floor(log2(corpus frequency of that bigram)), computed as
+    * `length(bin(cf)) - 1` — pure integer arithmetic, bit-identical in
+    * both engines, no float accumulation anywhere (a real log-prob sum is
+    * order-dependent in floating point; the BM25 fixed-pivot trick doesn't
+    * extend to variable-size bigram sets). High score = the doc's word
+    * transitions are common corpus-wide (fluent boilerplate); low score =
+    * rare transitions (novel text — or gibberish, which is the filter's
+    * target at the bottom tail).
+    *
+    * Scale shape: bigram occurrences via posexplode + lead (the CLAUDE.md
+    * shingle pattern), corpus frequency via `count OVER (PARTITION BY s)` —
+    * one exchange on the bigram key, NO join-back of a frequency aggregate
+    * (the broadcast-hazard shape this repo keeps measuring) — then one
+    * doc-keyed agg. Two shuffles total, both linear.
+    */
+  def fluency(documents: DataFrame): DataFrame = {
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    graft.functions.TextFns.shingleRowsOf(documents, 2)
+      .withColumn("cf", count(lit(1)).over(wS))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("cf"))) - 1).cast("long").as("bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("bits"),
+        round(col("bits").cast("double") / col("n_bigrams").cast("double"), 6).as("fluency"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[fluency]]. */
+  def duckFluency(table: String): String =
+    s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS t FROM $table),
+       |sh AS (SELECT doc_id, unnest(${duckShingles("t", 2)}) AS s FROM tk),
+       |c AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS cf FROM sh)
+       |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |       CAST(sum(length(bin(cf)) - 1) AS BIGINT) AS bits,
+       |       round(CAST(sum(length(bin(cf)) - 1) AS DOUBLE) / count(*), 6) AS fluency
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

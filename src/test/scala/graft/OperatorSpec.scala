@@ -422,6 +422,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(f.map(_.getAs[Long]("n_kept")).sum < f.map(_.getAs[Long]("n_raw")).sum)
   }
 
+  test("fluency: scores bounded by the quantized-log range, common-transition doc scores high") {
+    val r = TextAnalysis.fluency(docs).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (nb, bits, fl) = (row.getLong(1), row.getLong(2), row.getDouble(3))
+      assert(nb > 0 && bits >= 0 && fl >= 0.0, row.toString)
+      // each bigram contributes floor(log2(cf)) < 64 bits
+      assert(fl < 64.0, row.toString)
+    }
+  }
+
+  test("HLL sketch: estimate within 3 standard errors of exact, registers engine-exact") {
+    val r = Sketches.hllDistinctShingles(docs).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (est, exact) = (row.getDouble(2), row.getLong(3))
+      // m=16 → relative std error 1.04/sqrt(16) = 26%; 3σ bound
+      assert(math.abs(est - exact) / exact <= 3 * 1.04 / math.sqrt(16), row.toString)
+    }
+  }
+
   test("curation pairs seam: corpus-level pairs restricted to the funnel = recomputed pairs") {
     val direct = Curation.curate(docs, 0.45, 0.8).collect().map(_.toString).toSeq
     // the compute-once artifact: near-dup pairs over the RAW corpus, handed
