@@ -86,11 +86,21 @@ object Dedup {
     jaccardTail(inter, sizes, threshold)
   }
 
-  /** Shared tail: attach set sizes, compute Jaccard, filter ≥ threshold. */
+  /** Shared tail: attach set sizes, compute Jaccard, filter ≥ threshold.
+    *
+    * hint("merge") on the sizes sides: `sizes` is a DOC-CARDINALITY
+    * aggregate derived from the cached shingle relation, so its
+    * pre-materialization estimate plans a locked-in broadcast — harmless
+    * at sf0.1 (5k docs), an executor OOM at corpus scale. Same hazard
+    * class as the round-2 inverted-index broadcast. Unlike the curation
+    * funnel (where NOT caching restored natural estimates), sh must stay
+    * cached (3-4 readers), so the hazard is intrinsic and the pin is the
+    * only fix; measured cost ~0.3-0.5 s on q_dedup_minhash at sf0.1, ~0
+    * on the other dedup queries (round 4 A/B). */
   private def jaccardTail(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
     inter
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")).hint("merge"), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")).hint("merge"), "d2")
       .withColumn("jaccard", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
@@ -517,8 +527,10 @@ object Dedup {
       .join(sh.select(col("doc_id").as("d2"), col("s")).hint("merge"), Seq("d2", "s"))
       .groupBy("d1", "d2", "hamming").agg(count(lit(1)).as("i"))
     inter
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      // merge-pinned for the same doc-cardinality-broadcast hazard as
+      // jaccardTail (sizes derives from the cached sh)
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")).hint("merge"), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")).hint("merge"), "d2")
       .withColumn("jaccard", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("hamming"), round(col("jaccard"), 6).as("jaccard"))
