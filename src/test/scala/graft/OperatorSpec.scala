@@ -269,6 +269,20 @@ class OperatorSpec extends AnyFunSuite {
       s"sequential window must consume the per-bucket aggregate:\n$pPlan")
   }
 
+  test("round-4 plan shape: dedup verify joins never broadcast a doc- or shingle-scale side") {
+    // every BroadcastExchange in the minhash plan must sit under the BAND
+    // self-join (band keys - genuinely small); the inverted-index probes
+    // (merge-pinned since round 2) and the sizes tail joins (merge-pinned
+    // round 4: doc-cardinality aggregate of the cached sh, estimate-driven
+    // lock-in) must plan as SortMergeJoin
+    val plan = Dedup.minhash(docs.select(col("doc_id"), col("text")), 0.8)
+      .queryExecution.executedPlan.toString
+    val smjCount = "SortMergeJoin".r.findAllIn(plan).size
+    // 2 inverted-index probes + 2 sizes joins = at least 4 merge joins
+    assert(smjCount >= 4, s"expected >=4 SortMergeJoins (index probes + sizes tail), got $smjCount:\n$plan")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("novelty: first doc is fully novel, n_seen bounded by shingle count") {
     val rows = TextAnalysis.novelty(docs).collect()
     val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
