@@ -90,6 +90,11 @@ object IndexBuild {
     * file), fixing the reference's stale-element leak (SURVEY.md §2.9#4). */
   def upsertIndex(spark: SparkSession, indexDir: String, fresh: DataFrame): Unit = {
     val target = s"$indexDir/code_elements"
+    // crash recovery BEFORE reading `existing`: a crash between swapInto's
+    // two renames leaves the live table parked at target_old — without this
+    // the read below would find nothing and the merge would silently drop
+    // every previously indexed file
+    recoverSwap(spark, target)
     val existing =
       try Some(spark.read.parquet(target)) catch { case _: Exception => None }
     val merged = existing match {
@@ -123,6 +128,19 @@ object IndexBuild {
     if (hadPrev) fs.delete(old, true)
   }
 
+  /** Recover from a swap interrupted between its two renames: the live
+    * table is parked at `<target>_old` and `target` is missing — rename it
+    * back. A no-op in every healthy state (target present, or neither
+    * present on a first build). Runs at the entry of every table-swapping
+    * job ([[upsertIndex]], [[compact]]). */
+  private def recoverSwap(spark: SparkSession, target: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val t = new org.apache.hadoop.fs.Path(target)
+    val old = new org.apache.hadoop.fs.Path(target + "_old")
+    if (!fs.exists(t) && fs.exists(old)) { fs.rename(old, t); () }
+  }
+
   /** Small-file compaction for an index table: every incremental upsert /
     * streaming micro-batch appends its own parquet files, and at cluster
     * scale the accumulated small files dominate scan cost (footer reads +
@@ -134,6 +152,7 @@ object IndexBuild {
   def compact(spark: SparkSession, indexDir: String, table: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val target = s"$indexDir/$table"
+    recoverSwap(spark, target)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val t = new org.apache.hadoop.fs.Path(target)
     val bytes = fs.getContentSummary(t).getLength

@@ -129,6 +129,24 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(after == before, "compaction must not change content")
   }
 
+  test("interrupted swap recovers: a table parked at _old is restored before any merge") {
+    val dir = Files.createTempDirectory("graft_swap").toString
+    val docs = Tables.documents(spark, TestSpark.sf).limit(20)
+    docs.write.parquet(s"$dir/code_elements")
+    val before = spark.read.parquet(s"$dir/code_elements")
+      .orderBy("doc_id").collect().toSeq
+    // simulate a crash between swapInto's two renames: live table parked
+    // aside, target missing
+    val f = new java.io.File(s"$dir/code_elements")
+    assert(f.renameTo(new java.io.File(s"$dir/code_elements_old")))
+    // compact's entry recovery must first restore the table, then compact it
+    IndexBuild.compact(spark, dir, "code_elements")
+    val after = spark.read.parquet(s"$dir/code_elements")
+      .orderBy("doc_id").collect().toSeq
+    assert(after == before, "recovered table must carry the parked content")
+    assert(!new java.io.File(s"$dir/code_elements_old").exists())
+  }
+
   test("IVF layout: cluster-partitioned index prunes probes at the file level") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
