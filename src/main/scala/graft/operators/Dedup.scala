@@ -195,10 +195,12 @@ object Dedup {
         .groupBy(col("a")).agg(min("nl").as("mn"))
         .select(col("a").as("node"), col("mn"))
       // materialized: the pointer-jump below reads `stepped` TWICE (probe
-      // and parent side); without this the edges-join + min agg would
-      // execute twice per round (CLAUDE.md cache rule). `prev` (the
-      // round-start label) rides along so convergence is a column compare,
-      // not a join back to the previous checkpoint.
+      // and parent side) and its plan carries the edges-join + min agg —
+      // dropping this checkpoint to save one job per round was MEASURED
+      // SLOWER (round 4: ~5.7 s vs ~4.3 s at sf0.1; the recomputed shuffle
+      // outweighs the scheduling latency saved). `prev` (the round-start
+      // label) rides along so convergence is a column compare, not a join
+      // back to the previous checkpoint.
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("mn"), col("label"))).as("label"))

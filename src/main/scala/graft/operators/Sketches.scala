@@ -47,6 +47,8 @@ object Sketches {
     val withLeads = (1 until n).foldLeft(tok) { (df, j) =>
       df.withColumn(s"t$j", lead(col("t0"), j).over(w))
     }
+    // cached: the register branch and the exact-count honesty branch both
+    // read it (only aggregates consume it — no join-side estimate hazard)
     val rows = withLeads
       .filter(col(s"t${n - 1}").isNotNull)
       .select(col("lang"),
