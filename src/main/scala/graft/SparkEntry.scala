@@ -97,6 +97,9 @@ object SparkEntry {
       Dedup.ngramJaccardCapped(Tables.documents(s, dir), threshold = 0.5, maxDf = 20)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_embed" -> ((s, dir) => Dedup.embedCosine(Tables.documents(s, dir), threshold = 0.95)),
+    // span-level duplication accounting (Lee et al. 2022 relationally):
+    // per-doc fraction of tokens inside cross-doc repeated 5-token spans
+    "q_span_dedup" -> ((s, dir) => Dedup.spanCoverage(Tables.documents(s, dir), spanLen = 5)),
     // composed pretraining-data funnel: quality → exact dedup → near-dup
     "q_curation" -> ((s, dir) =>
       Curation.curate(Tables.documents(s, dir), minQuality = 0.45, nearDupThreshold = 0.8)),
@@ -332,6 +335,7 @@ object SparkEntry {
     "q_dedup_clusters" -> Dedup.duckClustersSql("documents", 0.8),
     "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),
     "q_dedup_ngram_capped" -> Dedup.duckNgramCappedSql("documents", 0.5, 20),
+    "q_span_dedup"    -> Dedup.duckSpanSql("documents", 5),
     "q_dedup_simhash" -> Dedup.duckSimhashSql("documents", 0.5),
     "q_dedup_embed"   -> Dedup.duckEmbedCosine("documents", 0.95),
     "q_curation"      -> Curation.duckCurate("documents", 0.45, 0.8),

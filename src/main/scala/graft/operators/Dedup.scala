@@ -452,6 +452,98 @@ object Dedup {
        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
        |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin
 
+  /** Duplicated-span coverage: for every document, how many of its tokens
+    * sit inside a `spanLen`-token window that also appears verbatim in some
+    * OTHER document — the span-level view of duplication that pair-level
+    * near-dup misses (boilerplate headers, license blocks, templated
+    * paragraphs shared across otherwise-distinct docs). Suffix-array span
+    * dedup over training corpora is the published shape (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"); this is
+    * its relational formulation: positional n-grams stand in for suffix
+    * ranges, and coverage is an interval-union length.
+    *
+    * Output: (doc_id, dup_spans, covered_tokens, n_tokens, dup_frac) for
+    * EVERY doc (zero rows for clean docs), ordered by doc_id. A pipeline
+    * cuts on dup_frac or feeds covered ranges to a span-removal pass.
+    *
+    * Scale shape — one corpus-wide shuffle, zero corpus-cardinality joins:
+    *   1. positional spans (doc_id, i, s) via the posexplode + lead windows
+    *      (token sort co-located per doc);
+    *   2. cross-doc test as `min(doc_id) OVER (PARTITION BY s) !=
+    *      max(doc_id) OVER (...)` — the agg-over-window rule (CLAUDE.md):
+    *      no groupBy+join-back, no distinct-count state, and the only
+    *      exchange keyed on the span string;
+    *   3. coverage per doc: sort surviving positions within each doc and
+    *      sum `least(spanLen, i - lag(i))` — the equal-length-interval
+    *      union identity — then one doc-cardinality join onto token totals
+    *      (both sides uncached parquet-derived: natural stats keep the big
+    *      side out of broadcast at scale, per the round-4 caching lesson).
+    */
+  def spanCoverage(documents: DataFrame, spanLen: Int = 5): DataFrame = {
+    val tok = graft.functions.TextFns.tokenRowsOf(documents)
+    val wD = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
+    val withLeads = (1 until spanLen).foldLeft(tok) { (df, j) =>
+      df.withColumn(s"t$j", lead(col("t0"), j).over(wD))
+    }
+    val occ = withLeads
+      .filter(col(s"t${spanLen - 1}").isNotNull)
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", (0 until spanLen).map(j => col(s"t$j")): _*).as("s"))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val dup = occ
+      .withColumn("dmin", min("doc_id").over(wS))
+      .withColumn("dmax", max("doc_id").over(wS))
+      .filter(col("dmin") =!= col("dmax"))
+      .select(col("doc_id"), col("i"))
+    val wCov = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
+    val cov = dup
+      .withColumn("prev", lag("i", 1).over(wCov))
+      .withColumn("contrib",
+        when(col("prev").isNull, lit(spanLen))
+          .otherwise(least(lit(spanLen), col("i") - col("prev"))))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("dup_spans"),
+        sum("contrib").cast("long").as("covered_tokens"))
+    val tot = documents.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    tot.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        col("n_tokens"),
+        round(when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")), 6).as("dup_frac"))
+      .orderBy(asc("doc_id"))
+  }
+
+  /** DuckDB mirror of [[spanCoverage]] — same positional spans (1-based vs
+    * Spark's 0-based positions: only position DIFFERENCES enter the
+    * arithmetic), same min!=max cross-doc test, same interval-union sum. */
+  def duckSpanSql(table: String, spanLen: Int = 5): String = {
+    val sExpr = (0 until spanLen).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS t FROM $table),
+       |occ AS (SELECT doc_id, i, $sExpr AS s
+       |        FROM tk, unnest(generate_series(1, len(t) - ${spanLen - 1})) AS g(i)),
+       |dup AS (SELECT doc_id, i FROM
+       |          (SELECT doc_id, i,
+       |                  min(doc_id) OVER (PARTITION BY s) AS dmin,
+       |                  max(doc_id) OVER (PARTITION BY s) AS dmax
+       |           FROM occ)
+       |        WHERE dmin <> dmax),
+       |cov AS (SELECT doc_id, count(*)::BIGINT AS dup_spans,
+       |               CAST(sum(CASE WHEN prev IS NULL THEN $spanLen
+       |                             ELSE least($spanLen, i - prev) END) AS BIGINT) AS covered_tokens
+       |        FROM (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM dup)
+       |        GROUP BY doc_id),
+       |tot AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM tk)
+       |SELECT t.doc_id, coalesce(dup_spans, 0)::BIGINT AS dup_spans,
+       |       coalesce(covered_tokens, 0)::BIGINT AS covered_tokens, n_tokens,
+       |       round(CASE WHEN n_tokens = 0 THEN 0.0
+       |                  ELSE coalesce(covered_tokens, 0)::DOUBLE / n_tokens::DOUBLE END, 6) AS dup_frac
+       |FROM tot t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   def duckSimhashSql(table: String, threshold: Double, maxHamming: Int = 8): String = {
     val sums = (0 until 64).map(i => s"sum(${duckSimhashBit("m", i)})")
     val bandRows = (0 until 4).map(b =>

@@ -112,6 +112,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(mh.subsetOf(ng))
   }
 
+  test("span coverage: interval-union arithmetic on overlaps, corpus invariants hold") {
+    import spark.implicits._
+    // doc1's two 5-spans both recur in doc2; their union is [0..5] = 6
+    // tokens (the least(L, gap) identity), not 2×5 = 10
+    val tiny = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z a b c d e f z"),
+      (3L, "totally unique words here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanCoverage(tiny, spanLen = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((2L, 6L, 6L, 1.0)))
+    assert(out(2L) == ((2L, 6L, 8L, 0.75)))
+    assert(out(3L) == ((0L, 0L, 8L, 0.0)))
+    // corpus invariants (sf0.001 has near-dups but no exact-dup groups):
+    // one row per doc, coverage bounded by token count, dup_spans and
+    // covered_tokens are zero together, and SOME doc shows real coverage
+    val cov = Dedup.spanCoverage(docs, spanLen = 5).collect()
+    assert(cov.length == docs.count())
+    cov.foreach { r =>
+      val (spans, covered, nTok, frac) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(covered <= nTok && frac >= 0.0 && frac <= 1.0)
+      assert((spans == 0) == (covered == 0))
+    }
+    assert(cov.exists(_.getDouble(4) > 0.0))
+  }
+
   test("temperature mixture: weights normalize to 1 and compress proportional shares") {
     val rows = CorpusOps.temperatureMixture(docs).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Double]("share"), r.getAs[Double]("temp_weight")))
