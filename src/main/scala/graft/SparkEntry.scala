@@ -128,6 +128,10 @@ object SparkEntry {
       graft.operators.Sketches.hllDistinctShingles(Tables.documents(s, dir))),
     // benchmark decontamination: n-gram collision drop-list vs held-out slice
     "q_decontam" -> ((s, dir) => CorpusOps.decontaminate(Tables.documents(s, dir))),
+    // constant-size decontam: Bloom filter of the benchmark shingles with
+    // per-doc false-positive accounting (exact overlap as honesty columns)
+    "q_bloom_decontam" -> ((s, dir) =>
+      graft.operators.Sketches.bloomDecontam(Tables.documents(s, dir))),
     // domain-mixing rate table for a half-corpus token budget
     "q_mix_weights" -> ((s, dir) => CorpusOps.mixtureWeights(Tables.documents(s, dir), budgetFrac = 0.5)),
     // deterministic hash-stratified sample accounting under those rates
@@ -350,6 +354,7 @@ object SparkEntry {
     "q_fluency"       -> TextAnalysis.duckFluency("documents"),
     "q_hll_distinct"  -> graft.operators.Sketches.duckHllDistinctShingles("documents"),
     "q_decontam"      -> CorpusOps.duckDecontaminate("documents"),
+    "q_bloom_decontam" -> graft.operators.Sketches.duckBloomDecontam("documents"),
     "q_mix_weights"   -> CorpusOps.duckMixtureWeights("documents", 0.5),
     "q_sample_stratified" -> CorpusOps.duckStratifiedSample("documents", 0.5),
     "q_embed_outliers" -> CorpusOps.duckEmbeddingOutliers("documents", 5),

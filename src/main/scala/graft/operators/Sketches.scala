@@ -85,6 +85,88 @@ object Sketches {
       .orderBy("lang")
   }
 
+  /** Bloom-filter decontamination — the constant-size variant of
+    * [[CorpusOps.decontaminate]]: instead of broadcasting the benchmark's
+    * full shingle SET (MBs today, GBs for a big eval union), broadcast an
+    * `mBits`-bit Bloom filter of it and probe every training shingle with
+    * `kHash` md5-derived bit positions. A shingle is a *maybe-hit* iff all
+    * k bits are set; exact overlap (the set semi-join, still cheap at test
+    * scale) rides along as the honesty columns, so every emitted row
+    * carries its own false-positive accounting — same contract as the HLL
+    * sketch above (est + exact + error in one oracle-gated row).
+    *
+    * Engine-exactness: bit positions are integer arithmetic on md5 hex
+    * prefixes (`conv(substr(md5('bloomJ:' || s), 1, 8), 16, 10) % m`), the
+    * filter is the DISTINCT set of set-bit positions, and probing counts
+    * matched positions per shingle — identical integer trees both engines.
+    *
+    * Scale shape: bits relation ≤ k·|bench shingles| rows but at most m
+    * distinct values — broadcast by construction (that is the POINT: m is
+    * chosen per deployment at ~10-16 bits/element of the eval suite, and
+    * the probe is a map-side join however big the corpus side grows). The
+    * probe explodes k rows per training shingle — rows, not array lambdas,
+    * per the HOF-interpreted rule — then one keyed count per (doc, s).
+    */
+  def bloomDecontam(documents: DataFrame,
+                    benchMod: Int = CorpusOps.DefaultBenchMod,
+                    n: Int = CorpusOps.DefaultShingleN,
+                    mBits: Int = 8192, kHash: Int = 3): DataFrame = {
+    import graft.functions.TextFns.shingleRowsOf
+    def pos(j: Int): Column =
+      conv(substring(md5(concat(lit(s"bloom$j:"), col("s"))), 1, 8), 16, 10)
+        .cast("long") % mBits
+    val bench = documents.filter(col("doc_id") % benchMod === 0)
+    val train = documents.filter(col("doc_id") % benchMod =!= 0)
+    val bsh = shingleRowsOf(bench, n).select(col("s")).distinct()
+    // cached: probed twice (bloom rows + exact honesty semi-join), same
+    // lifecycle as decontaminate's corpus relation (harness clears/query)
+    val tsh = shingleRowsOf(train, n).distinct().cache()
+    val bits = bsh.select(explode(array((0 until kHash).map(pos): _*)).as("b")).distinct()
+    val probe = tsh.select(col("doc_id"), col("s"),
+      explode(array((0 until kHash).map(pos): _*)).as("b"))
+    val bloomHits = probe.join(broadcast(bits), "b")
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+      .filter(col("c") === kHash)
+      .groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
+    val exactHits = tsh.join(broadcast(bsh), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
+    val sizes = tsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    bloomHits
+      .join(sizes, "doc_id")
+      .join(exactHits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"), col("bloom_hits"),
+        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
+        (col("bloom_hits") - coalesce(col("exact_hits"), lit(0L))).as("false_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[bloomDecontam]]. */
+  def duckBloomDecontam(table: String,
+                        benchMod: Int = CorpusOps.DefaultBenchMod,
+                        n: Int = CorpusOps.DefaultShingleN,
+                        mBits: Int = 8192, kHash: Int = 3): String = {
+    def pos(j: Int) = s"('0x' || substr(md5('bloom$j:' || s), 1, 8))::BIGINT % $mBits"
+    val posList = (0 until kHash).map(pos).mkString("[", ", ", "]")
+    s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS t FROM $table),
+       |sh AS (SELECT DISTINCT doc_id, s
+       |       FROM (SELECT doc_id, unnest(${duckShingles("t", n)}) AS s FROM tk)),
+       |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % $benchMod = 0),
+       |tsh AS (SELECT doc_id, s FROM sh WHERE doc_id % $benchMod <> 0),
+       |bits AS (SELECT DISTINCT unnest($posList) AS b FROM bsh),
+       |probe AS (SELECT doc_id, s, unnest($posList) AS b FROM tsh),
+       |maybe AS (SELECT doc_id, s FROM probe JOIN bits USING (b)
+       |          GROUP BY doc_id, s HAVING count(*) = $kHash),
+       |bloom AS (SELECT doc_id, count(*)::BIGINT AS bloom_hits FROM maybe GROUP BY doc_id),
+       |ex AS (SELECT doc_id, count(*)::BIGINT AS exact_hits
+       |       FROM tsh JOIN bsh USING (s) GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM tsh GROUP BY doc_id)
+       |SELECT b.doc_id, sizes.n_shingles, b.bloom_hits,
+       |       coalesce(ex.exact_hits, 0)::BIGINT AS exact_hits,
+       |       (b.bloom_hits - coalesce(ex.exact_hits, 0))::BIGINT AS false_pos
+       |FROM bloom b JOIN sizes USING (doc_id) LEFT JOIN ex USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB mirror of [[hllDistinctShingles]]. */
   def duckHllDistinctShingles(table: String, n: Int = 3): String = {
     val harm = (0 until M).map(j => s"pow(2.0, -r$j)").mkString(" + ")

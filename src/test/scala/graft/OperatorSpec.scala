@@ -140,6 +140,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(cov.exists(_.getDouble(4) > 0.0))
   }
 
+  test("bloom decontam: no false negatives vs exact decontam, fp accounting consistent") {
+    val exact = CorpusOps.decontaminate(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_overlap")).toMap
+    val bloom = Sketches.bloomDecontam(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("bloom_hits"), r.getAs[Long]("exact_hits")))).toMap
+    assert(bloom.nonEmpty)
+    // a Bloom filter can only over-report: every truly-contaminated doc is
+    // flagged, its exact count matches the set semi-join, maybe ≥ exact
+    exact.foreach { case (id, n) =>
+      val (bh, eh) = bloom(id)
+      assert(eh == n && bh >= eh)
+    }
+    // and docs the exact pass does NOT flag carry exact_hits = 0
+    bloom.foreach { case (id, (bh, eh)) =>
+      assert(bh >= eh && eh == exact.getOrElse(id, 0L))
+    }
+  }
+
   test("temperature mixture: weights normalize to 1 and compress proportional shares") {
     val rows = CorpusOps.temperatureMixture(docs).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Double]("share"), r.getAs[Double]("temp_weight")))
