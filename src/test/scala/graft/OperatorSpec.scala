@@ -158,6 +158,19 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min sketch never underestimates; exact column matches a direct recount") {
+    val rows = Sketches.cmsCounts(docs).collect()
+    assert(rows.length == Sketches.CmsProbes.length)
+    val direct = docs.select(explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .filter(col("t").isin(Sketches.CmsProbes: _*)).groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (tok, est, exact, over) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact && over == est - exact)
+      assert(exact == direct.getOrElse(tok, 0L))
+    }
+  }
+
   test("temperature mixture: weights normalize to 1 and compress proportional shares") {
     val rows = CorpusOps.temperatureMixture(docs).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Double]("share"), r.getAs[Double]("temp_weight")))
