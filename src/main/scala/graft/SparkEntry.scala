@@ -100,6 +100,9 @@ object SparkEntry {
     // span-level duplication accounting (Lee et al. 2022 relationally):
     // per-doc fraction of tokens inside cross-doc repeated 5-token spans
     "q_span_dedup" -> ((s, dir) => Dedup.spanCoverage(Tables.documents(s, dir), spanLen = 5)),
+    // measured pair-recall of each LSH dedup path vs the exact baseline —
+    // the dedup twin of q_knn_recall (candidate-generation loss, gated)
+    "q_dedup_recall" -> ((s, dir) => Dedup.dedupRecall(Tables.documents(s, dir))),
     // composed pretraining-data funnel: quality → exact dedup → near-dup
     "q_curation" -> ((s, dir) =>
       Curation.curate(Tables.documents(s, dir), minQuality = 0.45, nearDupThreshold = 0.8)),
@@ -344,6 +347,7 @@ object SparkEntry {
     "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),
     "q_dedup_ngram_capped" -> Dedup.duckNgramCappedSql("documents", 0.5, 20),
     "q_span_dedup"    -> Dedup.duckSpanSql("documents", 5),
+    "q_dedup_recall"  -> Dedup.duckDedupRecall("documents"),
     "q_dedup_simhash" -> Dedup.duckSimhashSql("documents", 0.5),
     "q_dedup_embed"   -> Dedup.duckEmbedCosine("documents", 0.95),
     "q_curation"      -> Curation.duckCurate("documents", 0.45, 0.8),

@@ -452,6 +452,64 @@ object Dedup {
        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
        |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin
 
+  /** Recall accounting for the approximate dedup paths — the dedup twin of
+    * [[KnnRecall.annRecall]]: each LSH variant's pair set vs the exact
+    * inverted-index baseline [[ngramJaccard]] (full recall by
+    * construction), at the SAME threshold and shingle width, as one
+    * oracle-gated row per variant: (variant, n_found, n_hits, n_expected,
+    * recall). Every variant verifies candidates with exact Jaccard, so
+    * n_hits must equal n_found (precision 1 by construction) — the hits
+    * join is the containment proof, and recall isolates what the CANDIDATE
+    * GENERATION (bands / hamming cut / df cap) trades away.
+    *
+    * This is the query a deployment runs on a corpus SAMPLE to pick
+    * (seeds, bands, maxHamming, maxDf) before a 100 TB pass — the exact
+    * baseline is affordable on the sample, never the corpus. All variants
+    * share the cached shingle relation (identical plan → one cache entry),
+    * so the union amortizes tokenization across the four pipelines.
+    */
+  def dedupRecall(documents: DataFrame, threshold: Double = 0.5, maxDf: Int = 20): DataFrame = {
+    val exact = ngramJaccard(documents, threshold).select(col("d1"), col("d2")).cache()
+    val found =
+      minhash(documents, threshold).select(col("d1"), col("d2"))
+        .withColumn("variant", lit("minhash"))
+      .unionByName(ngramJaccardCapped(documents, threshold, maxDf)
+        .select(col("d1"), col("d2")).withColumn("variant", lit("ngram_capped")))
+      .unionByName(simhash(documents, threshold)
+        .select(col("d1"), col("d2")).withColumn("variant", lit("simhash")))
+    val nExp = exact.agg(count(lit(1)).as("n_expected"))
+    found.join(exact.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_found"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(nExp))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_expected").cast("double"), 6))
+      .select(col("variant"), col("n_found"), col("n_hits"), col("n_expected"), col("recall"))
+      .orderBy("variant")
+  }
+
+  /** DuckDB mirror of [[dedupRecall]] — the variant queries nest as derived
+    * tables (DuckDB allows WITH inside subqueries), so each mirror stays
+    * the single source of truth for its variant. */
+  def duckDedupRecall(table: String, threshold: Double = 0.5, maxDf: Int = 20): String =
+    s"""WITH exact AS (SELECT d1, d2 FROM (${duckNgramSql(table, threshold)}) x),
+       |found AS (
+       |  SELECT 'minhash' AS variant, d1, d2 FROM (${duckMinhashSql(table, threshold)}) a
+       |  UNION ALL
+       |  SELECT 'ngram_capped' AS variant, d1, d2 FROM (${duckNgramCappedSql(table, threshold, maxDf)}) b
+       |  UNION ALL
+       |  SELECT 'simhash' AS variant, d1, d2 FROM (${duckSimhashSql(table, threshold)}) c),
+       |ne AS (SELECT count(*)::BIGINT AS n_expected FROM exact)
+       |SELECT f.variant, count(*)::BIGINT AS n_found,
+       |       CAST(sum(CASE WHEN e.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       ne.n_expected,
+       |       round(CAST(sum(CASE WHEN e.d1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / CAST(ne.n_expected AS DOUBLE), 6) AS recall
+       |FROM found f LEFT JOIN exact e USING (d1, d2) CROSS JOIN ne
+       |GROUP BY f.variant, ne.n_expected
+       |ORDER BY variant""".stripMargin
+
   /** Duplicated-span coverage: for every document, how many of its tokens
     * sit inside a `spanLen`-token window that also appears verbatim in some
     * OTHER document — the span-level view of duplication that pair-level

@@ -140,6 +140,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(cov.exists(_.getDouble(4) > 0.0))
   }
 
+  test("dedup recall: precision 1 by construction, recall bounded, variants all present") {
+    val rows = Dedup.dedupRecall(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows.keySet == Set("minhash", "ngram_capped", "simhash"))
+    rows.values.foreach { case (found, hits, expected, recall) =>
+      // every variant verifies candidates with the exact Jaccard at the
+      // same threshold, so found pairs ⊆ exact pairs — hits == found
+      assert(hits == found && hits <= expected)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
   test("bloom decontam: no false negatives vs exact decontam, fp accounting consistent") {
     val exact = CorpusOps.decontaminate(docs).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("n_overlap")).toMap
