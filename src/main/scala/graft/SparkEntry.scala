@@ -232,6 +232,9 @@ object SparkEntry {
     "q_stream_join" -> ((s, dir) => StreamOps.streamedViewPurchaseJoin(s, dir)),
     // streaming decontamination through the PRODUCTION foreachBatch→parquet sink
     "q_stream_decontam" -> ((s, dir) => StreamOps.streamedDecontam(s, dir)),
+    // native session_window state operator (dynamic-gap merge; the batch
+    // sessionize's lag+cumsum emulation, done by the engine incrementally)
+    "q_stream_sessions" -> ((s, dir) => StreamOps.streamedSessions(s, dir)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -424,5 +427,6 @@ object SparkEntry {
     // same oracle as the batch operator: per-doc metrics vs a static
     // benchmark side are micro-batch-partitioning-invariant
     "q_stream_decontam" -> CorpusOps.duckDecontaminate("documents"),
+    "q_stream_sessions" -> StreamOps.duckStreamedSessions,
   )
 }

@@ -134,6 +134,71 @@ object StreamOps {
        |FROM events WHERE user_id < 20
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming sessionization via the native `session_window` state
+    * operator — the dynamic-gap windowing that tumbling windows cannot
+    * express and the batch [[graft.operators.Relational.sessionize]]
+    * emulates with lag + running-sum windows. Here the engine MERGES
+    * session state incrementally as events arrive (gap 30 min), the shape
+    * that scales to an unbounded stream.
+    *
+    * Semantics note, encoded in the oracle: `session_window` windows are
+    * `[t, t+gap)` and merge on OVERLAP, so a gap of exactly 30 min starts
+    * a NEW session (`diff >= gap`), while the batch sessionize's
+    * `diff > gap` keeps it — the half-open-interval fencepost between the
+    * two formulations. Emitted bounds are min/max raw event micros (not
+    * the gap-padded window end), so the result is pure integer arithmetic.
+    *
+    * Complete output mode: the memory-sink harness holds the full (tiny:
+    * user_id < 20, source-side pushdown) session table; a production run
+    * uses append mode + watermark, which emits each session once its
+    * gap-padded end passes the watermark. */
+  def streamedSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = Tables.eventsRaw(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    streamedSessionsOf(stream, s"graft_stream_sess_${counter.incrementAndGet()}")
+  }
+
+  /** Core of [[streamedSessions]], parameterized by source so the spec can
+    * split the events mid-session across micro-batches (session state must
+    * MERGE across triggers, not just accumulate). */
+  def streamedSessionsOf(src: DataFrame, qname: String): DataFrame = {
+    val spark = src.sparkSession
+    val stream = src
+      .filter(col("user_id") < 20)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withColumn("us", expr("ts div 1000"))
+    val sess = stream
+      .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes").as("w"))
+      .agg(min("us").as("start_us"), max("us").as("end_us"),
+        count(lit(1)).as("n_events"))
+    withShufflePartitions(spark, 4) {
+      val q = sess.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qname)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** DuckDB mirror of [[streamedSessions]] — lag + running sum with the
+    * session_window `>= gap` split rule (see semantics note above). */
+  def duckStreamedSessions: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE user_id < 20),
+       |l AS (SELECT user_id, us,
+       |             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+       |      FROM e),
+       |n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+       |      FROM l),
+       |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+       |                     ROWS UNBOUNDED PRECEDING) AS sid
+       |      FROM n)
+       |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+       |       count(*)::BIGINT AS n_events, max(us) - min(us) AS duration_us
+       |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+
   /** Streaming exact dedup — the LLM-pipeline dedup shape on a stream:
     * `dropDuplicates` keyed on (lang, content-hash) inside the streaming
     * query (the canonical streaming-dedup state operator), append-mode sink

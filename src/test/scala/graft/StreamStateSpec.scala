@@ -84,6 +84,50 @@ class StreamStateSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("session windows merge across micro-batches; result equals batch recount") {
+    val ev = Tables.eventsRaw(spark, TestSpark.sf).cache()
+
+    // batch recount under session_window's >= gap split rule
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(asc("us"), asc("event_id"))
+    val want = ev.filter(col("user_id") < 20)
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") >= 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("start_us"), max("us").as("end_us"), count(lit(1)).as("n"))
+      .select("user_id", "start_us", "end_us", "n")
+      .orderBy("user_id", "start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // Split the events INSIDE a multi-event session: its partial halves
+    // arrive in different triggers, so equality below requires the
+    // session_window state operator to MERGE state across micro-batches,
+    // not just union emitted rows.
+    val straddler = want.find(s => s._4 >= 2 && s._3 > s._2)
+    assert(straddler.isDefined, "corpus must contain a multi-event session")
+    val cutNs = (straddler.get._2 + straddler.get._3) / 2 * 1000L
+    val dir = Files.createTempDirectory("graft_stream_sess").toFile
+    dir.deleteOnExit()
+    ev.filter(col("ts") <= cutNs).coalesce(1)
+      .write.parquet(s"${dir.getAbsolutePath}/batch1.parquet")
+    ev.filter(col("ts") > cutNs).coalesce(1)
+      .write.parquet(s"${dir.getAbsolutePath}/batch2.parquet")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir.getAbsolutePath)
+    val got = StreamOps.streamedSessionsOf(stream, "graft_stream_sess_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+    ev.unpersist()
+  }
+
   test("stream-stream join buffers one side across micro-batches") {
     // views arrive in batch 1, purchases ONLY in batch 2: every matched pair
     // requires the views to still sit in join state when batch 2 processes.
