@@ -124,6 +124,9 @@ object SparkEntry {
     // LM-style fluency: quantized (floor-log2) corpus-bigram likelihood —
     // the perplexity-filter analog with exact integer arithmetic
     "q_fluency" -> ((s, dir) => TextAnalysis.fluency(Tables.documents(s, dir))),
+    // Zipf rank-frequency corpus diagnostic; exact via quantized-log
+    // buckets, global rank two-phased over the tiny frequency-tier relation
+    "q_zipf" -> ((s, dir) => TextAnalysis.zipfProfile(Tables.documents(s, dir))),
     // HyperLogLog distinct-shingle sketch per language (constant state per
     // group at 100 TB), engine-exact: md5 registers + fixed-order pivot;
     // exact count + measured error carried as the honesty columns
@@ -363,6 +366,7 @@ object SparkEntry {
     "q_repetition"    -> TextAnalysis.duckRepetition("documents"),
     "q_novelty"       -> TextAnalysis.duckNovelty("documents"),
     "q_fluency"       -> TextAnalysis.duckFluency("documents"),
+    "q_zipf"          -> TextAnalysis.duckZipfProfile("documents"),
     "q_hll_distinct"  -> graft.operators.Sketches.duckHllDistinctShingles("documents"),
     "q_decontam"      -> CorpusOps.duckDecontaminate("documents"),
     "q_bloom_decontam" -> graft.operators.Sketches.duckBloomDecontam("documents"),

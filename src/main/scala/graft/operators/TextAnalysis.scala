@@ -462,4 +462,70 @@ object TextAnalysis {
        |       CAST(sum(length(bin(cf)) - 1) AS BIGINT) AS bits,
        |       round(CAST(sum(length(bin(cf)) - 1) AS DOUBLE) / count(*), 6) AS fluency
        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Zipf rank-frequency profile — the corpus-health diagnostic behind
+    * every "does this crawl look like natural language" check: token
+    * frequencies bucketed by floor(log2(rank)), with the mean
+    * floor(log2(frequency)) per bucket. Natural corpora fall on a ~-1
+    * log-log slope; a flat profile flags boilerplate floods, a cliff flags
+    * template dedup debt. Exact in both engines via the quantized-log trick
+    * (`length(bin(x)) - 1`, CLAUDE.md) — no floating log anywhere until the
+    * final single division of two exact integers.
+    *
+    * Scale shape: the global frequency rank is NOT a global window (the
+    * ORDER-BY-without-PARTITION-BY single-task hazard). Two-phase instead,
+    * the packSequences pattern: (1) per-frequency tier sizes — a relation
+    * of DISTINCT counts, ≪ vocabulary — get prefix offsets via a window
+    * over that tiny relation only; (2) each token ranks within its tier by
+    * a cnt-keyed window, plus the broadcast tier offset. The vocabulary
+    * never moves through one task.
+    */
+  def zipfProfile(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = documents
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    // tier relation: one row per distinct frequency (tiny); offsets = how
+    // many tokens sit in strictly-higher tiers
+    val wTier = Window.orderBy(desc("cnt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tiers = cnts.groupBy("cnt").agg(count(lit(1)).as("n_in_tier"))
+      .withColumn("off", (sum("n_in_tier").over(wTier) - col("n_in_tier")).cast("long"))
+    val wIn = Window.partitionBy("cnt").orderBy(asc("t"))
+    val ranked = cnts
+      .withColumn("rn", row_number().over(wIn).cast("long"))
+      .join(broadcast(tiers.select(col("cnt"), col("off"))), "cnt")
+      .withColumn("rank", col("off") + col("rn"))
+    ranked
+      .withColumn("lb_rank", (length(bin(col("rank"))) - 1).cast("long"))
+      .withColumn("lb_freq", (length(bin(col("cnt"))) - 1).cast("long"))
+      .groupBy("lb_rank")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("cnt").cast("long").as("sum_cnt"),
+        sum("lb_freq").cast("long").as("lb_freq_bits"))
+      .select(col("lb_rank"), col("n_tokens"), col("sum_cnt"),
+        round(col("lb_freq_bits").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("mean_lb_freq"))
+      .orderBy("lb_rank")
+  }
+
+  /** DuckDB mirror of [[zipfProfile]]. */
+  def duckZipfProfile(table: String): String =
+    s"""WITH tok AS (SELECT unnest(${duckTokens("text")}) AS t FROM $table),
+       |cnts AS (SELECT t, count(*)::BIGINT AS cnt FROM tok GROUP BY t),
+       |tiers AS (SELECT cnt, count(*)::BIGINT AS n_in_tier FROM cnts GROUP BY cnt),
+       |offs AS (SELECT cnt,
+       |                CAST(sum(n_in_tier) OVER (ORDER BY cnt DESC
+       |                     ROWS UNBOUNDED PRECEDING) - n_in_tier AS BIGINT) AS off
+       |         FROM tiers),
+       |ranked AS (SELECT c.cnt,
+       |                  o.off + row_number() OVER (PARTITION BY c.cnt ORDER BY c.t) AS rank
+       |           FROM cnts c JOIN offs o USING (cnt)),
+       |b AS (SELECT length(bin(rank)) - 1 AS lb_rank, cnt,
+       |             length(bin(cnt)) - 1 AS lb_freq
+       |      FROM ranked)
+       |SELECT lb_rank::BIGINT AS lb_rank, count(*)::BIGINT AS n_tokens,
+       |       CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+       |       round(CAST(sum(lb_freq) AS DOUBLE) / count(*), 6) AS mean_lb_freq
+       |FROM b GROUP BY 1 ORDER BY lb_rank""".stripMargin
 }

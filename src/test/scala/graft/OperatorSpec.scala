@@ -152,6 +152,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("zipf profile: two-phase rank equals a naive global ranking") {
+    import org.apache.spark.sql.expressions.Window
+    val got = TextAnalysis.zipfProfile(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // naive recount: single global window (test-scale only — the operator
+    // exists precisely to avoid this shape at corpus scale)
+    val cnts = docs.select(explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(desc("cnt"), asc("t"))
+    val want = cnts.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("lb_rank", (length(bin(col("rank"))) - 1).cast("long"))
+      .withColumn("lb_freq", (length(bin(col("cnt"))) - 1).cast("long"))
+      .groupBy("lb_rank")
+      .agg(count(lit(1)).as("n_tokens"), sum("cnt").cast("long").as("sum_cnt"),
+        round(sum("lb_freq").cast("double") / count(lit(1)).cast("double"), 6).as("m"))
+      .orderBy("lb_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("bloom decontam: no false negatives vs exact decontam, fp accounting consistent") {
     val exact = CorpusOps.decontaminate(docs).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("n_overlap")).toMap
