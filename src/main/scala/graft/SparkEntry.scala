@@ -127,6 +127,8 @@ object SparkEntry {
     // Zipf rank-frequency corpus diagnostic; exact via quantized-log
     // buckets, global rank two-phased over the tiny frequency-tier relation
     "q_zipf" -> ((s, dir) => TextAnalysis.zipfProfile(Tables.documents(s, dir))),
+    // collocation mining by integer-quantized PMI (floor-log2 bits)
+    "q_collocations" -> ((s, dir) => TextAnalysis.collocations(Tables.documents(s, dir))),
     // HyperLogLog distinct-shingle sketch per language (constant state per
     // group at 100 TB), engine-exact: md5 registers + fixed-order pivot;
     // exact count + measured error carried as the honesty columns
@@ -367,6 +369,7 @@ object SparkEntry {
     "q_novelty"       -> TextAnalysis.duckNovelty("documents"),
     "q_fluency"       -> TextAnalysis.duckFluency("documents"),
     "q_zipf"          -> TextAnalysis.duckZipfProfile("documents"),
+    "q_collocations"  -> TextAnalysis.duckCollocations("documents"),
     "q_hll_distinct"  -> graft.operators.Sketches.duckHllDistinctShingles("documents"),
     "q_decontam"      -> CorpusOps.duckDecontaminate("documents"),
     "q_bloom_decontam" -> graft.operators.Sketches.duckBloomDecontam("documents"),

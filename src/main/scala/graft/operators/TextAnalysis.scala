@@ -463,6 +463,70 @@ object TextAnalysis {
        |       round(CAST(sum(length(bin(cf)) - 1) AS DOUBLE) / count(*), 6) AS fluency
        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Collocation extraction by quantized PMI — the "which token pairs are
+    * glued together" analysis (multi-word expressions, templated phrases)
+    * run before tokenizer/vocab decisions. PMI = log p(a,b)−log p(a)−
+    * log p(b) is a float in every textbook; here it is quantized to whole
+    * bits with the exact floor-log2 identity (`length(bin(x)) - 1`), so
+    * the score is INTEGER arithmetic both engines agree on bit-for-bit:
+    * pmi_bits = lb(c_ab) + lb(N) − lb(c_a) − lb(c_b). Ties (coarse by
+    * construction) break on raw pair count, then the pair string — the
+    * deterministic-ORDER-BY rule.
+    *
+    * Scale shape: bigram counts via posexplode + lead (one exchange on the
+    * pair), two shuffle joins onto the unigram-count relation — which is a
+    * VOCAB-cardinality aggregate left UNCACHED so its natural estimate
+    * grows with the corpus (small now → broadcast, big later → SMJ; the
+    * round-4 caching lesson). Top-k through the native bounded-heap
+    * rewrite when enabled.
+    */
+  def collocations(documents: DataFrame, minCount: Int = 5, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lb(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val uni = documents.select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+    val bi = graft.functions.TextFns.shingleRowsOf(documents, 2)
+      .groupBy("s").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+      .withColumn("w1", split(col("s"), " ").getItem(0))
+      .withColumn("w2", split(col("s"), " ").getItem(1))
+    val n = documents
+      .select(sum(size(tokens(col("text")))).cast("long").as("n_tok"))
+    val scored = bi
+      .join(uni.select(col("t").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_bits", lb(col("cb")) + lb(col("n_tok")) - lb(col("c1")) - lb(col("c2")))
+    val w = Window.orderBy(desc("pmi_bits"), desc("cb"), asc("s"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("s").as("bigram"), col("cb").as("pair_cnt"),
+        col("c1").as("w1_cnt"), col("c2").as("w2_cnt"), col("pmi_bits"))
+      .orderBy(desc("pmi_bits"), desc("pair_cnt"), asc("bigram"))
+  }
+
+  /** DuckDB mirror of [[collocations]]. */
+  def duckCollocations(table: String, minCount: Int = 5, k: Int = 20): String =
+    s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS t FROM $table),
+       |uni AS (SELECT u.tt AS t, count(*)::BIGINT AS cu
+       |        FROM (SELECT unnest(t) AS tt FROM tk) u GROUP BY 1),
+       |n AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_tok FROM tk),
+       |bi AS (SELECT s, count(*)::BIGINT AS cb,
+       |              string_split(s, ' ')[1] AS w1, string_split(s, ' ')[2] AS w2
+       |       FROM (SELECT unnest(${duckShingles("t", 2)}) AS s FROM tk)
+       |       GROUP BY s HAVING count(*) >= $minCount),
+       |sc AS (SELECT bi.s, bi.cb, u1.cu AS c1, u2.cu AS c2,
+       |              (length(bin(bi.cb)) - 1) + (length(bin(n.n_tok)) - 1)
+       |              - (length(bin(u1.cu)) - 1) - (length(bin(u2.cu)) - 1) AS pmi_bits
+       |       FROM bi JOIN uni u1 ON u1.t = bi.w1
+       |       JOIN uni u2 ON u2.t = bi.w2 CROSS JOIN n)
+       |SELECT s AS bigram, cb AS pair_cnt, c1 AS w1_cnt, c2 AS w2_cnt,
+       |       CAST(pmi_bits AS BIGINT) AS pmi_bits
+       |FROM sc
+       |ORDER BY pmi_bits DESC, pair_cnt DESC, bigram
+       |LIMIT $k""".stripMargin
+
   /** Zipf rank-frequency profile — the corpus-health diagnostic behind
     * every "does this crawl look like natural language" check: token
     * frequencies bucketed by floor(log2(rank)), with the mean

@@ -152,6 +152,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("collocations: quantized PMI recomputes from the row's own counts") {
+    def lb(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val nTok = docs.select(explode(graft.functions.TextFns.tokens(col("text"))).as("t")).count()
+    val rows = TextAnalysis.collocations(docs, minCount = 2, k = 10).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val (cb, c1, c2, pmi) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cb >= 2)
+      assert(pmi == lb(cb) + lb(nTok) - lb(c1) - lb(c2))
+    }
+    // ordering is the declared deterministic one
+    val key = rows.map(r => (-r.getLong(4), -r.getLong(1), r.getString(0))).toSeq
+    assert(key == key.sorted)
+  }
+
   test("zipf profile: two-phase rank equals a naive global ranking") {
     import org.apache.spark.sql.expressions.Window
     val got = TextAnalysis.zipfProfile(docs).collect()
