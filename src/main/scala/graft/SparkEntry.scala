@@ -209,6 +209,8 @@ object SparkEntry {
     // --- multimodal plumbing + hashing-embedder index pipeline ---
     "q_multimodal" -> ((s, dir) => Multimodal.features(Tables.documents(s, dir))),
     "q_frames" -> ((s, dir) => Multimodal.frameSamples(Tables.documents(s, dir))),
+    // per-modality fixed-capacity decode batches (two-phase prefix sum)
+    "q_mm_batches" -> ((s, dir) => Multimodal.decodeBatches(Tables.documents(s, dir))),
     "q_embed_hist" -> ((s, dir) =>
       Embedder.bucketHistogram(Tables.documents(s, dir))
         .filter(col("doc_id") < 100).orderBy("doc_id", "bucket")),
@@ -411,6 +413,7 @@ object SparkEntry {
     "q_salted_agg"      -> Relational.duckSaltedEventTotals,
     "q_multimodal"      -> Multimodal.duckFeatures("documents"),
     "q_frames"          -> Multimodal.duckFrameSamples("documents"),
+    "q_mm_batches"      -> Multimodal.duckDecodeBatches("documents"),
     "q_embed_hist" ->
       s"""WITH h AS (${Embedder.duckBucketHistogram("documents")})
          |SELECT doc_id, bucket, cnt FROM h WHERE doc_id < 100

@@ -52,6 +52,66 @@ object Multimodal {
        |       md5(substring(text, 1, 16)) AS frame_md5
        |FROM $table ORDER BY doc_id""".stripMargin
 
+  /** Modality tag for the batch planner: deterministic stand-in for a real
+    * mime column (the testdata carries none). */
+  private def modalityCol = expr(
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+
+  /** Decode-batch planner — the shaping step in front of any batched
+    * decoder (`mapInPandas` / Arrow UDF / FFI): assign assets to
+    * fixed-byte-capacity decode batches PER MODALITY, greedy in doc_id
+    * order (the deterministic ingestion-order stand-in), and emit
+    * per-batch accounting (asset count, payload bytes, doc range). A
+    * decoder then maps one batch → one UDF invocation with a bounded
+    * memory footprint; capacity is the knob that matches batch bytes to
+    * executor headroom.
+    *
+    * The per-modality running byte offset is the SAME two-phase
+    * distributed prefix sum as [[CorpusOps.packSequences]] (per-bucket
+    * totals → prefix over the tiny bucket relation, here additionally
+    * partitioned by modality → broadcast offsets + within-bucket windows);
+    * batch_no = offset DIV capacity. All integer arithmetic — exact in
+    * both engines.
+    */
+  def decodeBatches(documents: DataFrame, capacityBytes: Long = 4096,
+                    bucketSize: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = assets(documents)
+      .select(modalityCol.as("modality"), col("doc_id"),
+        octet_length(col("payload")).cast("long").as("bytes"))
+      .withColumn("bkt", expr(s"doc_id DIV $bucketSize"))
+    val btot = d.groupBy("modality", "bkt").agg(sum("bytes").as("bbytes"))
+    val wB = Window.partitionBy("modality").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = btot.withColumn("boffset", coalesce(sum("bbytes").over(wB), lit(0L)))
+    val wD = Window.partitionBy("modality", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(boff.select(col("modality"), col("bkt"), col("boffset"))),
+        Seq("modality", "bkt"))
+      .withColumn("offset", col("boffset") + coalesce(sum("bytes").over(wD), lit(0L)))
+      .withColumn("batch_no", expr(s"offset DIV $capacityBytes"))
+      .groupBy("modality", "batch_no")
+      .agg(count(lit(1)).as("n_assets"),
+        sum("bytes").cast("long").as("batch_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("modality", "batch_no")
+  }
+
+  /** DuckDB mirror of [[decodeBatches]] — single-scan per-modality cumsum
+    * (the oracle need not be distributed, only row-identical). */
+  def duckDecodeBatches(table: String, capacityBytes: Long = 4096): String =
+    s"""WITH d AS (SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |                  doc_id, octet_length(text::BLOB)::BIGINT AS bytes
+       |           FROM $table),
+       |c AS (SELECT modality, doc_id, bytes,
+       |             CAST(coalesce(sum(bytes) OVER (PARTITION BY modality ORDER BY doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+       |      FROM d)
+       |SELECT modality, "offset" // $capacityBytes AS batch_no,
+       |       count(*)::BIGINT AS n_assets, CAST(sum(bytes) AS BIGINT) AS batch_bytes,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2 ORDER BY modality, batch_no""".stripMargin
+
   /** Frame sampling: 1 asset → N frame rows (the video shape). Frames are
     * fixed 32-byte payload slices, capped at `maxFrames` per asset — at
     * cluster scale this generator is map-side (explode, no shuffle) and the

@@ -168,6 +168,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(key == key.sorted)
   }
 
+  test("decode batches: complete byte accounting, consecutive batches, disjoint doc ranges") {
+    val rows = Multimodal.decodeBatches(docs, capacityBytes = 1024).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val byMod = rows.groupBy(_._1)
+    val totals = docs.selectExpr(
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS m",
+        "octet_length(cast(text as binary)) AS b")
+      .groupBy("m").agg(sum("b").cast("long").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byMod.foreach { case (mod, bs) =>
+      val sorted = bs.sortBy(_._2)
+      // batch numbers consecutive from 0; nothing lost or double-counted
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong).toSeq)
+      assert(sorted.map(_._4).sum == totals(mod))
+      // doc ranges strictly increasing and disjoint across batches
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._6 < b._5)
+        case _ =>
+      }
+    }
+  }
+
   test("zipf profile: two-phase rank equals a naive global ranking") {
     import org.apache.spark.sql.expressions.Window
     val got = TextAnalysis.zipfProfile(docs).collect()
