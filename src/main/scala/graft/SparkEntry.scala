@@ -103,6 +103,10 @@ object SparkEntry {
     // measured pair-recall of each LSH dedup path vs the exact baseline —
     // the dedup twin of q_knn_recall (candidate-generation loss, gated)
     "q_dedup_recall" -> ((s, dir) => Dedup.dedupRecall(Tables.documents(s, dir))),
+    // ingest-time dedup: the new-batch slice probed against the corpus
+    // band index (new x old only - the continuous-ingestion shape)
+    "q_dedup_incremental" -> ((s, dir) =>
+      Dedup.minhashIncremental(Tables.documents(s, dir), threshold = 0.5)),
     // composed pretraining-data funnel: quality → exact dedup → near-dup
     "q_curation" -> ((s, dir) =>
       Curation.curate(Tables.documents(s, dir), minQuality = 0.45, nearDupThreshold = 0.8)),
@@ -358,6 +362,7 @@ object SparkEntry {
     "q_dedup_ngram_capped" -> Dedup.duckNgramCappedSql("documents", 0.5, 20),
     "q_span_dedup"    -> Dedup.duckSpanSql("documents", 5),
     "q_dedup_recall"  -> Dedup.duckDedupRecall("documents"),
+    "q_dedup_incremental" -> Dedup.duckMinhashIncrementalSql("documents", 0.5),
     "q_dedup_simhash" -> Dedup.duckSimhashSql("documents", 0.5),
     "q_dedup_embed"   -> Dedup.duckEmbedCosine("documents", 0.95),
     "q_curation"      -> Curation.duckCurate("documents", 0.45, 0.8),

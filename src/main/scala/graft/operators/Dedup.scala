@@ -452,6 +452,69 @@ object Dedup {
        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
        |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin
 
+  /** Ingest-time incremental near-dup: a NEW batch (the deterministic
+    * `doc_id % batchMod = batchRem` slice, ~10% standing in for today's
+    * crawl) checked against the EXISTING corpus — the shape a continuous
+    * pipeline runs on every ingest, where re-running all-pairs dedup over
+    * corpus ∪ batch would redo yesterday's work quadratically.
+    *
+    * Scale shape: the corpus-side band index is the persisted artifact (in
+    * production: the bucketed table [[graft.sources.IndexBuild
+    * .writeBucketed]] writes, bucketed by band key, so the probe below is
+    * co-located and shuffle-free); the batch side is small by construction
+    * — its bands broadcast naturally. Candidates come from the band-key
+    * equijoin (new × old only, never old × old), and the exact-Jaccard
+    * verify is candidate-first as everywhere in this family. Emitted roles
+    * are (batch_doc, corpus_doc) — not the symmetric d1 < d2 — because the
+    * downstream decision is one-sided: drop or link the NEW doc.
+    */
+  def minhashIncremental(documents: DataFrame, threshold: Double,
+                         batchMod: Int = 10, batchRem: Int = 7,
+                         seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sh = shingleRows(documents, 3)
+    val minCols = (0 until seeds).map(s => min(minhashCol(col("s"), s)).as(s"h$s"))
+    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val nBands = seeds / rowsPerBand
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until nBands).map(b => struct(
+        lit(b).as("band"),
+        md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)).as("bkey"))): _*
+    )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val newB = bands.filter(col("doc_id") % batchMod === batchRem)
+    val oldB = bands.filter(col("doc_id") % batchMod =!= batchRem)
+    val cand = newB.as("x").join(oldB.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    jaccardOf(sh, cand, threshold)
+      .select(col("d1").as("batch_doc"), col("d2").as("corpus_doc"), col("jaccard"))
+      .orderBy(asc("batch_doc"), asc("corpus_doc"))
+  }
+
+  /** DuckDB mirror of [[minhashIncremental]]. The verify CTEs are the
+    * role-ordered variant of [[duckJaccardCtes]]: (batch, corpus) pairs are
+    * not doc_id-ordered, so the intersection join keys on the candidate's
+    * own roles instead of the symmetric `a.doc_id < b.doc_id`. */
+  def duckMinhashIncrementalSql(table: String, threshold: Double,
+                                batchMod: Int = 10, batchRem: Int = 7,
+                                seeds: Int = 8, rowsPerBand: Int = 2): String =
+    s"""WITH ${duckMinhashCandCtes(table, seeds, rowsPerBand)},
+       |icand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |          FROM bands x JOIN bands y
+       |          ON x.band = y.band AND x.bkey = y.bkey
+       |          AND x.doc_id % $batchMod = $batchRem
+       |          AND y.doc_id % $batchMod <> $batchRem),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.d1, c.d2, count(*) AS i
+       |          FROM icand c
+       |          JOIN sh a ON a.doc_id = c.d1
+       |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+       |          GROUP BY 1, 2),
+       |j AS (SELECT d1, d2, i::DOUBLE / (s1.n + s2.n - i) AS jac
+       |      FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)
+       |SELECT d1 AS batch_doc, d2 AS corpus_doc, round(jac, 6) AS jaccard
+       |FROM j WHERE jac >= $threshold ORDER BY batch_doc, corpus_doc""".stripMargin
+
   /** Recall accounting for the approximate dedup paths — the dedup twin of
     * [[KnnRecall.annRecall]]: each LSH variant's pair set vs the exact
     * inverted-index baseline [[ngramJaccard]] (full recall by

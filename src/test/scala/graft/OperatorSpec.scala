@@ -140,6 +140,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(cov.exists(_.getDouble(4) > 0.0))
   }
 
+  test("incremental dedup equals full minhash restricted to batch-corpus pairs") {
+    val inc = Dedup.minhashIncremental(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhash(docs, 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    def isNew(d: Long) = d % 10 == 7
+    val want = full.flatMap {
+      case (d1, d2) if isNew(d1) && !isNew(d2) => Some((d1, d2))
+      case (d1, d2) if isNew(d2) && !isNew(d1) => Some((d2, d1))
+      case _ => None
+    }.toSet
+    assert(inc == want)
+  }
+
   test("dedup recall: precision 1 by construction, recall bounded, variants all present") {
     val rows = Dedup.dedupRecall(docs).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
