@@ -160,6 +160,9 @@ object SparkEntry {
     "q_temp_mixture" -> ((s, dir) => CorpusOps.temperatureMixture(Tables.documents(s, dir))),
     // fixed-size consistent sample: smallest-k md5 order per language
     "q_sample_fixed_k" -> ((s, dir) => CorpusOps.fixedKSample(Tables.documents(s, dir), k = 10)),
+    // exact-token-budget sample: hash-order prefix cut (the "train on N
+    // tokens" contract, exact to within one doc — not an expected rate)
+    "q_sample_budget" -> ((s, dir) => CorpusOps.budgetSample(Tables.documents(s, dir))),
 
     // --- chunkers (C5/C6/C7) + index surface (Q3-Q6, Q9, Q10, C9) ---
     "q_chunk_text" -> ((s, dir) => Chunkers.textChunks(Tables.documents(s, dir))),
@@ -387,6 +390,7 @@ object SparkEntry {
     "q_pack_sequences" -> CorpusOps.duckPackSequences("documents", 512),
     "q_temp_mixture"  -> CorpusOps.duckTemperatureMixture("documents"),
     "q_sample_fixed_k" -> CorpusOps.duckFixedKSample("documents", 10),
+    "q_sample_budget" -> CorpusOps.duckBudgetSample("documents"),
 
     "q_chunk_text"       -> Chunkers.duckTextChunks("documents"),
     "q_chunk_markdown"   -> Chunkers.duckMarkdownSections("documents"),

@@ -357,6 +357,65 @@ object CorpusOps {
        |      FROM h)
        |SELECT lang, rn, doc_id, h FROM r WHERE rn <= $k ORDER BY lang, rn""".stripMargin
 
+  /** Exact-token-budget sampler — the third sampling contract next to
+    * [[stratifiedSample]] (expected RATE) and [[fixedKSample]] (exact doc
+    * COUNT): take docs in deterministic md5 hash order until a corpus-wide
+    * TOKEN budget is exhausted. Hash order is an unbiased deterministic
+    * shuffle, so the kept set is an exact-size uniform sample to within one
+    * document — the contract a compute-budgeted pretraining run actually
+    * has ("train on 1T tokens"), which a per-doc keep-probability can only
+    * hit in expectation.
+    *
+    * The cut point is a running token total in hash order — a global
+    * prefix sum, two-phased exactly like [[packSequences]], except the
+    * bucket key is the leading md5 byte (256 buckets; hash order, not
+    * doc_id order): per-bucket totals → exclusive prefix over the 256-row
+    * bucket relation → broadcast offsets + within-bucket hash-ordered
+    * windows. A doc is kept iff its exclusive offset is strictly below the
+    * budget (the straddling doc is kept — deterministic boundary rule).
+    * Emits per-language accounting; the kept-corpus writer is the same
+    * predicate over the doc rows.
+    */
+  def budgetSample(documents: DataFrame, budgetFrac: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docTokensOf(documents)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val budget = d.select(
+      floor(lit(budgetFrac) * sum("ntok").cast("double")).cast("long").as("budget"))
+    val btot = d.groupBy("bkt").agg(sum("ntok").as("btok"))
+    val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val boff = btot.withColumn("boffset", coalesce(sum("btok").over(wB), lit(0L)))
+    val wD = Window.partitionBy("bkt").orderBy(asc("h"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(boff.select(col("bkt"), col("boffset"))), "bkt")
+      .withColumn("offset", col("boffset") + coalesce(sum("ntok").over(wD), lit(0L)))
+      .crossJoin(broadcast(budget))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("offset") < col("budget"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("offset") < col("budget"), col("ntok")).otherwise(0L)).as("kept_tokens"),
+        max("budget").as("budget"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[budgetSample]] — single-scan cumsum in hash order
+    * (the oracle need not be distributed, only row-identical). */
+  def duckBudgetSample(table: String, budgetFrac: Double = 0.3): String =
+    s"""WITH d AS (SELECT doc_id, lang, len(${duckTokens("text")})::BIGINT AS ntok,
+       |                  md5(doc_id::VARCHAR) AS h
+       |           FROM $table),
+       |b AS (SELECT CAST(floor($budgetFrac::DOUBLE * CAST(sum(ntok) AS DOUBLE)) AS BIGINT) AS budget FROM d),
+       |c AS (SELECT lang, ntok,
+       |             CAST(coalesce(sum(ntok) OVER (ORDER BY h, doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+       |      FROM d)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |       CAST(sum(CASE WHEN "offset" < b.budget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN "offset" < b.budget THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |       max(b.budget) AS budget
+       |FROM c CROSS JOIN b GROUP BY lang ORDER BY lang""".stripMargin
+
   // --------------------------------------------- embedding-outlier filter
 
   /** Embedding-based outlier filter: the k docs per language whose

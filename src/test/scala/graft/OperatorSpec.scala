@@ -153,6 +153,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(inc == want)
   }
 
+  test("budget sample: kept tokens hit the budget exactly to within one document") {
+    val rows = CorpusOps.budgetSample(docs, budgetFrac = 0.3).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getAs[Long]("budget")
+    val totalKept = rows.map(_.getAs[Long]("kept_tokens")).sum
+    val maxDocTok = docs
+      .select(max(size(graft.functions.TextFns.tokens(col("text")))).cast("long"))
+      .collect().head.getLong(0)
+    // the straddling doc is kept, so total lands in [budget, budget + maxDoc)
+    assert(totalKept >= budget && totalKept < budget + maxDocTok)
+    rows.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
+  }
+
   test("dedup recall: precision 1 by construction, recall bounded, variants all present") {
     val rows = Dedup.dedupRecall(docs).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
