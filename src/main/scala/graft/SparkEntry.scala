@@ -148,6 +148,9 @@ object SparkEntry {
     // fixed probe list, exact counts + overestimate as honesty columns
     "q_cms_counts" -> ((s, dir) =>
       graft.operators.Sketches.cmsCounts(Tables.documents(s, dir))),
+    // KMV bottom-k distinct sketch: mergeable, doubles as a uniform sample
+    "q_kmv_distinct" -> ((s, dir) =>
+      graft.operators.Sketches.kmvDistinctShingles(Tables.documents(s, dir))),
     // domain-mixing rate table for a half-corpus token budget
     "q_mix_weights" -> ((s, dir) => CorpusOps.mixtureWeights(Tables.documents(s, dir), budgetFrac = 0.5)),
     // deterministic hash-stratified sample accounting under those rates
@@ -384,6 +387,7 @@ object SparkEntry {
     "q_decontam"      -> CorpusOps.duckDecontaminate("documents"),
     "q_bloom_decontam" -> graft.operators.Sketches.duckBloomDecontam("documents"),
     "q_cms_counts"    -> graft.operators.Sketches.duckCmsCounts("documents"),
+    "q_kmv_distinct"  -> graft.operators.Sketches.duckKmvDistinctShingles("documents"),
     "q_mix_weights"   -> CorpusOps.duckMixtureWeights("documents", 0.5),
     "q_sample_stratified" -> CorpusOps.duckStratifiedSample("documents", 0.5),
     "q_embed_outliers" -> CorpusOps.duckEmbeddingOutliers("documents", 5),

@@ -167,6 +167,80 @@ object Sketches {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** KMV (k-minimum-values) distinct-shingle estimate per language — the
+    * bottom-k companion to [[hllDistinctShingles]]: keep the k smallest
+    * 60-bit hash values per group; if the k-th smallest is x_k, the
+    * distinct count is ≈ (k−1)·2⁶⁰/x_k (the k-th order statistic of
+    * uniforms estimator, Bar-Yossef et al. 2002). Two properties HLL lacks:
+    * the state IS a uniform sample of the distinct values (usable for
+    * downstream estimation), and two sketches merge by taking the bottom-k
+    * of their union — the distributed-combine shape.
+    *
+    * Engine-exactness: hashes are 60-bit integers from md5 hex (exact in
+    * both engines), the bottom-k is a rank window with the deterministic
+    * (hash, shingle) tiebreak, and the estimate is one double division of
+    * two exact integers — identical trees both sides. Exact count and
+    * relative error ride along as the honesty columns.
+    *
+    * Scale shape: distinct (lang, shingle) agg (linear, map-side partials)
+    * → per-lang bottom-k rank window (k·|langs| survivors; the window is
+    * the [[graft.plans.TopKPerKey]] rewrite's target shape when enabled)
+    * → one |langs|-row projection. State per group is k hashes — constant.
+    */
+  def kmvDistinctShingles(documents: DataFrame, n: Int = 3, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // posexplode + lead rows, NOT the shingle-array transform lambda: HOF
+    // lambdas run interpreted, and the array form measured 12 s vs ~1.5 s
+    // at sf0.1 for this exact query (the CLAUDE.md shingle rule, re-paid)
+    val tok = documents.select(col("lang"), col("doc_id"),
+      posexplode(graft.functions.TextFns.tokens(col("text"))).as(Seq("i", "t0")))
+    val wL = Window.partitionBy("doc_id").orderBy("i")
+    val withLeads = (1 until n).foldLeft(tok) { (df, j) =>
+      df.withColumn(s"t$j", lead(col("t0"), j).over(wL))
+    }
+    val sh = withLeads
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("lang"),
+        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("s"))
+      .distinct()
+      .withColumn("x", conv(substring(md5(col("s")), 2, 15), 16, 10).cast("long"))
+    val w = Window.partitionBy("lang").orderBy(asc("x"), asc("s"))
+    val bottomK = sh.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val exact = sh.groupBy("lang").agg(count(lit(1)).as("exact"))
+    bottomK
+      .groupBy("lang").agg(max(when(col("rn") === k, col("x"))).as("xk"),
+        count(lit(1)).as("n_kept"))
+      .join(exact, "lang")
+      .select(col("lang"), lit(k).cast("long").as("k"),
+        // fewer than k distinct values → the sketch holds them all: exact
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double") / col("xk").cast("double")), 6)
+          .as("est"),
+        col("exact"),
+        round(abs(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double") / col("xk").cast("double"))
+          - col("exact").cast("double")) / col("exact").cast("double"), 6).as("err_frac"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[kmvDistinctShingles]]. */
+  def duckKmvDistinctShingles(table: String, n: Int = 3, k: Int = 64): String =
+    s"""WITH tk AS (SELECT lang, ${duckTokens("text")} AS t FROM $table),
+       |sh AS (SELECT DISTINCT lang, s
+       |       FROM (SELECT lang, unnest(${duckShingles("t", n)}) AS s FROM tk)),
+       |hx AS (SELECT lang, s, ('0x' || substr(md5(s), 2, 15))::BIGINT AS x FROM sh),
+       |r AS (SELECT lang, x, row_number() OVER (PARTITION BY lang ORDER BY x, s) AS rn FROM hx),
+       |bk AS (SELECT lang, max(CASE WHEN rn = $k THEN x END) AS xk, count(*) AS n_kept
+       |       FROM r WHERE rn <= $k GROUP BY lang),
+       |ex AS (SELECT lang, count(*)::BIGINT AS exact FROM sh GROUP BY lang),
+       |e AS (SELECT bk.lang, ex.exact,
+       |             CASE WHEN bk.n_kept < $k THEN CAST(bk.n_kept AS DOUBLE)
+       |                  ELSE ${(k - 1).toDouble} * 1152921504606846976::DOUBLE / CAST(bk.xk AS DOUBLE) END AS est_raw
+       |      FROM bk JOIN ex USING (lang))
+       |SELECT lang, ${k}::BIGINT AS k, round(est_raw, 6) AS est, exact,
+       |       round(abs(est_raw - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE), 6) AS err_frac
+       |FROM e ORDER BY lang""".stripMargin
+
   /** Default probe set for [[cmsCounts]] — frequent corpus tokens plus one
     * deliberately-absent token, whose nonzero estimate (when buckets
     * collide) is the CMS overestimate property on display. Declared once so

@@ -255,6 +255,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv sketch: bounded error on the corpus, exact when a group holds fewer than k") {
+    val rows = Sketches.kmvDistinctShingles(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // loose 3σ regression bound (σ ≈ 1/√(k−2) ≈ 0.127 at k = 64)
+      assert(r.getAs[Double]("err_frac") < 0.4,
+        s"${r.getString(0)}: err ${r.getAs[Double]("err_frac")}")
+    }
+    // below-k branch: a group with fewer distinct shingles than k reports
+    // the exact count (the sketch holds every value)
+    import spark.implicits._
+    val tiny = Seq((1L, "alpha beta gamma delta epsilon", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val t = Sketches.kmvDistinctShingles(tiny).collect().head
+    assert(t.getAs[Double]("est") == t.getAs[Long]("exact").toDouble)
+    assert(t.getAs[Double]("err_frac") == 0.0)
+  }
+
   test("count-min sketch never underestimates; exact column matches a direct recount") {
     val rows = Sketches.cmsCounts(docs).collect()
     assert(rows.length == Sketches.CmsProbes.length)
