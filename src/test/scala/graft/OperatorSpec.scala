@@ -325,6 +325,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(Dedup.clusters(empty, 0.8).isEmpty)
     assert(CorpusOps.mixtureWeights(empty, 0.5).isEmpty)
     assert(CorpusOps.temperatureMixture(empty).isEmpty)
+    // round-4 session operators: none may throw on a zero-row corpus
+    assert(Dedup.spanCoverage(empty).isEmpty)
+    assert(Dedup.dedupRecall(empty).isEmpty)
+    assert(Dedup.minhashIncremental(empty, 0.5).isEmpty)
+    assert(Sketches.bloomDecontam(empty).isEmpty)
+    assert(Sketches.cmsCounts(empty).collect().forall(_.getAs[Long]("est") == 0L))
+    assert(Sketches.kmvDistinctShingles(empty).isEmpty)
+    assert(TextAnalysis.zipfProfile(empty).isEmpty)
+    assert(TextAnalysis.collocations(empty).isEmpty)
+    assert(Multimodal.decodeBatches(empty).isEmpty)
+    assert(CorpusOps.budgetSample(empty).isEmpty)
   }
 
   test("decontamination: flagged docs are training-side only, overlap bounded") {
