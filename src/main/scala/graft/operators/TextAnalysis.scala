@@ -477,11 +477,13 @@ object TextAnalysis {
     * pair), two shuffle joins onto the unigram-count relation — which is a
     * VOCAB-cardinality aggregate left UNCACHED so its natural estimate
     * grows with the corpus (small now → broadcast, big later → SMJ; the
-    * round-4 caching lesson). Top-k through the native bounded-heap
-    * rewrite when enabled.
+    * round-4 caching lesson). The global top-k is orderBy + limit — Spark
+    * plans TakeOrderedAndProject (per-partition bounded top-k, driver
+    * merge of k·partitions rows), NOT a global row_number window, whose
+    * unpartitioned sort would funnel every scored bigram through one task
+    * (caught in this query's own round-4 plan audit).
     */
   def collocations(documents: DataFrame, minCount: Int = 5, k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def lb(c: Column): Column = (length(bin(c)) - 1).cast("long")
     val uni = documents.select(explode(tokens(col("text"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cu"))
@@ -497,10 +499,9 @@ object TextAnalysis {
       .join(uni.select(col("t").as("w2"), col("cu").as("c2")), "w2")
       .crossJoin(broadcast(n))
       .withColumn("pmi_bits", lb(col("cb")) + lb(col("n_tok")) - lb(col("c1")) - lb(col("c2")))
-    val w = Window.orderBy(desc("pmi_bits"), desc("cb"), asc("s"))
     scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+      .orderBy(desc("pmi_bits"), desc("cb"), asc("s"))
+      .limit(k)
       .select(col("s").as("bigram"), col("cb").as("pair_cnt"),
         col("c1").as("w1_cnt"), col("c2").as("w2_cnt"), col("pmi_bits"))
       .orderBy(desc("pmi_bits"), desc("pair_cnt"), asc("bigram"))
