@@ -381,9 +381,12 @@ object CorpusOps {
     val d = docTokensOf(documents)
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("bkt", substring(col("h"), 1, 2))
-    val budget = d.select(
-      floor(lit(budgetFrac) * sum("ntok").cast("double")).cast("long").as("budget"))
     val btot = d.groupBy("bkt").agg(sum("ntok").as("btok"))
+    // budget from the 256-row bucket relation, NOT a second corpus agg —
+    // sum(btok) is integer-identical to sum(ntok) and saves a full
+    // tokenization pass (round-4 review finding)
+    val budget = btot.select(
+      floor(lit(budgetFrac) * sum("btok").cast("double")).cast("long").as("budget"))
     val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     val boff = btot.withColumn("boffset", coalesce(sum("btok").over(wB), lit(0L)))
     val wD = Window.partitionBy("bkt").orderBy(asc("h"), asc("doc_id"))

@@ -109,17 +109,26 @@ object Dedup {
   /** MinHash + LSH banding: `seeds` hash functions, bands of `rowsPerBand`;
     * docs sharing any band bucket become candidates, then exact Jaccard
     * filters ≥ threshold. */
-  def minhash(documents: DataFrame, threshold: Double,
-              seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sh = shingleRows(documents, 3)
+  /** MinHash signature → LSH band rows (doc_id, band, bkey) — the single
+    * source of truth for the banding scheme, shared by [[minhash]] and
+    * [[minhashIncremental]] (the DuckDB side shares duckMinhashCandCtes the
+    * same way): a seeds/band/bkey change edited in one place cannot
+    * silently diverge the two candidate generators. */
+  private def bandRowsOf(sh: DataFrame, seeds: Int, rowsPerBand: Int): DataFrame = {
     val minCols = (0 until seeds).map(s => min(minhashCol(col("s"), s)).as(s"h$s"))
     val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     val nBands = seeds / rowsPerBand
-    val bands = sig.select(col("doc_id"), explode(array(
+    sig.select(col("doc_id"), explode(array(
       (0 until nBands).map(b => struct(
         lit(b).as("band"),
         md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)).as("bkey"))): _*
     )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+  }
+
+  def minhash(documents: DataFrame, threshold: Double,
+              seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sh = shingleRows(documents, 3)
+    val bands = bandRowsOf(sh, seeds, rowsPerBand)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -472,14 +481,7 @@ object Dedup {
                          batchMod: Int = 10, batchRem: Int = 7,
                          seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val sh = shingleRows(documents, 3)
-    val minCols = (0 until seeds).map(s => min(minhashCol(col("s"), s)).as(s"h$s"))
-    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val nBands = seeds / rowsPerBand
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until nBands).map(b => struct(
-        lit(b).as("band"),
-        md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)).as("bkey"))): _*
-    )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val bands = bandRowsOf(sh, seeds, rowsPerBand)
     val newB = bands.filter(col("doc_id") % batchMod === batchRem)
     val oldB = bands.filter(col("doc_id") % batchMod =!= batchRem)
     val cand = newB.as("x").join(oldB.as("y"),
@@ -532,6 +534,8 @@ object Dedup {
     * so the union amortizes tokenization across the four pipelines.
     */
   def dedupRecall(documents: DataFrame, threshold: Double = 0.5, maxDf: Int = 20): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     val exact = ngramJaccard(documents, threshold).select(col("d1"), col("d2")).cache()
     val found =
       minhash(documents, threshold).select(col("d1"), col("d2"))
@@ -541,14 +545,29 @@ object Dedup {
       .unionByName(simhash(documents, threshold)
         .select(col("d1"), col("d2")).withColumn("variant", lit("simhash")))
     val nExp = exact.agg(count(lit(1)).as("n_expected"))
-    found.join(exact.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
+    // hint("merge") on the probe side: `exact` is a cached pair relation
+    // whose pre-materialization estimate would plan a locked-in broadcast —
+    // on a large tuning sample the all-pairs baseline is the BIGGEST
+    // relation in this query (same hazard class as jaccardTail's pins)
+    val counts = found
+      .join(exact.withColumn("hit", lit(1L)).hint("merge"), Seq("d1", "d2"), "left")
       .groupBy("variant")
       .agg(count(lit(1)).as("n_found"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    // static variant list: a variant whose candidate generation finds ZERO
+    // pairs must still report (n_found = 0, recall = 0) — a silently
+    // missing row is exactly the failure a measurement query must expose
+    Seq("minhash", "ngram_capped", "simhash").toDF("variant")
+      .join(counts, Seq("variant"), "left")
       .crossJoin(broadcast(nExp))
-      .withColumn("recall",
-        round(col("n_hits").cast("double") / col("n_expected").cast("double"), 6))
-      .select(col("variant"), col("n_found"), col("n_hits"), col("n_expected"), col("recall"))
+      .select(col("variant"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_expected"),
+        // vacuous recall (0 of 0 expected) reports 1.0, not a null divide
+        when(col("n_expected") === 0, lit(1.0))
+          .otherwise(round(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_expected").cast("double"), 6)).as("recall"))
       .orderBy("variant")
   }
 
@@ -563,14 +582,18 @@ object Dedup {
        |  SELECT 'ngram_capped' AS variant, d1, d2 FROM (${duckNgramCappedSql(table, threshold, maxDf)}) b
        |  UNION ALL
        |  SELECT 'simhash' AS variant, d1, d2 FROM (${duckSimhashSql(table, threshold)}) c),
-       |ne AS (SELECT count(*)::BIGINT AS n_expected FROM exact)
-       |SELECT f.variant, count(*)::BIGINT AS n_found,
-       |       CAST(sum(CASE WHEN e.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-       |       ne.n_expected,
-       |       round(CAST(sum(CASE WHEN e.d1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |             / CAST(ne.n_expected AS DOUBLE), 6) AS recall
-       |FROM found f LEFT JOIN exact e USING (d1, d2) CROSS JOIN ne
-       |GROUP BY f.variant, ne.n_expected
+       |ne AS (SELECT count(*)::BIGINT AS n_expected FROM exact),
+       |counts AS (SELECT f.variant, count(*)::BIGINT AS n_found,
+       |                  CAST(sum(CASE WHEN e.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |           FROM found f LEFT JOIN exact e USING (d1, d2)
+       |           GROUP BY f.variant),
+       |vs AS (SELECT * FROM (VALUES ('minhash'), ('ngram_capped'), ('simhash')) v(variant))
+       |SELECT vs.variant, coalesce(c.n_found, 0)::BIGINT AS n_found,
+       |       coalesce(c.n_hits, 0)::BIGINT AS n_hits, ne.n_expected,
+       |       CASE WHEN ne.n_expected = 0 THEN 1.0::DOUBLE
+       |            ELSE round(CAST(coalesce(c.n_hits, 0) AS DOUBLE)
+       |                       / CAST(ne.n_expected AS DOUBLE), 6) END AS recall
+       |FROM vs LEFT JOIN counts c USING (variant) CROSS JOIN ne
        |ORDER BY variant""".stripMargin
 
   /** Duplicated-span coverage: for every document, how many of its tokens

@@ -38,21 +38,29 @@ object Sketches {
     * and the oracle would catch the discrepancy anyway — the expression
     * still clamps it into range via greatest()).
     */
-  def hllDistinctShingles(documents: DataFrame, n: Int = 3): DataFrame = {
-    // shingle rows with lang carried (shingleRowsOf keeps only doc_id):
-    // same posexplode + lead shape as TextFns.shingleRowsOfTokens
+  /** (lang, s) shingle rows with the language carried (TextFns'
+    * [[graft.functions.TextFns.shingleRowsOf]] keeps only doc_id) — shared
+    * by the per-language sketches; posexplode + lead row form per the
+    * interpreted-HOF rule (the array-transform form measured 12× slower on
+    * q_kmv_distinct at sf0.1). */
+  private def langShingleRows(documents: DataFrame, n: Int): DataFrame = {
     val tok = documents.select(col("lang"), col("doc_id"),
       posexplode(graft.functions.TextFns.tokens(col("text"))).as(Seq("i", "t0")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
     val withLeads = (1 until n).foldLeft(tok) { (df, j) =>
       df.withColumn(s"t$j", lead(col("t0"), j).over(w))
     }
-    // cached: the register branch and the exact-count honesty branch both
-    // read it (only aggregates consume it — no join-side estimate hazard)
-    val rows = withLeads
+    withLeads
       .filter(col(s"t${n - 1}").isNotNull)
       .select(col("lang"),
         concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("s"))
+  }
+
+  def hllDistinctShingles(documents: DataFrame, n: Int = 3): DataFrame = {
+    // cached: the register branch and the exact-count honesty branch both
+    // read it (only aggregates consume it — no join-side estimate hazard;
+    // harness clears the cache after every query)
+    val rows = langShingleRows(documents, n).cache()
     val h = md5(col("s"))
     val x = conv(substring(h, 2, 15), 16, 10).cast("long")
     val reg = rows
@@ -189,20 +197,12 @@ object Sketches {
     */
   def kmvDistinctShingles(documents: DataFrame, n: Int = 3, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // posexplode + lead rows, NOT the shingle-array transform lambda: HOF
-    // lambdas run interpreted, and the array form measured 12 s vs ~1.5 s
-    // at sf0.1 for this exact query (the CLAUDE.md shingle rule, re-paid)
-    val tok = documents.select(col("lang"), col("doc_id"),
-      posexplode(graft.functions.TextFns.tokens(col("text"))).as(Seq("i", "t0")))
-    val wL = Window.partitionBy("doc_id").orderBy("i")
-    val withLeads = (1 until n).foldLeft(tok) { (df, j) =>
-      df.withColumn(s"t$j", lead(col("t0"), j).over(wL))
-    }
-    val sh = withLeads
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("lang"),
-        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("s"))
+    // cached: the bottom-k branch and the exact-count honesty branch both
+    // read the distinct relation (aggregate/window consumers only — no
+    // join-side estimate hazard; harness clears per query)
+    val sh = langShingleRows(documents, n)
       .distinct()
+      .cache()
       .withColumn("x", conv(substring(md5(col("s")), 2, 15), 16, 10).cast("long"))
     val w = Window.partitionBy("lang").orderBy(asc("x"), asc("s"))
     val bottomK = sh.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

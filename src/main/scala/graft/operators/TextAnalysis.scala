@@ -537,13 +537,19 @@ object TextAnalysis {
     * (`length(bin(x)) - 1`, CLAUDE.md) — no floating log anywhere until the
     * final single division of two exact integers.
     *
-    * Scale shape: the global frequency rank is NOT a global window (the
-    * ORDER-BY-without-PARTITION-BY single-task hazard). Two-phase instead,
-    * the packSequences pattern: (1) per-frequency tier sizes — a relation
-    * of DISTINCT counts, ≪ vocabulary — get prefix offsets via a window
-    * over that tiny relation only; (2) each token ranks within its tier by
-    * a cnt-keyed window, plus the broadcast tier offset. The vocabulary
-    * never moves through one task.
+    * Scale shape: NO per-token rank is ever materialized. Ranks only enter
+    * the output through floor(log2(rank)) bucket AGGREGATES, and every
+    * token in a frequency tier is interchangeable (same cnt, hence same
+    * lb_freq), so the whole profile is computable from the TIER relation
+    * alone: a tier occupying global rank range [off+1, off+n] contributes
+    * `overlap(range, [2^b, 2^(b+1)-1])` tokens to bucket b — a ≤64-way
+    * explode of a relation of DISTINCT frequencies, ≪ vocabulary. The
+    * original formulation ranked tokens within tiers with a cnt-keyed
+    * window; a round-4 review caught that the cnt=1 hapax tier — roughly
+    * half the vocabulary under Zipf — would funnel through ONE window
+    * partition at scale. This version has no vocabulary-cardinality window
+    * of any kind: one groupBy(token), one groupBy(cnt), then tier-range
+    * arithmetic.
     */
   def zipfProfile(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -551,46 +557,52 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
     // tier relation: one row per distinct frequency (tiny); offsets = how
-    // many tokens sit in strictly-higher tiers
+    // many tokens sit in strictly-higher tiers. The prefix window runs
+    // over THIS relation only.
     val wTier = Window.orderBy(desc("cnt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tiers = cnts.groupBy("cnt").agg(count(lit(1)).as("n_in_tier"))
       .withColumn("off", (sum("n_in_tier").over(wTier) - col("n_in_tier")).cast("long"))
-    val wIn = Window.partitionBy("cnt").orderBy(asc("t"))
-    val ranked = cnts
-      .withColumn("rn", row_number().over(wIn).cast("long"))
-      .join(broadcast(tiers.select(col("cnt"), col("off"))), "cnt")
-      .withColumn("rank", col("off") + col("rn"))
-    ranked
-      .withColumn("lb_rank", (length(bin(col("rank"))) - 1).cast("long"))
+    // explode each tier into the lb-rank buckets its range intersects:
+    // bucket b covers ranks [2^b, 2^(b+1)-1]; contribution = overlap size
+    val segs = tiers.select(col("cnt"), col("n_in_tier"), col("off"),
+        explode(sequence(lit(0), length(bin(col("off") + col("n_in_tier"))) - 1)).as("b"))
+      .withColumn("lo", expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+      .withColumn("hi", col("lo") * 2 - 1)
+      .withColumn("n_overlap",
+        greatest(lit(0L),
+          least(col("off") + col("n_in_tier"), col("hi"))
+            - greatest(col("off") + 1, col("lo")) + 1))
+      .filter(col("n_overlap") > 0)
+    segs
       .withColumn("lb_freq", (length(bin(col("cnt"))) - 1).cast("long"))
-      .groupBy("lb_rank")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum("cnt").cast("long").as("sum_cnt"),
-        sum("lb_freq").cast("long").as("lb_freq_bits"))
+      .groupBy(col("b").cast("long").as("lb_rank"))
+      .agg(sum("n_overlap").cast("long").as("n_tokens"),
+        sum(col("cnt") * col("n_overlap")).cast("long").as("sum_cnt"),
+        sum(col("lb_freq") * col("n_overlap")).cast("long").as("lb_freq_bits"))
       .select(col("lb_rank"), col("n_tokens"), col("sum_cnt"),
         round(col("lb_freq_bits").cast("double") / col("n_tokens").cast("double"), 6)
           .as("mean_lb_freq"))
       .orderBy("lb_rank")
   }
 
-  /** DuckDB mirror of [[zipfProfile]]. */
+  /** DuckDB mirror of [[zipfProfile]] — same tier-range overlap form. */
   def duckZipfProfile(table: String): String =
     s"""WITH tok AS (SELECT unnest(${duckTokens("text")}) AS t FROM $table),
        |cnts AS (SELECT t, count(*)::BIGINT AS cnt FROM tok GROUP BY t),
        |tiers AS (SELECT cnt, count(*)::BIGINT AS n_in_tier FROM cnts GROUP BY cnt),
-       |offs AS (SELECT cnt,
+       |offs AS (SELECT cnt, n_in_tier,
        |                CAST(sum(n_in_tier) OVER (ORDER BY cnt DESC
        |                     ROWS UNBOUNDED PRECEDING) - n_in_tier AS BIGINT) AS off
        |         FROM tiers),
-       |ranked AS (SELECT c.cnt,
-       |                  o.off + row_number() OVER (PARTITION BY c.cnt ORDER BY c.t) AS rank
-       |           FROM cnts c JOIN offs o USING (cnt)),
-       |b AS (SELECT length(bin(rank)) - 1 AS lb_rank, cnt,
-       |             length(bin(cnt)) - 1 AS lb_freq
-       |      FROM ranked)
-       |SELECT lb_rank::BIGINT AS lb_rank, count(*)::BIGINT AS n_tokens,
-       |       CAST(sum(cnt) AS BIGINT) AS sum_cnt,
-       |       round(CAST(sum(lb_freq) AS DOUBLE) / count(*), 6) AS mean_lb_freq
-       |FROM b GROUP BY 1 ORDER BY lb_rank""".stripMargin
+       |segs AS (SELECT cnt, n_in_tier, off, b, (1::BIGINT << b) AS lo
+       |         FROM offs, unnest(generate_series(0, length(bin(off + n_in_tier)) - 1)) AS g(b)),
+       |ov AS (SELECT cnt, b,
+       |              least(off + n_in_tier, lo * 2 - 1) - greatest(off + 1, lo) + 1 AS n_overlap,
+       |              length(bin(cnt)) - 1 AS lb_freq
+       |       FROM segs)
+       |SELECT b::BIGINT AS lb_rank, CAST(sum(n_overlap) AS BIGINT) AS n_tokens,
+       |       CAST(sum(cnt * n_overlap) AS BIGINT) AS sum_cnt,
+       |       round(CAST(sum(lb_freq * n_overlap) AS DOUBLE) / sum(n_overlap), 6) AS mean_lb_freq
+       |FROM ov WHERE n_overlap > 0 GROUP BY b ORDER BY lb_rank""".stripMargin
 }

@@ -206,8 +206,13 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     byMod.foreach { case (mod, bs) =>
       val sorted = bs.sortBy(_._2)
-      // batch numbers consecutive from 0; nothing lost or double-counted
-      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong).toSeq)
+      // batch numbers strictly increasing from 0 — NOT necessarily
+      // consecutive: an asset larger than the capacity advances the offset
+      // past whole batch windows (round-4 review finding); nothing lost or
+      // double-counted either way
+      assert(sorted.head._2 == 0L)
+      assert(sorted.map(_._2).toSeq == sorted.map(_._2).toSeq.sorted &&
+        sorted.map(_._2).distinct.length == sorted.length)
       assert(sorted.map(_._4).sum == totals(mod))
       // doc ranges strictly increasing and disjoint across batches
       sorted.toSeq.sliding(2).foreach {
@@ -327,7 +332,11 @@ class OperatorSpec extends AnyFunSuite {
     assert(CorpusOps.temperatureMixture(empty).isEmpty)
     // round-4 session operators: none may throw on a zero-row corpus
     assert(Dedup.spanCoverage(empty).isEmpty)
-    assert(Dedup.dedupRecall(empty).isEmpty)
+    // dedupRecall's contract: the static variant list always reports —
+    // zero found of zero expected is vacuous recall 1.0, never a lost row
+    val emptyRecall = Dedup.dedupRecall(empty).collect()
+    assert(emptyRecall.length == 3 && emptyRecall.forall(r =>
+      r.getAs[Long]("n_found") == 0L && r.getAs[Double]("recall") == 1.0))
     assert(Dedup.minhashIncremental(empty, 0.5).isEmpty)
     assert(Sketches.bloomDecontam(empty).isEmpty)
     assert(Sketches.cmsCounts(empty).collect().forall(_.getAs[Long]("est") == 0L))
