@@ -61,6 +61,51 @@ class PropertySpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("simhash chunk/shift bit extraction equals the nibble/mask reference model") {
+    import spark.implicits._
+    // Reference model: bit i of the 64-bit signature prefix is bit
+    // 8 >> (i % 4) of hex nibble i/4 — the substring+IN formulation the
+    // integer rewrite replaced. Any mismatch on any md5 means the rewrite
+    // changed signatures silently.
+    checkProp(forAll(word) { w =>
+      val row = Seq(w).toDF("t")
+        .withColumn("m", md5(col("t")))
+        .select((col("m") +:
+          (0 until 4).map(c => graft.functions.TextFns.md5Chunk16(col("m"), c).as(s"c$c"))): _*)
+        .collect().head
+      val hex = row.getString(0)
+      (0 until 64).forall { i =>
+        val nibble = Integer.parseInt(hex.charAt(i / 4).toString, 16)
+        val refBit = if ((nibble & (8 >> (i % 4))) != 0) 1 else -1
+        val chunk = row.getInt(1 + i / 16)
+        val gotBit = (((chunk >> (15 - i % 16)) & 1) * 2) - 1
+        refBit == gotBit
+      }
+    }, n = 30)
+  }
+
+  test("span coverage interval-union sum equals a brute-force position union") {
+    import spark.implicits._
+    val l = 3
+    checkProp(forAll(Gen.listOfN(3, text)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.operators.Dedup.spanCoverage(docs, spanLen = l).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // brute force: materialize every doc's l-gram starts, mark those
+      // whose gram appears in another doc, union covered positions
+      val toks = texts.map(_.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+      val grams = toks.map(ts => ts.sliding(l).filter(_.size == l).map(_.mkString(" ")).zipWithIndex.toSeq)
+      texts.indices.forall { i =>
+        val others = grams.indices.filter(_ != i).flatMap(j => grams(j).map(_._1)).toSet
+        val dupStarts = grams(i).filter { case (g, _) => others(g) }.map(_._2)
+        val covered = dupStarts.flatMap(s => s until s + l).toSet.size
+        got.get(i.toLong).forall { case (nSpans, cov) =>
+          nSpans == dupStarts.size && cov == covered.toLong
+        }
+      }
+    }, n = 20)
+  }
+
   test("hash-uniform sampler draw is stable and within [0,1) for random ids") {
     import spark.implicits._
     checkProp(forAll(Gen.listOfN(20, Gen.choose(0L, Long.MaxValue / 2))) { ids =>
