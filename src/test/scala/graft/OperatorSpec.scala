@@ -278,6 +278,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(t.getAs[Double]("err_frac") == 0.0)
   }
 
+  test("kmv sketches merge: bottom-k of two halves' unions equals whole-corpus sketch") {
+    // the mergeability claim in the scaladoc, proven: computing the sketch
+    // on each corpus half and keeping the bottom-k of the union of their
+    // states yields the same estimate as one pass over the whole corpus
+    val k = 16
+    val whole = Sketches.kmvDistinctShingles(docs, k = k).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    def stateOf(half: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] = {
+      import org.apache.spark.sql.expressions.Window
+      // the sketch STATE: per-lang bottom-k of the same 60-bit hashes the
+      // operator uses, recomputed independently on the half
+      graft.functions.TextFns.shingleRowsOf(half, 3)
+        .join(half.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("lang"), col("s")).distinct()
+        .withColumn("x", conv(substring(md5(col("s")), 2, 15), 16, 10).cast("long"))
+        .withColumn("rn", row_number().over(Window.partitionBy("lang").orderBy(asc("x"), asc("s"))))
+        .filter(col("rn") <= k)
+        .collect().groupBy(_.getString(0))
+        .map { case (l, rs) => l -> rs.map(_.getAs[Long]("x")).toSeq.sorted }
+    }
+    val h1 = stateOf(docs.filter(col("doc_id") % 2 === 0))
+    val h2 = stateOf(docs.filter(col("doc_id") % 2 =!= 0))
+    (h1.keySet ++ h2.keySet).foreach { lang =>
+      val merged = (h1.getOrElse(lang, Nil) ++ h2.getOrElse(lang, Nil))
+        .distinct.sorted.take(k)
+      if (merged.size == k) {
+        val est = (k - 1).toDouble * 1152921504606846976L.toDouble / merged.last.toDouble
+        assert(math.abs(BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          - whole(lang)) < 1e-6, s"$lang: merged $est vs whole ${whole(lang)}")
+      }
+    }
+  }
+
   test("count-min sketch never underestimates; exact column matches a direct recount") {
     val rows = Sketches.cmsCounts(docs).collect()
     assert(rows.length == Sketches.CmsProbes.length)
