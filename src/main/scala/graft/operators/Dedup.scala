@@ -288,7 +288,10 @@ object Dedup {
     // locked-in broadcast build side on BOTH self-join sides and computes
     // it twice (the CLAUDE.md group-aggregate rule; measured 8.6 s at
     // sf0.1). One cached relation carries (doc_id, s, df); rare/freq are
-    // cheap filters over it.
+    // cheap filters over it. Skew caveat (round-4 audit): a head shingle's
+    // occurrences all hit one window task (no partial agg / AQE for
+    // windows) — on boilerplate-heavy corpora, compute df by partial-agged
+    // groupBy + merge-pinned join-back instead, and eat the measured cost.
     val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
     val shDf = graft.functions.TextFns.shingleRowsOf(documents, 3).distinct()
       .withColumn("df", count(lit(1)).over(wS))
@@ -616,7 +619,13 @@ object Dedup {
     *   2. cross-doc test as `min(doc_id) OVER (PARTITION BY s) !=
     *      max(doc_id) OVER (...)` — the agg-over-window rule (CLAUDE.md):
     *      no groupBy+join-back, no distinct-count state, and the only
-    *      exchange keyed on the span string;
+    *      exchange keyed on the span string. Skew caveat: windows get no
+    *      partial aggregation and no AQE skew splitting, so a HEAD span
+    *      (boilerplate repeated ~10⁸×) lands on one task. On a corpus with
+    *      corpus-scale boilerplate, switch this step to the partial-agged
+    *      `groupBy(s).agg(min,max)` + AQE-skew equijoin back on s (measure
+    *      first — the join-back form lost 15% twice at test scale, see the
+    *      CLAUDE.md window-vs-join-back entry);
     *   3. coverage per doc: sort surviving positions within each doc and
     *      sum `least(spanLen, i - lag(i))` — the equal-length-interval
     *      union identity — then one doc-cardinality join onto token totals

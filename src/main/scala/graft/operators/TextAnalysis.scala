@@ -439,7 +439,12 @@ object TextAnalysis {
     * shingle pattern), corpus frequency via `count OVER (PARTITION BY s)` —
     * one exchange on the bigram key, NO join-back of a frequency aggregate
     * (the broadcast-hazard shape this repo keeps measuring) — then one
-    * doc-keyed agg. Two shuffles total, both linear.
+    * doc-keyed agg. Two shuffles total, both linear. Skew caveat (round-4
+    * audit): the head bigram's occurrences land on ONE window task (no
+    * partial agg / AQE skew for windows); under Zipf that is the largest
+    * single-key mass in the corpus, so at the 100 TB point this step is
+    * the one to flip to partial-agged groupBy + skew-joined count attach —
+    * measured trade recorded in CLAUDE.md.
     */
   def fluency(documents: DataFrame): DataFrame = {
     val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
