@@ -357,6 +357,17 @@ object Dedup {
     val a = e.select(col("doc_id").as("d1"), col("embedding").as("e1"), col("nrm").as("n1"), col("pat"))
     val b = e.select(col("doc_id").as("d2"), col("embedding").as("e2"), col("nrm").as("n2"), col("pat"))
     val rawSim = dotc(col("e1"), col("e2")) / (col("n1") * col("n2"))
+    // Deliberately NOT merge-pinned (measured negative result, round 4):
+    // e is a cached corpus-cardinality relation, the usual lock-in-hazard
+    // class — but hint("merge") here cost 4.7× at sf0.1 (1.9 s → 8.9 s):
+    // SMJ on the 2^bits-cardinality pattern key buffers wide embedding
+    // rows through large sort groups, while the hash self-join streams
+    // them. The pat key's group structure also caps the broadcast side's
+    // useful life: a deployment that scales this operator raises `bits`
+    // (shrinking groups) and the estimate-driven planner flips to SMJ on
+    // its own once e's materialized size crosses the threshold — caches
+    // report ACTUAL size after materialization, so the lock-in window is
+    // only the first planning.
     a.join(b, Seq("pat"))
       .filter(col("d1") < col("d2") && rawSim >= threshold)
       .select(col("d1"), col("d2"), round(rawSim, 6).as("sim"))
