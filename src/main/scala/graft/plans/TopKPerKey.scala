@@ -87,17 +87,23 @@ object TopKPerKey {
     * rows than WindowExec would — every query in this engine orders with a
     * unique tiebreak, which makes ties impossible.
     *
-    * Relation to stock Spark: without this rule, `InferWindowGroupLimit`
-    * (3.5+) still bounds rows per key via Sort + WindowGroupLimitExec on
-    * both sides of the exchange; this rewrite replaces those full local
-    * sorts with heap scans. Session default: ON in this engine's own
-    * harness entry points (Verify/Bench/TimeQ/Explain honor
-    * `SPARK_GRAFT_REWRITE=0` as the off-switch; see SCALE.md for the
-    * measured decision record).
+    * Relation to stock Spark: `InferWindowGroupLimit` (3.5+) runs in the
+    * optimizer batch IMMEDIATELY BEFORE user-provided rules, so by the
+    * time this rewrite sees the plan the idiom has already become
+    * `Filter → Window → WindowGroupLimit → child`. The rule therefore
+    * REPLACES the WindowGroupLimit with [[Node]] (same partition/order/
+    * limit contract, heap instead of Sort + rank-scan on both sides of
+    * the exchange) — inserting the node UNDER the group-limit, as the
+    * first round-4 version did, would leave the full-input local sorts in
+    * the plan and stack a redundant second prune (caught by the round-4
+    * high-effort review, empirically confirmed against Spark 4.1.2's
+    * batch order). Session default: ON in this engine's own harness entry
+    * points (Verify/Bench/TimeQ/Explain honor `SPARK_GRAFT_REWRITE=0` as
+    * the off-switch; see SCALE.md for the measured decision record).
     */
   object Rewrite extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window, WindowGroupLimit}
 
     private def limitOf(cond: Expression, rn: ExprId): Option[Int] = cond match {
       case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn => Some(k)
@@ -112,9 +118,23 @@ object TopKPerKey {
             partSpec, orderSpec, child, _))
           if partSpec.nonEmpty && orderSpec.nonEmpty &&
             partSpec.forall(_.deterministic) && orderSpec.forall(_.deterministic) &&
-            !child.isInstanceOf[Node] && limitOf(cond, alias.exprId).exists(_ > 0) =>
+            limitOf(cond, alias.exprId).exists(_ > 0) =>
         val k = limitOf(cond, alias.exprId).get
-        f.copy(child = w.copy(child = Node(partSpec, orderSpec, k, child)))
+        child match {
+          // already rewritten (idempotence must look THROUGH an
+          // interposed WindowGroupLimit, not only at the direct child —
+          // a perKey call site under the rewrite is
+          // Window → WindowGroupLimit → Node after batch 36)
+          case _: Node => f
+          case wgl: WindowGroupLimit if wgl.child.isInstanceOf[Node] => f
+          // the inferred group-limit for THIS window: substitute the heap
+          // for it, taking over its prune
+          case wgl: WindowGroupLimit
+              if wgl.partitionSpec == partSpec && wgl.orderSpec == orderSpec =>
+            f.copy(child = w.copy(child = Node(partSpec, orderSpec, k, wgl.child)))
+          case other =>
+            f.copy(child = w.copy(child = Node(partSpec, orderSpec, k, other)))
+        }
     }
   }
 
@@ -138,7 +158,11 @@ object TopKPerKey {
     require(k > 0, s"k must be positive, got $k")
     Bridge.addStrategy(df.sparkSession, Strategy)
     val child = df.queryExecution.analyzed
-    def attr(n: String): Attribute = child.output.find(_.name == n).getOrElse(
+    // resolve with the session's resolver, not bare string equality —
+    // spark.sql.caseSensitive=false (the default) must behave here as it
+    // does in every other DataFrame API (round-4 review)
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    def attr(n: String): Attribute = child.output.find(a => resolver(a.name, n)).getOrElse(
       throw new IllegalArgumentException(
         s"column $n not in ${child.output.map(_.name).mkString(", ")}"))
     val keys = keyCols.map(attr(_): Expression)

@@ -187,12 +187,12 @@ object StreamOps {
     * session_window `>= gap` split rule (see semantics note above). */
   def duckStreamedSessions: String =
     s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE user_id < 20),
-       |l AS (SELECT user_id, us,
+       |l AS (SELECT user_id, event_id, us,
        |             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
        |      FROM e),
        |n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
        |      FROM l),
-       |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+       |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
        |                     ROWS UNBOUNDED PRECEDING) AS sid
        |      FROM n)
        |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
@@ -215,7 +215,11 @@ object StreamOps {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
-      .select(col("lang"), md5(col("text")).as("h"))
+      // coalesce: a NULL text would hash to NULL, which dropDuplicates
+      // keeps as a key while the oracle's count(DISTINCT ...) skips —
+      // pinning both engines to md5('') keeps the contract exact even on
+      // corpora with NULL rows (round-4 review; testdata has none today)
+      .select(col("lang"), md5(coalesce(col("text"), lit(""))).as("h"))
       .dropDuplicates("lang", "h")
   }
 
@@ -237,7 +241,7 @@ object StreamOps {
   }
 
   def duckStreamedDedupCounts: String =
-    """SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_unique
+    """SELECT lang, count(DISTINCT md5(coalesce(text, '')))::BIGINT AS n_unique
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Streaming benchmark decontamination — the continuous-ingest form of
@@ -269,23 +273,29 @@ object StreamOps {
     // micro-batch wrote a file (clean corpus → empty dir would otherwise
     // throw a schema-inference AnalysisException)
     val outSchema = CorpusOps.overlapOf(shingleRowsOf(docs.limit(0), n), bsh).schema
-    withShufflePartitions(spark, 4) {
-      val q = stream.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          CorpusOps.overlapOf(shingleRowsOf(batch, n).distinct(), bsh)
-            .write.mode("append").parquet(outDir)
-          ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+    // try/finally: the scratch parquet and the benchmark-shingle cache
+    // must not outlive the call even when the streaming query throws
+    // (round-4 review; Verify clears caches per query, but a LIBRARY
+    // caller gets no such safety net)
+    try {
+      withShufflePartitions(spark, 4) {
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            CorpusOps.overlapOf(shingleRowsOf(batch, n).distinct(), bsh)
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // materialize off the temp files (result is per-doc metric rows —
+      // the same cardinality the memory sink would hold)
+      spark.read.schema(outSchema).parquet(outDir)
+        .orderBy("doc_id").localCheckpoint()
+    } finally {
+      bsh.unpersist()
+      deleteRecursively(new java.io.File(outDir))
     }
-    // materialize off the temp files (result is per-doc metric rows — the
-    // same cardinality the memory sink would hold), then delete the dir:
-    // the scratch parquet must not outlive the query
-    val out = spark.read.schema(outSchema).parquet(outDir)
-      .orderBy("doc_id").localCheckpoint()
-    deleteRecursively(new java.io.File(outDir))
-    out
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -372,15 +382,20 @@ object StreamOps {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        // input_file_name yields file:///abs/path — normalize scheme + slashes
+        // input_file_name yields file:///abs/path — normalize scheme + slashes.
+        // Persisted for the batch's scope: the emptiness probe AND
+        // buildElements both act on it, and an unpersisted file-source
+        // batch re-reads every watched file per action (round-4 review).
         val files = batch.as[(String, String)].map { case (p, c) =>
           val abs = p.replaceFirst("^file:/*", "/")
           (abs.stripPrefix(watchDir).stripPrefix("/"), c)
-        }
-        if (!files.isEmpty) {
-          val fresh = IndexBuild.buildElements(files)
-          IndexBuild.upsertIndex(spark, indexDir, fresh)
-        }
+        }.persist()
+        try {
+          if (!files.isEmpty) {
+            val fresh = IndexBuild.buildElements(files)
+            IndexBuild.upsertIndex(spark, indexDir, fresh)
+          }
+        } finally { files.unpersist(); () }
         ()
       }
       .start()

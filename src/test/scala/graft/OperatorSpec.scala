@@ -65,6 +65,17 @@ class OperatorSpec extends AnyFunSuite {
       // the window still ranks — but only the pruned survivors reach it
       assert(plan.take(prune).exists(_.contains("Window")),
         s"window must remain above the prune:\n${plan.mkString("\n")}")
+      // the heap REPLACES Spark's inferred group-limit (round-4 review):
+      // a WindowGroupLimit left in the plan means the full-input sorts the
+      // rewrite exists to remove are still running; a second TopKPerKey
+      // means the idempotence guard failed to look through the group-limit
+      assert(!plan.exists(_.contains("WindowGroupLimit")),
+        s"inferred group-limit must be replaced:\n${plan.mkString("\n")}")
+      assert(plan.count(_.contains("TopKPerKey ")) == 1,
+        s"exactly one heap prune expected:\n${plan.mkString("\n")}")
+      // and no sort may survive below the heap (the whole point)
+      assert(plan.drop(prune).indexWhere(_.contains("Sort ")) == -1,
+        s"unexpected sort under the heap prune:\n${plan.mkString("\n")}")
       // the rn = 1 (argmax-per-group) form rewrites too
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
