@@ -38,13 +38,10 @@ object CorpusOps {
   val DefaultShingleN = 4
 
   def decontaminate(documents: DataFrame, benchMod: Int = DefaultBenchMod,
-                    n: Int = DefaultShingleN): DataFrame = {
-    val bench = documents.filter(col("doc_id") % benchMod === 0)
-    val train = documents.filter(col("doc_id") % benchMod =!= 0)
-    val bsh = shingleRowsOf(bench, n).select(col("s")).distinct()
-    overlapOf(shingleRowsOf(train, n).distinct().cache(), bsh)
-      .orderBy("doc_id")
-  }
+                    n: Int = DefaultShingleN): DataFrame =
+    decontaminateAgainst(
+      documents.filter(col("doc_id") % benchMod =!= 0),
+      documents.filter(col("doc_id") % benchMod === 0), n)
 
   /** Shared decontamination core over pre-shingled relations: per-doc
     * overlap of training shingles `tsh` against the benchmark shingle set
@@ -58,9 +55,30 @@ object CorpusOps {
     val sizes = tsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = tsh.join(broadcast(bsh), "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    sizes.join(hits, "doc_id")
+    // hint("merge"): sizes and hits are doc-cardinality aggregates over
+    // the (caller-cached) training shingle relation — the jaccardTail
+    // hazard class: a cached aggregate's pre-materialization estimate can
+    // plan a locked-in broadcast of a corpus-sized relation. Measured ~0
+    // on q_decontam at sf0.1 (doc-keyed SMJ; the high-cardinality-key
+    // case, unlike the embedCosine bucket self-join negative result).
+    sizes.join(hits.hint("merge"), "doc_id")
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         round(col("n_overlap").cast("double") / col("n_shingles"), 6).as("contam_frac"))
+  }
+
+  /** Decontamination against an EXTERNAL benchmark relation — the
+    * production form of [[decontaminate]], whose `doc_id % benchMod`
+    * slice is only the oracle-testable STAND-IN for an eval suite: that
+    * slice grows linearly with the corpus, so its broadcast premise fails
+    * exactly where this operator's does not (real eval suites are MBs and
+    * stay MBs as the corpus grows; for benchmark unions too big to
+    * broadcast, [[Sketches.bloomDecontam]] is the constant-size variant).
+    * Both paths share [[overlapOf]], so they cannot diverge. */
+  def decontaminateAgainst(train: DataFrame, bench: DataFrame,
+                           n: Int = DefaultShingleN): DataFrame = {
+    val bsh = shingleRowsOf(bench, n).select(col("s")).distinct()
+    overlapOf(shingleRowsOf(train, n).distinct().cache(), bsh)
+      .orderBy("doc_id")
   }
 
   /** DuckDB mirror of [[decontaminate]]. */
@@ -378,9 +396,14 @@ object CorpusOps {
     */
   def budgetSample(documents: DataFrame, budgetFrac: Double = 0.3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cached: the bucket-totals branch and the probe branch both tokenize
+    // the corpus otherwise (the stratifiedSample discipline); hazard-free
+    // because every derived build side (boff, budget) is an explicit
+    // broadcast of a ≤256-row relation — no estimate-driven planning
     val d = docTokensOf(documents)
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("bkt", substring(col("h"), 1, 2))
+      .cache()
     val btot = d.groupBy("bkt").agg(sum("ntok").as("btok"))
     // budget from the 256-row bucket relation, NOT a second corpus agg —
     // sum(btok) is integer-identical to sum(ntok) and saves a full
@@ -440,23 +463,25 @@ object CorpusOps {
     * BY CONSTRUCTION (fixed dims, bounded languages), so it broadcasts
     * safely; the dot product is a map-side probe of that broadcast plus
     * one doc-keyed agg; the per-lang bottom-k window partitions by lang.
-    * The histogram relation is cached — centroid, norms, and dots all
-    * read it (harness clears caches per query).
+    * The histogram relation is cached — the centroid and dot-product
+    * branches both read it (harness clears caches per query).
     */
   def embeddingOutliers(documents: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = graft.functions.Embedder.bucketHistogram(documents, carry = Seq("lang")).cache()
     val cent = h.groupBy("lang", "bucket").agg(sum("cnt").as("csum"))
     val cn = cent.groupBy("lang").agg(sqrt(sum(col("csum") * col("csum")).cast("double")).as("cn"))
-    val dn = h.groupBy("doc_id", "lang")
-      .agg(sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("dn"))
+    // dot AND the doc norm in ONE aggregation (round-4 review): the
+    // centroid join preserves every h row exactly once — cent has one row
+    // per (lang, bucket) PRESENT in h by construction — so sum(cnt²) here
+    // is bit-identical to a separate pass, and the doc-keyed join (plus
+    // the merge pin its cached-aggregate build side needed, plus a whole
+    // extra aggregation of h) disappears.
     val dots = h.join(broadcast(cent), Seq("lang", "bucket"))
-      .groupBy("doc_id", "lang").agg(sum(col("cnt") * col("csum")).cast("double").as("dot"))
-    // hint("merge") on dn: both dots and dn are doc-cardinality aggregates
-    // over the cached h, and a cached aggregate's pre-materialization size
-    // estimate can plan a locked-in BroadcastHashJoin of a corpus-sized
-    // relation (the simhash/novelty lesson) — pin the doc-keyed join to SMJ.
-    val sim = dots.join(dn.hint("merge"), Seq("doc_id", "lang")).join(broadcast(cn), "lang")
+      .groupBy("doc_id", "lang").agg(
+        sum(col("cnt") * col("csum")).cast("double").as("dot"),
+        sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("dn"))
+    val sim = dots.join(broadcast(cn), "lang")
       .withColumn("sim_raw", col("dot") / (col("dn") * col("cn")))
     // bottom-k per lang through the native bounded-heap operator; the rank
     // window then touches ≤ k·|langs| rows

@@ -26,7 +26,12 @@ object Curation {
     * curation). Pair membership is a per-pair property (signature bands
     * and Jaccard depend only on the two docs), so corpus pairs semi-joined
     * to pass2 on BOTH endpoints ≡ pairs computed on pass2 directly — the
-    * equivalence is spec-asserted, not assumed.
+    * equivalence is spec-asserted, not assumed. CALLER CONTRACT: when
+    * `pairs` is provided, `nearDupThreshold` is NOT consulted — the pair
+    * relation carries no threshold to validate against, so accounting is
+    * labeled by whatever threshold the caller used to build the pairs.
+    * Passing pairs built at a different threshold than the one named in
+    * the call silently reports the pairs' threshold, not the argument.
     *
     * Cache discipline (measured, round 4): ONLY `pass2` is cached — it
     * feeds the expensive near-dup pipeline plus two accounting consumers.
@@ -104,11 +109,18 @@ object Curation {
                  nearDupThreshold: Double, outDir: String, tableName: String,
                  buckets: Int = 8, pairs: Option[DataFrame] = None): DataFrame = {
     val spark = documents.sparkSession
-    val (_, _, _, kept, _) = funnel(documents, minQuality, nearDupThreshold, pairs)
-    kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
-      .option("path", s"$outDir/$tableName")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(tableName)
+    val (_, _, pass2, kept, _) = funnel(documents, minQuality, nearDupThreshold, pairs)
+    try {
+      kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+        .option("path", s"$outDir/$tableName")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(tableName)
+    } finally {
+      // the write materialized everything the cache was for: release the
+      // corpus-cardinality scratch before returning (library callers have
+      // no harness cleanup; clustersOfPairs/streamedDecontam precedent)
+      pass2.unpersist(); ()
+    }
     spark.table(tableName)
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")

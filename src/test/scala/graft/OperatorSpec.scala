@@ -253,6 +253,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("external-benchmark decontam path equals the slice-derived one") {
+    // decontaminate() is decontaminateAgainst() over the deterministic
+    // corpus slices; feeding those same slices through the public
+    // external-benchmark seam must reproduce it row for row
+    val bench = docs.filter(col("doc_id") % CorpusOps.DefaultBenchMod === 0)
+    val train = docs.filter(col("doc_id") % CorpusOps.DefaultBenchMod =!= 0)
+    val viaSeam = CorpusOps.decontaminateAgainst(train, bench).collect().map(_.toString).toSeq
+    val viaSlice = CorpusOps.decontaminate(docs).collect().map(_.toString).toSeq
+    assert(viaSeam.nonEmpty && viaSeam == viaSlice)
+  }
+
   test("bloom decontam: no false negatives vs exact decontam, fp accounting consistent") {
     val exact = CorpusOps.decontaminate(docs).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("n_overlap")).toMap
