@@ -47,7 +47,7 @@ object SparkEntry {
       Knn.multiTopK(emb(s, dir),
         emb(s, dir).filter(col("vec_id") < 16)
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-        k = 3).withColumn("rn", col("rn").cast("long"))),
+        k = 3)),
 
     // same semantics through the NATIVE bounded-heap operator
     // (graft.plans.TopKPerKey): custom LogicalPlan + Strategy + SparkPlan

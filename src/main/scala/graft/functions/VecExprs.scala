@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructType}
 
 /** Codegen'd dot product over two `array<double>` columns.
   *
@@ -29,6 +29,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
+
+  // analysis-time guard: the eval/codegen read 8-byte double slots
+  // unconditionally, so an un-cast array<float> input would read garbage
+  // silently (round-4 review) — reject it at analysis instead
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"DotProduct requires two array<double> inputs, got ${l.sql} and ${r.sql}")
+    }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -79,13 +90,31 @@ case class DotProduct(left: Expression, right: Expression)
   * Argmax under the strict total order (sim desc, cid asc) is independent of
   * the order of `cents`, so the non-deterministic ordering of `collect_list`
   * upstream cannot affect the result.
+  *
+  * Returns NULL when no centroid wins — an empty `cents` array, or every
+  * similarity NaN (zero-norm row or centroid). The original sentinel
+  * (Long.MaxValue leaking as a "cluster id") made those states silently
+  * join to nothing downstream (round-4 review); a null is droppable but
+  * VISIBLE, and callers can assert non-null where emptiness is a bug.
   */
 case class BestCentroid(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean =
-    first.nullable || second.nullable || third.nullable
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(s: StructType, _), ArrayType(DoubleType, _), DoubleType)
+          if s.fields.length == 3 && s.fields(0).dataType == LongType &&
+            (s.fields(1).dataType match {
+              case ArrayType(DoubleType, _) => true; case _ => false
+            }) && s.fields(2).dataType == DoubleType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        "BestCentroid requires (array<struct<long, array<double>, double>>, " +
+          s"array<double>, double), got ${a.sql}, ${b.sql}, ${c.sql}")
+    }
 
   override protected def nullSafeEval(centsAny: Any, vecAny: Any, normAny: Any): Any = {
     val cents = centsAny.asInstanceOf[ArrayData]
@@ -94,6 +123,7 @@ case class BestCentroid(first: Expression, second: Expression, third: Expression
     val d = vec.numElements()
     var best = Long.MaxValue
     var bestSim = Double.NegativeInfinity
+    var found = false
     var i = 0
     while (i < cents.numElements()) {
       val c = cents.getStruct(i, 3)
@@ -105,10 +135,12 @@ case class BestCentroid(first: Expression, second: Expression, third: Expression
       var j = 0
       while (j < m) { s += vec.getDouble(j) * ce.getDouble(j); j += 1 }
       val sim = s / (norm * cn)
-      if (sim > bestSim || (sim == bestSim && cid < best)) { best = cid; bestSim = sim }
+      if (sim > bestSim || (sim == bestSim && cid < best)) {
+        best = cid; bestSim = sim; found = true
+      }
       i += 1
     }
-    best
+    if (found) best else null
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -126,9 +158,11 @@ case class BestCentroid(first: Expression, second: Expression, third: Expression
       val simV = ctx.freshName("sim")
       val best = ctx.freshName("best")
       val bestSim = ctx.freshName("bestSim")
+      val found = ctx.freshName("found")
       s"""
          |long $best = Long.MAX_VALUE;
          |double $bestSim = Double.NEGATIVE_INFINITY;
+         |boolean $found = false;
          |int $n = $cents.numElements();
          |int $d = $vec.numElements();
          |for (int $i = 0; $i < $n; $i++) {
@@ -143,10 +177,10 @@ case class BestCentroid(first: Expression, second: Expression, third: Expression
          |  }
          |  double $simV = $s / ($norm * $cn);
          |  if ($simV > $bestSim || ($simV == $bestSim && $cid < $best)) {
-         |    $best = $cid; $bestSim = $simV;
+         |    $best = $cid; $bestSim = $simV; $found = true;
          |  }
          |}
-         |${ev.value} = $best;
+         |if ($found) { ${ev.value} = $best; } else { ${ev.isNull} = true; }
        """.stripMargin
     })
 
@@ -169,6 +203,15 @@ case class BestCentroid(first: Expression, second: Expression, third: Expression
 case class SparseToDense(child: Expression, dim: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.fields.length == 2 && s.fields(0).dataType == IntegerType &&
+          s.fields(1).dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"SparseToDense requires array<struct<int, long>>, got ${other.sql}")
+  }
 
   override protected def nullSafeEval(entriesAny: Any): Any = {
     val entries = entriesAny.asInstanceOf[ArrayData]

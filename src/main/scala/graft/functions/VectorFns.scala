@@ -34,16 +34,6 @@ object VectorFns {
   /** Cosine similarity; assumes non-zero vectors. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Cosine distance = 1 - cosine similarity. */
-  def cosineDist(a: Column, b: Column): Column = lit(1.0) - cosine(a, b)
-
-  /** Squared L2 distance (the reference's implicit Chroma metric). */
-  def l2Sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, v) => acc + v)
-
   /** Sign-bit bucket over the first `bits` dimensions (1-indexed like
     * DuckDB lists): "1011…" string. A deterministic SimHash-family LSH key —
     * vectors in the same bucket are candidate near-neighbors, so a

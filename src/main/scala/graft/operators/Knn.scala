@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFns.{cosine, signBucket}
+import graft.functions.VectorFns.signBucket
 import graft.functions.VecExprs.{bestCentroid, dotc}
 
 /** k-nearest-neighbor search over an embedding column.
@@ -40,9 +40,23 @@ object Knn {
     * predicates use this — it is bit-identical to the oracle's expression —
     * while output projections round it to 6 decimals for display. `round`
     * never runs on the per-candidate hot path (BigDecimal alloc per call).
+    * Shared with [[KnnRecall]] so the recall query measures the EXACT
+    * expression tree the engine executes (no parallel copy to drift).
     */
-  private def sim(e1: Column, n1: Column, e2: Column, n2: Column): Column =
+  private[operators] def sim(e1: Column, n1: Column, e2: Column, n2: Column): Column =
     dotc(e1, e2) / (n1 * n2)
+
+  /** The hamming-1 shell of a sign bucket: `bits` single-bit flips of the
+    * bucket string. Shared by [[topKLshMultiprobe]] and [[KnnRecall]] — the
+    * probe set the recall query scores must be the probe set the engine
+    * scans, definitionally. */
+  private[operators] def bitFlips(bucket: Column, bits: Int): Seq[Column] =
+    (1 to bits).map { i =>
+      concat(
+        substring(bucket, 1, i - 1),
+        when(substring(bucket, i, 1) === "1", "0").otherwise("1"),
+        substring(bucket, i + 1, bits - i))
+    }
 
   /** Exact top-k by cosine similarity against one query vector.
     *
@@ -67,14 +81,16 @@ object Knn {
       .select(col("vec_id"), col("label"), round(col("sim_raw"), 6).as("sim"))
   }
 
-  /** Batch multi-query kNN: every row of `queries` (qid, qv) gets its own
-    * top-k via a ranking window. The query side is broadcast; the rank
-    * shuffle is partitioned by qid — at scale that is |queries| independent
-    * top-k heaps, no global sort.
-    */
   /** Shared multi-query scoring subtree: every (query, index) pair scored,
     * no ranking yet — consumed by the window formulation ([[multiTopK]])
-    * and the native bounded-heap operator ([[multiTopKNative]]). */
+    * and the native bounded-heap operator ([[multiTopKNative]]).
+    *
+    * CONTRACT: `qid` values are assumed drawn from the index's `vec_id`
+    * space — the `vec_id =!= qid` filter is self-exclusion ("don't return
+    * the query as its own neighbor"), mirroring topK's `excludeId`. A
+    * caller whose qids are independent labels would silently lose the
+    * index rows whose vec_id collides with a label; use disjoint qid
+    * ranges or re-key in that case. */
   private[operators] def multiScored(index: DataFrame, queries: DataFrame): DataFrame = {
     val q = queries.select(
       col("qid"),
@@ -88,10 +104,15 @@ object Knn {
       .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn")))
   }
 
+  /** Batch multi-query kNN: every row of `queries` (qid, qv) gets its own
+    * top-k via a ranking window. The query side is broadcast; the rank
+    * shuffle is partitioned by qid — at scale that is |queries| independent
+    * top-k heaps, no global sort. `rn` is long so the schema is identical
+    * to [[multiTopKNative]] (the two are drop-in comparable). */
   def multiTopK(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(desc("sim_raw"), asc("vec_id"))
     multiScored(index, queries)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"), round(col("sim_raw"), 6).as("sim"), col("rn"))
       .orderBy(asc("qid"), asc("rn"))
@@ -148,14 +169,8 @@ object Knn {
     val q = queryVec.select(col("qv").cast("array<double>").as("qe"))
       .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
       .withColumn("qbucket", signBucket(col("qe"), bits))
-    val flips = (1 to bits).map { i =>
-      struct(
-        concat(
-          substring(col("qbucket"), 1, i - 1),
-          when(substring(col("qbucket"), i, 1) === "1", "0").otherwise("1"),
-          substring(col("qbucket"), i + 1, bits - i)).as("pbucket"),
-        lit(1L).as("pdist"))
-    }
+    val flips = bitFlips(col("qbucket"), bits).map(f =>
+      struct(f.as("pbucket"), lit(1L).as("pdist")))
     val home = struct(col("qbucket").as("pbucket"), lit(0L).as("pdist"))
     val probes = q.select(col("qe"), col("qn"),
         explode(array(home +: flips: _*)).as("p"))
@@ -201,8 +216,15 @@ object Knn {
     * offline and writes the result `partitionBy("cluster")` so probes
     * prune at the parquet-partition level (asserted in IndexBuildSpec).
     * Output: (vec_id, label, ed, nrm, cluster). */
+  /** The centroid relation — ONE definition for assignment and probing:
+    * if selection ever changes (e.g. sampled centroids instead of the
+    * deterministic lowest-vec_id rows), both phases change together or
+    * IVF recall silently collapses (round-4 review). */
+  private def centroids(index: DataFrame, numCentroids: Int): DataFrame =
+    prep(index.filter(col("vec_id") < numCentroids), "c")
+
   def ivfAssign(index: DataFrame, numCentroids: Int): DataFrame = {
-    val cent = prep(index.filter(col("vec_id") < numCentroids), "c")
+    val cent = centroids(index, numCentroids)
     val e = index
       .withColumn("ed", col("embedding").cast("array<double>"))
       .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
@@ -215,7 +237,7 @@ object Knn {
 
   def topKIvf(index: DataFrame, queryVec: DataFrame, k: Int,
               numCentroids: Int, nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
-    val cent = prep(index.filter(col("vec_id") < numCentroids), "c")
+    val cent = centroids(index, numCentroids)
     val assigned = ivfAssign(index, numCentroids)
     // probe list: top-nprobe centroids for the query
     val q = queryVec.select(col("qv").cast("array<double>").as("qe"))

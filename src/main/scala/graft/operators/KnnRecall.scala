@@ -31,8 +31,10 @@ import graft.functions.VectorFns.{duckCosine, duckSignBucket, signBucket}
   */
 object KnnRecall {
 
+  /** The engine's own raw-cosine tree ([[Knn.sim]]) — shared, not copied,
+    * so the recall query scores exactly what the search operators execute. */
   private def sim(e1: Column, n1: Column, e2: Column, n2: Column): Column =
-    dotc(e1, e2) / (n1 * n2)
+    Knn.sim(e1, n1, e2, n2)
 
   /** Per-qid top-k of `scored` (columns qid, vec_id, sim_raw) as bare
     * (qid, vec_id) pairs — ordering matches every kNN oracle (raw sim desc,
@@ -68,13 +70,10 @@ object KnnRecall {
         .join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
         .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
 
-    // multi-probe LSH: home bucket + every hamming-1 shell
-    val flips = (1 to bits).map { i =>
-      concat(
-        substring(col("qbucket"), 1, i - 1),
-        when(substring(col("qbucket"), i, 1) === "1", "0").otherwise("1"),
-        substring(col("qbucket"), i + 1, bits - i))
-    }
+    // multi-probe LSH: home bucket + every hamming-1 shell — the SHARED
+    // flip construction ([[Knn.bitFlips]]), so the measured probe set is
+    // definitionally the executed one
+    val flips = Knn.bitFlips(col("qbucket"), bits)
     val probes = q.select(col("qid"), col("qe"), col("qn"),
       explode(array(col("qbucket") +: flips: _*)).as("pbucket"))
     val mp = topPairs(

@@ -35,8 +35,7 @@ class OperatorSpec extends AnyFunSuite {
   test("native top-k-per-key operator matches the window formulation, plans no sort") {
     val queries = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val viaWindow = Knn.multiTopK(emb, queries, k = 3)
-      .withColumn("rn", col("rn").cast("long")).collect().map(_.toString).toSeq
+    val viaWindow = Knn.multiTopK(emb, queries, k = 3).collect().map(_.toString).toSeq
     val native = Knn.multiTopKNative(emb, queries, k = 3)
     val viaNative = native.collect().map(_.toString).toSeq
     assert(viaNative == viaWindow && viaNative.nonEmpty)
