@@ -20,6 +20,14 @@ object TextFns {
   def tokens(text: Column): Column =
     filter(split(regexp_replace(lower(text), "[^a-z0-9]+", " "), " "), t => t =!= "")
 
+  /** Scala-side twin of [[tokens]]' emptiness test: true iff `s` yields at
+    * least one token. Query-text entry points guard on this — an
+    * untokenizable query would embed to nothing and silently return zero
+    * hits on the Spark side while the SQL mirror emits k NULL-sim rows
+    * (round-4 review); failing loudly keeps the two in contract. */
+  def tokenizable(s: String): Boolean =
+    s != null && s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.nonEmpty
+
   def duckTokens(text: String): String =
     s"list_filter(string_split(regexp_replace(lower($text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
 

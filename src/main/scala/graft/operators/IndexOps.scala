@@ -64,6 +64,8 @@ object IndexOps {
     * one-row broadcast; the index side is the map-side histogram + one
     * (doc_id,bucket) agg — no shuffle wider than the summaries. */
   def knnSummaries(documents: DataFrame, queryText: String, k: Int): DataFrame = {
+    require(graft.functions.TextFns.tokenizable(queryText),
+      s"query text tokenizes to nothing: '$queryText' — empty query vector has no ranking")
     val spark = documents.sparkSession
     import spark.implicits._
     import graft.functions.{Embedder, VecExprs}
@@ -148,6 +150,11 @@ object IndexOps {
     import graft.functions.Embedder.duckBucket
     import graft.functions.TextFns.duckTokens
     val qlit = "'" + queryText.replace("'", "''") + "'"
+    // every string parameter gets the same quote-escaping as queryText —
+    // a filter value containing ' would otherwise break or subvert the
+    // oracle SQL (round-4 review)
+    val etLit = elementType.replace("'", "''")
+    val ftLit = fileType.replace("'", "''")
     s"""WITH ch AS (${Chunkers.duckTextChunks(table).replace("ORDER BY doc_id, chunk_idx", "")}),
        |e2 AS (SELECT file_path || ':' || chunk_idx || ':' || hash AS id, name, element_type,
        |              file_path, file_type,
@@ -159,7 +166,7 @@ object IndexOps {
        |               CASE WHEN doc_id % 3 = 0 THEN '.py'
        |                    WHEN doc_id % 3 = 1 THEN '.js' ELSE '.md' END AS file_type
        |             FROM ch)),
-       |f AS (SELECT * FROM e2 WHERE element_type = '$elementType' AND file_type = '$fileType'),
+       |f AS (SELECT * FROM e2 WHERE element_type = '$etLit' AND file_type = '$ftLit'),
        |h AS (SELECT id, ${duckBucket("tok")} AS bucket, count(*)::BIGINT AS cnt
        |      FROM (SELECT id, unnest(${duckTokens("document")}) AS tok FROM f) GROUP BY 1, 2),
        |nrm AS (SELECT id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS n FROM h GROUP BY id),
@@ -280,7 +287,8 @@ object IndexOps {
   def duckElementsByPredicate(table: String, contains: String, limit: Int): String =
     s"""WITH ch AS (${Chunkers.duckTextChunks(table).replace("ORDER BY doc_id, chunk_idx", "")})
        |SELECT doc_id, chunk_idx, name, content, hash
-       |FROM ch WHERE element_type = 'text_chunk' AND contains(content, '$contains')
+       |FROM ch WHERE element_type = 'text_chunk'
+       |  AND contains(content, '${contains.replace("'", "''")}')
        |ORDER BY doc_id, chunk_idx LIMIT $limit""".stripMargin
 
   /** Q4+Q6: one document's structure, grouped by element type with a sorted

@@ -13,8 +13,14 @@ import graft.operators.{CodeChunker, CodeElement}
   *   scan (S1/S2) → chunk (C1-C6 flatMap) → doc projection (C8) →
   *   embed (E2) → upsert parquet index (S6) ⊕ file summaries (S7) ⊕ report (S8)
   *
-  * Spark shape: the scan is a distributed `binaryFile` read with extension
-  * glob + directory pruning at file-listing time; chunk+embed are map-side;
+  * Spark shape: the scan is a distributed `binaryFile` read with an
+  * extension glob (leaf-name match at listing time) and an ignore-dir
+  * PATH FILTER — a post-scan row filter, not listing-time pruning:
+  * binaryFile pushes down only length/modtime predicates, so an ignored
+  * tree (node_modules full of matching .js) is still listed and read,
+  * then discarded. Correctness is unaffected; a deployment that pays
+  * real I/O for ignored trees enumerates the top-level directories minus
+  * IgnoreDirs and loads each separately. Chunk+embed are map-side;
   * the only shuffles are the per-file summary agg and the upsert dedup
   * window. Per-file failures become error rows instead of aborting the build
   * (the reference collected errors into a list it never filled —
@@ -88,25 +94,52 @@ object IndexBuild {
     * temp-path swap (parquet cannot be read and overwritten in one job).
     * Re-indexed files REPLACE their previous elements (delete-insert per
     * file), fixing the reference's stale-element leak (SURVEY.md §2.9#4). */
-  def upsertIndex(spark: SparkSession, indexDir: String, fresh: DataFrame): Unit = {
+  /** `currentFiles`: when the caller has scanned the FULL tree (a whole
+    * [[run]]), the complete (file_path) set — surviving old rows are then
+    * additionally restricted to it, so deletions propagate. Incremental
+    * callers (streaming micro-batches) pass None: a partial view must
+    * never prune files it simply didn't see. */
+  def upsertIndex(spark: SparkSession, indexDir: String, fresh: DataFrame,
+                  currentFiles: Option[DataFrame] = None): Unit = {
     val target = s"$indexDir/code_elements"
     // crash recovery BEFORE reading `existing`: a crash between swapInto's
     // two renames leaves the live table parked at target_old — without this
     // the read below would find nothing and the merge would silently drop
     // every previously indexed file
     recoverSwap(spark, target)
+    // catch ONLY path-not-found (first build): a broad catch here turned
+    // any transient read failure into "no index", silently truncating the
+    // table to this call's fresh subset (round-4 review)
     val existing =
-      try Some(spark.read.parquet(target)) catch { case _: Exception => None }
+      try Some(spark.read.parquet(target))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     val merged = existing match {
       case None => fresh
       case Some(old) =>
         val refreshedFiles = fresh.select("file_path").distinct()
-        old.join(refreshedFiles, Seq("file_path"), "left_anti").unionByName(fresh)
+        val kept0 = ensureNrm(old).join(refreshedFiles, Seq("file_path"), "left_anti")
+        val kept = currentFiles.map(cf =>
+          kept0.join(cf.select("file_path").distinct(), Seq("file_path"), "left_semi"))
+          .getOrElse(kept0)
+        kept.unionByName(fresh)
     }
     val tmp = s"$indexDir/code_elements_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     swapInto(spark, tmp, target)
   }
+
+  /** Schema reconcile for legacy index tables built before norms were
+    * stored: the search paths already derive `nrm` on demand for such
+    * relations; the MERGE paths must too, or re-running a build over a
+    * pre-nrm index dir aborts with an unresolved column instead of
+    * upgrading it (round-4 review). */
+  private def ensureNrm(df: DataFrame): DataFrame =
+    // derive only when the table carries embeddings at all: upsertIndex
+    // also merges embedding-free element tables (q_reindex_delta's
+    // chunk-level equivalence), which must pass through untouched
+    if (df.columns.contains("nrm") || !df.columns.contains("embedding")) df
+    else df.withColumn("nrm",
+      sqrt(graft.functions.VecExprs.dotc(col("embedding"), col("embedding"))))
 
   /** Crash-safe table swap: rename the live table ASIDE first (target →
     * target_old, tmp → target, delete target_old) instead of
@@ -123,8 +156,17 @@ object IndexBuild {
     val old = new org.apache.hadoop.fs.Path(target + "_old")
     if (fs.exists(old)) fs.delete(old, true)
     val hadPrev = fs.exists(t)
-    if (hadPrev) fs.rename(t, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), t)
+    // FileSystem.rename reports failure by RETURNING FALSE, not throwing
+    // (round-4 review): an unchecked first rename makes the second fail
+    // silently (no-op upsert the caller believes succeeded); an unchecked
+    // second followed by the delete below would destroy the only copy.
+    if (hadPrev && !fs.rename(t, old))
+      throw new java.io.IOException(s"swap: rename $target -> ${target}_old failed")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), t)) {
+      // restore the live table before surfacing the failure
+      if (hadPrev) fs.rename(old, t)
+      throw new java.io.IOException(s"swap: rename $tmp -> $target failed")
+    }
     if (hadPrev) fs.delete(old, true)
   }
 
@@ -236,6 +278,9 @@ object IndexBuild {
     val fileLines = files.map { case (p, c) => (p, c.split("\n", -1).length.toLong) }
       .toDF("file_path", "line_count")
     val byType = elements.groupBy("file_path", "element_type").agg(count(lit(1)).as("n"))
+    // cached: the summary-embedding branch and the final join both read it
+    // (CLAUDE.md cache-shared-subtrees rule; consumers are a projection
+    // feed and the probe side of a file-keyed join — no build-side hazard)
     val base = byType.groupBy("file_path")
       .agg(
         sum("n").cast("long").as("element_count"),
@@ -247,6 +292,7 @@ object IndexBuild {
       .withColumn("summary",
         concat(lit("File "), col("file_path"), lit(" contains "),
           col("element_count"), lit(" code elements")))
+      .cache()
     val emb = Embedder.embed(
       base.select(col("file_path").as("doc_id"), col("summary").as("text")))
       .withColumnRenamed("doc_id", "file_path")
@@ -266,21 +312,31 @@ object IndexBuild {
     */
   def run(spark: SparkSession, rootDir: String, indexDir: String): DataFrame = {
     import spark.implicits._
-    val files = scanFiles(spark, rootDir)
+    // cached: chunking, summary line counts, and the file count all
+    // consume it — uncached, every branch re-reads the whole tree's bytes
+    // (measured as 3× corpus I/O on a fresh build; round-4 review)
+    val files = scanFiles(spark, rootDir).cache()
     val chunked = chunkedElements(files).cache()
     val existing =
-      try Some(spark.read.parquet(s"$indexDir/code_elements")) catch { case _: Exception => None }
+      try Some(spark.read.parquet(s"$indexDir/code_elements"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     val (elements, nEmbedded) = existing match {
       case None =>
         val all = embedElements(chunked)
         (all, chunked.count())
-      case Some(old) =>
+      case Some(old0) =>
+        val old = ensureNrm(old0)
         val toEmbed = chunked.join(old.select("id"), Seq("id"), "left_anti")
         val kept = old.join(chunked.select("id"), Seq("id"), "left_semi")
         val fresh = embedElements(toEmbed)
         (kept.select(fresh.columns.map(col): _*).unionByName(fresh), toEmbed.count())
     }
-    upsertIndex(spark, indexDir, elements)
+    // a full-tree run KNOWS the complete current file set: pass it so the
+    // merge also drops elements of files deleted since the last run —
+    // without this they linger forever and code_elements diverges from
+    // file_summaries (round-4 review; spec-covered in IndexBuildSpec)
+    upsertIndex(spark, indexDir, elements,
+      currentFiles = Some(files.map(_._1).toDF("file_path")))
     val summaries = buildSummaries(files, spark.read.parquet(s"$indexDir/code_elements"))
     summaries.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/file_summaries")
     val nFiles = files.count()
@@ -306,6 +362,8 @@ object IndexBuild {
                              elementType: Option[String] = None,
                              fileType: Option[String] = None): DataFrame = {
     import graft.functions.VecExprs.dotc
+    require(graft.functions.TextFns.tokenizable(queryText),
+      s"query text tokenizes to nothing: '$queryText' — empty query vector has no ranking")
     val spark = index.sparkSession
     val qdf = {
       import spark.implicits._
@@ -386,6 +444,8 @@ object IndexBuild {
   def searchSummaries(spark: SparkSession, indexDir: String, queryText: String,
                       k: Int): DataFrame = {
     import graft.functions.VecExprs.dotc
+    require(graft.functions.TextFns.tokenizable(queryText),
+      s"query text tokenizes to nothing: '$queryText' — empty query vector has no ranking")
     val summaries = spark.read.parquet(s"$indexDir/file_summaries")
     val qdf = {
       import spark.implicits._

@@ -54,6 +54,37 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("elements_embedded") == 1)
   }
 
+  test("full re-run drops elements of files deleted from the tree") {
+    import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
+    val work = JF.createTempDirectory("graft_del")
+    Seq("sample.py", "README.md").foreach { f =>
+      JF.copy(JP.get(projectDir, f), work.resolve(f), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val idx = JF.createTempDirectory("graft_del_idx").toString
+    IndexBuild.run(spark, work.toString, idx)
+    import org.apache.spark.sql.functions.col
+    // counts materialized NOW: the second run swaps the parquet files, so
+    // a lazy `before` frame would re-read paths that no longer exist
+    val before = spark.read.parquet(s"$idx/code_elements")
+      .groupBy("file_path").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before.getOrElse("README.md", 0L) > 0)
+    // delete README and re-run: a full scan knows the complete file set,
+    // so the vanished file's elements must not linger in the index
+    JF.delete(work.resolve("README.md"))
+    IndexBuild.run(spark, work.toString, idx)
+    val after = spark.read.parquet(s"$idx/code_elements")
+    assert(after.filter(col("file_path") === "README.md").count() == 0)
+    assert(after.filter(col("file_path") === "sample.py").count() == before("sample.py"))
+  }
+
+  test("empty or untokenizable query text fails loudly instead of returning nothing") {
+    intercept[IllegalArgumentException] {
+      IndexBuild.searchIndex(spark, indexDir, "!!! ---", 3)
+    }
+    ()
+  }
+
   test("search over the built index returns ranked, filtered hits") {
     val hits = IndexBuild.searchIndex(spark, indexDir, "say hello to name", 3).collect()
     assert(hits.length == 3)
