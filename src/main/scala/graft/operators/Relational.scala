@@ -20,9 +20,16 @@ import graft.Tables
   * decimal, round only at the end.
   *
   * Scale shapes: aggregations are partial-agg friendly (map-side combine);
-  * dimension joins broadcast (nation/region/customer ≪ fact tables);
-  * ranking windows shuffle once by their partition key; the as-of join is a
-  * single window over a union — no join at all.
+  * the FIXED-size dimensions (nation 25 rows, region 5) broadcast;
+  * customer GROWS with scale factor, so its joins are left to natural
+  * estimates (broadcast while small, shuffle join at scale — a forced
+  * broadcast() there was the locked-in-BHJ hazard, round-4 review);
+  * ranking windows shuffle once by their partition key; the as-of join is
+  * one window over the events stream — no join at all. Exception to the
+  * partial-agg claim: [[valueQuantiles]] uses EXACT percentile(), whose
+  * merge buffer holds per-group distinct values — fine for the gate
+  * corpus, but a 100 TB deployment swaps in percentile_approx (the
+  * qualityCut relaxation) and re-gates at sample scale.
   */
 object Relational {
 
@@ -66,7 +73,7 @@ object Relational {
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
     val r = Tables.region(spark, sfDir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -101,7 +108,7 @@ object Relational {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
     val w = Window.partitionBy("c_mktsegment").orderBy(desc("o_totalprice"), asc("o_orderkey"))
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("c_mktsegment"), col("rank").cast("long").as("rank"),
@@ -127,7 +134,7 @@ object Relational {
   def segmentRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .rollup(col("c_mktsegment"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("revenue_raw"))
       .select(

@@ -92,6 +92,11 @@ object TextAnalysis {
         size(col("t")).cast("long").as("n_tokens"),
         size(array_distinct(col("t"))).cast("long").as("n_types"),
         (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("ttr"),
+        // interpreted-HOF caveat: this aggregate lambda (and hitRatio's
+        // filter) runs outside codegen — tolerated here because the arrays
+        // are single-doc token lists (~10² elements), not the shingle
+        // explosion the CLAUDE.md rule targets; if quality ever dominates
+        // a funnel, the row form is tokenRowsOf + sum(length(t0)) per doc
         (aggregate(col("t"), lit(0L), (acc, x) => acc + length(x)).cast("double")
           / size(col("t"))).as("mean_tok_len"),
         hitRatio(col("t"), allStop).as("stop_ratio"),
@@ -176,13 +181,17 @@ object TextAnalysis {
        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Token-counting rollup per (lang, source): whitespace tokens and a
-    * BPE-ish regex token count (letter runs / digit runs / other marks). */
+    * BPE-ish regex token count (letter runs / digit runs / other marks).
+    * The whitespace class is spelled EXPLICITLY ([ \t\n\f\r]): Java's \s
+    * includes vertical tab (\x0B) while RE2's (DuckDB) does not, so a
+    * VT-containing document would silently diverge the two engines
+    * (round-4 review, verified empirically). */
   def tokenCounts(documents: DataFrame): DataFrame =
     documents
       .select(
         col("lang"), col("source"),
-        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("ws"),
-        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).cast("long").as("bpe"))
+        size(filter(split(col("text"), "[ \\t\\n\\f\\r]+"), t => t =!= "")).cast("long").as("ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 \\\\t\\\\n\\\\f\\\\r]', 0)")).cast("long").as("bpe"))
       .groupBy("lang", "source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -193,8 +202,8 @@ object TextAnalysis {
 
   def duckTokenCounts(table: String): String =
     s"""WITH m AS (SELECT lang, source,
-       |  len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::BIGINT AS ws,
-       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe
+       |  len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), t -> t <> ''))::BIGINT AS ws,
+       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]'))::BIGINT AS bpe
        |  FROM $table)
        |SELECT lang, source, count(*)::BIGINT AS n_docs, CAST(sum(ws) AS BIGINT) AS ws_tokens,
        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens, round(avg(ws), 6) AS avg_ws_tokens
@@ -215,7 +224,10 @@ object TextAnalysis {
     * non-arithmetic op; Spark and DuckDB agree to the ulp on this corpus
     * (gate-verified), and ties one ulp apart are broken by doc_id. */
   def bm25(documents: DataFrame, terms: Seq[String], k: Int): DataFrame = {
-    val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    // cached: the doc-length branch and the term-frequency branch aggregate
+    // DIFFERENTLY over the same token rows — without the cache the corpus
+    // tokenizes twice (ReuseExchange only dedupes identical subtrees)
+    val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t")).cache()
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
@@ -225,7 +237,10 @@ object TextAnalysis {
     val contrib = tf
       .join(broadcast(df), "t")
       .crossJoin(broadcast(stats))
-      .join(dl, "doc_id")
+      // hint("merge"): dl is a cached-derived doc-cardinality aggregate —
+      // the jaccardTail pin rule (doc-keyed join, so the pin is the cheap
+      // high-cardinality case, not the embedCosine bucket-join exception)
+      .join(dl.hint("merge"), "doc_id")
       .withColumn("idf",
         log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
       .withColumn("contrib",
@@ -254,7 +269,7 @@ object TextAnalysis {
        |df AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY t),
        |c AS (SELECT tf.doc_id, tf.t,
        |        ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
-       |        (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+       |        (tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
        |      FROM tf JOIN df USING (t) CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id),
        |s AS (SELECT doc_id, $pivot AS score_raw FROM c GROUP BY doc_id)
        |SELECT doc_id, round(score_raw, 6) AS score
@@ -332,8 +347,11 @@ object TextAnalysis {
       .groupBy("doc_id").agg(
         sum("cnt").as("n3"),
         sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup3"))
-    ta.join(g2, Seq("doc_id"), "left")
-      .join(g3, Seq("doc_id"), "left")
+    // hint("merge"): ta/g2/g3 are cached-derived doc-cardinality
+    // aggregates — the jaccardTail pin rule for mandatory caches; doc-keyed
+    // joins, so the pin is the cheap high-cardinality case
+    ta.join(g2.hint("merge"), Seq("doc_id"), "left")
+      .join(g3.hint("merge"), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("n_tokens"),
@@ -497,8 +515,10 @@ object TextAnalysis {
       .filter(col("cb") >= minCount)
       .withColumn("w1", split(col("s"), " ").getItem(0))
       .withColumn("w2", split(col("s"), " ").getItem(1))
-    val n = documents
-      .select(sum(size(tokens(col("text")))).cast("long").as("n_tok"))
+    // total tokens from the unigram relation it already builds (sum of
+    // counts ≡ token occurrences by construction) — not a third corpus
+    // tokenization scan (round-4 review)
+    val n = uni.agg(sum("cu").cast("long").as("n_tok"))
     val scored = bi
       .join(uni.select(col("t").as("w1"), col("cu").as("c1")), "w1")
       .join(uni.select(col("t").as("w2"), col("cu").as("c2")), "w2")
