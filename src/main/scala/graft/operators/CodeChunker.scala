@@ -44,7 +44,8 @@ object CodeChunker {
 
   private def ext(path: String): String = {
     val i = path.lastIndexOf('.')
-    if (i < 0) "" else path.substring(i + 1)
+    // lowercased: SETUP.PY must structurally chunk like setup.py
+    if (i < 0) "" else path.substring(i + 1).toLowerCase
   }
 
   /** Dispatcher (the reference's `_index_file`, indexing_agent.py:126-148). */
@@ -71,7 +72,7 @@ object CodeChunker {
     end
   }
 
-  private val pyDef = """^\s*def\s+([A-Za-z_][A-Za-z0-9_]*)""".r.unanchored
+  private val pyDef = """^\s*(?:async\s+)?def\s+([A-Za-z_][A-Za-z0-9_]*)""".r.unanchored
   private val pyClass = """^\s*class\s+([A-Za-z_][A-Za-z0-9_]*)""".r.unanchored
   private def isPyImport(l: String): Boolean = {
     val t = l.trim
@@ -88,7 +89,13 @@ object CodeChunker {
     * — i.e. whitespace, then edge quote CHARACTERS (Python `str.strip`
     * takes a character set), then whitespace again. */
   private def pyDocstring(lines: Array[String], start: Int, end: Int): String = {
-    var i = start + 1
+    // multi-line signatures: the docstring follows the line that CLOSES the
+    // header (trailing ':'), not necessarily the def line itself (round-4
+    // review); trailing comments are stripped before the check
+    var h = start
+    while (h <= end && !lines(h).split("#", 2)(0).trim.endsWith(":")) h += 1
+    if (h > end) return ""
+    var i = h + 1
     while (i <= end && lines(i).trim.isEmpty) i += 1
     if (i > end) return ""
     val t = lines(i).trim
@@ -109,10 +116,12 @@ object CodeChunker {
 
   /** Lines that BEGIN inside an open triple-quoted string. Recognizers must
     * not fire on them: a `def name(` or `import` inside a docstring is
-    * string content, not a node — tree-sitter would never emit it. A simple
-    * forward scan toggling on unclosed `\"\"\"` / `'''` occurrences; the
-    * opening line itself is not masked (a def cannot also start inside a
-    * string it opens). */
+    * string content, not a node — tree-sitter would never emit it. The scan
+    * tracks line-local single/double-quote state and `#` comments while
+    * looking for openers, so a `'''` inside `"'''"` or after `#` cannot
+    * poison the mask for the rest of the file (round-4 review); the opening
+    * line itself is not masked (a def cannot also start inside a string it
+    * opens). */
   private def tripleStringMask(lines: Array[String]): Array[Boolean] = {
     val mask = new Array[Boolean](lines.length)
     var open: String = null
@@ -120,18 +129,29 @@ object CodeChunker {
       if (open != null) mask(i) = true
       val l = lines(i)
       var pos = 0
-      var scan = true
-      while (scan) {
-        if (open == null) {
-          val a = l.indexOf("\"\"\"", pos)
-          val b = l.indexOf("'''", pos)
-          val idx = if (a < 0) b else if (b < 0) a else math.min(a, b)
-          if (idx < 0) scan = false
-          else { open = if (idx == a && a >= 0) "\"\"\"" else "'''"; pos = idx + 3 }
-        } else {
+      var inS = false
+      var inD = false
+      var done = false
+      while (pos < l.length && !done) {
+        if (open != null) {
           val idx = l.indexOf(open, pos)
-          if (idx < 0) scan = false
-          else { open = null; pos = idx + 3 }
+          if (idx < 0) done = true
+          else { open = null; pos = idx + 3; inS = false; inD = false }
+        } else if (inS) {
+          if (l.charAt(pos) == '\\') pos += 2
+          else { if (l.charAt(pos) == '\'') inS = false; pos += 1 }
+        } else if (inD) {
+          if (l.charAt(pos) == '\\') pos += 2
+          else { if (l.charAt(pos) == '"') inD = false; pos += 1 }
+        } else l.charAt(pos) match {
+          case '#' => done = true // comment: nothing after it counts
+          case '\'' =>
+            if (l.startsWith("'''", pos)) { open = "'''"; pos += 3 }
+            else { inS = true; pos += 1 }
+          case '"' =>
+            if (l.startsWith("\"\"\"", pos)) { open = "\"\"\""; pos += 3 }
+            else { inD = true; pos += 1 }
+          case _ => pos += 1
         }
       }
     }
@@ -171,25 +191,97 @@ object CodeChunker {
     if (els.nonEmpty) els else textChunks(path, content)
   }
 
-  private val jsFunction = """^\s*(?:export\s+)?(?:async\s+)?function\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r.unanchored
-  private val jsClass = """^\s*(?:export\s+)?class\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r.unanchored
-  private def isJsImport(l: String): Boolean = l.trim.startsWith("import")
+  private val jsFunction = """^\s*(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r.unanchored
+  private val jsClass = """^\s*(?:export\s+)?(?:default\s+)?class\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r.unanchored
+  // word boundary after "import": `importantConfig.load()` is not an import
+  private def isJsImport(l: String): Boolean = {
+    val t = l.trim
+    t.startsWith("import") && (t.length == 6 || {
+      val c = t.charAt(6)
+      !Character.isLetterOrDigit(c) && c != '_' && c != '$'
+    })
+  }
 
-  /** Brace-balanced span from `start` (JS/TS block bodies). */
+  /** Brace-balanced span from `start` (JS/TS block bodies). Callers pass
+    * MASKED lines ([[jsMasked]]) so braces inside strings/comments never
+    * count. Depth is tracked per CHARACTER: a `} function b() {` line
+    * (close-then-reopen) crosses zero mid-line, which a per-line sum would
+    * hide, swallowing the next declaration (round-4 review). */
   private def braceEnd(lines: Array[String], start: Int): Int = {
     var depth = 0
     var seen = false
     var i = start
     while (i < lines.length) {
-      for (c <- lines(i)) c match {
-        case '{' => depth += 1; seen = true
-        case '}' => depth -= 1
-        case _ =>
+      val l = lines(i)
+      var j = 0
+      while (j < l.length) {
+        l.charAt(j) match {
+          case '{' => depth += 1; seen = true
+          case '}' =>
+            depth -= 1
+            if (seen && depth <= 0) return i
+          case _ =>
+        }
+        j += 1
       }
-      if (seen && depth <= 0) return i
       i += 1
     }
     lines.length - 1
+  }
+
+  /** Recognition mask for JS/TS: string, template-literal, and comment
+    * CONTENT blanked to spaces (the structural chars around them kept), so
+    * recognizer regexes and [[braceEnd]] never fire on text inside them —
+    * a `function demo()` in a template literal or block comment is prose,
+    * not a node (round-4 review; the Python side's tripleStringMask is the
+    * same idea). Block comments and template literals carry state ACROSS
+    * lines; plain strings and // comments are line-local. Content slices
+    * still come from the ORIGINAL lines. */
+  private def jsMasked(lines: Array[String]): Array[String] = {
+    val out = new Array[String](lines.length)
+    var state: Char = 'n' // n = code, b = block comment, t = template literal
+    for (i <- lines.indices) {
+      val l = lines(i)
+      val sb = new StringBuilder(l.length)
+      var pos = 0
+      var inS = false
+      var inD = false
+      while (pos < l.length) {
+        state match {
+          case 'b' =>
+            if (l.startsWith("*/", pos)) { state = 'n'; sb.append("  "); pos += 2 }
+            else { sb.append(' '); pos += 1 }
+          case 't' =>
+            if (l.charAt(pos) == '\\') { sb.append("  "); pos += 2 }
+            else if (l.charAt(pos) == '`') { state = 'n'; sb.append(' '); pos += 1 }
+            else { sb.append(' '); pos += 1 }
+          case _ =>
+            if (inS || inD) {
+              val c = l.charAt(pos)
+              if (c == '\\') { sb.append("  "); pos += 2 }
+              else {
+                if (inS && c == '\'') inS = false
+                if (inD && c == '"') inD = false
+                sb.append(' '); pos += 1
+              }
+            } else if (l.startsWith("//", pos)) {
+              sb.append(" " * (l.length - pos)); pos = l.length
+            } else if (l.startsWith("/*", pos)) {
+              state = 'b'; sb.append("  "); pos += 2
+            } else {
+              l.charAt(pos) match {
+                case '`' => state = 't'; sb.append(' ')
+                case '\'' => inS = true; sb.append(' ')
+                case '"' => inD = true; sb.append(' ')
+                case c => sb.append(c)
+              }
+              pos += 1
+            }
+        }
+      }
+      out(i) = sb.toString
+    }
+    out
   }
 
   /** method_definition recognizer (indexing_agent.py:165): `name(args) {`
@@ -203,13 +295,15 @@ object CodeChunker {
 
   def chunkJs(path: String, content: String): Seq[CodeElement] = {
     val lines = content.split("\n", -1)
+    // recognition runs over the MASKED text; emitted content over the raw
+    val m = jsMasked(lines)
     // Class body ranges, so method_definition recognition fires only inside a
     // class body (the reference's tree-sitter node set includes
     // method_definition, indexing_agent.py:165; its extractor names it like a
     // function).
     val classBodies = Seq.newBuilder[(Int, Int)]
-    for (i <- lines.indices) lines(i) match {
-      case jsClass(_) => classBodies += ((i + 1, braceEnd(lines, i)))
+    for (i <- m.indices) m(i) match {
+      case jsClass(_) => classBodies += ((i + 1, braceEnd(m, i)))
       case _ =>
     }
     val bodies = classBodies.result()
@@ -217,27 +311,26 @@ object CodeChunker {
     val out = Seq.newBuilder[CodeElement]
     var i = 0
     while (i < lines.length) {
-      val l = lines(i)
-      l match {
+      m(i) match {
         case jsFunction(name) =>
           // i += 1, not end+1: traverse_node recursion means nested function
           // declarations are emitted too (indexing_agent.py:158-172).
-          val end = braceEnd(lines, i)
+          val end = braceEnd(m, i)
           out += CodeElement.make(name, "function", path, i + 1, end + 1,
             lines.slice(i, end + 1).mkString("\n"))
           i += 1
         case jsClass(name) =>
-          val end = braceEnd(lines, i)
+          val end = braceEnd(m, i)
           out += CodeElement.make(name, "class", path, i + 1, end + 1,
             lines.slice(i, end + 1).mkString("\n"))
           i += 1
         case jsMethod(name) if inClassBody(i) && !jsKeywords(name) =>
-          val end = braceEnd(lines, i)
+          val end = braceEnd(m, i)
           out += CodeElement.make(name, "function", path, i + 1, end + 1,
             lines.slice(i, end + 1).mkString("\n"))
           i += 1
-        case _ if isJsImport(l) =>
-          out += CodeElement.make("import", "import", path, i + 1, i + 1, l, "")
+        case _ if isJsImport(m(i)) =>
+          out += CodeElement.make("import", "import", path, i + 1, i + 1, lines(i), "")
           i += 1
         case _ => i += 1
       }

@@ -221,11 +221,13 @@ object Diagnostics {
   def codeDiagnostics(files: DataFrame): DataFrame = {
     val withExt = files.withColumn("ext",
       regexp_extract(col("file_path"), "\\.([^.]+)$", 1))
+    // cached: the per-line rule bank and the syntax channel both read it
     val lines = withExt
       .select(col("file_path"), col("ext"),
         posexplode(split(col("content"), "\n", -1)).as(Seq("idx", "line")))
       .select(col("file_path"), col("ext"),
         (col("idx") + 1).cast("long").as("line_no"), col("line"))
+      .cache()
     codeReport(codeLineDiagnostics(lines)
       .unionByName(codeFileDiagnostics(withExt))
       .unionByName(syntaxDiagnostics(lines)))
@@ -263,7 +265,10 @@ object Diagnostics {
     * carries the missing-trailing-newline warning — the file-level rule is
     * exercised, deterministically, on both engines. */
   def codeReportFromDocs(documents: DataFrame): DataFrame = {
-    val v = docsAsFiles(documents)
+    // cached: three union branches read it (the chunker's interpreted
+    // transform makes recompute the expensive part); consumers are filters
+    // and unions — no join build side, so no estimate hazard
+    val v = docsAsFiles(documents).cache()
     val fileLevel = v.filter(col("ext") === "txt").select("file_path").distinct()
       .select(col("file_path"), lit(0L).as("line_no"),
         lit("warning").as("severity"),

@@ -96,6 +96,39 @@ class CodeChunkerSpec extends AnyFunSuite {
     assert(els.last.content == "import json")
   }
 
+  test("round-4 recognizer fixes: async def, export default, import boundary, case, masks") {
+    // async def is a function_definition
+    val py1 = CodeChunker.chunkPython("a.py", "async def fetch(url):\n    return url\n")
+    assert(py1.map(e => (e.name, e.element_type)) == Seq(("fetch", "function")))
+    // a ''' inside an ordinary string or comment must not poison the mask
+    val py2 = CodeChunker.chunkPython("b.py",
+      Seq("SEP = \"'''\"", "# strip the ''' prefix", "def real():", "    return 1").mkString("\n"))
+    assert(py2.exists(e => e.name == "real" && e.element_type == "function"))
+    // docstring found through a multi-line signature
+    val py3 = CodeChunker.chunkPython("c.py",
+      Seq("def f(a,", "      b):", "    \"\"\"Doc.\"\"\"", "    return a").mkString("\n"))
+    assert(py3.head.docstring == "Doc.")
+    // export default declarations are elements
+    val js1 = CodeChunker.chunkJs("m.ts",
+      "export default function main() {\n  return 1;\n}\n")
+    assert(js1.map(e => (e.name, e.element_type)) == Seq(("main", "function")))
+    // importantConfig is not an import; function text in a template literal
+    // or block comment is prose, not a node
+    val js2 = CodeChunker.chunkJs("n.js", Seq(
+      "importantConfig.load();",
+      "const help = `usage: function demo() { ... }`;",
+      "/* function example(x) { */",
+      "function real() {",
+      "  return \"}\";",
+      "}").mkString("\n"))
+    assert(js2.map(e => (e.name, e.element_type)) == Seq(("real", "function")))
+    // the brace inside the string must not truncate the span
+    assert(js2.head.end_line == 6)
+    // extension dispatch is case-insensitive
+    val up = CodeChunker.chunkFile("SETUP.PY", "def go():\n    return 2\n")
+    assert(up.map(_.element_type) == Seq("function"))
+  }
+
   test("content hash is stable and md5-shaped (C7)") {
     val a = CodeChunker.chunkFile("sample.py", read("sample.py"))
     val b = CodeChunker.chunkFile("sample.py", read("sample.py"))
