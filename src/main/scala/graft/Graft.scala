@@ -24,10 +24,19 @@ object Graft {
   /** Missing-index behavior: the reference's tools degrade gracefully
     * ("No code index found…", vector_search_tool.py:34-35) instead of
     * raising — mirror that with an empty, correctly-typed result rather
-    * than an AnalysisException from the parquet reader. */
-  private def tableOrEmpty(spark: SparkSession, path: String): Option[DataFrame] =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) Some(spark.read.parquet(path))
-    else None
+    * than an AnalysisException from the parquet reader.
+    *
+    * Filesystem-agnostic (round-4 review): existence is probed by the
+    * parquet reader itself — a java.nio check on the raw string returned
+    * false for every hdfs://'/s3a:// index IndexBuild happily writes,
+    * silently reporting 0 hits. Read paths also run swap recovery first:
+    * a crash parked between swapInto's renames must read as "index
+    * present (recovered)", not "never indexed". */
+  private def tableOrEmpty(spark: SparkSession, path: String): Option[DataFrame] = {
+    IndexBuild.recoverSwap(spark, path)
+    try Some(spark.read.parquet(path))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
 
   private def emptyResult(spark: SparkSession, schemaDDL: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -60,9 +69,15 @@ object Graft {
                      fileType: Option[String] = None): String =
     tableOrEmpty(spark, s"$indexDir/code_elements") match {
       case Some(idx) =>
-        IndexBuild.searchElementsText(idx, query, maxResults,
+        val blocks = IndexBuild.searchElementsText(idx, query, maxResults,
             elementTypes.headOption, fileType)
-          .collect().map(_.getAs[String]("result_text")).mkString("\n")
+          .collect().map(_.getAs[String]("result_text"))
+        // reference parity (vector_search_tool.py:50-51, 78-80): each block
+        // ends separator + newline before the '\n'.join — a BLANK line
+        // between results and a trailing newline — and the zero-hit answer
+        // is the "No results found" string, not "" (round-4 review)
+        if (blocks.isEmpty) s"No results found for query: '$query'"
+        else blocks.mkString("", "\n\n", "\n")
       case None => "No code index found. Please run indexing first."
     }
 

@@ -221,13 +221,17 @@ object Diagnostics {
   def codeDiagnostics(files: DataFrame): DataFrame = {
     val withExt = files.withColumn("ext",
       regexp_extract(col("file_path"), "\\.([^.]+)$", 1))
-    // cached: the per-line rule bank and the syntax channel both read it
+    // NOT cached although two branches read it: this is the per-call
+    // facade path (getDiagnostics/validateCode run it once per proposed
+    // edit), and an un-unpersisted cache per call leaks block-manager
+    // entries across an agent loop; recomputing a single file's line
+    // explode is trivially cheap. The corpus-scale oracle path
+    // (codeReportFromDocs) caches instead — the harness clears per query.
     val lines = withExt
       .select(col("file_path"), col("ext"),
         posexplode(split(col("content"), "\n", -1)).as(Seq("idx", "line")))
       .select(col("file_path"), col("ext"),
         (col("idx") + 1).cast("long").as("line_no"), col("line"))
-      .cache()
     codeReport(codeLineDiagnostics(lines)
       .unionByName(codeFileDiagnostics(withExt))
       .unionByName(syntaxDiagnostics(lines)))

@@ -37,7 +37,12 @@ object SymbolNav {
   }
 
   def duckDefsAndRefs(table: String, symbols: Seq[String]): String = {
-    val lst = symbols.map(s => s"'$s'").mkString(", ")
+    // quote-escaped, and an empty watchlist yields FALSE instead of the
+    // unparseable `IN ()` — matching the Spark side's empty-isin result
+    // (round-4 review)
+    val lst =
+      if (symbols.isEmpty) "SELECT NULL WHERE FALSE"
+      else symbols.map(s => s"'${s.replace("'", "''")}'").mkString(", ")
     s"""WITH occ AS (SELECT doc_id,
        |                    unnest(${duckTokens("text")}) AS token,
        |                    unnest(generate_series(0, len(${duckTokens("text")}) - 1)) AS pos

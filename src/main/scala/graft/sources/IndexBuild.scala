@@ -175,7 +175,7 @@ object IndexBuild {
     * back. A no-op in every healthy state (target present, or neither
     * present on a first build). Runs at the entry of every table-swapping
     * job ([[upsertIndex]], [[compact]]). */
-  private def recoverSwap(spark: SparkSession, target: String): Unit = {
+  private[graft] def recoverSwap(spark: SparkSession, target: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val t = new org.apache.hadoop.fs.Path(target)

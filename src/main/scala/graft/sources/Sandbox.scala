@@ -44,18 +44,26 @@ class Sandbox(rootDir: String) {
 
   def isSafe(rel: String): Boolean = resolve(rel).isDefined
 
-  def readFile(rel: String): Either[String, String] = resolve(rel) match {
-    case None => Left(s"Error: Path '$rel' escapes the project root")
-    case Some(p) if !Files.isRegularFile(p) => Left(s"Error: File '$rel' not found")
-    case Some(p) => Right(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-  }
+  /** IO failures become Left, never escaped exceptions — the reference's
+    * read_file/write_file wrap everything in try/except and return error
+    * strings (file_system_tool.py), and this surface keeps that contract
+    * for permission errors, name collisions (a.txt/b.txt under an existing
+    * file a.txt), directories passed as files, and invalid path characters
+    * (round-4 review). */
+  def readFile(rel: String): Either[String, String] =
+    try resolve(rel) match {
+      case None => Left(s"Error: Path '$rel' escapes the project root")
+      case Some(p) if !Files.isRegularFile(p) => Left(s"Error: File '$rel' not found")
+      case Some(p) => Right(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    } catch { case e: Exception => Left(s"Error reading '$rel': ${e.getMessage}") }
 
   /** mkdir -p + overwrite, like the reference's write_file. */
-  def writeFile(rel: String, content: String): Either[String, Path] = resolve(rel) match {
-    case None => Left(s"Error: Path '$rel' escapes the project root")
-    case Some(p) =>
-      Files.createDirectories(p.getParent)
-      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
-      Right(p)
-  }
+  def writeFile(rel: String, content: String): Either[String, Path] =
+    try resolve(rel) match {
+      case None => Left(s"Error: Path '$rel' escapes the project root")
+      case Some(p) =>
+        Files.createDirectories(p.getParent)
+        Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+        Right(p)
+    } catch { case e: Exception => Left(s"Error writing '$rel': ${e.getMessage}") }
 }

@@ -33,6 +33,12 @@ class FacadeSpec extends AnyFunSuite {
     assert(text.contains("  Name: ") && text.contains("  Type: ") &&
       text.contains("  File: ") && text.contains("  Lines: "))
     assert(text.contains("-" * 50))
+    // reference join shape: blank line between result blocks, trailing \n
+    assert(text.contains("-" * 50 + "\n\nResult 2 (similarity: "))
+    assert(text.endsWith("\n"))
+    // zero hits is the reference's message, not the empty string
+    assert(Graft.searchCodeText(spark, indexDir, "process data",
+      elementTypes = Seq("nosuchtype")) == "No results found for query: 'process data'")
   }
 
   test("search_files returns ranked file summaries") {

@@ -63,4 +63,13 @@ class SandboxSpec extends AnyFunSuite {
     assert(sb.readFile("../escape.txt").isLeft)
     assert(sb.writeFile("../escape.txt", "x").isLeft)
   }
+
+  test("IO failures return Left, never escape as exceptions (reference contract)") {
+    // writing under an existing FILE as if it were a directory
+    assert(sb.writeFile("collide.txt", "x").isRight)
+    assert(sb.writeFile("collide.txt/child.txt", "y").isLeft)
+    // reading a directory as a file
+    assert(sb.writeFile("adir/inner.txt", "z").isRight)
+    assert(sb.readFile("adir").isLeft)
+  }
 }
