@@ -66,6 +66,10 @@ object Bench {
           }
           reps.min
         } catch { case _: Throwable => -1.0 }
+        finally spark.sharedState.cacheManager.clearCache()
+      // finally: a query that throws MID-REP has already materialized its
+      // caches; without the clear they would warm every later query whose
+      // plan shares the subtree, breaking the flat-memory honesty rule
       (name, sec, loadavg())
     }
     val loadEnd = loadavg()

@@ -20,6 +20,12 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     if (!sys.env.get("SPARK_GRAFT_REWRITE").contains("0"))
       graft.plans.TopKPerKey.enableRewrite(spark)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[explain] unknown queries: ${unknown.mkString(", ")}; " +
+        s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      spark.stop(); sys.exit(2)
+    }
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

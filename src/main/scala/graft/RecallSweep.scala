@@ -22,6 +22,10 @@ object RecallSweep {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // harness-default plans (round-4 review): the sweep informs layout
+    // decisions, so it must run the same rewrite default as Verify/Bench
+    if (!sys.env.get("SPARK_GRAFT_REWRITE").contains("0"))
+      graft.plans.TopKPerKey.enableRewrite(spark)
     val index = Tables.embeddings(spark, sfDir)
     for (bits <- Seq(2, 4, 6); nprobe <- Seq(2, 4, 8)) {
       val rows = graft.operators.KnnRecall

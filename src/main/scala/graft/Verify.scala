@@ -23,12 +23,24 @@ object Verify {
     if (!sys.env.get("SPARK_GRAFT_REWRITE").contains("0"))
       graft.plans.TopKPerKey.enableRewrite(spark)
     new java.io.File(outDir).mkdirs()
+    def deleteRecursively(f: java.io.File): Unit = {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+      f.delete(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {
+        // stale-dump guard (round-4 review, and a real incident this
+        // round): a query failing BEFORE its write used to leave the
+        // previous run's parquet intact, and the oracle compare would
+        // silently PASS on stale data — delete first, so a failure leaves
+        // a missing dir the checker reports as an error
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          System.err.println(s"[verify] $name failed: $e")
+          e.getStackTrace.take(4).foreach(f => System.err.println(s"[verify]   at $f"))
         }
         // release any subtree a query cached for intra-query reuse: caches
         // are per-query scratch, never cross-query state (executor memory

@@ -57,9 +57,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: type mismatch {tdiff}"); n_fail += 1; continue
         if got.num_rows != want.num_rows:
             print(f"FAIL {name}: rows {got.num_rows} vs {want.num_rows}"); n_fail += 1; continue
-        g = got.select(gcols); w = want.select(wcols)
-        grows = [tuple(norm(v) for v in r.values()) for r in g.to_pylist()]
-        wrows = [tuple(norm(v) for v in r.values()) for r in w.to_pylist()]
+        try:
+            g = got.select(gcols); w = want.select(wcols)
+            grows = [tuple(norm(v) for v in r.values()) for r in g.to_pylist()]
+            wrows = [tuple(norm(v) for v in r.values()) for r in w.to_pylist()]
+        except Exception as e:  # e.g. duplicate column names make select ambiguous
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if grows == wrows:
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
         elif sorted(grows) == sorted(wrows):
@@ -71,8 +74,15 @@ def main(sf_dir, out_dir):
             sg, sw = sorted(grows), sorted(wrows)
             shown = 0
             for a, b in zip(sg, sw):
-                if a != b and shown < 3:
+                if a != b:
                     print(f"   spark={a}\n   duck ={b}"); shown += 1
+                    if shown >= 3: break
+    # coverage: a Spark dump with NO oracle entry would otherwise be
+    # silently skipped and the gate would print a green total for an
+    # unvalidated query (the CLAUDE.md every-query-needs-an-oracle rule)
+    dumped = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)}
+    for name in sorted(dumped - set(oracle)):
+        print(f"FAIL {name}: spark result has no oracle entry"); n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 
