@@ -59,16 +59,20 @@ object TextFns {
     documents.select(org.apache.spark.sql.functions.col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("i", "t0")))
 
-  /** [[shingleRowsOf]] over a pre-built [[tokenRowsOf]] relation. */
-  def shingleRowsOfTokens(tok: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+  /** [[shingleRowsOf]] over a pre-built [[tokenRowsOf]] relation. `carry`
+    * names the columns kept alongside `s` (default doc_id; the per-language
+    * sketches carry lang instead) — ONE definition of the lead-window
+    * shingle contract for every consumer. */
+  def shingleRowsOfTokens(tok: org.apache.spark.sql.DataFrame, n: Int,
+                          carry: Seq[String] = Seq("doc_id")): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
     val withLeads = (1 until n).foldLeft(tok) { (df, j) =>
       df.withColumn(s"t$j", lead(col("t0"), j).over(w))
     }
     withLeads
       .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("s"))
+      .select(carry.map(col) :+
+        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("s"): _*)
   }
 
   def duckShingles(toks: String, n: Int): String = {

@@ -43,18 +43,11 @@ object Sketches {
     * by the per-language sketches; posexplode + lead row form per the
     * interpreted-HOF rule (the array-transform form measured 12× slower on
     * q_kmv_distinct at sf0.1). */
-  private def langShingleRows(documents: DataFrame, n: Int): DataFrame = {
-    val tok = documents.select(col("lang"), col("doc_id"),
-      posexplode(graft.functions.TextFns.tokens(col("text"))).as(Seq("i", "t0")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
-    val withLeads = (1 until n).foldLeft(tok) { (df, j) =>
-      df.withColumn(s"t$j", lead(col("t0"), j).over(w))
-    }
-    withLeads
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("lang"),
-        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("s"))
-  }
+  private def langShingleRows(documents: DataFrame, n: Int): DataFrame =
+    graft.functions.TextFns.shingleRowsOfTokens(
+      documents.select(col("lang"), col("doc_id"),
+        posexplode(graft.functions.TextFns.tokens(col("text"))).as(Seq("i", "t0"))),
+      n, carry = Seq("lang"))
 
   def hllDistinctShingles(documents: DataFrame, n: Int = 3): DataFrame = {
     // cached: the register branch and the exact-count honesty branch both
@@ -125,7 +118,9 @@ object Sketches {
         .cast("long") % mBits
     val bench = documents.filter(col("doc_id") % benchMod === 0)
     val train = documents.filter(col("doc_id") % benchMod =!= 0)
-    val bsh = shingleRowsOf(bench, n).select(col("s")).distinct()
+    // cached: the bit build and the exact-hits semi-join both read it, and
+    // both consumers are explicit broadcast() sides - no lock-in hazard
+    val bsh = shingleRowsOf(bench, n).select(col("s")).distinct().cache()
     // cached: probed twice (bloom rows + exact honesty semi-join), same
     // lifecycle as decontaminate's corpus relation (harness clears/query)
     val tsh = shingleRowsOf(train, n).distinct().cache()
@@ -139,9 +134,12 @@ object Sketches {
     val exactHits = tsh.join(broadcast(bsh), "s")
       .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
     val sizes = tsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // hint("merge"): all three are cached-tsh-derived doc-cardinality
+    // aggregates - the jaccardTail pin rule (doc-keyed, the cheap
+    // high-cardinality case, not the embedCosine bucket-join exception)
     bloomHits
-      .join(sizes, "doc_id")
-      .join(exactHits, Seq("doc_id"), "left")
+      .join(sizes.hint("merge"), "doc_id")
+      .join(exactHits.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"), col("bloom_hits"),
         coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
         (col("bloom_hits") - coalesce(col("exact_hits"), lit(0L))).as("false_pos"))
@@ -211,15 +209,18 @@ object Sketches {
       .groupBy("lang").agg(max(when(col("rn") === k, col("x"))).as("xk"),
         count(lit(1)).as("n_kept"))
       .join(exact, "lang")
-      .select(col("lang"), lit(k).cast("long").as("k"),
+      // est_raw projected ONCE (the hll/est-CTE form): est and err_frac
+      // must be the same tree or the exactness contract silently splits
+      .withColumn("est_raw",
         // fewer than k distinct values → the sketch holds them all: exact
-        round(when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double") / col("xk").cast("double")), 6)
-          .as("est"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double")
+            / col("xk").cast("double")))
+      .select(col("lang"), lit(k).cast("long").as("k"),
+        round(col("est_raw"), 6).as("est"),
         col("exact"),
-        round(abs(when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double") / col("xk").cast("double"))
-          - col("exact").cast("double")) / col("exact").cast("double"), 6).as("err_frac"))
+        round(abs(col("est_raw") - col("exact").cast("double"))
+          / col("exact").cast("double"), 6).as("err_frac"))
       .orderBy("lang")
   }
 
@@ -305,8 +306,9 @@ object Sketches {
     def bucket(tokExpr: String, jExpr: String) =
       s"((('0x' || substr(md5($tokExpr), 1, 8))::BIGINT + $jExpr * ('0x' || substr(md5($tokExpr), 9, 8))::BIGINT) % $CmsWidth)"
     val jList = (0 until CmsDepth).mkString("[", ", ", "]")
-    val probeValues = probes.map(t => s"('$t')").mkString(", ")
-    val probeIn = probes.map(t => s"'$t'").mkString(", ")
+    // quote-escaped: probes is a public parameter (round-4 review)
+    val probeValues = probes.map(t => s"('${t.replace("'", "''")}')").mkString(", ")
+    val probeIn = probes.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""WITH tok AS (SELECT unnest(${duckTokens("text")}) AS t FROM $table),
        |sk AS (SELECT j, ${bucket("t", "j")} AS b, count(*)::BIGINT AS c
        |       FROM tok, unnest($jList) AS u(j) GROUP BY 1, 2),

@@ -156,6 +156,10 @@ object TopKPerKey {
   def perKey(df: DataFrame, keyCols: Seq[String],
              orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(keyCols.nonEmpty,
+      "keyCols must be non-empty (ClusteredDistribution(Nil) fails deep in " +
+        "planning; for a GLOBAL top-k use orderBy + limit, which plans " +
+        "TakeOrderedAndProject)")
     Bridge.addStrategy(df.sparkSession, Strategy)
     val child = df.queryExecution.analyzed
     // resolve with the session's resolver, not bare string equality —
