@@ -11,6 +11,11 @@ import graft.functions.TextFns._
   * north star; SURVEY.md §2.4 extension families) — the reference's own
   * corpus ends at index-build (indexing_agent.py), these operate on the
   * corpus as a dataset product.
+  *
+  * Cache lifecycle: several operators here `.cache()` a scratch relation
+  * that lives as long as the returned lazy plan — same contract as
+  * [[Dedup]]'s header: the harness clears session caches per query; a
+  * library caller clears them once results are materialized.
   */
 object CorpusOps {
 

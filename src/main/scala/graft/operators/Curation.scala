@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   * shuffles followed by a tiny per-language aggregate; nothing rescans the
   * raw corpus twice. Stage survivor counts are reported per language so the
   * funnel is observable (a silent filter is a wrong filter at 100 TB).
+  *
+  * Cache lifecycle: [[curate]]'s `pass2` cache lives as long as the
+  * returned lazy plan — same contract as [[Dedup]]'s header: the harness
+  * clears session caches per query; a library caller clears them once the
+  * accounting is materialized. [[curateKept]] is eager and releases its
+  * own cache.
   */
 object Curation {
 

@@ -28,6 +28,11 @@ import graft.functions.VectorFns.{duckCosine, duckSignBucket, signBucket}
   * construction. At 100 TB this is the query you run on a SAMPLE of queries
   * to pick (bits, nprobe) before committing a layout; the per-variant
   * parameters here mirror the engine's query defaults exactly.
+  *
+  * Cache lifecycle: the exact-baseline pair set is `.cache()`d and lives
+  * as long as the returned lazy plan — same contract as [[Dedup]]'s
+  * header: the harness clears session caches per query; a library caller
+  * clears them once the recall row is materialized.
   */
 object KnnRecall {
 

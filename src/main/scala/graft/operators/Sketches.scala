@@ -21,6 +21,11 @@ import graft.functions.TextFns.{duckShingles, duckTokens}
   * partial max, 16·|groups| rows out — then one |groups|-row pivot. The
   * exact count carried alongside at test scale is the honesty column (the
   * measured error is part of the contract); a deployment drops it.
+  *
+  * Cache lifecycle: the shared shingle relations here are `.cache()`d and
+  * live as long as the returned lazy plan — same contract as [[Dedup]]'s
+  * header: the harness clears session caches per query; a library caller
+  * clears them once results are materialized.
   */
 object Sketches {
 

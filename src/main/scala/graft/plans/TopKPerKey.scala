@@ -129,8 +129,16 @@ object TopKPerKey {
           case wgl: WindowGroupLimit if wgl.child.isInstanceOf[Node] => f
           // the inferred group-limit for THIS window: substitute the heap
           // for it, taking over its prune
+          // `wgl.limit >= k` makes the equivalence assumption explicit:
+          // today InferWindowGroupLimit derives its limit from the same
+          // rn<=k predicate so they always agree, but a future rule
+          // producing a SMALLER group limit under the same specs would be
+          // the tighter prune — substituting Node(k) for it would emit
+          // top-k where the plan promised top-limit. Fall through to the
+          // insert-under case instead (ADVICE round 4).
           case wgl: WindowGroupLimit
-              if wgl.partitionSpec == partSpec && wgl.orderSpec == orderSpec =>
+              if wgl.partitionSpec == partSpec && wgl.orderSpec == orderSpec &&
+                wgl.limit >= k =>
             f.copy(child = w.copy(child = Node(partSpec, orderSpec, k, wgl.child)))
           case other =>
             f.copy(child = w.copy(child = Node(partSpec, orderSpec, k, other)))
@@ -207,6 +215,10 @@ final case class TopKPerKeyExec(keyExprs: Seq[Expression], sortOrder: Seq[SortOr
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       var bufferedBytes = 0L
+      // conservative JVM-overhead charge per distinct key: map entry
+      // (~40 B) + PriorityQueue instance (~48 B) + initial backing array
+      // (~80 B) — see the None-arm comment below
+      val perKeyOverhead = 168L
       def sizeOf(row: InternalRow): Long = row match {
         case u: UnsafeRow => u.getSizeInBytes.toLong
         case _ => 64L // conservative placeholder for non-Unsafe rows
@@ -226,7 +238,12 @@ final case class TopKPerKeyExec(keyExprs: Seq[Expression], sortOrder: Seq[SortOr
             val c = row.copy(); heap.enqueue(c)
             val kc = key.copy()
             heaps.put(kc, heap)
-            bufferedBytes += sizeOf(c) + kc.getSizeInBytes
+            // + perKeyOverhead: the LinkedHashMap entry, PriorityQueue
+            // object, and its backing array are real heap bytes the row
+            // payload doesn't count — without it, adversarial
+            // high-key-cardinality input with tiny rows overshoots the
+            // flushBytes promise several-fold (ADVICE round 4).
+            bufferedBytes += sizeOf(c) + kc.getSizeInBytes + perKeyOverhead
         }
       }
       def drain(): Iterator[InternalRow] = {

@@ -271,7 +271,13 @@ object IndexBuild {
 
   /** C9/S7: per-file summary table, with the summary string embedded so the
     * table is kNN-searchable (the reference embeds exactly this template
-    * string — indexing_agent.py:365-366). */
+    * string — indexing_agent.py:365-366).
+    *
+    * Cache lifecycle: the per-file base aggregate is `.cache()`d and stays
+    * alive with the returned lazy plan — same contract as [[
+    * graft.operators.Dedup]]'s header: the harness clears session caches per
+    * query; a library caller clears them once the result is materialized
+    * ([[run]] does so itself — it is eager and owns its caches). */
   def buildSummaries(files: Dataset[(String, String)], elements: DataFrame): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
@@ -317,6 +323,7 @@ object IndexBuild {
     // (measured as 3× corpus I/O on a fresh build; round-4 review)
     val files = scanFiles(spark, rootDir).cache()
     val chunked = chunkedElements(files).cache()
+    try {
     val existing =
       try Some(spark.read.parquet(s"$indexDir/code_elements"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
@@ -345,6 +352,13 @@ object IndexBuild {
       .toDF("files_indexed", "elements_indexed", "elements_embedded", "errors")
     report.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$indexDir/indexing_report")
     report
+    } finally {
+      // run() is EAGER (everything above is written/counted), so it can
+      // release its own corpus-cardinality scratch — a library caller's
+      // agent loop must not accumulate block-manager entries per build
+      // (ADVICE round 4; curateKept/clustersOfPairs precedent)
+      chunked.unpersist(); files.unpersist(); ()
+    }
   }
 
   /** Q1 search core over any `code_elements`-shaped relation (columns id,

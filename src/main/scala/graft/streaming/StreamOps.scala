@@ -34,6 +34,24 @@ object StreamOps {
     try body finally spark.conf.set(key, old)
   }
 
+  /** Run `sink` to completion into a memory sink named `qname`, build the
+    * returned result from the sink table via `finish`, then DROP the temp
+    * view. Dataset construction resolves the view into the plan eagerly, so
+    * the returned frame stays valid — but the globally-registered view
+    * (which pins the full sink table on the driver) does not outlive the
+    * call, so repeated invocations no longer accumulate catalog entries
+    * (ADVICE round 4; mirrors streamedDecontam's temp-dir cleanup). */
+  private def memorySinkResult(sink: DataFrame, qname: String, mode: String)
+                              (finish: DataFrame => DataFrame): DataFrame = {
+    val spark = sink.sparkSession
+    withShufflePartitions(spark, 4) {
+      val q = sink.writeStream.outputMode(mode).format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try finish(spark.table(qname))
+    finally { spark.catalog.dropTempView(qname); () }
+  }
+
   /** Tumbling 6-hour count per event type, executed as a streaming query. */
   def streamedEventsWindow(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = Tables.eventsRaw(spark, sfDir).schema
@@ -45,14 +63,11 @@ object StreamOps {
       .groupBy(window(col("ts_t"), "6 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val qname = s"graft_stream_win_${counter.incrementAndGet()}"
-    withShufflePartitions(spark, 4) {
-      val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
-      try q.processAllAvailable() finally q.stop()
+    memorySinkResult(agg, qname, "complete") { t =>
+      t.select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"), col("n"))
+        .orderBy("bucket", "event_type")
     }
-    spark.table(qname)
-      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
-        col("event_type"), col("n"))
-      .orderBy("bucket", "event_type")
   }
 
   def duckStreamedEventsWindow: String =
@@ -115,17 +130,14 @@ object StreamOps {
           (uid, s.n, s.minUs, s.maxUs)
       }
       .toDF("user_id", "n_events", "first_us", "last_us")
-    withShufflePartitions(spark, 4) {
-      val q = updated.writeStream.outputMode("update").format("memory").queryName(qname).start()
-      try q.processAllAvailable() finally q.stop()
-    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(desc("n_events"))
-    spark.table(qname)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("user_id", "n_events", "first_us", "last_us")
-      .orderBy("user_id")
+    memorySinkResult(updated, qname, "update") { t =>
+      t.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "n_events", "first_us", "last_us")
+        .orderBy("user_id")
+    }
   }
 
   def duckStreamedUserTotals: String =
@@ -164,7 +176,6 @@ object StreamOps {
     * split the events mid-session across micro-batches (session state must
     * MERGE across triggers, not just accumulate). */
   def streamedSessionsOf(src: DataFrame, qname: String): DataFrame = {
-    val spark = src.sparkSession
     val stream = src
       .filter(col("user_id") < 20)
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
@@ -173,14 +184,11 @@ object StreamOps {
       .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes").as("w"))
       .agg(min("us").as("start_us"), max("us").as("end_us"),
         count(lit(1)).as("n_events"))
-    withShufflePartitions(spark, 4) {
-      val q = sess.writeStream.outputMode("complete").format("memory").queryName(qname).start()
-      try q.processAllAvailable() finally q.stop()
+    memorySinkResult(sess, qname, "complete") { t =>
+      t.select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+          (col("end_us") - col("start_us")).as("duration_us"))
+        .orderBy("user_id", "start_us")
     }
-    spark.table(qname)
-      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
-        (col("end_us") - col("start_us")).as("duration_us"))
-      .orderBy("user_id", "start_us")
   }
 
   /** DuckDB mirror of [[streamedSessions]] — lag + running sum with the
@@ -231,13 +239,10 @@ object StreamOps {
     // pipeline is foreachBatch → parquet: proven result-identical in
     // StreamStateSpec ("foreachBatch parquet sink"), and demonstrated
     // end-to-end by streamingReindex below.
-    withShufflePartitions(spark, 4) {
-      val q = deduped.writeStream.outputMode("append").format("memory").queryName(qname).start()
-      try q.processAllAvailable() finally q.stop()
+    memorySinkResult(deduped, qname, "append") { t =>
+      t.groupBy("lang").agg(count(lit(1)).as("n_unique"))
+        .orderBy("lang")
     }
-    spark.table(qname)
-      .groupBy("lang").agg(count(lit(1)).as("n_unique"))
-      .orderBy("lang")
   }
 
   def duckStreamedDedupCounts: String =
@@ -324,7 +329,6 @@ object StreamOps {
   /** Core of [[streamedViewPurchaseJoin]], parameterized by source and
     * watermark delay for the multi-batch state-carry spec. */
   def viewPurchaseJoinOf(src: DataFrame, qname: String, delay: String): DataFrame = {
-    val spark = src.sparkSession
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts_t").as("v_ts"), col("event_id").as("v_id"))
       .withWatermark("v_ts", delay)
@@ -333,16 +337,13 @@ object StreamOps {
       .withWatermark("p_ts", delay)
     val joined = views.join(purchases,
       expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"))
-    withShufflePartitions(spark, 4) {
-      val q = joined.writeStream.outputMode("append").format("memory").queryName(qname).start()
-      try q.processAllAvailable() finally q.stop()
+    memorySinkResult(joined, qname, "append") { t =>
+      t.groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("v_id")).as("n_views_matched"),
+          countDistinct(col("p_id")).as("n_purchases_matched"))
+        .orderBy("user_id")
     }
-    spark.table(qname)
-      .groupBy(col("v_user").as("user_id"))
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("v_id")).as("n_views_matched"),
-        countDistinct(col("p_id")).as("n_purchases_matched"))
-      .orderBy("user_id")
   }
 
   def duckStreamedViewPurchaseJoin: String =
