@@ -38,6 +38,39 @@ object RecallSweep {
       }
       spark.sharedState.cacheManager.clearCache()
     }
+    // banded multi-table trade: recall AND mean per-query candidate
+    // fraction (the pruning the recall is paid for) per (bandBits, tables)
+    // with bandBits × tables ≤ dim(64). More tables → recall; wider bands
+    // → pruning.
+    {
+      import org.apache.spark.sql.functions._
+      import graft.functions.VectorFns.signBucketAt
+      val nQ = 16
+      val n = index.count()
+      for ((b, l) <- Seq((8, 8), (6, 10), (4, 16), (3, 21), (2, 32))) {
+        val rows = graft.operators.KnnRecall
+          .annRecall(index, k = 10, nQueries = nQ,
+            bits = 4, numCentroids = 16, nprobe = 4, bandBits = b, bandTables = l)
+          .collect().filter(_.getString(0) == "lsh_banded")
+        val ebands = index.select(col("vec_id"),
+          posexplode(array((0 until l).map(t =>
+            signBucketAt(col("embedding"), t * b, b)): _*)).as(Seq("bt", "bucket")))
+        val qbands = index.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("qid"),
+            posexplode(array((0 until l).map(t =>
+              signBucketAt(col("embedding"), t * b, b)): _*)).as(Seq("pt", "pbucket")))
+        val nCand = ebands.join(broadcast(qbands),
+            col("bt") === col("pt") && col("bucket") === col("pbucket") &&
+              col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id").distinct().count()
+        val frac = nCand.toDouble / (nQ.toDouble * (n - 1))
+        rows.foreach { r =>
+          println(f"bandBits=$b tables=$l%2d variant=lsh_banded    " +
+            f"recall=${r.getDouble(4)}%.4f cand_frac=$frac%.4f")
+        }
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
     spark.stop()
   }
 }

@@ -65,6 +65,12 @@ object SparkEntry {
     "q_knn_lsh_multiprobe" -> ((s, dir) =>
       Knn.topKLshMultiprobe(emb(s, dir), qvec(s, dir), k = 10, bits = 4)),
 
+    // Banded multi-table sign-LSH: OR-ed union of 16 disjoint 4-bit band
+    // tables, candidate-first exact re-rank (single-table recall recovery).
+    "q_knn_lsh_banded" -> ((s, dir) =>
+      Knn.topKLshBanded(emb(s, dir), qvec(s, dir), k = 10,
+        bandBits = 4, tables = 16)),
+
     // IVF scale path: centroid-assign then probe top clusters only.
     "q_knn_ivf" -> ((s, dir) =>
       Knn.topKIvf(emb(s, dir), qvec(s, dir), k = 10,
@@ -72,10 +78,11 @@ object SparkEntry {
 
     // Measured recall@10 of every ANN variant vs exact top-k over a fixed
     // 16-query set — the parameters mirror the engine's query defaults
-    // (bits=4 as q_knn_lsh, 16 centroids / nprobe=4 as q_knn_ivf).
+    // (bits=4 as q_knn_lsh, 16 centroids / nprobe=4 as q_knn_ivf,
+    // 16×4-bit bands as q_knn_lsh_banded).
     "q_knn_recall" -> ((s, dir) =>
       graft.operators.KnnRecall.annRecall(emb(s, dir), k = 10, nQueries = 16,
-        bits = 4, numCentroids = 16, nprobe = 4)),
+        bits = 4, numCentroids = 16, nprobe = 4, bandBits = 4, bandTables = 16)),
 
     // Near-duplicate detection over embeddings: exact all-pairs θ-join.
     "q_sim_join_exact" -> ((s, dir) =>
@@ -100,6 +107,9 @@ object SparkEntry {
     // span-level duplication accounting (Lee et al. 2022 relationally):
     // per-doc fraction of tokens inside cross-doc repeated 5-token spans
     "q_span_dedup" -> ((s, dir) => Dedup.spanCoverage(Tables.documents(s, dir), spanLen = 5)),
+    // the removal pass completing the Lee et al. pipeline: cut every token
+    // inside a cross-doc duplicated span, emit the cleaned corpus + counts
+    "q_span_removed" -> ((s, dir) => Dedup.spanRemoved(Tables.documents(s, dir), spanLen = 5)),
     // measured pair-recall of each LSH dedup path vs the exact baseline —
     // the dedup twin of q_knn_recall (candidate-generation loss, gated)
     "q_dedup_recall" -> ((s, dir) => Dedup.dedupRecall(Tables.documents(s, dir))),
@@ -326,6 +336,21 @@ object SparkEntry {
          |SELECT vec_id, label, bucket, probe_dist, round(sim_raw, 6) AS sim
          |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q_knn_lsh_banded" -> {
+      val branches = (0 until 16).map { t =>
+        s"""SELECT e.vec_id FROM embeddings e, q
+           |  WHERE ${VectorFns.duckSignBucketAt("e.embedding", t * 4, 4)}
+           |      = ${VectorFns.duckSignBucketAt("q.qv", t * 4, 4)}""".stripMargin
+      }.mkString("\n  UNION\n  ")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  $branches),
+         |s AS (SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS sim_raw
+         |      FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q)
+         |SELECT vec_id, label, round(sim_raw, 6) AS sim
+         |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin
+    },
+
     "q_knn_ivf" ->
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
          |asg AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
@@ -359,7 +384,8 @@ object SparkEntry {
          |FROM s WHERE sim_raw >= 0.3 ORDER BY sim DESC, v1, v2""".stripMargin,
 
     "q_knn_recall" -> graft.operators.KnnRecall.duckAnnRecall("embeddings",
-      k = 10, nQueries = 16, bits = 4, numCentroids = 16, nprobe = 4),
+      k = 10, nQueries = 16, bits = 4, numCentroids = 16, nprobe = 4,
+      bandBits = 4, bandTables = 16),
 
     "q_dedup_exact"   -> Dedup.duckExact("documents"),
     "q_dedup_minhash" -> Dedup.duckMinhashSql("documents", 0.8),
@@ -367,6 +393,7 @@ object SparkEntry {
     "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),
     "q_dedup_ngram_capped" -> Dedup.duckNgramCappedSql("documents", 0.5, 20),
     "q_span_dedup"    -> Dedup.duckSpanSql("documents", 5),
+    "q_span_removed"  -> Dedup.duckSpanRemovedSql("documents", 5),
     "q_dedup_recall"  -> Dedup.duckDedupRecall("documents"),
     "q_dedup_incremental" -> Dedup.duckMinhashIncrementalSql("documents", 0.5),
     "q_dedup_simhash" -> Dedup.duckSimhashSql("documents", 0.5),

@@ -39,8 +39,18 @@ object VectorFns {
     * vectors in the same bucket are candidate near-neighbors, so a
     * bucket-equijoin replaces the all-pairs cross join at scale.
     */
-  def signBucket(emb: Column, bits: Int): Column =
-    concat((1 to bits).map(i => when(element_at(emb, i) > 0f, "1").otherwise("0")): _*)
+  def signBucket(emb: Column, bits: Int): Column = signBucketAt(emb, 0, bits)
+
+  /** [[signBucket]] over dimensions [offset+1, offset+bits] — one hash
+    * table of a banded multi-table LSH family: table t reads its own
+    * disjoint dimension band, so the L tables are independent sign-LSH
+    * keys over (approximately) independent coordinates. Sign bits ARE the
+    * hash bits here, so disjoint bands play the role L independent random
+    * hyperplane sets play in the classical construction — without a
+    * per-table projection matrix to mirror into the oracle. */
+  def signBucketAt(emb: Column, offset: Int, bits: Int): Column =
+    concat((offset + 1 to offset + bits).map(i =>
+      when(element_at(emb, i) > 0f, "1").otherwise("0")): _*)
 
   /** DuckDB oracle fragment: dot product of two list expressions in DOUBLE,
     * sequential accumulation, 1-indexed — mirrors [[dot]] exactly. */
@@ -52,6 +62,9 @@ object VectorFns {
   def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}))"
 
-  def duckSignBucket(emb: String, bits: Int): String =
-    (1 to bits).map(i => s"CASE WHEN ($emb)[$i] > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+  def duckSignBucket(emb: String, bits: Int): String = duckSignBucketAt(emb, 0, bits)
+
+  def duckSignBucketAt(emb: String, offset: Int, bits: Int): String =
+    (offset + 1 to offset + bits).map(i =>
+      s"CASE WHEN ($emb)[$i] > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
 }

@@ -643,7 +643,13 @@ object Dedup {
     *      (both sides uncached parquet-derived: natural stats keep the big
     *      side out of broadcast at scale, per the round-4 caching lesson).
     */
-  def spanCoverage(documents: DataFrame, spanLen: Int = 5): DataFrame = {
+  /** Shared subtree of [[spanCoverage]] and [[spanRemoved]]: the (doc_id, i)
+    * start positions of `spanLen`-token windows that also appear verbatim in
+    * some OTHER document — ONE definition of "duplicated span", so the
+    * coverage measurement and the removal pass cannot disagree about what
+    * counts as duplicated. Steps 1-2 of the scale-shape note on
+    * [[spanCoverage]] (positional spans; agg-over-window cross-doc test). */
+  private def dupSpanStarts(documents: DataFrame, spanLen: Int): DataFrame = {
     val tok = graft.functions.TextFns.tokenRowsOf(documents)
     val wD = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
     val withLeads = (1 until spanLen).foldLeft(tok) { (df, j) =>
@@ -654,11 +660,15 @@ object Dedup {
       .select(col("doc_id"), col("i"),
         concat_ws(" ", (0 until spanLen).map(j => col(s"t$j")): _*).as("s"))
     val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
-    val dup = occ
+    occ
       .withColumn("dmin", min("doc_id").over(wS))
       .withColumn("dmax", max("doc_id").over(wS))
       .filter(col("dmin") =!= col("dmax"))
       .select(col("doc_id"), col("i"))
+  }
+
+  def spanCoverage(documents: DataFrame, spanLen: Int = 5): DataFrame = {
+    val dup = dupSpanStarts(documents, spanLen)
     val wCov = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
     val cov = dup
       .withColumn("prev", lag("i", 1).over(wCov))
@@ -706,6 +716,98 @@ object Dedup {
        |       round(CASE WHEN n_tokens = 0 THEN 0.0
        |                  ELSE coalesce(covered_tokens, 0)::DOUBLE / n_tokens::DOUBLE END, 6) AS dup_frac
        |FROM tot t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Span-REMOVAL pass — the deliverable of exact-substring dedup
+    * ([[spanCoverage]] measures duplicated-span coverage; this emits the
+    * cleaned corpus, completing the Lee et al. 2022 pipeline): every token
+    * inside a cross-doc duplicated `spanLen`-token window is cut, the
+    * survivors are reassembled in position order, and the per-doc token
+    * accounting is carried alongside.
+    *
+    * Output: (doc_id, cleaned_text, n_kept_tokens, n_removed_tokens,
+    * n_tokens) for EVERY doc — kept + removed = total by construction
+    * (spec-asserted), and n_removed_tokens equals [[spanCoverage]]'s
+    * covered_tokens because both derive from the SAME [[dupSpanStarts]]
+    * relation (also spec-asserted, operator-level conservation).
+    *
+    * Scale shape, on top of [[dupSpanStarts]]' one corpus exchange:
+    *   1. token rows LEFT-join span starts on (doc_id, i) — both sides
+    *      keyed the same way, co-partitioned after one shuffle each;
+    *      neither side cached, so natural scan-derived estimates keep the
+    *      corpus-cardinality sides out of broadcast (round-4 cache lesson);
+    *   2. covered(p) = running max of the start flag over ROWS
+    *      [p-spanLen+1, p] per doc — positions are dense (posexplode), so
+    *      the ROWS frame is exactly the span-interval test with no
+    *      per-span explode and no interval join;
+    *   3. reassembly: ONE doc-keyed groupBy; survivors are collected as
+    *      (i, token) structs, array_sort'ed, and concat_ws'd. This is the
+    *      documented exception to the interpreted-HOF rule: the lambda is
+    *      a field extraction (no per-element md5/concat work), the
+    *      alternative is a second window + string_agg emulation, and a
+    *      doc's tokens are bounded (docs are chunked upstream) — the same
+    *      pattern [[graft.sources.IndexBuild.buildSummaries]] uses.
+    *      Window skew: both windows partition by doc_id (bounded groups),
+    *      never by span — the head-span hazard lives entirely inside
+    *      [[dupSpanStarts]]' documented exposure.
+    */
+  def spanRemoved(documents: DataFrame, spanLen: Int = 5): DataFrame = {
+    val tok = graft.functions.TextFns.tokenRowsOf(documents)
+    val starts = dupSpanStarts(documents, spanLen).withColumn("st", lit(1))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i").rowsBetween(-(spanLen - 1), 0)
+    val marked = tok.join(starts, Seq("doc_id", "i"), "left")
+      .withColumn("cov", max(coalesce(col("st"), lit(0))).over(wRun))
+    val agg = marked.groupBy("doc_id").agg(
+      count(lit(1)).cast("long").as("n_tokens"),
+      sum(col("cov")).cast("long").as("n_removed_tokens"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(
+          when(col("cov") === 0, struct(col("i"), col("t0"))))),
+        x => x.getField("t0"))).as("cleaned_text"))
+    // restore zero-token docs (no token rows at all) with empty output
+    documents.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        (coalesce(col("n_tokens"), lit(0L))
+          - coalesce(col("n_removed_tokens"), lit(0L))).as("n_kept_tokens"),
+        coalesce(col("n_removed_tokens"), lit(0L)).as("n_removed_tokens"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .orderBy(asc("doc_id"))
+  }
+
+  /** DuckDB mirror of [[spanRemoved]] — same dup relation as [[duckSpanSql]]
+    * (1-based positions; only differences and frames enter the logic), same
+    * ROWS-frame coverage test, string_agg ORDER BY i reassembly. */
+  def duckSpanRemovedSql(table: String, spanLen: Int = 5): String = {
+    val sExpr = (0 until spanLen).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS t FROM $table),
+       |tok AS (SELECT doc_id, i, t[i] AS tt
+       |        FROM tk, unnest(generate_series(1, len(t))) AS g(i)),
+       |occ AS (SELECT doc_id, i, $sExpr AS s
+       |        FROM tk, unnest(generate_series(1, len(t) - ${spanLen - 1})) AS g(i)),
+       |dup AS (SELECT doc_id, i FROM
+       |          (SELECT doc_id, i,
+       |                  min(doc_id) OVER (PARTITION BY s) AS dmin,
+       |                  max(doc_id) OVER (PARTITION BY s) AS dmax
+       |           FROM occ)
+       |        WHERE dmin <> dmax),
+       |m AS (SELECT k.doc_id, k.i, k.tt,
+       |             max(CASE WHEN d.i IS NOT NULL THEN 1 ELSE 0 END)
+       |               OVER (PARTITION BY k.doc_id ORDER BY k.i
+       |                     ROWS BETWEEN ${spanLen - 1} PRECEDING AND CURRENT ROW) AS cov
+       |      FROM tok k LEFT JOIN dup d ON d.doc_id = k.doc_id AND d.i = k.i),
+       |a AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |             CAST(sum(cov) AS BIGINT) AS n_removed_tokens,
+       |             coalesce(string_agg(CASE WHEN cov = 0 THEN tt END, ' ' ORDER BY i), '') AS cleaned_text
+       |      FROM m GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.cleaned_text, '') AS cleaned_text,
+       |       (coalesce(a.n_tokens, 0) - coalesce(a.n_removed_tokens, 0))::BIGINT AS n_kept_tokens,
+       |       coalesce(a.n_removed_tokens, 0)::BIGINT AS n_removed_tokens,
+       |       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens
+       |FROM (SELECT doc_id FROM $table) d LEFT JOIN a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   def duckSimhashSql(table: String, threshold: Double, maxHamming: Int = 8): String = {

@@ -187,6 +187,55 @@ object Knn {
         round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** Banded multi-table sign-LSH top-k — the OR-ed union-of-probes
+    * construction that recovers the recall a single sign-bucket table
+    * throws away (measured 0.138@k=10 at bits=4 on this corpus, SCALE.md):
+    * `tables` independent hash tables, table t keying on the sign bits of
+    * its own disjoint `bandBits`-dimension band ([[signBucketAt]] — the
+    * minhash band trick applied to hyperplane LSH, proven in
+    * [[Dedup.minhash]]); a vector is a candidate if it collides with the
+    * query in ANY table. Candidate-first: the band equijoin emits bare
+    * vec_ids, survivors are deduped, re-fetched, and EXACTLY re-ranked, so
+    * banding affects recall only, never precision.
+    *
+    * Scale shape: the exploded (vec_id, t, bucket) relation is the
+    * materialized multi-table index of a deployment — `tables`× storage,
+    * the textbook multi-table LSH trade — written bucketed by (t, bucket)
+    * so a probe reads `tables` buckets instead of the corpus. The probe
+    * side (`tables` rows, derived from the 1-row query) is broadcast; the
+    * dedup keys on vec_id; the re-rank is the [[topK]] kernel over the
+    * candidate semi-join (both sides uncached — natural estimates, no
+    * broadcast lock-in).
+    *
+    * Parameter shape: recall per neighbor at angle θ is
+    * 1 − (1 − (1 − θ/π)^bandBits)^tables — MORE tables add recall, WIDER
+    * bands add pruning. bandBits·tables ≤ dim (disjoint bands).
+    */
+  def topKLshBanded(index: DataFrame, queryVec: DataFrame, k: Int,
+                    bandBits: Int, tables: Int): DataFrame = {
+    import graft.functions.VectorFns.signBucketAt
+    val q = queryVec.select(col("qv").cast("array<double>").as("qe"))
+      .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
+    val qprobes = q.select(
+      posexplode(array((0 until tables).map(t =>
+        signBucketAt(col("qe"), t * bandBits, bandBits)): _*)).as(Seq("pt", "pbucket")))
+    val bands = index.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        signBucketAt(col("embedding"), t * bandBits, bandBits)): _*)).as(Seq("t", "bucket")))
+    val cand = bands
+      .join(broadcast(qprobes), col("t") === col("pt") && col("bucket") === col("pbucket"))
+      .select("vec_id").distinct()
+    index
+      .join(cand, Seq("vec_id"), "left_semi")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+      .crossJoin(broadcast(q))
+      .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn")))
+      .orderBy(desc("sim_raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim_raw"), 6).as("sim"))
+  }
+
   /** IVF (inverted-file) approximate kNN — the scale path for vector search.
     *
     * Layout phase: `numCentroids` deterministic centroids (the lowest

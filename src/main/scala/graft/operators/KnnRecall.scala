@@ -54,7 +54,9 @@ object KnnRecall {
   /** One row per ANN variant: (variant, n_returned, n_hits, n_expected,
     * recall) — recall@k vs the exact top-k over the same query set. */
   def annRecall(index: DataFrame, k: Int, nQueries: Int,
-                bits: Int, numCentroids: Int, nprobe: Int): DataFrame = {
+                bits: Int, numCentroids: Int, nprobe: Int,
+                bandBits: Int = 4, bandTables: Int = 16): DataFrame = {
+    import graft.functions.VectorFns.signBucketAt
     val q = index.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
       .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
@@ -101,8 +103,29 @@ object KnnRecall {
           col("cluster") === col("pcid") && col("vec_id") =!= col("qid"))
         .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
 
+    // banded multi-table: candidate ids from ANY-band collision (the
+    // [[Knn.topKLshBanded]] construction over the same disjoint dimension
+    // bands), then candidate-first exact re-rank — measured against the
+    // same exact top-k as every other variant
+    val qbands = q.select(col("qid"),
+      posexplode(array((0 until bandTables).map(t =>
+        signBucketAt(col("qe"), t * bandBits, bandBits)): _*)).as(Seq("pt", "pbucket")))
+    val ebands = e.select(col("vec_id"),
+      posexplode(array((0 until bandTables).map(t =>
+        signBucketAt(col("ed"), t * bandBits, bandBits)): _*)).as(Seq("bt", "bucket")))
+    val bandCand = ebands
+      .join(broadcast(qbands), col("bt") === col("pt") && col("bucket") === col("pbucket")
+        && col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val banded = topPairs(
+      bandCand
+        .join(e.select(col("vec_id"), col("ed"), col("nrm")), Seq("vec_id"))
+        .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
+        .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
+
     val ann = lsh.withColumn("variant", lit("lsh"))
       .unionByName(mp.withColumn("variant", lit("lsh_multiprobe")))
+      .unionByName(banded.withColumn("variant", lit("lsh_banded")))
       .unionByName(ivf.withColumn("variant", lit("ivf")))
 
     val nExpected = exact.agg(count(lit(1)).as("n_expected"))
@@ -120,8 +143,16 @@ object KnnRecall {
 
   /** DuckDB mirror of [[annRecall]]. */
   def duckAnnRecall(table: String, k: Int, nQueries: Int,
-                    bits: Int, numCentroids: Int, nprobe: Int): String = {
+                    bits: Int, numCentroids: Int, nprobe: Int,
+                    bandBits: Int = 4, bandTables: Int = 16): String = {
+    import graft.functions.VectorFns.duckSignBucketAt
     val cosEQ = duckCosine("e.embedding", "q.qv")
+    val bandBranches = (0 until bandTables).map { t =>
+      s"""SELECT q.qid, e.vec_id FROM $table e JOIN q
+         |          ON ${duckSignBucketAt("e.embedding", t * bandBits, bandBits)}
+         |           = ${duckSignBucketAt("q.qv", t * bandBits, bandBits)}
+         |          AND e.vec_id <> q.qid""".stripMargin
+    }.mkString("\n          UNION\n          ")
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
        |                  ${duckSignBucket("embedding", bits)} AS qbucket
        |           FROM $table WHERE vec_id < $nQueries),
@@ -174,8 +205,16 @@ object KnnRecall {
        |          FROM a JOIN iprobes p ON a.cluster = p.pcid
        |          WHERE a.vec_id <> p.qid) t
        |        WHERE rn <= $k),
+       |bcand AS ($bandBranches),
+       |banded AS (SELECT qid, vec_id FROM (
+       |             SELECT c.qid, c.vec_id,
+       |                    row_number() OVER (PARTITION BY c.qid
+       |                      ORDER BY ${duckCosine("e.embedding", "q.qv")} DESC, c.vec_id) AS rn
+       |             FROM bcand c JOIN $table e USING (vec_id) JOIN q USING (qid)) t
+       |           WHERE rn <= $k),
        |ann AS (SELECT 'lsh' AS variant, qid, vec_id FROM lsh
        |        UNION ALL SELECT 'lsh_multiprobe', qid, vec_id FROM mp
+       |        UNION ALL SELECT 'lsh_banded', qid, vec_id FROM banded
        |        UNION ALL SELECT 'ivf', qid, vec_id FROM ivf),
        |m AS (SELECT a.variant, count(*) AS n_returned,
        |             sum(CASE WHEN e.qid IS NOT NULL THEN 1 ELSE 0 END) AS n_hits

@@ -102,6 +102,31 @@ class OperatorSpec extends AnyFunSuite {
       assert(multi.map(_.getAs[Double]("sim")).min >= single.map(_.getAs[Double]("sim")).min)
   }
 
+  test("banded LSH kNN: self is top-1, sims exact, recall monotone in table count") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val banded = Knn.topKLshBanded(emb, q, 10, bandBits = 4, tables = 16).collect()
+    assert(banded.nonEmpty && banded.length <= 10)
+    // the query vector collides with itself in EVERY band → always a
+    // candidate → exact re-rank puts it first at sim 1.0
+    assert(banded.head.getAs[Long]("vec_id") == 0L &&
+      banded.head.getAs[Double]("sim") == 1.0)
+    // candidate-first re-rank is EXACT: every returned similarity equals
+    // the brute-force similarity for that pair (banding trades recall
+    // only, never precision)
+    val exact = Knn.topK(emb, q, 2000).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    banded.foreach(r => assert(exact(r.getAs[Long]("vec_id")) == r.getAs[Double]("sim")))
+    // more tables = candidate superset = recall can only rise (an exact
+    // top-k member among candidates always survives the candidate top-k)
+    val rec = (l: Int) => graft.operators.KnnRecall
+      .annRecall(emb, k = 10, nQueries = 8, bits = 4, numCentroids = 16,
+        nprobe = 4, bandBits = 4, bandTables = l)
+      .collect().find(_.getString(0) == "lsh_banded").get.getLong(2)
+    val hits4 = rec(4); val hits16 = rec(16)
+    spark.sharedState.cacheManager.clearCache()
+    assert(hits16 >= hits4)
+  }
+
   test("IVF kNN: results come from probed clusters, sims agree with exact ranking") {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val ivf = Knn.topKIvf(emb, q, 10, numCentroids = 16, nprobe = 4, excludeId = Some(0L)).collect()
@@ -148,6 +173,40 @@ class OperatorSpec extends AnyFunSuite {
       assert((spans == 0) == (covered == 0))
     }
     assert(cov.exists(_.getDouble(4) > 0.0))
+  }
+
+  test("span removal: cleaned corpus conserves tokens and matches coverage accounting") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z a b c d e f z"),
+      (3L, "totally unique words here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanRemoved(tiny, spanLen = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc1: both 5-spans recur in doc2 — fully covered, nothing survives
+    assert(out(1L) == (("", 0L, 6L, 6L)))
+    // doc2: positions 1..6 covered, the flanking z's survive in order
+    assert(out(2L) == (("z z", 2L, 6L, 8L)))
+    // doc3: untouched — cleaned text is the normalized token stream
+    assert(out(3L) == (("totally unique words here nothing shared at all", 8L, 0L, 8L)))
+
+    // operator-level conservation on the corpus fixture: one row per doc,
+    // kept + removed = total, cleaned text re-tokenizes to exactly n_kept,
+    // and n_removed equals spanCoverage's covered_tokens doc-for-doc
+    // (both derive from the shared dupSpanStarts relation)
+    val rem = Dedup.spanRemoved(docs, spanLen = 5).collect()
+    assert(rem.length == docs.count())
+    rem.foreach { r =>
+      val (cleaned, kept, removed, total) =
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(kept + removed == total)
+      assert(cleaned.split(" ").count(_.nonEmpty).toLong == kept)
+    }
+    val covered = Dedup.spanCoverage(docs, spanLen = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rem.foreach(r => assert(r.getLong(3) == covered(r.getLong(0))))
+    assert(rem.exists(_.getLong(3) > 0L))
   }
 
   test("incremental dedup equals full minhash restricted to batch-corpus pairs") {
