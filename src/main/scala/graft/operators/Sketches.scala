@@ -93,34 +93,47 @@ object Sketches {
 
   /** Bloom-filter decontamination — the constant-size variant of
     * [[CorpusOps.decontaminate]]: instead of broadcasting the benchmark's
-    * full shingle SET (MBs today, GBs for a big eval union), broadcast an
-    * `mBits`-bit Bloom filter of it and probe every training shingle with
-    * `kHash` md5-derived bit positions. A shingle is a *maybe-hit* iff all
-    * k bits are set; exact overlap (the set semi-join, still cheap at test
-    * scale) rides along as the honesty columns, so every emitted row
-    * carries its own false-positive accounting — same contract as the HLL
-    * sketch above (est + exact + error in one oracle-gated row).
+    * full shingle SET (MBs today, GBs for a big eval union), broadcast a
+    * Bloom filter of it and probe every training shingle with `kHash`
+    * md5-derived bit positions. A shingle is a *maybe-hit* iff all k bits
+    * are set; exact overlap (the set semi-join, still cheap at test scale)
+    * rides along as the honesty columns, so every emitted row carries its
+    * own false-positive accounting — same contract as the HLL sketch above
+    * (est + exact + error in one oracle-gated row). The filter size m =
+    * |bench shingles| × `bitsPerElement` is DERIVED IN-PLAN from the data
+    * (round-5; the round-4 fixed m saturated at sf0.1), so the fill
+    * fraction — reported per row as (m_bits, n_set_bits, fill_frac) — is
+    * scale-stable by construction: ≈ 1 − exp(−kHash/bitsPerElement) ≈ 0.22
+    * at the 12-bits/element default, at EVERY corpus scale.
     *
     * Engine-exactness: bit positions are integer arithmetic on md5 hex
-    * prefixes (`conv(substr(md5('bloomJ:' || s), 1, 8), 16, 10) % m`), the
-    * filter is the DISTINCT set of set-bit positions, and probing counts
-    * matched positions per shingle — identical integer trees both engines.
+    * prefixes (`conv(substr(md5('bloomJ:' || s), 1, 8), 16, 10) % m`), m is
+    * an exact integer product, the filter is the DISTINCT set of set-bit
+    * positions, and probing counts matched positions per shingle —
+    * identical integer trees both engines.
     *
     * Scale shape: bits relation ≤ k·|bench shingles| rows but at most m
-    * distinct values — broadcast by construction (that is the POINT: m is
-    * chosen per deployment at ~10-16 bits/element of the eval suite, and
-    * the probe is a map-side join however big the corpus side grows). The
-    * probe explodes k rows per training shingle — rows, not array lambdas,
-    * per the HOF-interpreted rule — then one keyed count per (doc, s).
+    * distinct values — broadcast by construction (that is the POINT: m
+    * grows with the EVAL SUITE, never the corpus, and the probe is a
+    * map-side join however big the corpus side grows). The probe explodes
+    * k rows per training shingle — rows, not array lambdas, per the
+    * HOF-interpreted rule — then one keyed count per (doc, s).
     */
   def bloomDecontam(documents: DataFrame,
                     benchMod: Int = CorpusOps.DefaultBenchMod,
                     n: Int = CorpusOps.DefaultShingleN,
-                    mBits: Int = 8192, kHash: Int = 3): DataFrame = {
+                    bitsPerElement: Int = 12, kHash: Int = 3): DataFrame = {
     import graft.functions.TextFns.shingleRowsOf
+    // m is DERIVED FROM THE DATA, in-plan: |bench shingles| × bits/element
+    // (~12 bits/elt ≈ 0.1% fp at k=3). A fixed m was the round-4 shape and
+    // saturated one scale factor up (sf0.1: fill → 1, fp column → noise);
+    // deriving it pins the fill fraction across scale factors instead —
+    // the filter grows WITH the eval suite, which is the actual deployment
+    // contract (the suite is the small side; its size is known at build).
+    // All integer, so both engines compute the identical m.
     def pos(j: Int): Column =
       conv(substring(md5(concat(lit(s"bloom$j:"), col("s"))), 1, 8), 16, 10)
-        .cast("long") % mBits
+        .cast("long") % col("m")
     val bench = documents.filter(col("doc_id") % benchMod === 0)
     val train = documents.filter(col("doc_id") % benchMod =!= 0)
     // cached: the bit build and the exact-hits semi-join both read it, and
@@ -129,8 +142,15 @@ object Sketches {
     // cached: probed twice (bloom rows + exact honesty semi-join), same
     // lifecycle as decontaminate's corpus relation (harness clears/query)
     val tsh = shingleRowsOf(train, n).distinct().cache()
-    val bits = bsh.select(explode(array((0 until kHash).map(pos): _*)).as("b")).distinct()
-    val probe = tsh.select(col("doc_id"), col("s"),
+    // greatest(…, 1): an empty benchmark slice must yield an empty result,
+    // not a divide-by-zero (Spark's % 0 is null, DuckDB's is an ERROR —
+    // the guard keeps the mirrors in contract on that edge)
+    val mB = broadcast(
+      bsh.agg(greatest(count(lit(1)) * bitsPerElement, lit(1L)).cast("long").as("m")))
+    val bits = bsh.crossJoin(mB)
+      .select(explode(array((0 until kHash).map(pos): _*)).as("b")).distinct()
+    val nSet = broadcast(bits.agg(count(lit(1)).cast("long").as("n_set_bits")))
+    val probe = tsh.crossJoin(mB).select(col("doc_id"), col("s"),
       explode(array((0 until kHash).map(pos): _*)).as("b"))
     val bloomHits = probe.join(broadcast(bits), "b")
       .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
@@ -145,26 +165,34 @@ object Sketches {
     bloomHits
       .join(sizes.hint("merge"), "doc_id")
       .join(exactHits.hint("merge"), Seq("doc_id"), "left")
+      .crossJoin(mB).crossJoin(nSet)
       .select(col("doc_id"), col("n_shingles"), col("bloom_hits"),
         coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
-        (col("bloom_hits") - coalesce(col("exact_hits"), lit(0L))).as("false_pos"))
+        (col("bloom_hits") - coalesce(col("exact_hits"), lit(0L))).as("false_pos"),
+        // filter-level honesty: the derived size and how full it ran —
+        // fill ≈ 1 − exp(−k·n/m) ≈ 0.22 at 12 bits/elt, scale-stable now
+        col("m").as("m_bits"), col("n_set_bits"),
+        round(col("n_set_bits").cast("double") / col("m").cast("double"), 6)
+          .as("fill_frac"))
       .orderBy("doc_id")
   }
 
-  /** DuckDB mirror of [[bloomDecontam]]. */
+  /** DuckDB mirror of [[bloomDecontam]] — m derived in the same CTE chain. */
   def duckBloomDecontam(table: String,
                         benchMod: Int = CorpusOps.DefaultBenchMod,
                         n: Int = CorpusOps.DefaultShingleN,
-                        mBits: Int = 8192, kHash: Int = 3): String = {
-    def pos(j: Int) = s"('0x' || substr(md5('bloom$j:' || s), 1, 8))::BIGINT % $mBits"
+                        bitsPerElement: Int = 12, kHash: Int = 3): String = {
+    def pos(j: Int) = s"('0x' || substr(md5('bloom$j:' || s), 1, 8))::BIGINT % m"
     val posList = (0 until kHash).map(pos).mkString("[", ", ", "]")
     s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS t FROM $table),
        |sh AS (SELECT DISTINCT doc_id, s
        |       FROM (SELECT doc_id, unnest(${duckShingles("t", n)}) AS s FROM tk)),
        |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % $benchMod = 0),
        |tsh AS (SELECT doc_id, s FROM sh WHERE doc_id % $benchMod <> 0),
-       |bits AS (SELECT DISTINCT unnest($posList) AS b FROM bsh),
-       |probe AS (SELECT doc_id, s, unnest($posList) AS b FROM tsh),
+       |mm AS (SELECT greatest(count(*) * $bitsPerElement, 1)::BIGINT AS m FROM bsh),
+       |bits AS (SELECT DISTINCT unnest($posList) AS b FROM bsh CROSS JOIN mm),
+       |nset AS (SELECT count(*)::BIGINT AS n_set_bits FROM bits),
+       |probe AS (SELECT doc_id, s, unnest($posList) AS b FROM tsh CROSS JOIN mm),
        |maybe AS (SELECT doc_id, s FROM probe JOIN bits USING (b)
        |          GROUP BY doc_id, s HAVING count(*) = $kHash),
        |bloom AS (SELECT doc_id, count(*)::BIGINT AS bloom_hits FROM maybe GROUP BY doc_id),
@@ -173,8 +201,11 @@ object Sketches {
        |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM tsh GROUP BY doc_id)
        |SELECT b.doc_id, sizes.n_shingles, b.bloom_hits,
        |       coalesce(ex.exact_hits, 0)::BIGINT AS exact_hits,
-       |       (b.bloom_hits - coalesce(ex.exact_hits, 0))::BIGINT AS false_pos
+       |       (b.bloom_hits - coalesce(ex.exact_hits, 0))::BIGINT AS false_pos,
+       |       mm.m AS m_bits, nset.n_set_bits,
+       |       round(nset.n_set_bits::DOUBLE / mm.m::DOUBLE, 6) AS fill_frac
        |FROM bloom b JOIN sizes USING (doc_id) LEFT JOIN ex USING (doc_id)
+       |CROSS JOIN mm CROSS JOIN nset
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -338,6 +338,17 @@ class OperatorSpec extends AnyFunSuite {
     bloom.foreach { case (id, (bh, eh)) =>
       assert(bh >= eh && eh == exact.getOrElse(id, 0L))
     }
+    // data-derived sizing (round 5): m = |bench shingles| × 12, and the
+    // fill fraction stays in the design band (≈ 1 − e^(−k/bpe) ≈ 0.22,
+    // always < 0.5) instead of saturating one scale factor up
+    val rows = Sketches.bloomDecontam(docs).collect()
+    val m = rows.head.getAs[Long]("m_bits")
+    val nset = rows.head.getAs[Long]("n_set_bits")
+    val fill = rows.head.getAs[Double]("fill_frac")
+    assert(rows.forall(r => r.getAs[Long]("m_bits") == m &&
+      r.getAs[Long]("n_set_bits") == nset))
+    assert(m % 12 == 0 && nset <= m)
+    assert(fill > 0.0 && fill < 0.5)
   }
 
   test("kmv sketch: bounded error on the corpus, exact when a group holds fewer than k") {
