@@ -633,10 +633,12 @@ object Dedup {
     *      exchange keyed on the span string. Skew caveat: windows get no
     *      partial aggregation and no AQE skew splitting, so a HEAD span
     *      (boilerplate repeated ~10⁸×) lands on one task. On a corpus with
-    *      corpus-scale boilerplate, switch this step to the partial-agged
-    *      `groupBy(s).agg(min,max)` + AQE-skew equijoin back on s (measure
-    *      first — the join-back form lost 15% twice at test scale, see the
-    *      CLAUDE.md window-vs-join-back entry);
+    *      corpus-scale boilerplate, pass `skewSafe = true`: the cross-doc
+    *      test becomes a partial-agged `groupBy(s).agg(min,max)` +
+    *      AQE-skew-splittable semi-join back on s (implemented in
+    *      [[dupSpanStarts]], spec-proven equivalent; measured crossover in
+    *      SCALE.md — the window form stays the default per the CLAUDE.md
+    *      window-vs-join-back entry);
     *   3. coverage per doc: sort surviving positions within each doc and
     *      sum `least(spanLen, i - lag(i))` — the equal-length-interval
     *      union identity — then one doc-cardinality join onto token totals
@@ -648,8 +650,24 @@ object Dedup {
     * some OTHER document — ONE definition of "duplicated span", so the
     * coverage measurement and the removal pass cannot disagree about what
     * counts as duplicated. Steps 1-2 of the scale-shape note on
-    * [[spanCoverage]] (positional spans; agg-over-window cross-doc test). */
-  private def dupSpanStarts(documents: DataFrame, spanLen: Int): DataFrame = {
+    * [[spanCoverage]] (positional spans; agg-over-window cross-doc test).
+    *
+    * `skewSafe` selects the documented head-span fallback: the default
+    * agg-over-window form puts ALL occurrences of one span value on one
+    * window task (no partial aggregation, no AQE skew splitting for
+    * windows) — fine under Zipfian span frequencies, a single-task
+    * straggler when corpus-scale boilerplate repeats one span ~10⁸×. The
+    * fallback computes the cross-doc test as a partial-agged
+    * `groupBy(s).agg(min,max)` and LEFT-SEMI joins occurrences back on s:
+    * the head span's occurrence mass is combined map-side before the
+    * exchange, and the semi-join is sort-merge under AQE skew splitting.
+    * Neither side cached, so natural scan-derived estimates size the
+    * cross-doc span relation (no broadcast lock-in; it grows with the
+    * corpus and adapts to SMJ — the healthy case). Spec-asserted
+    * equivalent on a synthetic 50%-boilerplate corpus (`OperatorSpec`);
+    * measured crossover recorded in SCALE.md. */
+  private def dupSpanStarts(documents: DataFrame, spanLen: Int,
+                            skewSafe: Boolean = false): DataFrame = {
     val tok = graft.functions.TextFns.tokenRowsOf(documents)
     val wD = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
     val withLeads = (1 until spanLen).foldLeft(tok) { (df, j) =>
@@ -659,16 +677,26 @@ object Dedup {
       .filter(col(s"t${spanLen - 1}").isNotNull)
       .select(col("doc_id"), col("i"),
         concat_ws(" ", (0 until spanLen).map(j => col(s"t$j")): _*).as("s"))
-    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
-    occ
-      .withColumn("dmin", min("doc_id").over(wS))
-      .withColumn("dmax", max("doc_id").over(wS))
-      .filter(col("dmin") =!= col("dmax"))
-      .select(col("doc_id"), col("i"))
+    if (skewSafe) {
+      val crossDoc = occ.groupBy("s")
+        .agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
+        .filter(col("dmin") =!= col("dmax"))
+        .select("s")
+      occ.join(crossDoc, Seq("s"), "left_semi")
+        .select(col("doc_id"), col("i"))
+    } else {
+      val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+      occ
+        .withColumn("dmin", min("doc_id").over(wS))
+        .withColumn("dmax", max("doc_id").over(wS))
+        .filter(col("dmin") =!= col("dmax"))
+        .select(col("doc_id"), col("i"))
+    }
   }
 
-  def spanCoverage(documents: DataFrame, spanLen: Int = 5): DataFrame = {
-    val dup = dupSpanStarts(documents, spanLen)
+  def spanCoverage(documents: DataFrame, spanLen: Int = 5,
+                   skewSafe: Boolean = false): DataFrame = {
+    val dup = dupSpanStarts(documents, spanLen, skewSafe)
     val wCov = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
     val cov = dup
       .withColumn("prev", lag("i", 1).over(wCov))
@@ -751,9 +779,10 @@ object Dedup {
     *      never by span — the head-span hazard lives entirely inside
     *      [[dupSpanStarts]]' documented exposure.
     */
-  def spanRemoved(documents: DataFrame, spanLen: Int = 5): DataFrame = {
+  def spanRemoved(documents: DataFrame, spanLen: Int = 5,
+                  skewSafe: Boolean = false): DataFrame = {
     val tok = graft.functions.TextFns.tokenRowsOf(documents)
-    val starts = dupSpanStarts(documents, spanLen).withColumn("st", lit(1))
+    val starts = dupSpanStarts(documents, spanLen, skewSafe).withColumn("st", lit(1))
     val wRun = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("i").rowsBetween(-(spanLen - 1), 0)
     val marked = tok.join(starts, Seq("doc_id", "i"), "left")

@@ -209,6 +209,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(rem.exists(_.getLong(3) > 0L))
   }
 
+  test("span skew fallback (skewSafe=true) is result-equivalent on a head-span corpus") {
+    import spark.implicits._
+    // the documented hazard shape: ONE boilerplate span in 50% of docs —
+    // under the window form all its occurrences land on a single task;
+    // the groupBy+semi-join fallback must give byte-identical results
+    val boiler = "all rights reserved contact the publisher"
+    val skewed = (1L to 200L).map { id =>
+      val filler = (0 until 8).map(j => s"u${id}w$j").mkString(" ")
+      (id, if (id % 2 == 0) s"$boiler $filler" else filler)
+    }.toDF("doc_id", "text")
+    for (corpus <- Seq(skewed, docs)) {
+      val covW = Dedup.spanCoverage(corpus, spanLen = 5, skewSafe = false).collect().toSeq
+      val covG = Dedup.spanCoverage(corpus, spanLen = 5, skewSafe = true).collect().toSeq
+      assert(covW == covG)
+      val remW = Dedup.spanRemoved(corpus, spanLen = 5, skewSafe = false).collect().toSeq
+      val remG = Dedup.spanRemoved(corpus, spanLen = 5, skewSafe = true).collect().toSeq
+      assert(remW == remG)
+    }
+    // the synthetic fixture really exercises the head span: every even doc
+    // loses (at least) the boilerplate tokens
+    val out = Dedup.spanCoverage(skewed, spanLen = 5, skewSafe = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (2L to 200L by 2).foreach(id => assert(out(id) >= 6L))
+    (1L to 199L by 2).foreach(id => assert(out(id) == 0L))
+  }
+
   test("incremental dedup equals full minhash restricted to batch-corpus pairs") {
     val inc = Dedup.minhashIncremental(docs, 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
