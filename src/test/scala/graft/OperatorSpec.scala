@@ -692,17 +692,36 @@ class OperatorSpec extends AnyFunSuite {
   test("native top-k survives memory-pressure flushes: superset contract + re-rank = exact") {
     val queries = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // expected results computed BEFORE forcing flushes: the window twin
+    // for multiTopK, and the call sites' own no-flush output for the rest
+    // (the default 64 MiB bound never fires at test scale, so these are
+    // the pure-heap-path rows)
     val expected = Knn.multiTopK(emb, queries, k = 3)
       .withColumn("rn", col("rn").cast("long")).collect().map(_.toString).toSeq
+    val expFixed = CorpusOps.fixedKSample(docs, k = 10).collect().map(_.toString).toSeq
+    val expOutliers = CorpusOps.embeddingOutliers(docs, k = 5).collect().map(_.toString).toSeq
+    val expWindowQ = Relational.windowTopK(spark, TestSpark.sf).collect().map(_.toString).toSeq
     // flushBytes=1: EVERY insert overflows, so each input row drains the
     // heap map immediately — the operator degenerates to a pass-through
     // superset and only the downstream window+filter restores top-k.
-    // This exercises the flush path end-to-end; the default 64 MiB bound
-    // never fires at test scale.
+    // This exercises the flush path end-to-end AT EVERY perKey call site
+    // and through the auto-rewrite (VERDICT round-4 #6): any consumer that
+    // forgot to re-rank after the operator fails here.
     spark.conf.set("spark.graft.topk.flushBytes", "1")
     try {
       val viaFlush = Knn.multiTopKNative(emb, queries, k = 3).collect().map(_.toString).toSeq
       assert(viaFlush == expected && viaFlush.nonEmpty)
+      assert(CorpusOps.fixedKSample(docs, k = 10).collect().map(_.toString).toSeq == expFixed)
+      assert(CorpusOps.embeddingOutliers(docs, k = 5).collect().map(_.toString).toSeq == expOutliers)
+      // the auto-rewrite path: Filter+Window stay above the node, so the
+      // drained superset is re-pruned by the query's own rank filter
+      graft.plans.TopKPerKey.enableRewrite(spark)
+      try {
+        val rewritten = Relational.windowTopK(spark, TestSpark.sf)
+        assert(rewritten.collect().map(_.toString).toSeq == expWindowQ)
+        assert(rewritten.queryExecution.executedPlan.toString.contains("TopKPerKey "),
+          "rewrite must still fire under forced flushes")
+      } finally graft.plans.TopKPerKey.disableRewrite(spark)
     } finally spark.conf.unset("spark.graft.topk.flushBytes")
   }
 
