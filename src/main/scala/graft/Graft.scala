@@ -132,4 +132,87 @@ object Graft {
   /** `write_file(file_path, content)` — file_system_tool.py:24, sandboxed. */
   def writeFile(sandbox: Sandbox, path: String, content: String): Either[String, java.nio.file.Path] =
     sandbox.writeFile(path, content)
+
+  /** Composed ingest pipeline — the production flow the per-stage
+    * operators exist for, run end-to-end on one batch: new files →
+    * chunk + embed ([[IndexBuild.buildElements]]) → near-dup gate against
+    * the EXISTING index ([[graft.operators.Dedup.minhashAgainst]]) →
+    * benchmark decontamination
+    * ([[graft.operators.CorpusOps.decontaminateAgainst]], when `bench` is
+    * given) → upsert survivors ([[IndexBuild.upsertIndex]], crash-safe
+    * swap). Spec-proven ≡ running the stages sequentially (FacadeSpec);
+    * each stage is independently oracle-gated (q_reindex_delta /
+    * q_dedup_incremental / q_decontam).
+    *
+    * Gate semantics: the near-dup corpus side is the existing elements of
+    * OTHER files only — a re-submitted file must REPLACE its previous
+    * elements through the upsert's per-file last-writer-wins, never be
+    * gated out by its own older version. An element failing both gates
+    * reports as `near_dup` (gate order, documented not incidental).
+    *
+    * Returns the per-element disposition report (id, file_path, action ∈
+    * ingested | near_dup | contaminated), `localCheckpoint`ed BEFORE the
+    * upsert runs — the gates read the same table the upsert swaps out, so
+    * the report must be materialized first (ordering is load-bearing).
+    * Scratch caches the stages create (the batch/corpus shingle relations
+    * and the chunked batch) are released before returning via
+    * plan-equality unpersist — the curateKept/clustersOfPairs cleanup
+    * precedent; library callers get no harness cache-clear.
+    *
+    * Scale shape: the batch side is small by construction (today's crawl);
+    * the corpus side of the gate is the persisted band index
+    * ([[IndexBuild.writeBucketed]] is its bucketed form), probed new×old
+    * only — never old×old, which is the point vs re-running full dedup
+    * per ingest. */
+  def ingestBatch(spark: SparkSession, indexDir: String,
+                  newFiles: org.apache.spark.sql.Dataset[(String, String)],
+                  bench: Option[DataFrame] = None,
+                  dedupThreshold: Double = 0.9,
+                  maxContamFrac: Double = 0.5): DataFrame = {
+    import graft.operators.{CorpusOps, Dedup}
+    import graft.functions.TextFns.shingleRowsOf
+    val fresh = IndexBuild.buildElements(newFiles).cache()
+    val batchDocs = fresh.select(col("id").as("doc_id"), col("content").as("text"))
+    val existing = tableOrEmpty(spark, s"$indexDir/code_elements")
+    val corpusDocs = existing.map(
+      _.join(fresh.select("file_path").distinct(), Seq("file_path"), "left_anti")
+        .select(col("id").as("doc_id"), col("content").as("text")))
+    try {
+      val none = fresh.select("id").limit(0)
+      val dupIds = corpusDocs match {
+        case Some(c) => Dedup.minhashAgainst(batchDocs, c, dedupThreshold)
+          .select(col("batch_doc").as("id")).distinct()
+        case None => none
+      }
+      val contamIds = bench match {
+        case Some(b) => CorpusOps.decontaminateAgainst(batchDocs, b)
+          .filter(col("contam_frac") > maxContamFrac)
+          .select(col("doc_id").as("id")).distinct()
+        case None => none
+      }
+      val report = fresh.select(col("id"), col("file_path"))
+        .join(dupIds.withColumn("near_dup", lit(true)), Seq("id"), "left")
+        .join(contamIds.withColumn("contam", lit(true)), Seq("id"), "left")
+        .select(col("id"), col("file_path"),
+          when(col("near_dup"), "near_dup")
+            .when(col("contam"), "contaminated")
+            .otherwise("ingested").as("action"))
+        .orderBy("id")
+        .localCheckpoint()
+      val survivors = fresh.join(
+        report.filter(col("action") === "ingested").select("id"),
+        Seq("id"), "left_semi")
+      IndexBuild.upsertIndex(spark, indexDir, survivors)
+      report
+    } finally {
+      // plan-equality unpersist (Dataset.unpersist matches by sameResult):
+      // rebuild each scratch relation exactly as its stage did and drop it
+      shingleRowsOf(batchDocs, 3).distinct().unpersist()
+      corpusDocs.foreach(c => shingleRowsOf(c, 3).distinct().unpersist())
+      if (bench.isDefined)
+        shingleRowsOf(batchDocs, CorpusOps.DefaultShingleN).distinct().unpersist()
+      fresh.unpersist()
+      ()
+    }
+  }
 }

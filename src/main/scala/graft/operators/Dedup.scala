@@ -507,6 +507,51 @@ object Dedup {
       .orderBy(asc("batch_doc"), asc("corpus_doc"))
   }
 
+  /** Two-RELATION form of [[minhashIncremental]] (whose `doc_id % mod`
+    * split of one table is the oracle-testable stand-in): the batch and
+    * the corpus arrive as separate (doc_id, text) relations — the shape
+    * [[graft.Graft.ingestBatch]] runs, where the batch is freshly chunked
+    * elements and the corpus is the persisted index. Emits (batch_doc,
+    * corpus_doc, jaccard) role-ordered, one row per batch doc within
+    * `threshold` of a corpus doc. Spec-proven row-equal to
+    * [[minhashIncremental]] when fed the same mod-split slices.
+    *
+    * doc_ids need not be disjoint across the two relations: roles are kept
+    * separate end-to-end (per-side shingle relations, per-side band
+    * indexes, role-keyed verify joins), so a re-ingested id never
+    * self-pairs. Scale shape is [[minhashIncremental]]'s: candidates are
+    * the batch-bands × corpus-band-index equijoin (new × old only), the
+    * corpus side being the persisted artifact (bucketed by band key →
+    * co-located probe); verify is candidate-first. Both shingle relations
+    * cached (bands + verify + sizes read each); their doc-cardinality
+    * aggregates and the verify probes carry the jaccardTail merge pins —
+    * cached-aggregate build sides must never broadcast (round-2 lesson).
+    */
+  def minhashAgainst(batch: DataFrame, corpus: DataFrame, threshold: Double,
+                     seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val shB = shingleRows(batch, 3)
+    val shC = shingleRows(corpus, 3)
+    val cand = bandRowsOf(shB, seeds, rowsPerBand).as("x")
+      .join(bandRowsOf(shC, seeds, rowsPerBand).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val inter = cand
+      .join(shB.select(col("doc_id").as("d1"), col("s")).hint("merge"), "d1")
+      .join(shC.select(col("doc_id").as("d2"), col("s")).hint("merge"), Seq("d2", "s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizesB.select(col("doc_id").as("d1"), col("n").as("n1")).hint("merge"), "d1")
+      .join(sizesC.select(col("doc_id").as("d2"), col("n").as("n2")).hint("merge"), "d2")
+      .withColumn("jaccard", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1").as("batch_doc"), col("d2").as("corpus_doc"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(asc("batch_doc"), asc("corpus_doc"))
+  }
+
   /** DuckDB mirror of [[minhashIncremental]]. The verify CTEs are the
     * role-ordered variant of [[duckJaccardCtes]]: (batch, corpus) pairs are
     * not doc_id-ordered, so the intersection join keys on the candidate's

@@ -84,4 +84,69 @@ class FacadeSpec extends AnyFunSuite {
     assert(Graft.readFile(sb, "a/b.txt") == Right("hello"))
     assert(Graft.readFile(sb, "../outside.txt").isLeft)
   }
+
+  test("ingest_batch: composed chunk→gate→decontam→upsert ≡ the stages run sequentially") {
+    import spark.implicits._
+    import graft.sources.IndexBuild
+    import graft.operators.{CorpusOps, Dedup}
+    val dirA = Files.createTempDirectory("graft_ingest_composed").toString
+    val dirB = Files.createTempDirectory("graft_ingest_seq").toString
+    val seed = Seq(
+      ("old/boiler.txt", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("old/keep.txt", "completely different seed content that stays around forever untouched")
+    ).toDS()
+    for (d <- Seq(dirA, dirB))
+      IndexBuild.upsertIndex(spark, d, IndexBuild.buildElements(seed))
+    val bench = Seq(
+      (1L, "the held out benchmark question and its exact answer text verbatim")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // verbatim copy of a corpus file under a NEW path → near_dup
+      ("new/dup.txt", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // verbatim copy of the benchmark doc → contaminated
+      ("new/contam.txt", "the held out benchmark question and its exact answer text verbatim"),
+      // novel content → ingested
+      ("new/clean.txt", "fresh novel wording sharing nothing with any earlier corpus file"),
+      // SAME path as a corpus file, identical content: the same-file
+      // exclusion must let the upsert replace it, not gate it (without
+      // the exclusion its jaccard-1.0 self-pair would report near_dup)
+      ("old/keep.txt", "completely different seed content that stays around forever untouched")
+    ).toDS()
+
+    val report = Graft.ingestBatch(spark, dirA, batch, Some(bench))
+    val actions = report.collect()
+      .map(r => (r.getString(1), r.getString(2))).groupBy(_._1)
+      .map { case (p, rows) => p -> rows.map(_._2).toSet }
+    assert(actions("new/dup.txt") == Set("near_dup"))
+    assert(actions("new/contam.txt") == Set("contaminated"))
+    assert(actions("new/clean.txt") == Set("ingested"))
+    assert(actions("old/keep.txt") == Set("ingested"))
+
+    // the same stages, run one at a time against the identically seeded twin
+    val fresh = IndexBuild.buildElements(batch)
+    val gateCorpus = spark.read.parquet(s"$dirB/code_elements")
+      .join(fresh.select("file_path").distinct(), Seq("file_path"), "left_anti")
+    val dups = Dedup.minhashAgainst(
+      fresh.select(col("id").as("doc_id"), col("content").as("text")),
+      gateCorpus.select(col("id").as("doc_id"), col("content").as("text")), 0.9)
+      .select(col("batch_doc").as("id")).distinct()
+    val contam = CorpusOps.decontaminateAgainst(
+      fresh.select(col("id").as("doc_id"), col("content").as("text")), bench)
+      .filter(col("contam_frac") > 0.5).select(col("doc_id").as("id"))
+    val survivors = fresh
+      .join(dups, Seq("id"), "left_anti")
+      .join(contam, Seq("id"), "left_anti")
+    IndexBuild.upsertIndex(spark, dirB, survivors)
+    spark.sharedState.cacheManager.clearCache()
+
+    def table(d: String) = spark.read.parquet(s"$d/code_elements")
+      .orderBy("id").collect().map(_.toString).toSeq
+    val (tA, tB) = (table(dirA), table(dirB))
+    assert(tA == tB && tA.nonEmpty)
+    // final state: clean + re-submitted keep present, gated content absent,
+    // and the boiler original still there (only the NEW near-dup was gated)
+    val paths = spark.read.parquet(s"$dirA/code_elements")
+      .select("file_path").distinct().collect().map(_.getString(0)).toSet
+    assert(paths == Set("old/boiler.txt", "old/keep.txt", "new/clean.txt"))
+  }
 }

@@ -248,6 +248,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(inc == want)
   }
 
+  test("two-relation minhashAgainst equals minhashIncremental on the same slices") {
+    // the two-table form (ingest facade's gate) must reproduce the
+    // oracle-gated one-table form when fed the identical mod-split slices
+    val inc = Dedup.minhashIncremental(docs, 0.5).collect().map(_.toString).toSeq
+    val two = Dedup.minhashAgainst(
+      docs.filter(col("doc_id") % 10 === 7),
+      docs.filter(col("doc_id") % 10 =!= 7), 0.5).collect().map(_.toString).toSeq
+    assert(two == inc && two.nonEmpty)
+  }
+
   test("budget sample: kept tokens hit the budget exactly to within one document") {
     val rows = CorpusOps.budgetSample(docs, budgetFrac = 0.3).collect()
     assert(rows.nonEmpty)
@@ -728,7 +738,7 @@ class OperatorSpec extends AnyFunSuite {
   test("ANN recall accounting: bounds hold and exhaustive IVF probing recovers recall 1.0") {
     val r = KnnRecall.annRecall(emb, k = 10, nQueries = 8,
       bits = 4, numCentroids = 16, nprobe = 4).collect()
-    assert(r.map(_.getString(0)).toSeq == Seq("ivf", "lsh", "lsh_multiprobe"))
+    assert(r.map(_.getString(0)).toSeq == Seq("ivf", "lsh", "lsh_banded", "lsh_multiprobe"))
     r.foreach { row =>
       val (ret, hits, exp, rec) = (row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
       assert(exp == 80, s"exact side must return k rows per query, got $exp")
