@@ -316,7 +316,9 @@ object CorpusOps {
       .filter(col("ntok") > 0)
       .withColumn("bkt", expr(s"doc_id DIV $bucketSize"))
     val btot = d.groupBy("bkt").agg(sum("ntok").as("btok"))
-    val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    // bucket relation is |buckets|-sized by construction → BoundedWindow
+    val wB = graft.functions.BoundedWindow.boundedGlobal(col("bkt"), col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val boff = btot.withColumn("boffset", coalesce(sum("btok").over(wB), lit(0L)))
     val wD = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -415,7 +417,9 @@ object CorpusOps {
     // tokenization pass (round-4 review finding)
     val budget = btot.select(
       floor(lit(budgetFrac) * sum("btok").cast("double")).cast("long").as("budget"))
-    val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    // 256-row bucket relation by construction → BoundedWindow
+    val wB = graft.functions.BoundedWindow.boundedGlobal(col("bkt"), col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val boff = btot.withColumn("boffset", coalesce(sum("btok").over(wB), lit(0L)))
     val wD = Window.partitionBy("bkt").orderBy(asc("h"), asc("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -230,7 +230,8 @@ object IndexOps {
       .orderBy(desc("sim_raw"), asc("doc_id"))
       .limit(k)
       .withColumn("rank",
-        row_number().over(Window.orderBy(desc("sim_raw"), asc("doc_id"))).cast("long"))
+        row_number().over(graft.functions.BoundedWindow
+          .boundedGlobal(col("doc_id"), desc("sim_raw"), asc("doc_id"))).cast("long"))
     val hits = top.join(documents, "doc_id")
       .select(col("rank"), col("sim_raw"), round(col("sim_raw"), 6).as("sim"),
         concat(lit("doc_"), col("doc_id")).as("name"),

@@ -590,7 +590,7 @@ object TextAnalysis {
     // tier relation: one row per distinct frequency (tiny); offsets = how
     // many tokens sit in strictly-higher tiers. The prefix window runs
     // over THIS relation only.
-    val wTier = Window.orderBy(desc("cnt"))
+    val wTier = graft.functions.BoundedWindow.boundedGlobal(col("cnt"), desc("cnt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tiers = cnts.groupBy("cnt").agg(count(lit(1)).as("n_in_tier"))
       .withColumn("off", (sum("n_in_tier").over(wTier) - col("n_in_tier")).cast("long"))
