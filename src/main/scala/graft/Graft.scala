@@ -185,8 +185,11 @@ object Graft {
         case None => none
       }
       val contamIds = bench match {
+        // gate on the RAW integer-derived ratio, never the display-rounded
+        // contam_frac column (CLAUDE.md: rank/filter on raw doubles —
+        // round(…, 6) can pull a just-over-threshold doc back under it)
         case Some(b) => CorpusOps.decontaminateAgainst(batchDocs, b)
-          .filter(col("contam_frac") > maxContamFrac)
+          .filter(col("n_overlap").cast("double") / col("n_shingles") > maxContamFrac)
           .select(col("doc_id").as("id")).distinct()
         case None => none
       }
@@ -202,7 +205,13 @@ object Graft {
       val survivors = fresh.join(
         report.filter(col("action") === "ingested").select("id"),
         Seq("id"), "left_semi")
-      IndexBuild.upsertIndex(spark, indexDir, survivors)
+      // refreshFiles = the WHOLE batch's paths, not survivors': a
+      // re-submitted file whose new elements are all gated must still have
+      // its stale old elements deleted (the file's current content is what
+      // the gates rejected — serving its superseded version would be the
+      // exact stale-element leak the upsert exists to prevent)
+      IndexBuild.upsertIndex(spark, indexDir, survivors,
+        refreshFiles = Some(fresh.select("file_path")))
       report
     } finally {
       // plan-equality unpersist (Dataset.unpersist matches by sameResult):

@@ -98,9 +98,18 @@ object IndexBuild {
     * [[run]]), the complete (file_path) set — surviving old rows are then
     * additionally restricted to it, so deletions propagate. Incremental
     * callers (streaming micro-batches) pass None: a partial view must
-    * never prune files it simply didn't see. */
+    * never prune files it simply didn't see.
+    *
+    * `refreshFiles`: the set of (file_path) whose old elements must be
+    * dropped, when it is WIDER than `fresh`'s own paths — e.g.
+    * [[graft.Graft.ingestBatch]] passes the whole batch's paths while
+    * `fresh` holds only the gate survivors, so a re-submitted file whose
+    * new elements were all gated still sheds its stale old elements
+    * instead of serving a superseded version forever. None (the default)
+    * = derive from `fresh`, the plain re-index contract. */
   def upsertIndex(spark: SparkSession, indexDir: String, fresh: DataFrame,
-                  currentFiles: Option[DataFrame] = None): Unit = {
+                  currentFiles: Option[DataFrame] = None,
+                  refreshFiles: Option[DataFrame] = None): Unit = {
     val target = s"$indexDir/code_elements"
     // crash recovery BEFORE reading `existing`: a crash between swapInto's
     // two renames leaves the live table parked at target_old — without this
@@ -116,7 +125,7 @@ object IndexBuild {
     val merged = existing match {
       case None => fresh
       case Some(old) =>
-        val refreshedFiles = fresh.select("file_path").distinct()
+        val refreshedFiles = refreshFiles.getOrElse(fresh).select("file_path").distinct()
         val kept0 = ensureNrm(old).join(refreshedFiles, Seq("file_path"), "left_anti")
         val kept = currentFiles.map(cf =>
           kept0.join(cf.select("file_path").distinct(), Seq("file_path"), "left_semi"))
@@ -278,7 +287,16 @@ object IndexBuild {
     * graft.operators.Dedup]]'s header: the harness clears session caches per
     * query; a library caller clears them once the result is materialized
     * ([[run]] does so itself — it is eager and owns its caches). */
-  def buildSummaries(files: Dataset[(String, String)], elements: DataFrame): DataFrame = {
+  def buildSummaries(files: Dataset[(String, String)], elements: DataFrame): DataFrame =
+    buildSummariesWith(files, elements)._1
+
+  /** [[buildSummaries]] plus a handle on its cached per-file base
+    * aggregate, so an EAGER caller ([[run]]) can unpersist it once the
+    * summaries are written — without the handle, each build in a library
+    * caller's loop would strand a new file-cardinality cache entry (the
+    * plans differ per build, so plan-equality unpersist can't find them). */
+  private[sources] def buildSummariesWith(
+      files: Dataset[(String, String)], elements: DataFrame): (DataFrame, DataFrame) = {
     val spark = files.sparkSession
     import spark.implicits._
     val fileLines = files.map { case (p, c) => (p, c.split("\n", -1).length.toLong) }
@@ -303,7 +321,7 @@ object IndexBuild {
       base.select(col("file_path").as("doc_id"), col("summary").as("text")))
       .withColumnRenamed("doc_id", "file_path")
       .withColumn("nrm", sqrt(graft.functions.VecExprs.dotc(col("embedding"), col("embedding"))))
-    base.join(emb, "file_path")
+    (base.join(emb, "file_path"), base)
   }
 
   /** Full build: returns the report row (S8 shape: files/elements/errors
@@ -344,8 +362,13 @@ object IndexBuild {
     // file_summaries (round-4 review; spec-covered in IndexBuildSpec)
     upsertIndex(spark, indexDir, elements,
       currentFiles = Some(files.map(_._1).toDF("file_path")))
-    val summaries = buildSummaries(files, spark.read.parquet(s"$indexDir/code_elements"))
+    val (summaries, summaryBase) =
+      buildSummariesWith(files, spark.read.parquet(s"$indexDir/code_elements"))
     summaries.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/file_summaries")
+    // the write above materialized the summaries; release their cached
+    // per-file base now, not via the finally (which releases only the
+    // relations run() itself created) — same per-build-leak rationale
+    summaryBase.unpersist()
     val nFiles = files.count()
     val nElements = spark.read.parquet(s"$indexDir/code_elements").count()
     val report = Seq((nFiles, nElements, nEmbedded, 0L))

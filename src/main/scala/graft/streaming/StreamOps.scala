@@ -44,12 +44,18 @@ object StreamOps {
   private def memorySinkResult(sink: DataFrame, qname: String, mode: String)
                               (finish: DataFrame => DataFrame): DataFrame = {
     val spark = sink.sparkSession
-    withShufflePartitions(spark, 4) {
-      val q = sink.writeStream.outputMode(mode).format("memory").queryName(qname).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    try finish(spark.table(qname))
-    finally { spark.catalog.dropTempView(qname); () }
+    // one try spans start-to-finish: a failing stream (bad input file,
+    // sink OOM) must ALSO drop the view `start()` registered, or a caller
+    // retrying failed streams accumulates exactly the catalog entries
+    // this helper exists to stop leaking. Dropping a never-registered
+    // view (start() itself threw) is a harmless false return.
+    try {
+      withShufflePartitions(spark, 4) {
+        val q = sink.writeStream.outputMode(mode).format("memory").queryName(qname).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      finish(spark.table(qname))
+    } finally { spark.catalog.dropTempView(qname); () }
   }
 
   /** Tumbling 6-hour count per event type, executed as a streaming query. */

@@ -136,7 +136,8 @@ class FacadeSpec extends AnyFunSuite {
     val survivors = fresh
       .join(dups, Seq("id"), "left_anti")
       .join(contam, Seq("id"), "left_anti")
-    IndexBuild.upsertIndex(spark, dirB, survivors)
+    IndexBuild.upsertIndex(spark, dirB, survivors,
+      refreshFiles = Some(fresh.select("file_path")))
     spark.sharedState.cacheManager.clearCache()
 
     def table(d: String) = spark.read.parquet(s"$d/code_elements")
@@ -148,5 +149,29 @@ class FacadeSpec extends AnyFunSuite {
     val paths = spark.read.parquet(s"$dirA/code_elements")
       .select("file_path").distinct().collect().map(_.getString(0)).toSet
     assert(paths == Set("old/boiler.txt", "old/keep.txt", "new/clean.txt"))
+  }
+
+  test("ingest_batch: a fully-gated re-submitted file sheds its stale old elements") {
+    import spark.implicits._
+    import graft.sources.IndexBuild
+    val dir = Files.createTempDirectory("graft_ingest_gated_resubmit").toString
+    val seed = Seq(
+      ("a.txt", "original alpha content that version two of this file abandons entirely"),
+      ("b.txt", "stable bravo content that the corpus keeps and the batch never touches")
+    ).toDS()
+    IndexBuild.upsertIndex(spark, dir, IndexBuild.buildElements(seed))
+    // a.txt re-submitted with content duplicating b.txt → every new element
+    // of a.txt is gated near_dup. The file's OLD elements must still be
+    // deleted: the file on disk no longer contains them, and serving the
+    // superseded version is the stale-element leak the upsert exists for.
+    val batch = Seq(
+      ("a.txt", "stable bravo content that the corpus keeps and the batch never touches")
+    ).toDS()
+    val report = Graft.ingestBatch(spark, dir, batch)
+    assert(report.collect().map(_.getString(2)).toSet == Set("near_dup"))
+    val after = spark.read.parquet(s"$dir/code_elements")
+    assert(after.filter(col("file_path") === "a.txt").count() == 0,
+      "gated re-submit must not leave the file's old elements behind")
+    assert(after.filter(col("file_path") === "b.txt").count() > 0)
   }
 }
