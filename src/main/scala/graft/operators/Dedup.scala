@@ -708,20 +708,25 @@ object Dedup {
     * exchange, and the semi-join is sort-merge under AQE skew splitting.
     * Neither side cached, so natural scan-derived estimates size the
     * cross-doc span relation (no broadcast lock-in; it grows with the
-    * corpus and adapts to SMJ — the healthy case). Spec-asserted
-    * equivalent on a synthetic 50%-boilerplate corpus (`OperatorSpec`);
-    * measured crossover recorded in SCALE.md. */
-  private def dupSpanStarts(documents: DataFrame, spanLen: Int,
-                            skewSafe: Boolean = false): DataFrame = {
-    val tok = graft.functions.TextFns.tokenRowsOf(documents)
-    val wD = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
-    val withLeads = (1 until spanLen).foldLeft(tok) { (df, j) =>
-      df.withColumn(s"t$j", lead(col("t0"), j).over(wD))
-    }
-    val occ = withLeads
-      .filter(col(s"t${spanLen - 1}").isNotNull)
-      .select(col("doc_id"), col("i"),
-        concat_ws(" ", (0 until spanLen).map(j => col(s"t$j")): _*).as("s"))
+    * corpus and adapts to SMJ — the healthy case). Known trade (round-5
+    * review): the occ subtree feeds both the groupBy and the probe, so
+    * its lead-window work above the shared doc_id exchange evaluates
+    * twice (ReuseExchange shares the exchange and everything below it —
+    * the scan and tokenize run once); caching occ instead would
+    * materialize spanLen strings per token position AND reintroduce the
+    * estimate hazard this branch exists to avoid, so the recompute is the
+    * deliberate choice. Spec-asserted equivalent on a synthetic
+    * 50%-boilerplate corpus (`OperatorSpec`); measured crossover recorded
+    * in SCALE.md. */
+  private def dupSpanStarts(tok: DataFrame, spanLen: Int,
+                            skewSafe: Boolean): DataFrame = {
+    // span construction IS shingle construction with the position carried:
+    // one definition (TextFns.shingleRowsOfTokens), so a tokenizer or
+    // separator change can never diverge the span family from the other
+    // shingle consumers (round-5 review; this replaced a hand-rolled copy
+    // of the same lead-window fold)
+    val occ = graft.functions.TextFns
+      .shingleRowsOfTokens(tok, spanLen, Seq("doc_id", "i"))
     if (skewSafe) {
       val crossDoc = occ.groupBy("s")
         .agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
@@ -741,7 +746,8 @@ object Dedup {
 
   def spanCoverage(documents: DataFrame, spanLen: Int = 5,
                    skewSafe: Boolean = false): DataFrame = {
-    val dup = dupSpanStarts(documents, spanLen, skewSafe)
+    val dup = dupSpanStarts(graft.functions.TextFns.tokenRowsOf(documents),
+      spanLen, skewSafe)
     val wCov = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
     val cov = dup
       .withColumn("prev", lag("i", 1).over(wCov))
@@ -805,10 +811,16 @@ object Dedup {
     * relation (also spec-asserted, operator-level conservation).
     *
     * Scale shape, on top of [[dupSpanStarts]]' one corpus exchange:
-    *   1. token rows LEFT-join span starts on (doc_id, i) — both sides
-    *      keyed the same way, co-partitioned after one shuffle each;
-    *      neither side cached, so natural scan-derived estimates keep the
-    *      corpus-cardinality sides out of broadcast (round-4 cache lesson);
+    *   1. ONE cached token relation feeds both the span-start detection
+    *      and the keep/cut join (round-5 review: uncached, the consumers
+    *      sit under different exchanges — doc_id window vs (doc_id, i)
+    *      join — so nothing is reused and the corpus tokenized twice; the
+    *      cache trades ~|tokens| rows of storage for the second full
+    *      corpus read, measured cost-neutral at sf0.1). The cache makes
+    *      this the MANDATORY-cache case, so the cached-derived `starts`
+    *      side of the (doc_id, i) join carries the hint("merge") pin —
+    *      high-cardinality key, the decontam-measured-safe shape, never
+    *      the embedCosine bucket-self-join negative-result shape;
     *   2. covered(p) = running max of the start flag over ROWS
     *      [p-spanLen+1, p] per doc — positions are dense (posexplode), so
     *      the ROWS frame is exactly the span-interval test with no
@@ -826,11 +838,16 @@ object Dedup {
     */
   def spanRemoved(documents: DataFrame, spanLen: Int = 5,
                   skewSafe: Boolean = false): DataFrame = {
-    val tok = graft.functions.TextFns.tokenRowsOf(documents)
-    val starts = dupSpanStarts(documents, spanLen, skewSafe).withColumn("st", lit(1))
+    // one token relation feeds BOTH the span-start detection and the
+    // keep/cut join — cached (harness-cleared contract, Dedup header):
+    // uncached, the two consumers sit under different exchanges (doc_id
+    // window vs (doc_id, i) join), so nothing is reused and the corpus
+    // tokenizes twice (round-5 review; measured below in SCALE.md)
+    val tok = graft.functions.TextFns.tokenRowsOf(documents).cache()
+    val starts = dupSpanStarts(tok, spanLen, skewSafe).withColumn("st", lit(1))
     val wRun = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("i").rowsBetween(-(spanLen - 1), 0)
-    val marked = tok.join(starts, Seq("doc_id", "i"), "left")
+    val marked = tok.join(starts.hint("merge"), Seq("doc_id", "i"), "left")
       .withColumn("cov", max(coalesce(col("st"), lit(0))).over(wRun))
     val agg = marked.groupBy("doc_id").agg(
       count(lit(1)).cast("long").as("n_tokens"),
