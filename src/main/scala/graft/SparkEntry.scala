@@ -104,6 +104,10 @@ object SparkEntry {
       Dedup.ngramJaccardCapped(Tables.documents(s, dir), threshold = 0.5, maxDf = 20)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_embed" -> ((s, dir) => Dedup.embedCosine(Tables.documents(s, dir), threshold = 0.95)),
+    // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup over
+    // the embeddings table — quadratic test confined within IVF clusters
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semDedup(emb(s, dir), numCentroids = 16, threshold = 0.4)),
     // span-level duplication accounting (Lee et al. 2022 relationally):
     // per-doc fraction of tokens inside cross-doc repeated 5-token spans
     "q_span_dedup" -> ((s, dir) => Dedup.spanCoverage(Tables.documents(s, dir), spanLen = 5)),
@@ -398,6 +402,7 @@ object SparkEntry {
     "q_dedup_incremental" -> Dedup.duckMinhashIncrementalSql("documents", 0.5),
     "q_dedup_simhash" -> Dedup.duckSimhashSql("documents", 0.5),
     "q_dedup_embed"   -> Dedup.duckEmbedCosine("documents", 0.95),
+    "q_dedup_semantic" -> Dedup.duckSemDedup("embeddings", 16, 0.4),
     "q_curation"      -> Curation.duckCurate("documents", 0.45, 0.8),
     "q_lang_id"       -> TextAnalysis.duckLangId("documents"),
     "q_text_quality"  -> TextAnalysis.duckQuality("documents"),

@@ -393,6 +393,77 @@ object Dedup {
        |FROM s WHERE sim_raw >= $threshold ORDER BY d1, d2""".stripMargin
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup via
+    * cluster-then-prune over an embedding table: assign every vector to
+    * its nearest centroid ([[Knn.ivfAssign]] — ONE assignment definition
+    * with the IVF search path, so search and dedup can never disagree on
+    * cluster membership), then within each cluster drop any vector that
+    * has an EARLIER (lower vec_id) cluster-mate within `threshold` cosine.
+    * The earlier-id rule is the deterministic stand-in for the paper's
+    * keep-one-representative step — no iterative connected components, one
+    * pass, oracle-expressible. Emits per-cluster accounting
+    * (cluster, n_vecs, n_dropped, n_kept, drop_frac) ordered by cluster.
+    *
+    * Scale shape — the SemDeDup point: the quadratic test runs WITHIN
+    * clusters only, a cluster-keyed equijoin with candidate mass
+    * Σ|cluster|² ≈ N²/C, never the all-pairs θ-join; a deployment scales
+    * `numCentroids` ~ √N so per-cluster work stays flat. Assignment is a
+    * map-side projection against a broadcast centroid row (no shuffle);
+    * the self-join is one exchange on the cluster key. `assigned` is
+    * cached (three consumers: both join sides and the per-cluster
+    * denominator) and the self-join is deliberately NOT merge-pinned:
+    * low-cardinality-key cached self-join is the embedCosine
+    * negative-result shape (4.7× regression measured round 4), not the
+    * inverted-index hazard class. The per-cluster count relations are
+    * bounded by `numCentroids` — broadcast of them is wanted, not a
+    * hazard. Rank/filter on RAW cosine; display rounding only in the
+    * final projection.
+    */
+  def semDedup(index: DataFrame, numCentroids: Int = 16,
+               threshold: Double = 0.4): DataFrame = {
+    val assigned = Knn.ivfAssign(index, numCentroids).cache()
+    val a = assigned.select(col("cluster"), col("vec_id").as("v1"),
+      col("ed").as("e1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("v2"),
+      col("ed").as("e2"), col("nrm").as("n2"))
+    val rawSim = dotc(col("e1"), col("e2")) / (col("n1") * col("n2"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("v1") < col("v2") && rawSim >= threshold)
+      .select(col("cluster"), col("v2")).distinct()
+    val nv = assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+    val nd = dropped.groupBy("cluster").agg(count(lit(1)).as("n_dropped"))
+    nv.join(nd, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+        round(coalesce(col("n_dropped"), lit(0L)).cast("double")
+          / col("n_vecs"), 6).as("drop_frac"))
+      .orderBy(asc("cluster"))
+  }
+
+  /** DuckDB mirror of [[semDedup]] — the `cent`/`asg` assignment CTEs are
+    * q_knn_ivf's proven pattern (argmax cosine, lowest-cid tiebreak). */
+  def duckSemDedup(table: String, numCentroids: Int = 16,
+                   threshold: Double = 0.4): String = {
+    import graft.functions.VectorFns.duckCosine
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM $table WHERE vec_id < $numCentroids),
+       |asg AS (SELECT e.vec_id, e.embedding, c.cid,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
+       |        FROM $table e CROSS JOIN cent c),
+       |a AS (SELECT vec_id, embedding, cid AS cluster FROM asg WHERE crn = 1),
+       |drp AS (SELECT DISTINCT y.cluster, y.vec_id
+       |        FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |        WHERE ${duckCosine("x.embedding", "y.embedding")} >= $threshold),
+       |nv AS (SELECT cluster, count(*)::BIGINT AS n_vecs FROM a GROUP BY cluster),
+       |nd AS (SELECT cluster, count(*)::BIGINT AS n_dropped FROM drp GROUP BY cluster)
+       |SELECT nv.cluster, nv.n_vecs,
+       |       coalesce(nd.n_dropped, 0)::BIGINT AS n_dropped,
+       |       (nv.n_vecs - coalesce(nd.n_dropped, 0))::BIGINT AS n_kept,
+       |       round(coalesce(nd.n_dropped, 0)::DOUBLE / nv.n_vecs, 6) AS drop_frac
+       |FROM nv LEFT JOIN nd USING (cluster) ORDER BY cluster""".stripMargin
+  }
+
   // ----------------------------------------------------------- oracle SQL
 
   private def duckSh(table: String): String =

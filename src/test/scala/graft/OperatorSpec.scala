@@ -699,6 +699,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(sim - p.getAs[Double]("sim")) < 1e-6)
   }
 
+  test("semDedup: conservation per cluster, and the threshold endpoints behave") {
+    val rows = Dedup.semDedup(emb, numCentroids = 16, threshold = 0.4).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") == r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Long]("n_kept") >= 1, s"a cluster must keep its earliest vector: $r")
+    }
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == emb.count())
+    // threshold above the cosine range: nothing is ever dropped
+    val none = Dedup.semDedup(emb, numCentroids = 16, threshold = 1.5).collect()
+    assert(none.forall(_.getAs[Long]("n_dropped") == 0L))
+    // threshold at the bottom of the range: every pair qualifies, so each
+    // cluster keeps EXACTLY its earliest vector — the keep-one endpoint
+    val all = Dedup.semDedup(emb, numCentroids = 16, threshold = -1.0).collect()
+    assert(all.forall(_.getAs[Long]("n_kept") == 1L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("native top-k survives memory-pressure flushes: superset contract + re-rank = exact") {
     val queries = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
