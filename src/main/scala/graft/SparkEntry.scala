@@ -145,6 +145,9 @@ object SparkEntry {
     // Zipf rank-frequency corpus diagnostic; exact via quantized-log
     // buckets, global rank two-phased over the tiny frequency-tier relation
     "q_zipf" -> ((s, dir) => TextAnalysis.zipfProfile(Tables.documents(s, dir))),
+    // Gopher-style rule-bank quality filter: per-rule failure accounting,
+    // every threshold an integer test (Rae et al. 2021, scaled thresholds)
+    "q_gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir))),
     // collocation mining by integer-quantized PMI (floor-log2 bits)
     "q_collocations" -> ((s, dir) => TextAnalysis.collocations(Tables.documents(s, dir))),
     // HyperLogLog distinct-shingle sketch per language (constant state per
@@ -180,6 +183,9 @@ object SparkEntry {
     // exact-token-budget sample: hash-order prefix cut (the "train on N
     // tokens" contract, exact to within one doc — not an expected rate)
     "q_sample_budget" -> ((s, dir) => CorpusOps.budgetSample(Tables.documents(s, dir))),
+    // DSIR importance weighting (Xie et al. 2023) in quantized-log form:
+    // hashed-bigram target/raw share ratio, exact integer arithmetic
+    "q_dsir_weights" -> ((s, dir) => CorpusOps.dsirWeights(Tables.documents(s, dir))),
 
     // --- chunkers (C5/C6/C7) + index surface (Q3-Q6, Q9, Q10, C9) ---
     "q_chunk_text" -> ((s, dir) => Chunkers.textChunks(Tables.documents(s, dir))),
@@ -414,6 +420,7 @@ object SparkEntry {
     "q_novelty"       -> TextAnalysis.duckNovelty("documents"),
     "q_fluency"       -> TextAnalysis.duckFluency("documents"),
     "q_zipf"          -> TextAnalysis.duckZipfProfile("documents"),
+    "q_gopher_rules"  -> TextAnalysis.duckGopherRules("documents"),
     "q_collocations"  -> TextAnalysis.duckCollocations("documents"),
     "q_hll_distinct"  -> graft.operators.Sketches.duckHllDistinctShingles("documents"),
     "q_decontam"      -> CorpusOps.duckDecontaminate("documents"),
@@ -427,6 +434,7 @@ object SparkEntry {
     "q_temp_mixture"  -> CorpusOps.duckTemperatureMixture("documents"),
     "q_sample_fixed_k" -> CorpusOps.duckFixedKSample("documents", 10),
     "q_sample_budget" -> CorpusOps.duckBudgetSample("documents"),
+    "q_dsir_weights"  -> CorpusOps.duckDsirWeights("documents"),
 
     "q_chunk_text"       -> Chunkers.duckTextChunks("documents"),
     "q_chunk_markdown"   -> Chunkers.duckMarkdownSections("documents"),

@@ -535,4 +535,103 @@ object CorpusOps {
        |       CAST(sum(CASE WHEN u < rate_raw THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |       CAST(sum(CASE WHEN u < rate_raw THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------ DSIR importance weighting
+
+  /** DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169)
+    * in the quantized-log form that makes it engine-exact: score every
+    * training doc by how much its hashed n-gram features look like the
+    * TARGET distribution (the benchmark slice — decontam's stand-in for a
+    * curated target domain) versus the RAW training distribution.
+    *
+    * The real DSIR weight is Σ_feat [log p_target(b) − log p_raw(b)];
+    * floating log diverges across engines (libm vs java.lang.Math), so
+    * each log2 is quantized to `length(bin(x)) − 1` = exact
+    * floor(log2(x)) in BOTH engines (the q_fluency trick). Per feature
+    * occurrence in bucket b:
+    *   s(b) = [lb(cnt_t(b)+1) − lb(T_t)] − [lb(cnt_r(b)+1) − lb(T_r)]
+    * (+1 smoothing; T = total occurrences on each side, so the score is a
+    * share ratio, not a raw-count ratio — the raw side being 50× bigger
+    * must not drown the signal). The doc score is the integer sum over
+    * its occurrences; `kept` = above-mean score, tested as the integer
+    * cross-multiply `score · n_docs > Σ scores` — a fixed `> 0` cut is
+    * degenerate here (quantization gives every doc a small positive
+    * bias; measured: 490/490 kept at sf0.01), while the mean split is
+    * scale-free, always proper unless all scores tie, and needs no float
+    * quantile. Emits (doc_id, n_feats, dsir_score, kept) per training
+    * doc, ordered by doc_id.
+    *
+    * Scale shape: feature extraction is the row-form shingle pipeline
+    * (posexplode + lead — never array HOFs), computed ONCE into a cached
+    * narrow (doc_id, b) relation — its two consumers (the bucket pivot
+    * and the per-doc scoring join) would otherwise each re-tokenize the
+    * corpus. ONE partial-agged groupBy pivots both sides' counts per
+    * bucket (target/raw split by a when() inside the aggregate — never
+    * two filtered passes), collapsing to ≤ `buckets` rows; the totals
+    * derive from THAT bounded relation, not a second corpus pass. Score
+    * table and totals are broadcast by construction (bounded side, like
+    * the pack/budget offset relations — wanted, not a hazard; no pins
+    * because no cached-derived build side is corpus-cardinality). The
+    * only corpus-cardinality shuffles are the bucket pivot and the final
+    * per-doc sum.
+    */
+  def dsirWeights(documents: DataFrame, benchMod: Int = DefaultBenchMod,
+                  n: Int = 2, buckets: Int = 256): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("dsir:"), col("s"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+    def lb(c: org.apache.spark.sql.Column) = (length(bin(c)) - 1).cast("long")
+    val isT = col("doc_id") % benchMod === 0
+    val feats = shingleRowsOf(documents, n)
+      .select(col("doc_id"), bucket.as("b")).cache()
+    val byB = feats.groupBy("b").agg(
+      sum(when(isT, 0L).otherwise(1L)).as("cr"),
+      sum(when(isT, 1L).otherwise(0L)).as("ct"))
+    val sideTotals = broadcast(byB.agg(sum("cr").as("tr"), sum("ct").as("tt")))
+    // score table: ≤ `buckets` rows — broadcast is the point
+    val scores = byB.filter(col("cr") > 0)
+      .crossJoin(sideTotals)
+      .select(col("b"),
+        (lb(col("ct") + 1) - lb(col("tt"))
+          - lb(col("cr") + 1) + lb(col("tr"))).as("s"))
+    // cached: the corpus-totals row below re-reads it; the 1-row totals
+    // build side is bounded — broadcast wanted, no pin (curation lesson
+    // applies to corpus-cardinality build sides, not 1-row scalars)
+    val perDoc = feats.filter(!isT).join(broadcast(scores), "b")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_feats"),
+        sum("s").cast("long").as("dsir_score"))
+      .cache()
+    val tot = perDoc.agg(count(lit(1)).as("nd"), sum("dsir_score").as("ss"))
+    perDoc.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_feats"), col("dsir_score"),
+        (col("dsir_score") * col("nd") > col("ss")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[dsirWeights]] — identical integer trees. */
+  def duckDsirWeights(table: String, benchMod: Int = DefaultBenchMod,
+                      n: Int = 2, buckets: Int = 256): String =
+    s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS t FROM $table),
+       |f AS (SELECT doc_id,
+       |             ('0x' || substr(md5('dsir:' || s), 1, 8))::BIGINT % $buckets AS b
+       |      FROM (SELECT doc_id, unnest(${duckShingles("t", n)}) AS s FROM tk)),
+       |tra AS (SELECT * FROM f WHERE doc_id % $benchMod <> 0),
+       |tgt AS (SELECT * FROM f WHERE doc_id % $benchMod = 0),
+       |cr AS (SELECT b, count(*)::BIGINT AS cr FROM tra GROUP BY b),
+       |ct AS (SELECT b, count(*)::BIGINT AS ct FROM tgt GROUP BY b),
+       |tr AS (SELECT count(*)::BIGINT AS tr FROM tra),
+       |tt AS (SELECT count(*)::BIGINT AS tt FROM tgt),
+       |sc AS (SELECT cr.b,
+       |              ((length(bin(coalesce(ct.ct, 0) + 1)) - 1)
+       |               - (length(bin(tt.tt)) - 1)
+       |               - (length(bin(cr.cr + 1)) - 1)
+       |               + (length(bin(tr.tr)) - 1))::BIGINT AS s
+       |       FROM cr LEFT JOIN ct USING (b) CROSS JOIN tr CROSS JOIN tt),
+       |pd AS (SELECT tra.doc_id, count(*)::BIGINT AS n_feats,
+       |              CAST(sum(sc.s) AS BIGINT) AS dsir_score
+       |       FROM tra JOIN sc USING (b) GROUP BY tra.doc_id),
+       |tot AS (SELECT count(*)::BIGINT AS nd, CAST(sum(dsir_score) AS BIGINT) AS ss FROM pd)
+       |SELECT pd.doc_id, pd.n_feats, pd.dsir_score,
+       |       (pd.dsir_score * tot.nd > tot.ss) AS kept
+       |FROM pd CROSS JOIN tot ORDER BY pd.doc_id""".stripMargin
 }

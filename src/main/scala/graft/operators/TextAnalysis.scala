@@ -636,4 +636,99 @@ object TextAnalysis {
        |       CAST(sum(cnt * n_overlap) AS BIGINT) AS sum_cnt,
        |       round(CAST(sum(lb_freq * n_overlap) AS DOUBLE) / sum(n_overlap), 6) AS mean_lb_freq
        |FROM ov WHERE n_overlap > 0 GROUP BY b ORDER BY lb_rank""".stripMargin
+
+  /** Gopher-style rule-bank quality filter (Rae et al. 2021 §A1.1, scaled
+    * to this corpus' ~50-token synthetic docs): per-document boolean rules
+    * over INTEGER-derived metrics, reported as per-rule failure accounting
+    * — (rule, n_docs, n_fail, fail_frac) plus a `zz_any` roll-up row (docs
+    * failing at least one rule; the fraction a deployment's kept-corpus
+    * write would drop). Rules: word count outside [40, 100000], mean word
+    * length outside [3, 10] (tested as sumlen vs 3n/10n — pure integers),
+    * '#'-symbol ratio > 0.1 (10·hashes > n), alphabetic-word fraction
+    * < 0.8 (5·(n−digitw) < 4n), fewer than 2 distinct stopwords.
+    *
+    * Shape rules honored: metrics come from ONE row-form aggregation over
+    * [[graft.functions.TextFns.tokenRowsOf]] (codegen'd sums — no
+    * interpreted array lambdas on the corpus path), the rule bank is
+    * array-of-structs + explode (never union-of-filters; CLAUDE.md), and
+    * every threshold test is integer arithmetic so both engines decide
+    * identically — no float thresholds anywhere. The doc-cardinality
+    * metric join keys on doc_id (high-cardinality, natural estimates,
+    * both sides uncached). Exploded rule rows collapse in a partial-agged
+    * groupBy over a 6-value key — constant state per task. */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val allStop = stopwords.values.flatten.toSeq.distinct.sorted
+    val per = graft.functions.TextFns.tokenRowsOf(documents)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n"),
+        sum(length(col("t0"))).cast("long").as("sumlen"),
+        sum(when(col("t0").rlike("^[0-9]+$"), 1L).otherwise(0L)).as("digitw"),
+        countDistinct(when(col("t0").isin(allStop.map(x => x: Any): _*), col("t0")))
+          .as("stopd"))
+    val flags = documents
+      .select(col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("long").as("hashes"))
+      .join(per, "doc_id")
+      .withColumn("f_alpha_words",
+        ((col("n") - col("digitw")) * 5 < col("n") * 4).cast("int"))
+      .withColumn("f_mean_word_len",
+        (col("sumlen") < col("n") * 3 || col("sumlen") > col("n") * 10).cast("int"))
+      .withColumn("f_stopwords", (col("stopd") < 2).cast("int"))
+      .withColumn("f_symbol_ratio", (col("hashes") * 10 > col("n")).cast("int"))
+      .withColumn("f_word_count", (col("n") < 40 || col("n") > 100000).cast("int"))
+    val ruleArr = array(
+      struct(lit("alpha_words").as("rule"), col("f_alpha_words").as("fail")),
+      struct(lit("mean_word_len").as("rule"), col("f_mean_word_len").as("fail")),
+      struct(lit("stopwords").as("rule"), col("f_stopwords").as("fail")),
+      struct(lit("symbol_ratio").as("rule"), col("f_symbol_ratio").as("fail")),
+      struct(lit("word_count").as("rule"), col("f_word_count").as("fail")),
+      struct(lit("zz_any").as("rule"),
+        greatest(col("f_alpha_words"), col("f_mean_word_len"), col("f_stopwords"),
+          col("f_symbol_ratio"), col("f_word_count")).as("fail")))
+    flags.select(explode(ruleArr).as("r"))
+      .select(col("r.rule").as("rule"), col("r.fail").as("fail"))
+      .groupBy("rule")
+      .agg(count(lit(1)).as("n_docs"), sum("fail").cast("long").as("n_fail"))
+      .select(col("rule"), col("n_docs"), col("n_fail"),
+        round(col("n_fail").cast("double") / col("n_docs"), 6).as("fail_frac"))
+      .orderBy("rule")
+  }
+
+  /** DuckDB mirror of [[gopherRules]] — same integer flag tests; the rule
+    * bank unrolls as UNION ALL (oracle side only; the Spark side keeps the
+    * explode form CLAUDE.md mandates). */
+  def duckGopherRules(table: String): String = {
+    val allStop = stopwords.values.flatten.toSeq.distinct.sorted
+    val lst = allStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    val rules = Seq(
+      "alpha_words" -> "(n - digitw) * 5 < n * 4",
+      "mean_word_len" -> "(sumlen < n * 3 OR sumlen > n * 10)",
+      "stopwords" -> "stopd < 2",
+      "symbol_ratio" -> "hashes * 10 > n",
+      "word_count" -> "(n < 40 OR n > 100000)")
+    val flagCols = rules.map { case (name, test) =>
+      s"CASE WHEN $test THEN 1 ELSE 0 END AS f_$name" }.mkString(",\n       |        ")
+    val anyExpr = rules.map { case (n, _) => s"f_$n" }.mkString("greatest(", ", ", ")")
+    val selects = (rules.map { case (name, _) =>
+      s"SELECT '$name' AS rule, count(*)::BIGINT AS n_docs, sum(f_$name)::BIGINT AS n_fail FROM fl"
+    } :+ s"SELECT 'zz_any', count(*)::BIGINT, sum($anyExpr)::BIGINT FROM fl")
+      .mkString("\n       |  UNION ALL ")
+    s"""WITH tk AS (SELECT doc_id, text, ${duckTokens("text")} AS t FROM $table),
+       |per AS (SELECT doc_id,
+       |        len(t)::BIGINT AS n,
+       |        list_sum(list_transform(t, x -> length(x)))::BIGINT AS sumlen,
+       |        len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$$')))::BIGINT AS digitw,
+       |        len(list_distinct(list_filter(t, x -> list_contains($lst, x))))::BIGINT AS stopd,
+       |        (length(text) - length(replace(text, '#', '')))::BIGINT AS hashes
+       |        FROM tk WHERE len(t) > 0),
+       |fl AS (SELECT doc_id,
+       |        $flagCols
+       |        FROM per),
+       |agg AS (
+       |  $selects)
+       |SELECT rule, n_docs, n_fail,
+       |       round(n_fail::DOUBLE / n_docs, 6) AS fail_frac
+       |FROM agg ORDER BY rule""".stripMargin
+  }
 }

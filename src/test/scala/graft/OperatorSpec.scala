@@ -699,6 +699,55 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(sim - p.getAs[Double]("sim")) < 1e-6)
   }
 
+  test("gopher rules: accounting is consistent and the roll-up row bounds the parts") {
+    val rows = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("alpha_words", "mean_word_len", "stopwords",
+      "symbol_ratio", "word_count", "zz_any"))
+    val nDocs = rows("zz_any")._1
+    assert(rows.values.forall { case (d, f) => d == nDocs && f >= 0 && f <= d })
+    // any-rule failures are at least the worst single rule and at most the sum
+    val parts = (rows - "zz_any").values.map(_._2)
+    assert(rows("zz_any")._2 >= parts.max && rows("zz_any")._2 <= parts.sum)
+    // on a handcrafted doc the integer tests fire exactly as designed
+    import spark.implicits._
+    val crafted = Seq(
+      // 44 words, 2 distinct stopwords, mean length in [3,10] → passes all
+      (1L, "the quick brown foxes and silver wolves run across open fields " * 4, "en", 1),
+      (2L, "11 22 33 44 55", "en", 1),                     // digits: alpha+stop+count fail
+      (3L, "#### #### ####", "en", 1)                      // untokenizable → excluded
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val c = TextAnalysis.gopherRules(crafted).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(c("alpha_words") == 1 && c("word_count") == 1 && c("stopwords") == 1)
+    assert(c("zz_any") == 1 + 0)  // doc 1 passes, doc 2 fails, doc 3 excluded
+  }
+
+  test("dsir weights: mean split is proper and target-like docs outscore disjoint ones") {
+    val rows = CorpusOps.dsirWeights(docs).collect()
+    assert(rows.nonEmpty)
+    val kept = rows.count(_.getBoolean(3))
+    assert(kept > 0 && kept < rows.length, s"mean split degenerate: $kept/${rows.length}")
+    // the integer cross-multiply IS the above-mean test
+    val n = rows.length.toLong
+    val total = rows.map(_.getLong(2)).sum
+    rows.foreach(r => assert(r.getBoolean(3) == (r.getLong(2) * n > total)))
+    // crafted corpus: doc 7 mirrors the benchmark doc (id 0, % 50 == 0),
+    // docs 1-3 share nothing with it → the mirror doc must score highest
+    import spark.implicits._
+    val crafted = Seq(
+      (0L, "held out benchmark question about spark shuffles and joins", "en", 1),
+      (7L, "held out benchmark question about spark shuffles and joins", "en", 1),
+      (1L, "completely unrelated prose concerning gardens and weather patterns", "en", 1),
+      (2L, "another disjoint document on music theory and counterpoint", "en", 1),
+      (3L, "third unrelated text covering sailing knots and rigging", "en", 1)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val c = CorpusOps.dsirWeights(crafted).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(c(7L) > c(1L) && c(7L) > c(2L) && c(7L) > c(3L), c.toString)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("semDedup: conservation per cluster, and the threshold endpoints behave") {
     val rows = Dedup.semDedup(emb, numCentroids = 16, threshold = 0.4).collect()
     assert(rows.nonEmpty)
