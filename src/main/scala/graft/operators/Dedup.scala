@@ -757,9 +757,14 @@ object Dedup {
     *      window-vs-join-back entry);
     *   3. coverage per doc: sort surviving positions within each doc and
     *      sum `least(spanLen, i - lag(i))` — the equal-length-interval
-    *      union identity — then one doc-cardinality join onto token totals
-    *      (both sides uncached parquet-derived: natural stats keep the big
-    *      side out of broadcast at scale, per the round-4 caching lesson).
+    *      union identity — then doc-cardinality joins onto token totals.
+    *      Since round 5 the totals come from the SAME cached token
+    *      relation as span detection (the old `size(tokens(text))` form
+    *      re-tokenized the corpus a second time), which makes this the
+    *      mandatory-cache case: both cached-derived aggregate join sides
+    *      (tot, cov) carry hint("merge") pins on the high-cardinality
+    *      doc_id key, and zero-token docs are restored via the
+    *      documents.select(doc_id) left join (spanRemoved's pattern).
     */
   /** Shared subtree of [[spanCoverage]] and [[spanRemoved]]: the (doc_id, i)
     * start positions of `spanLen`-token windows that also appear verbatim in
@@ -777,9 +782,13 @@ object Dedup {
     * `groupBy(s).agg(min,max)` and LEFT-SEMI joins occurrences back on s:
     * the head span's occurrence mass is combined map-side before the
     * exchange, and the semi-join is sort-merge under AQE skew splitting.
-    * Neither side cached, so natural scan-derived estimates size the
-    * cross-doc span relation (no broadcast lock-in; it grows with the
-    * corpus and adapts to SMJ — the healthy case). Known trade (round-5
+    * The cross-doc span relation is a corpus-cardinality aggregate whose
+    * caller may hand this function a CACHED token relation (spanRemoved
+    * does; spanCoverage too since the round-5 review) — the mandatory-
+    * cache hazard class — so its semi-join probe side carries the
+    * hint("merge") pin: the join keys on the span string (high
+    * cardinality, the decontam-measured-safe shape, not the embedCosine
+    * bucket-key negative-result shape). Known trade (round-5
     * review): the occ subtree feeds both the groupBy and the probe, so
     * its lead-window work above the shared doc_id exchange evaluates
     * twice (ReuseExchange shares the exchange and everything below it —
@@ -803,7 +812,10 @@ object Dedup {
         .agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
         .filter(col("dmin") =!= col("dmax"))
         .select("s")
-      occ.join(crossDoc, Seq("s"), "left_semi")
+      // pin: crossDoc is a corpus-cardinality aggregate over a possibly
+      // CACHED token relation (both callers cache since round 5) — the
+      // lock-in hazard class; span-string key = high cardinality = safe SMJ
+      occ.join(crossDoc.hint("merge"), Seq("s"), "left_semi")
         .select(col("doc_id"), col("i"))
     } else {
       val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
@@ -817,8 +829,13 @@ object Dedup {
 
   def spanCoverage(documents: DataFrame, spanLen: Int = 5,
                    skewSafe: Boolean = false): DataFrame = {
-    val dup = dupSpanStarts(graft.functions.TextFns.tokenRowsOf(documents),
-      spanLen, skewSafe)
+    // one cached token relation feeds span detection AND the per-doc token
+    // totals (round-5 review: the old `size(tokens(text))` totals re-read
+    // and re-tokenized the whole corpus a second time); zero-token docs are
+    // restored by the documents.select(doc_id) left join — the spanRemoved
+    // pattern. Cache contract: harness-cleared per query (Dedup header).
+    val tok = graft.functions.TextFns.tokenRowsOf(documents).cache()
+    val dup = dupSpanStarts(tok, spanLen, skewSafe)
     val wCov = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
     val cov = dup
       .withColumn("prev", lag("i", 1).over(wCov))
@@ -828,9 +845,13 @@ object Dedup {
       .groupBy("doc_id").agg(
         count(lit(1)).as("dup_spans"),
         sum("contrib").cast("long").as("covered_tokens"))
-    val tot = documents.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"))
-    tot.join(cov, Seq("doc_id"), "left")
+    val tot = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    // both tot and cov are cached-derived doc-cardinality aggregates →
+    // mandatory-cache pins (doc_id key: high cardinality, decontam-safe)
+    documents.select(col("doc_id"))
+      .join(tot.hint("merge"), Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .join(cov.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),

@@ -647,29 +647,37 @@ object TextAnalysis {
     * '#'-symbol ratio > 0.1 (10·hashes > n), alphabetic-word fraction
     * < 0.8 (5·(n−digitw) < 4n), fewer than 2 distinct stopwords.
     *
-    * Shape rules honored: metrics come from ONE row-form aggregation over
-    * [[graft.functions.TextFns.tokenRowsOf]] (codegen'd sums — no
-    * interpreted array lambdas on the corpus path), the rule bank is
+    * Shape rules honored: ONE corpus scan — the doc-level '#' count rides
+    * the token explosion and collapses via first() in the same row-form
+    * aggregation (codegen'd sums — no interpreted array lambdas on the
+    * corpus path, no second scan, no doc_id join); the rule bank is
     * array-of-structs + explode (never union-of-filters; CLAUDE.md), and
     * every threshold test is integer arithmetic so both engines decide
-    * identically — no float thresholds anywhere. The doc-cardinality
-    * metric join keys on doc_id (high-cardinality, natural estimates,
-    * both sides uncached). Exploded rule rows collapse in a partial-agged
-    * groupBy over a 6-value key — constant state per task. */
+    * identically — no float thresholds anywhere. Exploded rule rows
+    * collapse in a partial-agged groupBy over a 6-value key — constant
+    * state per task. */
   def gopherRules(documents: DataFrame): DataFrame = {
     val allStop = stopwords.values.flatten.toSeq.distinct.sorted
-    val per = graft.functions.TextFns.tokenRowsOf(documents)
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n"),
-        sum(length(col("t0"))).cast("long").as("sumlen"),
-        sum(when(col("t0").rlike("^[0-9]+$"), 1L).otherwise(0L)).as("digitw"),
-        countDistinct(when(col("t0").isin(allStop.map(x => x: Any): _*), col("t0")))
-          .as("stopd"))
+    // ONE corpus scan: the doc-level '#' count rides the token explosion
+    // (duplicated per token row, collapsed by first() in the same agg) —
+    // the two-scan + doc_id-join form read and tokenized the text column
+    // twice (round-5 review; the spanRemoved single-tokenize lesson)
     val flags = documents
       .select(col("doc_id"),
         (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
-          .cast("long").as("hashes"))
-      .join(per, "doc_id")
+          .cast("long").as("hashes"),
+        posexplode(tokens(col("text"))).as(Seq("i", "t0")))
+      .groupBy("doc_id").agg(
+        first("hashes").as("hashes"),
+        count(lit(1)).as("n"),
+        sum(length(col("t0"))).cast("long").as("sumlen"),
+        sum(when(col("t0").rlike("^[0-9]+$"), 1L).otherwise(0L)).as("digitw"),
+        // collect_set, NOT countDistinct: a distinct agg mixed with the
+        // plain sums plans an Expand that doubles every exploded row
+        // (measured 2.6× on this query); the set is bounded by the ~30-word
+        // stoplist, so collect_set is constant-state and single-phase
+        size(collect_set(when(col("t0").isin(allStop.map(x => x: Any): _*),
+          col("t0")))).cast("long").as("stopd"))
       .withColumn("f_alpha_words",
         ((col("n") - col("digitw")) * 5 < col("n") * 4).cast("int"))
       .withColumn("f_mean_word_len",
