@@ -155,9 +155,10 @@ object Graft {
     * upsert runs — the gates read the same table the upsert swaps out, so
     * the report must be materialized first (ordering is load-bearing).
     * Scratch caches the stages create (the batch/corpus shingle relations
-    * and the chunked batch) are released before returning via
-    * plan-equality unpersist — the curateKept/clustersOfPairs cleanup
-    * precedent; library callers get no harness cache-clear.
+    * and the chunked batch) are released before returning via the cache
+    * HANDLES the `-With` stage variants expose — the buildSummariesWith
+    * precedent; library callers get no harness cache-clear, and FacadeSpec
+    * asserts the cache manager is empty after return.
     *
     * Scale shape: the batch side is small by construction (today's crawl);
     * the corpus side of the gate is the persisted band index
@@ -170,27 +171,32 @@ object Graft {
                   dedupThreshold: Double = 0.9,
                   maxContamFrac: Double = 0.5): DataFrame = {
     import graft.operators.{CorpusOps, Dedup}
-    import graft.functions.TextFns.shingleRowsOf
     val fresh = IndexBuild.buildElements(newFiles).cache()
     val batchDocs = fresh.select(col("id").as("doc_id"), col("content").as("text"))
     val existing = tableOrEmpty(spark, s"$indexDir/code_elements")
     val corpusDocs = existing.map(
       _.join(fresh.select("file_path").distinct(), Seq("file_path"), "left_anti")
         .select(col("id").as("doc_id"), col("content").as("text")))
+    val stageCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val none = fresh.select("id").limit(0)
       val dupIds = corpusDocs match {
-        case Some(c) => Dedup.minhashAgainst(batchDocs, c, dedupThreshold)
-          .select(col("batch_doc").as("id")).distinct()
+        case Some(c) =>
+          val (pairs, caches) = Dedup.minhashAgainstWith(batchDocs, c, dedupThreshold)
+          stageCaches ++= caches
+          pairs.select(col("batch_doc").as("id")).distinct()
         case None => none
       }
       val contamIds = bench match {
         // gate on the RAW integer-derived ratio, never the display-rounded
         // contam_frac column (CLAUDE.md: rank/filter on raw doubles —
         // round(…, 6) can pull a just-over-threshold doc back under it)
-        case Some(b) => CorpusOps.decontaminateAgainst(batchDocs, b)
-          .filter(col("n_overlap").cast("double") / col("n_shingles") > maxContamFrac)
-          .select(col("doc_id").as("id")).distinct()
+        case Some(b) =>
+          val (overlap, tsh) = CorpusOps.decontaminateAgainstWith(batchDocs, b)
+          stageCaches += tsh
+          overlap
+            .filter(col("n_overlap").cast("double") / col("n_shingles") > maxContamFrac)
+            .select(col("doc_id").as("id")).distinct()
         case None => none
       }
       val report = fresh.select(col("id"), col("file_path"))
@@ -214,12 +220,12 @@ object Graft {
         refreshFiles = Some(fresh.select("file_path")))
       report
     } finally {
-      // plan-equality unpersist (Dataset.unpersist matches by sameResult):
-      // rebuild each scratch relation exactly as its stage did and drop it
-      shingleRowsOf(batchDocs, 3).distinct().unpersist()
-      corpusDocs.foreach(c => shingleRowsOf(c, 3).distinct().unpersist())
-      if (bench.isDefined)
-        shingleRowsOf(batchDocs, CorpusOps.DefaultShingleN).distinct().unpersist()
+      // unpersist by HANDLE: each gate stage returns its cached scratch
+      // relations (minhashAgainstWith / decontaminateAgainstWith — the
+      // buildSummariesWith precedent), so the release cannot silently
+      // become a no-op if a stage changes shingle width or normalization.
+      // FacadeSpec asserts the cache manager is empty after this returns.
+      stageCaches.foreach(_.unpersist())
       fresh.unpersist()
       ()
     }

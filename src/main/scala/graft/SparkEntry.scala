@@ -24,6 +24,23 @@ object SparkEntry {
   // ---------------------------------------------------------------- helpers
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
+  /** Deterministic PII probe rows for q_pii_redact, declared ONCE and
+    * rendered into both engines (Spark union / oracle VALUES) — the
+    * corpus text is digit-free, so these are what exercises each class's
+    * match-and-replace path at the gate; ids sit far above any corpus
+    * doc_id. */
+  private val PiiProbes: Seq[(Long, String)] = Seq(
+    (900000001L, "contact john.doe@example.com or jane_a1@mail.co today"),
+    (900000002L, "server 192.168.1.254 open and backup 10.0.0.7 idle"),
+    (900000003L, "ssn 123-45-6789 phone 415-555-0176 card 4111111122223333"),
+    (900000004L, "tracking 987654321012 delivered"))
+
+  /** The probe rows as a DuckDB inline relation matching `documents`'
+    * (doc_id, text) projection. */
+  private def duckPiiProbes: String =
+    PiiProbes.map { case (id, t) => s"(${id}::BIGINT, '$t')" }
+      .mkString("(VALUES ", ", ", ") p(doc_id, text)")
+
   /** 1-row broadcastable query-vector frame: embedding of vec_id=0. */
   private def qvec(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -186,6 +203,22 @@ object SparkEntry {
     // DSIR importance weighting (Xie et al. 2023) in quantized-log form:
     // hashed-bigram target/raw share ratio, exact integer arithmetic
     "q_dsir_weights" -> ((s, dir) => CorpusOps.dsirWeights(Tables.documents(s, dir))),
+    // UniMax language balancing (Chung et al. 2023): closed-form integer
+    // waterfill of a token budget under a per-language epoch cap
+    "q_lang_balance" -> ((s, dir) => CorpusOps.langBalance(Tables.documents(s, dir))),
+    // cluster-balanced diversity sample: budget waterfilled over IVF
+    // clusters, all-integer quotas, md5-rank draw within cluster
+    "q_diverse_sample" -> ((s, dir) =>
+      CorpusOps.diverseSample(Tables.embeddings(s, dir), budget = 200)),
+    // PII scrub accounting: sequential class redaction + corpus checksum
+    // of the cleaned text; deterministic probe rows exercise every class
+    // (the corpus itself is digit-free, so its honest counts are zero)
+    "q_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val probes = PiiProbes.toDF("doc_id", "text")
+      TextAnalysis.piiRedact(
+        Tables.documents(s, dir).select("doc_id", "text").unionByName(probes))
+    }),
 
     // --- chunkers (C5/C6/C7) + index surface (Q3-Q6, Q9, Q10, C9) ---
     "q_chunk_text" -> ((s, dir) => Chunkers.textChunks(Tables.documents(s, dir))),
@@ -435,6 +468,10 @@ object SparkEntry {
     "q_sample_fixed_k" -> CorpusOps.duckFixedKSample("documents", 10),
     "q_sample_budget" -> CorpusOps.duckBudgetSample("documents"),
     "q_dsir_weights"  -> CorpusOps.duckDsirWeights("documents"),
+    "q_lang_balance"  -> CorpusOps.duckLangBalance("documents"),
+    "q_diverse_sample" -> CorpusOps.duckDiverseSample("embeddings", 200),
+    "q_pii_redact"    -> TextAnalysis.duckPiiRedact(
+      s"(SELECT doc_id, text FROM documents UNION ALL SELECT * FROM $duckPiiProbes)"),
 
     "q_chunk_text"       -> Chunkers.duckTextChunks("documents"),
     "q_chunk_markdown"   -> Chunkers.duckMarkdownSections("documents"),

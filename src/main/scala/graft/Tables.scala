@@ -16,10 +16,30 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
-  /** Raw events with the file schema (ts = INT64 nanos; Spark 4 rejects
-    * TIMESTAMP(NANOS) parquet unless `spark.sql.legacy.parquet.nanosAsLong`
-    * is set — our session builders set it). */
-  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  /** events with the FILE's own ts type — the driver has written this
+    * table two ways across rounds: TIMESTAMP(NANOS) (reads as INT64 nanos
+    * under `spark.sql.legacy.parquet.nanosAsLong`, which our builders set)
+    * and plain timestamp[us] (reads as TIMESTAMP_NTZ). Streaming sources
+    * need THIS schema to read the files; everything else goes through
+    * [[eventsRaw]]'s normalized form. */
+  def eventsFileSchema(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.StructType =
+    table(spark, sfDir, "events").schema
+
+  /** Normalize `ts` to INT64 epoch NANOS whatever the file holds, so every
+    * downstream `ts div 1000` (= epoch micros = DuckDB `epoch_us(ts)`)
+    * keeps working across driver testdata regenerations. Timestamp files
+    * convert via unix_micros at the session timezone, which every graft
+    * builder pins to UTC — the same interpretation DuckDB's `epoch_us`
+    * gives a naive timestamp. */
+  def tsToNanos(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => df
+    case _ => df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+  }
+
+  /** Events with `ts` as INT64 epoch nanos (the round-1..5 file contract,
+    * now enforced by [[tsToNanos]] rather than assumed of the file). */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
+    tsToNanos(table(spark, sfDir, "events"))
 
   /** Events normalized for event-time work: `ts_us` exact epoch micros
     * (nanos floor-divided, matching DuckDB's epoch_us truncation) and

@@ -80,10 +80,20 @@ object CorpusOps {
     * broadcast, [[Sketches.bloomDecontam]] is the constant-size variant).
     * Both paths share [[overlapOf]], so they cannot diverge. */
   def decontaminateAgainst(train: DataFrame, bench: DataFrame,
-                           n: Int = DefaultShingleN): DataFrame = {
+                           n: Int = DefaultShingleN): DataFrame =
+    decontaminateAgainstWith(train, bench, n)._1
+
+  /** [[decontaminateAgainst]] plus a handle on its cached training-shingle
+    * relation, so an EAGER caller ([[graft.Graft.ingestBatch]]) can
+    * unpersist it once the gate's report is materialized — the
+    * buildSummariesWith precedent: rebuilding the plan caller-side and
+    * relying on sameResult matching silently leaks the cache entry the
+    * moment this operator changes `n` or shingle normalization. */
+  def decontaminateAgainstWith(train: DataFrame, bench: DataFrame,
+                               n: Int = DefaultShingleN): (DataFrame, DataFrame) = {
     val bsh = shingleRowsOf(bench, n).select(col("s")).distinct()
-    overlapOf(shingleRowsOf(train, n).distinct().cache(), bsh)
-      .orderBy("doc_id")
+    val tsh = shingleRowsOf(train, n).distinct().cache()
+    (overlapOf(tsh, bsh).orderBy("doc_id"), tsh)
   }
 
   /** DuckDB mirror of [[decontaminate]]. */
@@ -179,6 +189,99 @@ object CorpusOps {
     s"""WITH ${duckRateCtes(table, budgetFrac)}
        |SELECT lang, n_docs, lang_tokens, weight, round(rate_raw, 6) AS rate
        |FROM rr ORDER BY lang""".stripMargin
+
+  /** UniMax language balancing (Chung et al. 2023): allocate a token
+    * budget across languages as uniformly as possible, subject to a
+    * per-language repetition cap of `maxEpochs` epochs — the principled
+    * alternative to fixed recipes ([[mixtureWeights]]) and temperature
+    * sampling ([[temperatureMixture]]): no language is repeated past the
+    * cap, and whatever budget the capped (low-resource) languages cannot
+    * absorb waterfills UNIFORMLY over the rest, instead of being silently
+    * dropped the way [[mixtureWeights]]' one-shot `min(1, …)` rate drops
+    * it.
+    *
+    * Waterfilling is computed CLOSED-FORM, not iteratively: with languages
+    * sorted by capacity ascending, language k is capped iff
+    * `cap_k · (n−k+1) ≤ B − Σ_{j<k} cap_j` — all-BIGINT arithmetic, so
+    * both engines decide each branch identically (the quantized-integer
+    * discipline); the single float division per row happens once, in the
+    * same expression tree, after every branch decision is made. The proof
+    * obligation (the per-row test is globally consistent) is monotonicity:
+    * if k is uncapped then k+1's remaining-budget bound shrinks by less
+    * than its capacity grows, so it is uncapped too.
+    *
+    * Scale shape: one corpus token-count scan collapsing to a ≤|langs|-row
+    * relation (cached — three readers); every window below runs on that
+    * bounded relation ([[graft.functions.BoundedWindow]]), and the totals /
+    * fill scalars are explicit `broadcast`s of 1-row aggregates — nothing
+    * estimate-driven. Output: (lang, n_docs, lang_tokens, capacity,
+    * capped, alloc_tokens, epochs), ORDER BY lang.
+    */
+  def langBalance(documents: DataFrame, budgetFrac: Double = 0.8,
+                  maxEpochs: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pl = perLangOf(docTokensOf(documents))
+      .withColumn("capacity", col("lang_tokens") * lit(maxEpochs.toLong))
+      .cache()
+    val totals = pl.agg(
+      count(lit(1)).cast("long").as("n_langs"),
+      floor(lit(budgetFrac) * sum("lang_tokens").cast("double")).cast("long").as("budget"))
+    val wOrd = graft.functions.BoundedWindow.boundedGlobal(
+      col("lang"), asc("capacity"), asc("lang"))
+    val ranked = pl.crossJoin(broadcast(totals))
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("s_prev", coalesce(
+        sum("capacity").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("capped",
+        (col("capacity") * (col("n_langs") - col("rk") + 1)
+          <= col("budget") - col("s_prev")).cast("int"))
+    val fills = ranked.agg(
+      coalesce(sum("capped"), lit(0L)).cast("long").as("n_capped"),
+      coalesce(sum(when(col("capped") === 1, col("capacity"))), lit(0L))
+        .cast("long").as("s_capped"))
+    ranked.crossJoin(broadcast(fills))
+      .withColumn("alloc_raw",
+        when(col("capped") === 1, col("capacity").cast("double"))
+          .otherwise((col("budget") - col("s_capped")).cast("double")
+            / (col("n_langs") - col("n_capped"))))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"), col("capacity"),
+        col("capped"),
+        round(col("alloc_raw"), 6).as("alloc_tokens"),
+        round(col("alloc_raw") / col("lang_tokens"), 6).as("epochs"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[langBalance]] — same integer cap tests, same
+    * fixed-order float tail. */
+  def duckLangBalance(table: String, budgetFrac: Double = 0.8,
+                      maxEpochs: Int = 1): String =
+    s"""WITH m AS (SELECT doc_id, lang, len(${duckTokens("text")})::BIGINT AS ntok FROM $table),
+       |pl AS (SELECT lang, count(*)::BIGINT AS n_docs, CAST(sum(ntok) AS BIGINT) AS lang_tokens
+       |       FROM m GROUP BY lang),
+       |cap AS (SELECT lang, n_docs, lang_tokens,
+       |               lang_tokens * ${maxEpochs}::BIGINT AS capacity FROM pl),
+       |tot AS (SELECT count(*)::BIGINT AS n_langs,
+       |               CAST(floor($budgetFrac::DOUBLE * CAST(sum(lang_tokens) AS DOUBLE)) AS BIGINT) AS budget
+       |        FROM cap),
+       |rkd AS (SELECT c.*, t.n_langs, t.budget,
+       |               row_number() OVER (ORDER BY capacity, lang)::BIGINT AS rk,
+       |               coalesce(CAST(sum(capacity) OVER (ORDER BY capacity, lang
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s_prev
+       |        FROM cap c CROSS JOIN tot t),
+       |flg AS (SELECT *, CASE WHEN capacity * (n_langs - rk + 1) <= budget - s_prev
+       |                       THEN 1 ELSE 0 END AS capped FROM rkd),
+       |fil AS (SELECT coalesce(CAST(sum(capped) AS BIGINT), 0) AS n_capped,
+       |               coalesce(CAST(sum(CASE WHEN capped = 1 THEN capacity END) AS BIGINT), 0) AS s_capped
+       |        FROM flg),
+       |alo AS (SELECT f.*, l.n_capped, l.s_capped,
+       |               CASE WHEN capped = 1 THEN capacity::DOUBLE
+       |                    ELSE (budget - s_capped)::DOUBLE / (n_langs - n_capped) END AS alloc_raw
+       |        FROM flg f CROSS JOIN fil l)
+       |SELECT lang, n_docs, lang_tokens, capacity, capped,
+       |       round(alloc_raw, 6) AS alloc_tokens,
+       |       round(alloc_raw / lang_tokens, 6) AS epochs
+       |FROM alo ORDER BY lang""".stripMargin
 
   /** Temperature-sampling mixture (τ = 2): language weight ∝ share^(1/τ) =
     * sqrt(share) — the standard multilingual re-balancing that upweights
@@ -450,6 +553,131 @@ object CorpusOps {
        |       CAST(sum(CASE WHEN "offset" < b.budget THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens,
        |       max(b.budget) AS budget
        |FROM c CROSS JOIN b GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Cluster-balanced diversity sampling over an embedding table: draw a
+    * `budget`-row sample spread as uniformly as possible across embedding
+    * space, by waterfilling the budget over IVF cluster sizes ([[Knn
+    * .ivfAssign]] is the assignment — q_knn_ivf's proven argmax-cosine)
+    * and drawing each cluster's quota by deterministic md5 rank. The
+    * diversity-aware selection step of cluster-then-sample data curation
+    * (the SemDeDup/DiverseEvol family): proportional sampling re-creates
+    * the corpus' density skew, uniform-per-cluster with a capacity cap is
+    * the maximum-entropy allocation.
+    *
+    * ALL-INTEGER waterfill (the [[langBalance]] closed form, plus exact
+    * remainder spread): cluster k (capacity-ascending) is capped iff
+    * `size_k · (n−k+1) ≤ B − Σ_{j<k} size_j`; uncapped clusters get
+    * `floor(R/m)` with the `R mod m` remainder going to the lowest
+    * cluster ids — so `Σ quota = min(B, N)` EXACTLY, an invariant the
+    * spec asserts and both engines decide with pure BIGINT arithmetic.
+    *
+    * Scale shape: assignment is a broadcast argmax over ≤numCentroids
+    * centroids (one corpus scan, no shuffle); quotas come from windows
+    * over the ≤numCentroids-row cluster relation ([[graft.functions
+    * .BoundedWindow]]); the within-cluster rank window partitions by
+    * cluster and its filter carries the literal `rk ≤ budget` conjunct, so
+    * Spark 4's InferWindowGroupLimit prunes every cluster to the global
+    * budget map-side before the exact per-cluster quota filter lands —
+    * the window never materializes a cluster's full mass when
+    * budget ≪ cluster size. Output: (vec_id, label, cluster) sampled
+    * rows, ORDER BY vec_id. */
+  def diverseSample(index: DataFrame, budget: Int,
+                    numCentroids: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = graft.operators.Knn.ivfAssign(index, numCentroids)
+      .select(col("vec_id"), col("label"), col("cluster"))
+      .cache()
+    val sizes = assigned.groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("sz"))
+    val totals = sizes.agg(
+      count(lit(1)).cast("long").as("n_cl"),
+      least(lit(budget.toLong), sum("sz")).cast("long").as("b"))
+    val wOrd = graft.functions.BoundedWindow.boundedGlobal(
+      col("cluster"), asc("sz"), asc("cluster"))
+    val ranked = sizes.crossJoin(broadcast(totals))
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("s_prev", coalesce(
+        sum("sz").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped",
+        (col("sz") * (col("n_cl") - col("rk") + 1) <= col("b") - col("s_prev"))
+          .cast("int"))
+    val fills = ranked.agg(
+      coalesce(sum("capped"), lit(0L)).cast("long").as("n_capped"),
+      coalesce(sum(when(col("capped") === 1, col("sz"))), lit(0L))
+        .cast("long").as("s_capped"))
+    // remainder spread: R mod m extra slots to the lowest-id uncapped
+    // clusters — row_number within the capped flag groups of the bounded
+    // cluster relation (the capped group's number is discarded by the
+    // CASE; both branches of the otherwise are lazy, so the m=0
+    // all-capped case never divides — ANSI-safe in both engines)
+    val wUnc = Window.partitionBy(col("capped")).orderBy(asc("cluster"))
+    val quotas = ranked.crossJoin(broadcast(fills))
+      .withColumn("r_left", col("b") - col("s_capped"))
+      .withColumn("m", col("n_cl") - col("n_capped"))
+      .withColumn("urk",
+        when(col("capped") === 0, row_number().over(wUnc).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("quota",
+        when(col("capped") === 1, col("sz"))
+          .otherwise(expr("r_left div m")
+            + when(col("urk") <= col("r_left") % col("m"), 1L).otherwise(0L)))
+      .select(col("cluster"), col("quota"))
+    val wIn = Window.partitionBy("cluster")
+      .orderBy(asc("h"), asc("vec_id"))
+    assigned
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .join(broadcast(quotas), Seq("cluster"))
+      .withColumn("srk", row_number().over(wIn).cast("long"))
+      // literal conjunct first: InferWindowGroupLimit keys on rank ≤
+      // literal, turning the window into a budget-bounded heap per task
+      .filter(col("srk") <= lit(budget.toLong) && col("srk") <= col("quota"))
+      .select(col("vec_id"), col("label"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB mirror of [[diverseSample]] — q_knn_ivf's assignment CTEs,
+    * then the same all-BIGINT waterfill. */
+  def duckDiverseSample(table: String, budget: Int,
+                        numCentroids: Int = 16): String = {
+    import graft.functions.VectorFns.duckCosine
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM $table WHERE vec_id < $numCentroids),
+       |asg0 AS (SELECT e.vec_id, e.label, c.cid,
+       |                row_number() OVER (PARTITION BY e.vec_id
+       |                  ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
+       |         FROM $table e CROSS JOIN cent c),
+       |a AS (SELECT vec_id, label, cid AS cluster FROM asg0 WHERE crn = 1),
+       |sz AS (SELECT cluster, count(*)::BIGINT AS sz FROM a GROUP BY cluster),
+       |tot AS (SELECT count(*)::BIGINT AS n_cl,
+       |               least($budget::BIGINT, CAST(sum(sz) AS BIGINT)) AS b FROM sz),
+       |rkd AS (SELECT s.*, t.n_cl, t.b,
+       |               row_number() OVER (ORDER BY sz, cluster)::BIGINT AS rk,
+       |               coalesce(CAST(sum(sz) OVER (ORDER BY sz, cluster
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s_prev
+       |        FROM sz s CROSS JOIN tot t),
+       |flg AS (SELECT *, CASE WHEN sz * (n_cl - rk + 1) <= b - s_prev
+       |                       THEN 1 ELSE 0 END AS capped FROM rkd),
+       |fil AS (SELECT coalesce(CAST(sum(capped) AS BIGINT), 0) AS n_capped,
+       |               coalesce(CAST(sum(CASE WHEN capped = 1 THEN sz END) AS BIGINT), 0) AS s_capped
+       |        FROM flg),
+       |urk0 AS (SELECT f.*, l.n_capped, l.s_capped,
+       |                CASE WHEN f.capped = 0 THEN
+       |                  row_number() OVER (PARTITION BY f.capped ORDER BY f.cluster)::BIGINT
+       |                ELSE 0 END AS urk
+       |         FROM flg f CROSS JOIN fil l),
+       |qts AS (SELECT cluster,
+       |               CASE WHEN capped = 1 THEN sz
+       |                    ELSE (b - s_capped) // (n_cl - n_capped)
+       |                         + CASE WHEN urk <= (b - s_capped) % (n_cl - n_capped)
+       |                               THEN 1 ELSE 0 END
+       |               END AS quota
+       |        FROM urk0),
+       |rnk AS (SELECT a.vec_id, a.label, a.cluster, q.quota,
+       |               row_number() OVER (PARTITION BY a.cluster
+       |                 ORDER BY md5(a.vec_id::VARCHAR), a.vec_id)::BIGINT AS srk
+       |        FROM a JOIN qts q USING (cluster))
+       |SELECT vec_id, label, cluster
+       |FROM rnk WHERE srk <= quota ORDER BY vec_id""".stripMargin
+  }
 
   // --------------------------------------------- embedding-outlier filter
 

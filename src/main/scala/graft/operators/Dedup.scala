@@ -589,8 +589,11 @@ object Dedup {
     *
     * doc_ids need not be disjoint across the two relations: roles are kept
     * separate end-to-end (per-side shingle relations, per-side band
-    * indexes, role-keyed verify joins), so a re-ingested id never
-    * self-pairs. Scale shape is [[minhashIncremental]]'s: candidates are
+    * indexes, role-keyed verify joins), and the candidate join drops
+    * same-id pairs outright (`d1 =!= d2`, enforced in code since round 6 —
+    * previously only the scaladoc claimed it), so a re-ingested id never
+    * self-pairs against its own superseded corpus row. Scale shape is
+    * [[minhashIncremental]]'s: candidates are
     * the batch-bands × corpus-band-index equijoin (new × old only), the
     * corpus side being the persisted artifact (bucketed by band key →
     * co-located probe); verify is candidate-first. Both shingle relations
@@ -599,12 +602,24 @@ object Dedup {
     * cached-aggregate build sides must never broadcast (round-2 lesson).
     */
   def minhashAgainst(batch: DataFrame, corpus: DataFrame, threshold: Double,
-                     seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+                     seeds: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    minhashAgainstWith(batch, corpus, threshold, seeds, rowsPerBand)._1
+
+  /** [[minhashAgainst]] plus handles on its two cached shingle relations,
+    * so an EAGER caller ([[graft.Graft.ingestBatch]]) can unpersist them
+    * once the gate's report is materialized — the buildSummariesWith
+    * precedent: without the handles the caller must rebuild the private
+    * shingle plans and rely on sameResult matching, which silently becomes
+    * a no-op (a per-ingest corpus-cardinality cache leak) the moment this
+    * operator changes shingle width or normalization. */
+  def minhashAgainstWith(batch: DataFrame, corpus: DataFrame, threshold: Double,
+                         seeds: Int = 8, rowsPerBand: Int = 2): (DataFrame, Seq[DataFrame]) = {
     val shB = shingleRows(batch, 3)
     val shC = shingleRows(corpus, 3)
     val cand = bandRowsOf(shB, seeds, rowsPerBand).as("x")
       .join(bandRowsOf(shC, seeds, rowsPerBand).as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     val inter = cand
@@ -613,7 +628,7 @@ object Dedup {
       .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
     val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    inter
+    val out = inter
       .join(sizesB.select(col("doc_id").as("d1"), col("n").as("n1")).hint("merge"), "d1")
       .join(sizesC.select(col("doc_id").as("d2"), col("n").as("n2")).hint("merge"), "d2")
       .withColumn("jaccard", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
@@ -621,6 +636,7 @@ object Dedup {
       .select(col("d1").as("batch_doc"), col("d2").as("corpus_doc"),
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy(asc("batch_doc"), asc("corpus_doc"))
+    (out, Seq(shB, shC))
   }
 
   /** DuckDB mirror of [[minhashIncremental]]. The verify CTEs are the

@@ -646,6 +646,8 @@ object TextAnalysis {
     * length outside [3, 10] (tested as sumlen vs 3n/10n — pure integers),
     * '#'-symbol ratio > 0.1 (10·hashes > n), alphabetic-word fraction
     * < 0.8 (5·(n−digitw) < 4n), fewer than 2 distinct stopwords.
+    * Zero-token docs COUNT: they appear in every rule's n_docs and fail
+    * word_count (and stopwords) — via posexplode_outer, not a join-back.
     *
     * Shape rules honored: ONE corpus scan — the doc-level '#' count rides
     * the token explosion and collapses via first() in the same row-form
@@ -666,11 +668,18 @@ object TextAnalysis {
       .select(col("doc_id"),
         (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
           .cast("long").as("hashes"),
-        posexplode(tokens(col("text"))).as(Seq("i", "t0")))
+        // posexplode_OUTER: a zero-token doc still emits one (null, null)
+        // row, so it reaches the rule bank and fails word_count — plain
+        // posexplode silently dropped such docs from ALL accounting (the
+        // round-5 advice finding: an empty doc is exactly what Gopher's
+        // word-count rule exists to reject). The aggregates below are
+        // null-safe: count(t0) skips the null row, the sums see null
+        // conditions as false, and coalesce restores 0 for the null sum.
+        posexplode_outer(tokens(col("text"))).as(Seq("i", "t0")))
       .groupBy("doc_id").agg(
         first("hashes").as("hashes"),
-        count(lit(1)).as("n"),
-        sum(length(col("t0"))).cast("long").as("sumlen"),
+        count(col("t0")).as("n"),
+        coalesce(sum(length(col("t0"))), lit(0L)).cast("long").as("sumlen"),
         sum(when(col("t0").rlike("^[0-9]+$"), 1L).otherwise(0L)).as("digitw"),
         // collect_set, NOT countDistinct: a distinct agg mixed with the
         // plain sums plans an Expand that doubles every exploded row
@@ -725,11 +734,11 @@ object TextAnalysis {
     s"""WITH tk AS (SELECT doc_id, text, ${duckTokens("text")} AS t FROM $table),
        |per AS (SELECT doc_id,
        |        len(t)::BIGINT AS n,
-       |        list_sum(list_transform(t, x -> length(x)))::BIGINT AS sumlen,
+       |        coalesce(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT AS sumlen,
        |        len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$$')))::BIGINT AS digitw,
        |        len(list_distinct(list_filter(t, x -> list_contains($lst, x))))::BIGINT AS stopd,
        |        (length(text) - length(replace(text, '#', '')))::BIGINT AS hashes
-       |        FROM tk WHERE len(t) > 0),
+       |        FROM tk),
        |fl AS (SELECT doc_id,
        |        $flagCols
        |        FROM per),
@@ -738,5 +747,98 @@ object TextAnalysis {
        |SELECT rule, n_docs, n_fail,
        |       round(n_fail::DOUBLE / n_docs, 6) AS fail_frac
        |FROM agg ORDER BY rule""".stripMargin
+  }
+
+  /** PII classes scrubbed by [[piiRedact]], in APPLICATION ORDER — the
+    * order is part of the contract (classes are counted on the text as it
+    * stands when their turn comes, so a digit run inside an already-
+    * redacted email is never double-counted). Patterns are restricted to
+    * the syntax Java regex and RE2 (DuckDB) interpret identically:
+    * character classes, bounded repetition, ASCII `\b`; no lookaround, no
+    * backreferences. */
+  val PiiClasses: Seq[(String, String, String)] = Seq(
+    ("email", """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}""", "[EMAIL]"),
+    ("ipv4", """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b""", "[IP]"),
+    ("ssn", """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b""", "[SSN]"),
+    ("phone", """\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b""", "[PHONE]"),
+    ("digit_run", """\b[0-9]{9,}\b""", "[NUM]"))
+
+  /** PII redaction pass — the scrub stage every public training-data
+    * pipeline runs before release (C4 / Dolma / RefinedWeb all ship one):
+    * emails, IPv4s, SSN-shaped and phone-shaped numbers, and long digit
+    * runs (ids / card numbers) are replaced by class tokens, applied
+    * SEQUENTIALLY in [[PiiClasses]] order with each class counted on the
+    * text the previous class left behind. Replacement tokens contain no
+    * digits, so redaction can never create a later match.
+    *
+    * Output is the per-class accounting relation:
+    * (pii_class, n_matches, n_docs, clean_checksum) — one row per class
+    * (n_docs = docs with ≥1 match of that class) plus a `zz_corpus`
+    * roll-up whose n_matches/n_docs cover ALL classes and whose
+    * clean_checksum is the corpus-wide sum of each doc's post-redaction
+    * md5 prefix (`conv(substr(md5, 1, 12), 16, 10)` — 48 bits/doc, so the
+    * BIGINT sum is exact far beyond 100 TB row counts): the checksum
+    * pins the redacted TEXT cross-engine, not just the counts.
+    *
+    * Shape rules: ONE corpus scan; the per-class counts ride a single
+    * projection (codegen CSE shares the intermediate texts); the class
+    * bank is array-of-structs + explode (CLAUDE.md — never
+    * union-of-filters), collapsing in a partial-agged groupBy over a
+    * 6-value key. */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    // (textAfter_k, counts) chain: counts_k measured on textAfter_{k-1}
+    val t0 = col("text")
+    val staged = PiiClasses.scanLeft((t0, lit(0L))) {
+      case ((prev, _), (_, pat, repl)) =>
+        (regexp_replace(prev, pat, repl),
+          size(regexp_extract_all(prev, lit(pat), lit(0))).cast("long"))
+    }
+    val cleanCol = staged.last._1
+    val cntCols = staged.tail.map(_._2) // one per class, in order
+    val total = cntCols.reduce(_ + _)
+    val structs = PiiClasses.zip(cntCols).map { case ((name, _, _), c) =>
+      struct(lit(name).as("cls"), c.as("cnt"), lit(0L).as("chk"))
+    } :+ struct(lit("zz_corpus").as("cls"), total.as("cnt"),
+      conv(substring(md5(cleanCol), 1, 12), 16, 10).cast("long").as("chk"))
+    documents
+      .select(explode(array(structs: _*)).as("r"))
+      .select(col("r.cls").as("pii_class"), col("r.cnt").as("cnt"), col("r.chk").as("chk"))
+      .groupBy("pii_class")
+      .agg(sum("cnt").cast("long").as("n_matches"),
+        sum(when(col("cnt") > 0, 1L).otherwise(0L)).cast("long").as("n_docs"),
+        sum("chk").cast("long").as("clean_checksum"))
+      .orderBy("pii_class")
+  }
+
+  /** DuckDB mirror of [[piiRedact]] — same sequential staging ('g' flag:
+    * DuckDB's regexp_replace is first-match-only by default where Spark's
+    * replaces globally), UNION ALL class bank on the oracle side only. */
+  def duckPiiRedact(table: String): String = {
+    val stages = PiiClasses.zipWithIndex.map { case ((name, pat, repl), i) =>
+      val prev = if (i == 0) "text" else s"t$i"
+      (name, s"len(regexp_extract_all($prev, '$pat')) AS c_$name",
+        s"regexp_replace($prev, '$pat', '$repl', 'g') AS t${i + 1}")
+    }
+    // build nested CTEs: each stage needs the previous stage's text
+    val stageCtes = stages.zipWithIndex.map { case ((_, cntExpr, replExpr), i) =>
+      val src = if (i == 0) table else s"s$i"
+      s"s${i + 1} AS (SELECT *, $cntExpr, $replExpr FROM $src)"
+    }.mkString(",\n       |")
+    val last = s"s${stages.length}"
+    val classRows = PiiClasses.map { case (name, _, _) =>
+      s"""SELECT '$name' AS pii_class, CAST(sum(c_$name) AS BIGINT) AS n_matches,
+         |         CAST(sum(CASE WHEN c_$name > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |         0::BIGINT AS clean_checksum FROM $last""".stripMargin
+    }
+    val totalExpr = PiiClasses.map { case (n, _, _) => s"c_$n" }.mkString(" + ")
+    val zzRow =
+      s"""SELECT 'zz_corpus', CAST(sum($totalExpr) AS BIGINT),
+         |         CAST(sum(CASE WHEN $totalExpr > 0 THEN 1 ELSE 0 END) AS BIGINT),
+         |         CAST(sum(('0x' || substr(md5(t${stages.length}), 1, 12))::BIGINT) AS BIGINT)
+         |  FROM $last""".stripMargin
+    s"""WITH $stageCtes
+       |SELECT * FROM (
+       |  ${(classRows :+ zzRow).mkString("\n       |  UNION ALL ")}
+       |) ORDER BY pii_class""".stripMargin
   }
 }

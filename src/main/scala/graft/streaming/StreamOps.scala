@@ -27,6 +27,18 @@ object StreamOps {
     * query START, so scoping it around `start()`+`processAllAvailable()`
     * affects only this query; batch queries keep the session default.
     */
+  /** File-schema streaming read of the events table with `ts` normalized
+    * to INT64 epoch nanos ([[Tables.tsToNanos]]) — the same contract the
+    * batch loaders expose, kept in ONE place so a driver testdata
+    * regeneration (TIMESTAMP(NANOS) → timestamp[us] in round 6) can't
+    * split the batch and streaming paths. readStream needs the FILE's own
+    * schema; the normalization is a projection on top. */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tsToNanos(
+      spark.readStream.schema(Tables.eventsFileSchema(spark, sfDir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+
   private def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
@@ -60,10 +72,7 @@ object StreamOps {
 
   /** Tumbling 6-hour count per event type, executed as a streaming query. */
   def streamedEventsWindow(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = Tables.eventsRaw(spark, sfDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = eventsStream(spark, sfDir)
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .groupBy(window(col("ts_t"), "6 hours").as("w"), col("event_type"))
@@ -107,10 +116,7 @@ object StreamOps {
   def streamedUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    val schema = Tables.eventsRaw(spark, sfDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = eventsStream(spark, sfDir)
     streamedUserTotalsOf(stream, s"graft_stream_tot_${counter.incrementAndGet()}")
   }
 
@@ -171,10 +177,7 @@ object StreamOps {
     * uses append mode + watermark, which emits each session once its
     * gap-padded end passes the watermark. */
   def streamedSessions(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = Tables.eventsRaw(spark, sfDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = eventsStream(spark, sfDir)
     streamedSessionsOf(stream, s"graft_stream_sess_${counter.incrementAndGet()}")
   }
 
@@ -324,10 +327,7 @@ object StreamOps {
     * (append mode); the per-user rollup is batch over the sink, identical
     * to the batch oracle. */
   def streamedViewPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = Tables.eventsRaw(spark, sfDir).schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val src = eventsStream(spark, sfDir)
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
     viewPurchaseJoinOf(src, s"graft_stream_join_${counter.incrementAndGet()}", "2 hours")
   }

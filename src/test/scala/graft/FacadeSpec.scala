@@ -113,7 +113,14 @@ class FacadeSpec extends AnyFunSuite {
       ("old/keep.txt", "completely different seed content that stays around forever untouched")
     ).toDS()
 
+    // the round-5 advice assertion: ingestBatch must release every scratch
+    // cache its stages create — by handle, not by plan-equality rebuild —
+    // so a stage changing shingle width can't silently leak a
+    // corpus-cardinality cache entry per ingest
+    spark.sharedState.cacheManager.clearCache()
     val report = Graft.ingestBatch(spark, dirA, batch, Some(bench))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "ingestBatch leaked a stage cache entry")
     val actions = report.collect()
       .map(r => (r.getString(1), r.getString(2))).groupBy(_._1)
       .map { case (p, rows) => p -> rows.map(_._2).toSet }
@@ -167,7 +174,10 @@ class FacadeSpec extends AnyFunSuite {
     val batch = Seq(
       ("a.txt", "stable bravo content that the corpus keeps and the batch never touches")
     ).toDS()
+    spark.sharedState.cacheManager.clearCache()
     val report = Graft.ingestBatch(spark, dir, batch)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "ingestBatch leaked a stage cache entry")
     assert(report.collect().map(_.getString(2)).toSet == Set("near_dup"))
     val after = spark.read.parquet(s"$dir/code_elements")
     assert(after.filter(col("file_path") === "a.txt").count() == 0,

@@ -715,12 +715,17 @@ class OperatorSpec extends AnyFunSuite {
       // 44 words, 2 distinct stopwords, mean length in [3,10] → passes all
       (1L, "the quick brown foxes and silver wolves run across open fields " * 4, "en", 1),
       (2L, "11 22 33 44 55", "en", 1),                     // digits: alpha+stop+count fail
-      (3L, "#### #### ####", "en", 1)                      // untokenizable → excluded
+      (3L, "#### #### ####", "en", 1)                      // untokenizable → word_count+stop+symbol fail
     ).toDF("doc_id", "text", "lang", "n_chars")
     val c = TextAnalysis.gopherRules(crafted).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
-    assert(c("alpha_words") == 1 && c("word_count") == 1 && c("stopwords") == 1)
-    assert(c("zz_any") == 1 + 0)  // doc 1 passes, doc 2 fails, doc 3 excluded
+    // round-6 semantics: zero-token doc 3 COUNTS (posexplode_outer) — it
+    // fails word_count (n=0 < 40), stopwords (0 < 2), and symbol_ratio
+    // (12 hashes > 0 tokens), while alpha_words and mean_word_len are
+    // vacuous at n=0; doc 2 additionally fails mean_word_len (mean 2 < 3)
+    assert(c("alpha_words") == 1 && c("word_count") == 2 && c("stopwords") == 2)
+    assert(c("symbol_ratio") == 1 && c("mean_word_len") == 1)
+    assert(c("zz_any") == 2)  // doc 1 passes, docs 2 and 3 fail
   }
 
   test("dsir weights: mean split is proper and target-like docs outscore disjoint ones") {
@@ -933,5 +938,135 @@ class OperatorSpec extends AnyFunSuite {
     val rep = Diagnostics.report(docs)
       .agg(sum(col("error_count") + col("warning_count"))).collect()(0).getLong(0)
     assert(raw == rep)
+  }
+
+  test("gopher rules: zero-token docs count in every rule and fail word_count") {
+    import spark.implicits._
+    // doc 2 tokenizes to nothing (punctuation only), doc 3 is empty text —
+    // the round-5 advice case: posexplode silently dropped such docs from
+    // ALL rule accounting, yet an untokenizable doc is exactly what the
+    // word-count rule exists to reject
+    val tiny = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then some more words here"),
+      (2L, "!!! ... ###"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherRules(tiny).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every rule sees all 3 docs
+    assert(rows.values.forall(_._1 == 3L), s"n_docs wrong: $rows")
+    // both token-less docs fail word_count (and hence zz_any); doc 1 also
+    // fails word_count here (14 < 40 tokens) — the assertion is that the
+    // empty docs are IN the count, not dropped
+    assert(rows("word_count")._2 == 3L)
+    assert(rows("zz_any")._2 == 3L)
+    // mean_word_len must NOT fail on n=0 (0 < 0 and 0 > 0 are both false)
+    assert(rows("mean_word_len")._2 == 0L)
+  }
+
+  test("minhashAgainst: an id present in both relations never self-pairs") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val batch = Seq((1L, txt), (2L, "completely different words in this one"))
+      .toDF("doc_id", "text")
+    // corpus re-uses id 1 with IDENTICAL content (jaccard 1.0) — the
+    // re-ingested-doc case; id 9 is a genuine duplicate the guard must
+    // keep (identical text → identical signatures → candidate guaranteed)
+    val corpus = Seq((1L, txt), (9L, txt))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashAgainst(batch, corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((1L, 1L)), "same-id pair leaked through the guard")
+    assert(pairs.contains((1L, 9L)), "cross-id near-dup must survive the guard")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("langBalance: closed-form waterfill conserves budget and respects the epoch cap") {
+    import spark.implicits._
+    // caps (E=1): a=100, b=200, c=700, total=1000; B = floor(0.5*1000)=500
+    // ascending: a capped (100*3=300 ≤ 500), b capped (200*2=400 ≤ 400),
+    // c uncapped → alloc = 500-300 = 200 with exactly the closed-form test
+    val crafted = Seq(
+      (1L, ("w " * 100).trim, "aa", 1), (2L, ("w " * 200).trim, "bb", 1),
+      (3L, ("w " * 700).trim, "cc", 1)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val rows = CorpusOps.langBalance(crafted, budgetFrac = 0.5, maxEpochs = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getInt(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(rows("aa") == ((100L, 1, 100.0, 1.0)))
+    assert(rows("bb") == ((200L, 1, 200.0, 1.0)))
+    assert(rows("cc") == ((700L, 0, 200.0, math.rint(200.0 / 700 * 1e6) / 1e6)))
+    // corpus invariants at defaults: allocations conserve the budget when
+    // any language is uncapped, and epochs never exceed the cap
+    val corpus = CorpusOps.langBalance(docs).collect()
+    val total = corpus.map(_.getLong(2)).sum
+    val budget = math.floor(0.8 * total).toLong
+    val allocSum = corpus.map(_.getDouble(5)).sum
+    if (corpus.exists(_.getInt(4) == 0))
+      assert(math.abs(allocSum - budget) < 1e-3, s"sum=$allocSum budget=$budget")
+    corpus.foreach { r =>
+      assert(r.getDouble(6) <= 1.0 + 1e-9)
+      assert(r.getDouble(5) <= r.getLong(3) + 1e-9) // alloc ≤ capacity
+    }
+  }
+
+  test("diverseSample: exact budget conservation, quota bounds, determinism") {
+    val n = emb.count()
+    val out = CorpusOps.diverseSample(emb, budget = 50).collect()
+    assert(out.length == math.min(50L, n).toInt,
+      s"waterfill must conserve the budget exactly, got ${out.length}")
+    // sampled ids are real rows, no duplicates
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    // spread: with a 50-row budget over 16 clusters no cluster may exceed
+    // ceil(50/16)+remainder bound unless others are capped below fair
+    // share; the hard invariant is quota ≤ cluster size and ≥ uniform
+    // floor for uncapped clusters — assert the sample touches > 1 cluster
+    assert(out.map(_.get(2)).distinct.length > 1)
+    val again = CorpusOps.diverseSample(emb, budget = 50).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("piiRedact: every class matches and redacts; counts are sequential-order honest") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "mail a.b@x.io and c%d+e@y-z.org now"),          // 2 emails
+      (2L, "hosts 10.0.0.1 and 255.255.255.255 up"),        // 2 ipv4
+      (3L, "ssn 123-45-6789 then phone 415-555-0176"),      // 1 ssn + 1 phone
+      (4L, "ids 123456789 and 98765432109876 ok"),          // 2 digit runs
+      (5L, "clean text with no sensitive content at all")   // nothing
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.piiRedact(crafted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("email") == ((2L, 1L)))
+    assert(rows("ipv4") == ((2L, 1L)))
+    assert(rows("ssn") == ((1L, 1L)))
+    assert(rows("phone") == ((1L, 1L)))
+    assert(rows("digit_run") == ((2L, 1L)))
+    assert(rows("zz_corpus") == ((8L, 4L))) // 8 matches across 4 changed docs
+    // sequential honesty: an email's digits are gone before digit_run
+    // runs — a digit-bearing email counts once, as email only
+    val seq = TextAnalysis.piiRedact(
+      Seq((1L, "reach user123456789@host.com please")).toDF("doc_id", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seq("email") == 1L && seq("digit_run") == 0L)
+  }
+
+  test("boundedGlobal windows keep a non-empty partition spec through the optimizer") {
+    import org.apache.spark.sql.expressions.Window
+    // the helper's constant-zero key must SURVIVE optimization: a future
+    // Spark rule folding pmod(length(x), 1) would re-empty the partition
+    // spec and silently revert the warning suppression (results stay
+    // correct, so only a plan assertion can catch it) — round-5 advice
+    val w = graft.functions.BoundedWindow.boundedGlobal(col("t"), asc("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val df = docs.select(col("doc_id").cast("string").as("t"))
+      .withColumn("s", sum(length(col("t"))).over(w))
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case win: org.apache.spark.sql.catalyst.plans.logical.Window => win
+    }
+    assert(windows.nonEmpty, "optimized plan lost the Window node")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "optimizer folded boundedGlobal's partition key back to the empty spec")
   }
 }
