@@ -93,6 +93,13 @@ object SparkEntry {
       Knn.topKIvf(emb(s, dir), qvec(s, dir), k = 10,
         numCentroids = 16, nprobe = 4, excludeId = Some(0L))),
 
+    // SQ8 scalar quantization: whole-index scan over int8 codes (4× less
+    // bandwidth than float32), top-4k candidates re-ranked full-precision.
+    // The quantized ranking key is exact integer arithmetic cross-engine.
+    "q_knn_sq8" -> ((s, dir) =>
+      Knn.topKSq8(emb(s, dir), qvec(s, dir), k = 10, candMultiple = 4,
+        excludeId = Some(0L))),
+
     // Measured recall@10 of every ANN variant vs exact top-k over a fixed
     // 16-query set — the parameters mirror the engine's query defaults
     // (bits=4 as q_knn_lsh, 16 centroids / nprobe=4 as q_knn_ivf,
@@ -200,6 +207,9 @@ object SparkEntry {
     // exact-token-budget sample: hash-order prefix cut (the "train on N
     // tokens" contract, exact to within one doc — not an expected rate)
     "q_sample_budget" -> ((s, dir) => CorpusOps.budgetSample(Tables.documents(s, dir))),
+    // systematic PPS sample: one doc per W/k tokens of the hash-ordered
+    // token line — inclusion probability ∝ token weight, all-BIGINT
+    "q_sample_weighted" -> ((s, dir) => CorpusOps.weightedSample(Tables.documents(s, dir), k = 50)),
     // DSIR importance weighting (Xie et al. 2023) in quantized-log form:
     // hashed-bigram target/raw share ratio, exact integer arithmetic
     "q_dsir_weights" -> ((s, dir) => CorpusOps.dsirWeights(Tables.documents(s, dir))),
@@ -426,9 +436,24 @@ object SparkEntry {
          |SELECT bucket, v1, v2, round(sim_raw, 6) AS sim
          |FROM s WHERE sim_raw >= 0.3 ORDER BY sim DESC, v1, v2""".stripMargin,
 
+    "q_knn_sq8" ->
+      s"""WITH ${VectorFns.duckSq8Ctes("embeddings")},
+         |qc AS (SELECT d, c FROM sq8_codes WHERE vec_id = 0),
+         |qn AS (SELECT sqrt(sum(c*c)) AS qcn FROM qc),
+         |ad AS (SELECT sq8_codes.vec_id, sum(sq8_codes.c * qc.c) AS qdot
+         |       FROM sq8_codes JOIN qc USING (d)
+         |       WHERE sq8_codes.vec_id <> 0 GROUP BY sq8_codes.vec_id),
+         |cand AS (SELECT ad.vec_id FROM ad JOIN sq8_cn USING (vec_id) CROSS JOIN qn
+         |         ORDER BY qdot / (cn * qcn) DESC, vec_id LIMIT 40),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS sim_raw
+         |      FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q)
+         |SELECT vec_id, label, round(sim_raw, 6) AS sim
+         |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
+
     "q_knn_recall" -> graft.operators.KnnRecall.duckAnnRecall("embeddings",
       k = 10, nQueries = 16, bits = 4, numCentroids = 16, nprobe = 4,
-      bandBits = 4, bandTables = 16),
+      bandBits = 4, bandTables = 16, sqCandMultiple = 4),
 
     "q_dedup_exact"   -> Dedup.duckExact("documents"),
     "q_dedup_minhash" -> Dedup.duckMinhashSql("documents", 0.8),
@@ -467,6 +492,7 @@ object SparkEntry {
     "q_temp_mixture"  -> CorpusOps.duckTemperatureMixture("documents"),
     "q_sample_fixed_k" -> CorpusOps.duckFixedKSample("documents", 10),
     "q_sample_budget" -> CorpusOps.duckBudgetSample("documents"),
+    "q_sample_weighted" -> CorpusOps.duckWeightedSample("documents", 50),
     "q_dsir_weights"  -> CorpusOps.duckDsirWeights("documents"),
     "q_lang_balance"  -> CorpusOps.duckLangBalance("documents"),
     "q_diverse_sample" -> CorpusOps.duckDiverseSample("embeddings", 200),

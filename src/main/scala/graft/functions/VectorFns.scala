@@ -67,4 +67,27 @@ object VectorFns {
   def duckSignBucketAt(emb: String, offset: Int, bits: Int): String =
     (offset + 1 to offset + bits).map(i =>
       s"CASE WHEN ($emb)[$i] > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+
+  /** DuckDB oracle fragment: the SQ8 code-book CTEs mirroring
+    * [[graft.operators.Knn.sq8Scales]]/`sq8Codes` — per-dim scale
+    * `127/max|v_d|` (0 for a dead dim), codes `floor(v·scale)` in row form
+    * (vec_id, d, c), and per-vector code norms. All sums are over
+    * integer-valued doubles, so accumulation order cannot matter — the
+    * property that lets the approximate ranking be oracle-compared at all.
+    * Literals are ::DOUBLE-forced (DuckDB types bare decimals as DECIMAL
+    * and would run decimal arithmetic where Spark runs double). Emits CTE
+    * bodies named `sq8_sc`, `sq8_codes`, `sq8_cn` for interpolation after
+    * a `WITH`. */
+  def duckSq8Ctes(table: String): String =
+    s"""sq8_sc AS (
+       |  SELECT d, CASE WHEN mx > 0 THEN 127.0::DOUBLE / mx ELSE 0.0::DOUBLE END AS scale
+       |  FROM (SELECT d, max(abs(CAST(embedding[d] AS DOUBLE))) AS mx
+       |        FROM $table CROSS JOIN (
+       |          SELECT unnest(generate_series(1,
+       |            (SELECT len(embedding) FROM $table LIMIT 1))) AS d) dims
+       |        GROUP BY d) t),
+       |sq8_codes AS (
+       |  SELECT vec_id, d, floor(CAST(embedding[d] AS DOUBLE) * scale) AS c
+       |  FROM $table CROSS JOIN sq8_sc),
+       |sq8_cn AS (SELECT vec_id, sqrt(sum(c*c)) AS cn FROM sq8_codes GROUP BY vec_id)""".stripMargin
 }

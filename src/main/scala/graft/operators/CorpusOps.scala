@@ -554,6 +554,76 @@ object CorpusOps {
        |       max(b.budget) AS budget
        |FROM c CROSS JOIN b GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Systematic probability-proportional-to-size (PPS) sampler — the
+    * fourth sampling contract: draw ~`k` docs with inclusion probability
+    * proportional to TOKEN WEIGHT, deterministically. Weighted draws are
+    * how curation pipelines sample for inspection/eval while matching the
+    * token (not document) distribution of training; the classical exact
+    * method is systematic sampling (Madow): lay all docs on a token line
+    * in a fixed random order, then take one doc at every `step = W DIV k`
+    * tokens. A doc of weight w covers w points of the line, so it is hit
+    * with probability proportional to w, and a doc with w ≥ step is hit
+    * `≥1` times ALWAYS (certainty inclusion — `n_hits` counts multiplicity,
+    * the with-replacement convention).
+    *
+    * Everything is BIGINT: the permutation is md5 hash order (engine-
+    * independent), the token line is the [[budgetSample]]/[[packSequences]]
+    * two-phase prefix sum (256 hash-prefix buckets; the sequential step is
+    * bucket-count-sized, never corpus-sized), and the hit count per doc is
+    * `⌈(off+w)/step⌉ − ⌈off/step⌉` in integral DIV — no float appears
+    * anywhere, so both engines select the identical sample at any scale.
+    * `step` is floored at 1 (a corpus smaller than k tokens degenerates to
+    * "every doc selected").
+    *
+    * Scale shape: identical to [[budgetSample]] — one cached tokenization,
+    * one 256-key agg, windows partitioned by bucket, two broadcast
+    * ≤256-row relations. The selected-corpus writer is the same predicate
+    * minus the final projection. */
+  def weightedSample(documents: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docTokensOf(documents)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+      .cache()
+    val btot = d.groupBy("bkt").agg(sum("ntok").as("btok"))
+    // step from the 256-row bucket relation (one tokenization pass total)
+    val step = btot.select(
+      greatest(lit(1L), expr(s"sum(btok) DIV $k")).as("step"))
+    val wB = graft.functions.BoundedWindow.boundedGlobal(col("bkt"), col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = btot.withColumn("boffset", coalesce(sum("btok").over(wB), lit(0L)))
+    val wD = Window.partitionBy("bkt").orderBy(asc("h"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(boff.select(col("bkt"), col("boffset"))), "bkt")
+      .withColumn("offset", col("boffset") + coalesce(sum("ntok").over(wD), lit(0L)))
+      .crossJoin(broadcast(step))
+      .withColumn("n_hits",
+        expr("(offset + ntok + step - 1) DIV step") - expr("(offset + step - 1) DIV step"))
+      .filter(col("n_hits") > 0L)
+      .select(col("doc_id"), col("lang"), col("ntok"), col("offset"), col("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[weightedSample]] — single-scan cumsum in hash
+    * order; `//` floors but every operand is non-negative, so it equals
+    * Spark's truncating DIV. */
+  def duckWeightedSample(table: String, k: Int): String =
+    s"""WITH d AS (SELECT doc_id, lang, len(${duckTokens("text")})::BIGINT AS ntok,
+       |                  md5(doc_id::VARCHAR) AS h
+       |           FROM $table),
+       |t AS (SELECT greatest(1::BIGINT, sum(ntok) // $k) AS step FROM d),
+       |c AS (SELECT doc_id, lang, ntok,
+       |             CAST(coalesce(sum(ntok) OVER (ORDER BY h, doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+       |      FROM d)
+       |SELECT doc_id, lang, ntok, "offset",
+       |       CAST((("offset" + ntok + step - 1) // step)
+       |          - (("offset" + step - 1) // step) AS BIGINT) AS n_hits
+       |FROM c CROSS JOIN t
+       |WHERE (("offset" + ntok + step - 1) // step)
+       |    - (("offset" + step - 1) // step) > 0
+       |ORDER BY doc_id""".stripMargin
+
   /** Cluster-balanced diversity sampling over an embedding table: draw a
     * `budget`-row sample spread as uniformly as possible across embedding
     * space, by waterfilling the budget over IVF cluster sizes ([[Knn

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns.signBucket
-import graft.functions.VecExprs.{bestCentroid, dotc}
+import graft.functions.VecExprs.{bestCentroid, dotc, quantize}
 
 /** k-nearest-neighbor search over an embedding column.
   *
@@ -303,6 +303,71 @@ object Knn {
       .orderBy(desc("sim_raw"), asc("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("label"), col("cluster"), round(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** Per-dimension SQ8 scale row: ONE broadcast-able row whose `scales`
+    * array holds `127/max|v_d|` per dimension (0 for an all-zero dim, so a
+    * dead dimension quantizes to 0 instead of NaN). Row-generating
+    * formulation (posexplode → groupBy(d)) per the HOF rule; the final
+    * struct-sort + field-extract lambda runs on ONE row of |dims| entries.
+    * Shared by [[topKSq8]] and [[KnnRecall]] so the measured code book is
+    * definitionally the executed one. At deployment scale this is computed
+    * once per index build and stored beside the codes table. */
+  private[graft] def sq8Scales(index: DataFrame): DataFrame =
+    index.select(posexplode(col("embedding").cast("array<double>")).as(Seq("d", "v")))
+      .groupBy("d").agg(max(abs(col("v"))).as("mx"))
+      .agg(sort_array(collect_list(struct(col("d"),
+        when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)).as("scale")))).as("ss"))
+      .select(transform(col("ss"), s => s.getField("scale")).as("scales"))
+
+  /** Attach SQ8 codes + code norms to the prepped index: (…, code, cnq).
+    * The code arrays are integral-valued doubles so [[VecExprs.DotProduct]]
+    * over them is EXACT integer arithmetic — the property that makes the
+    * approximate ranking bit-identical across engines. */
+  private[graft] def sq8Codes(e: DataFrame, scales: DataFrame): DataFrame =
+    e.crossJoin(broadcast(scales))
+      .withColumn("code", quantize(col("ed"), col("scales")))
+      .withColumn("cnq", sqrt(dotc(col("code"), col("code"))))
+      .drop("scales")
+
+  /** Scalar-quantized (SQ8) top-k: rank the whole index by cosine over
+    * int8 codes (4 B/dim → 1 B/dim — a 4× scan-bandwidth cut, the
+    * FAISS-SQ8 memory story), keep the top `k·candMultiple` candidates,
+    * then re-rank ONLY those against the full-precision vectors.
+    *
+    * Scale shape: the approximate pass is a map-side projection over the
+    * (at deployment, materialized) codes table into a
+    * `TakeOrderedAndProject` — O(C·partitions) driver merge, no global
+    * sort; the exact pass touches full vectors for C rows via a broadcast
+    * semi-join on the candidate ids. Both ranking keys are exact across
+    * engines: the quantized dot is integer-valued, the re-rank is the
+    * shared [[sim]] tree. Recall loss is quantization error at the
+    * candidate boundary only — measured, not asserted, in
+    * [[KnnRecall.annRecall]]'s `sq8` row. */
+  def topKSq8(index: DataFrame, queryVec: DataFrame, k: Int,
+              candMultiple: Int = 4, excludeId: Option[Long] = None): DataFrame = {
+    val e0 = excludeId.map(id => index.filter(col("vec_id") =!= id)).getOrElse(index)
+    val scales = sq8Scales(index)
+    val q = sq8Codes(
+      queryVec.select(col("qv").cast("array<double>").as("ed"))
+        .withColumn("qn", sqrt(dotc(col("ed"), col("ed")))), scales)
+      .select(col("ed").as("qe"), col("qn"),
+        col("code").as("qcode"), col("cnq").as("qcnq"))
+    val cands = sq8Codes(
+      e0.withColumn("ed", col("embedding").cast("array<double>")), scales)
+      .crossJoin(broadcast(q.select(col("qcode"), col("qcnq"))))
+      .withColumn("simq_raw", sim(col("code"), col("cnq"), col("qcode"), col("qcnq")))
+      .orderBy(desc("simq_raw"), asc("vec_id"))
+      .limit(k * candMultiple)
+      .select(col("vec_id"))
+    e0.withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+      .join(broadcast(cands), Seq("vec_id"))
+      .crossJoin(broadcast(q.select(col("qe"), col("qn"))))
+      .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn")))
+      .orderBy(desc("sim_raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim_raw"), 6).as("sim"))
   }
 
   /** All-pairs similarity join: pairs with cosine ≥ threshold. Exact variant

@@ -55,7 +55,8 @@ object KnnRecall {
     * recall) — recall@k vs the exact top-k over the same query set. */
   def annRecall(index: DataFrame, k: Int, nQueries: Int,
                 bits: Int, numCentroids: Int, nprobe: Int,
-                bandBits: Int = 4, bandTables: Int = 16): DataFrame = {
+                bandBits: Int = 4, bandTables: Int = 16,
+                sqCandMultiple: Int = 4): DataFrame = {
     import graft.functions.VectorFns.signBucketAt
     val q = index.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
@@ -123,10 +124,33 @@ object KnnRecall {
         .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
         .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
 
+    // SQ8: whole-index ranking over int8 codes, top-(k·candMultiple)
+    // candidates per qid, exact re-rank — the shared [[Knn.sq8Scales]] /
+    // [[Knn.sq8Codes]] construction, so the measured code book is the
+    // executed one. The quantized dot is integer-valued, hence the
+    // candidate boundary is engine-exact.
+    val scales = Knn.sq8Scales(index)
+    val eq = Knn.sq8Codes(e.select(col("vec_id"), col("ed")), scales)
+    val qq = Knn.sq8Codes(q.select(col("qid"), col("qe").as("ed")), scales)
+      .select(col("qid"), col("code").as("qcode"), col("cnq").as("qcnq"))
+    val wSq = Window.partitionBy("qid").orderBy(desc("simq_raw"), asc("vec_id"))
+    val sqCand = eq
+      .join(broadcast(qq), col("vec_id") =!= col("qid"))
+      .withColumn("simq_raw", sim(col("code"), col("cnq"), col("qcode"), col("qcnq")))
+      .withColumn("crn", row_number().over(wSq))
+      .filter(col("crn") <= k * sqCandMultiple)
+      .select(col("qid"), col("vec_id"))
+    val sq8 = topPairs(
+      sqCand
+        .join(e.select(col("vec_id"), col("ed"), col("nrm")), Seq("vec_id"))
+        .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
+        .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
+
     val ann = lsh.withColumn("variant", lit("lsh"))
       .unionByName(mp.withColumn("variant", lit("lsh_multiprobe")))
       .unionByName(banded.withColumn("variant", lit("lsh_banded")))
       .unionByName(ivf.withColumn("variant", lit("ivf")))
+      .unionByName(sq8.withColumn("variant", lit("sq8")))
 
     val nExpected = exact.agg(count(lit(1)).as("n_expected"))
     ann.join(exact.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
@@ -144,8 +168,9 @@ object KnnRecall {
   /** DuckDB mirror of [[annRecall]]. */
   def duckAnnRecall(table: String, k: Int, nQueries: Int,
                     bits: Int, numCentroids: Int, nprobe: Int,
-                    bandBits: Int = 4, bandTables: Int = 16): String = {
-    import graft.functions.VectorFns.duckSignBucketAt
+                    bandBits: Int = 4, bandTables: Int = 16,
+                    sqCandMultiple: Int = 4): String = {
+    import graft.functions.VectorFns.{duckSignBucketAt, duckSq8Ctes}
     val cosEQ = duckCosine("e.embedding", "q.qv")
     val bandBranches = (0 until bandTables).map { t =>
       s"""SELECT q.qid, e.vec_id FROM $table e JOIN q
@@ -212,10 +237,31 @@ object KnnRecall {
        |                      ORDER BY ${duckCosine("e.embedding", "q.qv")} DESC, c.vec_id) AS rn
        |             FROM bcand c JOIN $table e USING (vec_id) JOIN q USING (qid)) t
        |           WHERE rn <= $k),
+       |${duckSq8Ctes(table)},
+       |sq8_q AS (SELECT vec_id AS qid, d, c FROM sq8_codes WHERE vec_id < $nQueries),
+       |sq8_qn AS (SELECT qid, sqrt(sum(c*c)) AS qcn FROM sq8_q GROUP BY qid),
+       |sq8_ad AS (SELECT sq8_q.qid, sq8_codes.vec_id, sum(sq8_codes.c * sq8_q.c) AS qdot
+       |           FROM sq8_codes JOIN sq8_q USING (d)
+       |           WHERE sq8_codes.vec_id <> sq8_q.qid
+       |           GROUP BY sq8_q.qid, sq8_codes.vec_id),
+       |sq8_cand AS (SELECT qid, vec_id FROM (
+       |               SELECT a.qid, a.vec_id,
+       |                      row_number() OVER (PARTITION BY a.qid
+       |                        ORDER BY a.qdot / (c.cn * n.qcn) DESC, a.vec_id) AS crn
+       |               FROM sq8_ad a JOIN sq8_cn c USING (vec_id)
+       |               JOIN sq8_qn n ON a.qid = n.qid) t
+       |             WHERE crn <= ${k * sqCandMultiple}),
+       |sq8 AS (SELECT qid, vec_id FROM (
+       |          SELECT c.qid, c.vec_id,
+       |                 row_number() OVER (PARTITION BY c.qid
+       |                   ORDER BY ${duckCosine("e.embedding", "q.qv")} DESC, c.vec_id) AS rn
+       |          FROM sq8_cand c JOIN $table e USING (vec_id) JOIN q USING (qid)) t
+       |        WHERE rn <= $k),
        |ann AS (SELECT 'lsh' AS variant, qid, vec_id FROM lsh
        |        UNION ALL SELECT 'lsh_multiprobe', qid, vec_id FROM mp
        |        UNION ALL SELECT 'lsh_banded', qid, vec_id FROM banded
-       |        UNION ALL SELECT 'ivf', qid, vec_id FROM ivf),
+       |        UNION ALL SELECT 'ivf', qid, vec_id FROM ivf
+       |        UNION ALL SELECT 'sq8', qid, vec_id FROM sq8),
        |m AS (SELECT a.variant, count(*) AS n_returned,
        |             sum(CASE WHEN e.qid IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
        |      FROM ann a LEFT JOIN ex e ON e.qid = a.qid AND e.vec_id = a.vec_id

@@ -127,6 +127,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(hits16 >= hits4)
   }
 
+  test("SQ8 kNN: codes integral in [-128,127], re-rank exact, recall beats raw quantized order") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // code book invariants: every code is an integral double in the int8
+    // range (the property that makes approx dots exact integers)
+    val codes = graft.operators.Knn.sq8Codes(
+      emb.withColumn("ed", col("embedding").cast("array<double>")),
+      graft.operators.Knn.sq8Scales(emb))
+      .select(explode(col("code")).as("c")).collect().map(_.getDouble(0))
+    assert(codes.nonEmpty)
+    assert(codes.forall(c => c == math.rint(c) && c >= -128 && c <= 127))
+    // re-rank is EXACT: every returned sim equals brute force for that id
+    val sq = Knn.topKSq8(emb, q, 10, candMultiple = 4, excludeId = Some(0L)).collect()
+    assert(sq.length == 10)
+    val exact = Knn.topK(emb, q, 2000).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    sq.foreach(r => assert(exact(r.getAs[Long]("vec_id")) == r.getAs[Double]("sim")))
+    // widening the candidate pool can only raise recall (candidate superset)
+    val rec = (m: Int) => graft.operators.KnnRecall
+      .annRecall(emb, k = 10, nQueries = 8, bits = 4, numCentroids = 16,
+        nprobe = 4, sqCandMultiple = m)
+      .collect().find(_.getString(0) == "sq8").get.getLong(2)
+    val hits1 = rec(1); val hits4 = rec(4)
+    spark.sharedState.cacheManager.clearCache()
+    assert(hits4 >= hits1)
+  }
+
   test("IVF kNN: results come from probed clusters, sims agree with exact ranking") {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val ivf = Knn.topKIvf(emb, q, 10, numCentroids = 16, nprobe = 4, excludeId = Some(0L)).collect()
@@ -269,6 +295,28 @@ class OperatorSpec extends AnyFunSuite {
     // the straddling doc is kept, so total lands in [budget, budget + maxDoc)
     assert(totalKept >= budget && totalKept < budget + maxDocTok)
     rows.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
+  }
+
+  test("weighted sample: hit count conservation, certainty inclusion, weight monotonicity") {
+    val k = 20
+    val sel = CorpusOps.weightedSample(docs, k).collect()
+    assert(sel.nonEmpty)
+    // total hits = number of step-multiples on the token line [0, W):
+    // ceil(W/step) with step = max(1, W div k) — between k and 2k-1
+    val all = docs.select(col("doc_id"), size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val totalW = all.values.sum
+    val step = math.max(1L, totalW / k)
+    val expectedHits = (totalW + step - 1) / step
+    assert(sel.map(_.getAs[Long]("n_hits")).sum == expectedHits)
+    assert(expectedHits >= k && expectedHits < 2L * k)
+    // certainty inclusion: every doc with weight >= step is selected
+    val selected = sel.map(_.getAs[Long]("doc_id")).toSet
+    all.filter(_._2 >= step).keys.foreach(id => assert(selected.contains(id)))
+    // per-doc hits bounded by its weight's span: n_hits <= w/step + 1
+    sel.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("ntok") / step + 1)
+    }
   }
 
   test("dedup recall: precision 1 by construction, recall bounded, variants all present") {
