@@ -108,6 +108,12 @@ object SparkEntry {
       graft.operators.KnnRecall.annRecall(emb(s, dir), k = 10, nQueries = 16,
         bits = 4, numCentroids = 16, nprobe = 4, bandBits = 4, bandTables = 16)),
 
+    // Margin-based cross-label pair mining (bitext-mining scorer):
+    // hubness-corrected margin = cos / mean of both endpoints' k-NN cos,
+    // fixed-order pivot sums keep the float math engine-exact.
+    "q_margin_pairs" -> ((s, dir) =>
+      Knn.marginPairs(emb(s, dir), srcLabel = 0, tgtLabel = 1, k = 4, topM = 20)),
+
     // Near-duplicate detection over embeddings: exact all-pairs θ-join.
     "q_sim_join_exact" -> ((s, dir) =>
       Knn.simJoinExact(emb(s, dir), threshold = 0.4)),
@@ -121,6 +127,9 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhash(Tables.documents(s, dir), threshold = 0.8)),
     // connected components over the near-dup pair graph → canonical keepers
     "q_dedup_clusters" -> ((s, dir) => Dedup.clusters(Tables.documents(s, dir), threshold = 0.8)),
+    // leakage-safe split: train/val assigned per near-dup CLUSTER so no
+    // near-duplicate pair straddles the boundary; straddle count measured
+    "q_leakage_split" -> ((s, dir) => Dedup.leakageSplit(Tables.documents(s, dir), threshold = 0.8)),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), threshold = 0.5)),
     // df-capped variant: stopword-shingles cut from candidate generation —
     // the scale path (bounded fan-out) vs the exact-recall baseline above
@@ -420,6 +429,8 @@ object SparkEntry {
          |SELECT vec_id, label, cluster, round(sim_raw, 6) AS sim
          |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q_margin_pairs" -> Knn.duckMarginPairs("embeddings", 0, 1, k = 4, topM = 20),
+
     "q_sim_join_exact" ->
       s"""WITH s AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
          |                  ${duckCosine("a.embedding", "b.embedding")} AS sim_raw
@@ -458,6 +469,7 @@ object SparkEntry {
     "q_dedup_exact"   -> Dedup.duckExact("documents"),
     "q_dedup_minhash" -> Dedup.duckMinhashSql("documents", 0.8),
     "q_dedup_clusters" -> Dedup.duckClustersSql("documents", 0.8),
+    "q_leakage_split" -> Dedup.duckLeakageSplit("documents", 0.8),
     "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),
     "q_dedup_ngram_capped" -> Dedup.duckNgramCappedSql("documents", 0.5, 20),
     "q_span_dedup"    -> Dedup.duckSpanSql("documents", 5),

@@ -540,6 +540,89 @@ object Dedup {
        |       (count(*) OVER (PARTITION BY cluster))::BIGINT AS cluster_size
        |FROM cc ORDER BY cluster, doc_id""".stripMargin
 
+  /** Leakage-safe train/validation split: assign splits by NEAR-DUP
+    * CLUSTER, not by document, so no near-duplicate pair can straddle the
+    * boundary — the held-out set stays honest. A per-doc hash split (the
+    * naive `md5(doc_id) % 100` everyone starts with) leaks: a val doc's
+    * near-duplicate lands in train with probability `1 − valPct/100`, and
+    * the val loss silently measures memorization. Here the hash is taken
+    * of the doc's GROUP id — its near-dup cluster label, or its own id if
+    * unclustered — so a whole component moves together by construction.
+    *
+    * The straddle count is still MEASURED, not asserted: `n_straddle`
+    * joins the pair relation against both endpoints' split assignments and
+    * counts disagreements (0 by construction; a nonzero value means the
+    * pair/cluster plumbing broke, and the oracle would catch it the same
+    * run). Output: one row per split — (split, n_groups, n_docs,
+    * n_tokens, n_straddle).
+    *
+    * Scale shape: clustering is the [[clustersOfPairs]] O(log n) loop over
+    * the materialize-once [[nearDupPairs]] seam (cached here because the
+    * straddle probe reads it again — pair-cardinality, ≪ corpus). The
+    * assignment relation `a` is deliberately NOT cached: it is
+    * doc-cardinality, recomputing it is one checkpointed-labels join, and
+    * an uncached plan keeps natural parquet-stat estimates — small now,
+    * big at scale → SMJ — instead of a post-materialization actual-size
+    * estimate that would plan a locked-in doc-cardinality broadcast
+    * (the round-4 curation lesson). The straddle probe's build side is
+    * the cached pair relation (candidate-first, broadcast-safe). */
+  def leakageSplit(documents: DataFrame, threshold: Double, valPct: Int = 10,
+                   maxIter: Int = 20): DataFrame = {
+    val pairs = nearDupPairs(documents, threshold).cache()
+    val cl = clustersOfPairs(pairs, maxIter).select(col("doc_id"), col("cluster"))
+    val a = documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("ntok"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("split",
+        when(conv(substring(md5(col("grp").cast("string")), 1, 8), 16, 10)
+          .cast("bigint") % 100 < valPct, "val").otherwise("train"))
+    val straddle = pairs
+      .join(a.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
+      .join(a.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
+      .agg(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)).as("n_straddle"))
+    a.groupBy("split").agg(
+        countDistinct("grp").as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"))
+      .crossJoin(broadcast(straddle))
+      .select(col("split"), col("n_groups"), col("n_docs"),
+        col("n_tokens"), coalesce(col("n_straddle"), lit(0L)).as("n_straddle"))
+      .orderBy("split")
+  }
+
+  /** DuckDB mirror of [[leakageSplit]] — same pair CTEs as
+    * [[duckClustersSql]], then group-keyed hash split + straddle recount. */
+  def duckLeakageSplit(table: String, threshold: Double,
+                       valPct: Int = 10,
+                       seeds: Int = 8, rowsPerBand: Int = 2): String =
+    s"""WITH RECURSIVE ${duckMinhashCandCtes(table, seeds, rowsPerBand)},
+       |${duckJaccardCtes("cand")},
+       |pairs AS (SELECT d1, d2 FROM j WHERE jac >= $threshold),
+       |nodes AS (SELECT d1 AS node FROM pairs UNION SELECT d2 FROM pairs),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |          UNION SELECT d2 AS a, d1 AS b FROM pairs),
+       |reach(node, root) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+       |cc AS (SELECT node AS doc_id, min(root) AS cluster FROM reach GROUP BY node),
+       |asg AS (
+       |  SELECT d.doc_id, len(${duckTokens("d.text")})::BIGINT AS ntok,
+       |         coalesce(cc.cluster, d.doc_id) AS grp,
+       |         CASE WHEN ('0x' || substr(md5(coalesce(cc.cluster, d.doc_id)::VARCHAR), 1, 8))::BIGINT
+       |                   % 100 < $valPct
+       |              THEN 'val' ELSE 'train' END AS split
+       |  FROM $table d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+       |straddle AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN x.split <> y.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_straddle
+       |  FROM pairs p JOIN asg x ON p.d1 = x.doc_id JOIN asg y ON p.d2 = y.doc_id)
+       |SELECT split, count(DISTINCT grp)::BIGINT AS n_groups,
+       |       count(*)::BIGINT AS n_docs,
+       |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |       (SELECT n_straddle FROM straddle) AS n_straddle
+       |FROM asg GROUP BY split ORDER BY split""".stripMargin
+
   def duckNgramSql(table: String, threshold: Double): String =
     s"""WITH ${duckSh(table)},
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
