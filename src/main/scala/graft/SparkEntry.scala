@@ -100,6 +100,11 @@ object SparkEntry {
       Knn.topKSq8(emb(s, dir), qvec(s, dir), k = 10, candMultiple = 4,
         excludeId = Some(0L))),
 
+    // PQ/ADC: 8×16 product-quantization codes (8 B/vector), query-side
+    // ADC table join, fixed-order pivot sums, exact re-rank of top-4k.
+    "q_knn_pq" -> ((s, dir) =>
+      Knn.topKPq(emb(s, dir), qvec(s, dir), k = 10, excludeId = Some(0L))),
+
     // Measured recall@10 of every ANN variant vs exact top-k over a fixed
     // 16-query set — the parameters mirror the engine's query defaults
     // (bits=4 as q_knn_lsh, 16 centroids / nprobe=4 as q_knn_ivf,
@@ -461,6 +466,8 @@ object SparkEntry {
          |      FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q)
          |SELECT vec_id, label, round(sim_raw, 6) AS sim
          |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_knn_pq" -> Knn.duckTopKPq("embeddings", k = 10),
 
     "q_knn_recall" -> graft.operators.KnnRecall.duckAnnRecall("embeddings",
       k = 10, nQueries = 16, bits = 4, numCentroids = 16, nprobe = 4,

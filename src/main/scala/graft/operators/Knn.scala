@@ -370,6 +370,137 @@ object Knn {
       .select(col("vec_id"), col("label"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** Product-quantization (PQ) codes: split the vector into `m` subspaces
+    * of `dsub` dims; per subspace, assign the nearest of `ncent` centroids
+    * (L2², lowest-cid tiebreak). Codebook: the first `ncent` rows' own
+    * subvectors — the same untrained-but-deterministic stand-in as the IVF
+    * centroid rule (a deployment trains k-means per subspace offline and
+    * swaps the codebook; everything downstream is unchanged). Output:
+    * (vec_id, sub, cid) — m·log2(ncent) bits per vector, the FAISS-PQ
+    * memory story (64 float dims → 8 bytes at 8×16).
+    *
+    * Float discipline: each of the ncent candidate distances is a LITERAL
+    * dsub-term sum of squared diffs (element_at, fixed index order) — an
+    * identical expression tree in both engines — and argmin is a strict
+    * total order (dist asc, cid asc), so codes are engine-exact.
+    *
+    * Scale shape: centroids collapse to an m·ncent-row broadcast; the
+    * assignment is a per-row map over the index followed by a
+    * (vec_id, sub)-partitioned rank window of width ncent. At deployment
+    * the codes table is the materialized artifact (written once per
+    * codebook version); queries never touch it row-by-row — they join it
+    * against an m·ncent-entry ADC table. */
+  private[graft] def pqCodes(index: DataFrame, m: Int, dsub: Int,
+                             ncent: Int): DataFrame = {
+    val cent = index.filter(col("vec_id") < ncent)
+      .withColumn("ced", col("embedding").cast("array<double>"))
+      .select(col("vec_id").as("cid"), col("ced"),
+        explode(array((0 until m).map(lit(_)): _*)).as("sub"))
+    val e = index.withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    val dist = (1 to dsub).map { i =>
+      val d = element_at(col("ed"), (col("sub") * dsub + i).cast("int")) -
+        element_at(col("ced"), (col("sub") * dsub + i).cast("int"))
+      d * d
+    }.reduce(_ + _)
+    val w = Window.partitionBy("vec_id", "sub").orderBy(asc("dist"), asc("cid"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid"))
+  }
+
+  /** PQ top-k via asymmetric distance computation (ADC): precompute the
+    * query's partial dot against every (sub, cid) codebook entry — an
+    * m·ncent-row table — then score each vector as the FIXED-ORDER sum of
+    * its m code lookups (rank-indexed pivot columns added as a literal
+    * expression, the same float discipline as [[marginPairs]]; an
+    * aggregate sum over the m partials would accumulate in partition
+    * order and break the oracle). Top `k·candMultiple` by approximate
+    * dot, then exact cosine re-rank — approximation bounds candidate
+    * LOSS only, never returned-similarity error.
+    *
+    * Scale shape: the ADC table is m·ncent rows (128 at 8×16) — always
+    * broadcast; scoring joins the materialized codes table on (sub, cid)
+    * and aggregates m rows per vector (partial-agged), so the full float
+    * vectors are touched for C candidates only. Compression: 256 B/vector
+    * float32 → m·log2(ncent) bits = 8 B at the defaults. Recall of THIS
+    * (untrained) codebook is measured in [[KnnRecall.annRecall]]'s `pq`
+    * row, not asserted. */
+  def topKPq(index: DataFrame, queryVec: DataFrame, k: Int,
+             m: Int = 8, dsub: Int = 8, ncent: Int = 16,
+             candMultiple: Int = 4, excludeId: Option[Long] = None): DataFrame = {
+    val e0 = excludeId.map(id => index.filter(col("vec_id") =!= id)).getOrElse(index)
+    val codes0 = pqCodes(index, m, dsub, ncent)
+    val codes = excludeId.map(id => codes0.filter(col("vec_id") =!= id)).getOrElse(codes0)
+    val q = queryVec.select(col("qv").cast("array<double>").as("qe"))
+      .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
+    val cent = index.filter(col("vec_id") < ncent)
+      .withColumn("ced", col("embedding").cast("array<double>"))
+      .select(col("vec_id").as("cid"), col("ced"),
+        explode(array((0 until m).map(lit(_)): _*)).as("sub"))
+    val pdot = (1 to dsub).map { i =>
+      element_at(col("qe"), (col("sub") * dsub + i).cast("int")) *
+        element_at(col("ced"), (col("sub") * dsub + i).cast("int"))
+    }.reduce(_ + _)
+    val qtab = cent.crossJoin(broadcast(q.select("qe")))
+      .withColumn("pdot", pdot)
+      .select(col("sub"), col("cid"), col("pdot"))
+    val pivots = (0 until m).map(s =>
+      max(when(col("sub") === s, col("pdot"))).as(s"p$s"))
+    val cands = codes.join(broadcast(qtab), Seq("sub", "cid"))
+      .groupBy("vec_id").agg(pivots.head, pivots.tail: _*)
+      .withColumn("adot", (0 until m).map(s => col(s"p$s")).reduce(_ + _))
+      .orderBy(desc("adot"), asc("vec_id"))
+      .limit(k * candMultiple)
+      .select(col("vec_id"))
+    e0.withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+      .join(broadcast(cands), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn")))
+      .orderBy(desc("sim_raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** DuckDB mirror of [[topKPq]] — same literal distance/pivot trees. */
+  def duckTopKPq(table: String, k: Int,
+                 m: Int = 8, dsub: Int = 8, ncent: Int = 16,
+                 candMultiple: Int = 4): String = {
+    import graft.functions.VectorFns.duckCosine
+    val distTerms = (1 to dsub).map(i =>
+      s"(e.embedding[c.sub*$dsub+$i]::DOUBLE - c.ced[c.sub*$dsub+$i]::DOUBLE)" +
+        s" * (e.embedding[c.sub*$dsub+$i]::DOUBLE - c.ced[c.sub*$dsub+$i]::DOUBLE)")
+      .mkString(" + ")
+    val pdotTerms = (1 to dsub).map(i =>
+      s"(q.qv[c.sub*$dsub+$i]::DOUBLE * c.ced[c.sub*$dsub+$i]::DOUBLE)").mkString(" + ")
+    val pivotCols = (0 until m).map(s =>
+      s"max(CASE WHEN sub = $s THEN pdot END)").mkString(" + ")
+    s"""WITH subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+       |cent AS (SELECT s.sub, e.vec_id AS cid, e.embedding AS ced
+       |         FROM $table e CROSS JOIN subs s WHERE e.vec_id < $ncent),
+       |codes AS (SELECT vec_id, sub, cid FROM (
+       |            SELECT e.vec_id, c.sub, c.cid,
+       |                   row_number() OVER (PARTITION BY e.vec_id, c.sub
+       |                     ORDER BY ($distTerms) ASC, c.cid) AS rn
+       |            FROM $table e CROSS JOIN cent c) t
+       |          WHERE rn = 1),
+       |q AS (SELECT embedding AS qv FROM $table WHERE vec_id = 0),
+       |qtab AS (SELECT c.sub, c.cid, ($pdotTerms) AS pdot
+       |         FROM cent c CROSS JOIN q),
+       |adot AS (SELECT vec_id, ($pivotCols) AS adot
+       |         FROM codes JOIN qtab USING (sub, cid)
+       |         WHERE vec_id <> 0 GROUP BY vec_id),
+       |cand AS (SELECT vec_id FROM adot
+       |         ORDER BY adot DESC, vec_id LIMIT ${k * candMultiple}),
+       |s AS (SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS sim_raw
+       |      FROM $table e JOIN cand USING (vec_id) CROSS JOIN q)
+       |SELECT vec_id, label, round(sim_raw, 6) AS sim
+       |FROM s ORDER BY sim_raw DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   /** Margin-based cross-label pair mining — the bitext-mining scorer
     * (Artetxe & Schwenk 2019, margin(x,y) = cos(x,y) / mean of the two
     * directions' k-NN cosines): mine the top-M (source-label, target-label)

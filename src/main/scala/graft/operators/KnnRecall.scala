@@ -56,7 +56,8 @@ object KnnRecall {
   def annRecall(index: DataFrame, k: Int, nQueries: Int,
                 bits: Int, numCentroids: Int, nprobe: Int,
                 bandBits: Int = 4, bandTables: Int = 16,
-                sqCandMultiple: Int = 4): DataFrame = {
+                sqCandMultiple: Int = 4,
+                pqM: Int = 8, pqDsub: Int = 8, pqNcent: Int = 16): DataFrame = {
     import graft.functions.VectorFns.signBucketAt
     val q = index.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
@@ -146,11 +147,43 @@ object KnnRecall {
         .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
         .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
 
+    // PQ/ADC: codes assigned once ([[Knn.pqCodes]]), each query's ADC
+    // table joined on (sub, cid), per-(qid, vec) approximate dot as the
+    // fixed-order pivot sum — the same construction [[Knn.topKPq]] runs,
+    // batched over the query set.
+    val codes = Knn.pqCodes(index, pqM, pqDsub, pqNcent)
+    val centPq = e.filter(col("vec_id") < pqNcent)
+      .select(col("vec_id").as("cid"), col("ed").as("ced"),
+        explode(array((0 until pqM).map(lit(_)): _*)).as("sub"))
+    val pdot = (1 to pqDsub).map { i =>
+      element_at(col("qe"), (col("sub") * pqDsub + i).cast("int")) *
+        element_at(col("ced"), (col("sub") * pqDsub + i).cast("int"))
+    }.reduce(_ + _)
+    val qtab = centPq.crossJoin(broadcast(q.select(col("qid"), col("qe"))))
+      .withColumn("pdot", pdot)
+      .select(col("qid"), col("sub"), col("cid"), col("pdot"))
+    val pqPivots = (0 until pqM).map(s =>
+      max(when(col("sub") === s, col("pdot"))).as(s"p$s"))
+    val wPq = Window.partitionBy("qid").orderBy(desc("adot"), asc("vec_id"))
+    val pqCand = codes.join(broadcast(qtab), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(pqPivots.head, pqPivots.tail: _*)
+      .withColumn("adot", (0 until pqM).map(s => col(s"p$s")).reduce(_ + _))
+      .withColumn("crn", row_number().over(wPq))
+      .filter(col("crn") <= k * sqCandMultiple)
+      .select(col("qid"), col("vec_id"))
+    val pq = topPairs(
+      pqCand
+        .join(e.select(col("vec_id"), col("ed"), col("nrm")), Seq("vec_id"))
+        .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
+        .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
+
     val ann = lsh.withColumn("variant", lit("lsh"))
       .unionByName(mp.withColumn("variant", lit("lsh_multiprobe")))
       .unionByName(banded.withColumn("variant", lit("lsh_banded")))
       .unionByName(ivf.withColumn("variant", lit("ivf")))
       .unionByName(sq8.withColumn("variant", lit("sq8")))
+      .unionByName(pq.withColumn("variant", lit("pq")))
 
     val nExpected = exact.agg(count(lit(1)).as("n_expected"))
     ann.join(exact.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
@@ -165,11 +198,28 @@ object KnnRecall {
       .orderBy("variant")
   }
 
+  /** Literal dsub-term PQ distance / partial-dot / pivot fragments —
+    * the same fixed index order as the Spark expressions, so the trees
+    * are identical (see [[Knn.pqCodes]] float discipline). */
+  private def pqDistTerms(dsub: Int): String =
+    (1 to dsub).map(i =>
+      s"(e.embedding[c.sub*$dsub+$i]::DOUBLE - c.ced[c.sub*$dsub+$i]::DOUBLE)" +
+        s" * (e.embedding[c.sub*$dsub+$i]::DOUBLE - c.ced[c.sub*$dsub+$i]::DOUBLE)")
+      .mkString(" + ")
+
+  private def pqPdotTerms(dsub: Int): String =
+    (1 to dsub).map(i =>
+      s"(q.qv[c.sub*$dsub+$i]::DOUBLE * c.ced[c.sub*$dsub+$i]::DOUBLE)").mkString(" + ")
+
+  private def pqPivotCols(m: Int): String =
+    (0 until m).map(s => s"max(CASE WHEN sub = $s THEN pdot END)").mkString(" + ")
+
   /** DuckDB mirror of [[annRecall]]. */
   def duckAnnRecall(table: String, k: Int, nQueries: Int,
                     bits: Int, numCentroids: Int, nprobe: Int,
                     bandBits: Int = 4, bandTables: Int = 16,
-                    sqCandMultiple: Int = 4): String = {
+                    sqCandMultiple: Int = 4,
+                    pqM: Int = 8, pqDsub: Int = 8, pqNcent: Int = 16): String = {
     import graft.functions.VectorFns.{duckSignBucketAt, duckSq8Ctes}
     val cosEQ = duckCosine("e.embedding", "q.qv")
     val bandBranches = (0 until bandTables).map { t =>
@@ -257,11 +307,36 @@ object KnnRecall {
        |                   ORDER BY ${duckCosine("e.embedding", "q.qv")} DESC, c.vec_id) AS rn
        |          FROM sq8_cand c JOIN $table e USING (vec_id) JOIN q USING (qid)) t
        |        WHERE rn <= $k),
+       |pq_subs AS (SELECT unnest(generate_series(0, ${pqM - 1})) AS sub),
+       |pq_cent AS (SELECT s.sub, e.vec_id AS cid, e.embedding AS ced
+       |            FROM $table e CROSS JOIN pq_subs s WHERE e.vec_id < $pqNcent),
+       |pq_codes AS (SELECT vec_id, sub, cid FROM (
+       |               SELECT e.vec_id, c.sub, c.cid,
+       |                      row_number() OVER (PARTITION BY e.vec_id, c.sub
+       |                        ORDER BY (${pqDistTerms(pqDsub)}) ASC, c.cid) AS rn
+       |               FROM $table e CROSS JOIN pq_cent c) t
+       |             WHERE rn = 1),
+       |pq_qtab AS (SELECT q.qid, c.sub, c.cid, (${pqPdotTerms(pqDsub)}) AS pdot
+       |            FROM pq_cent c CROSS JOIN q),
+       |pq_adot AS (SELECT qt.qid, pc.vec_id, (${pqPivotCols(pqM)}) AS adot
+       |            FROM pq_codes pc JOIN pq_qtab qt USING (sub, cid)
+       |            WHERE pc.vec_id <> qt.qid GROUP BY qt.qid, pc.vec_id),
+       |pq_cand AS (SELECT qid, vec_id FROM (
+       |              SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |                ORDER BY adot DESC, vec_id) AS crn FROM pq_adot) t
+       |            WHERE crn <= ${k * sqCandMultiple}),
+       |pq AS (SELECT qid, vec_id FROM (
+       |         SELECT c.qid, c.vec_id,
+       |                row_number() OVER (PARTITION BY c.qid
+       |                  ORDER BY ${duckCosine("e.embedding", "q.qv")} DESC, c.vec_id) AS rn
+       |         FROM pq_cand c JOIN $table e USING (vec_id) JOIN q USING (qid)) t
+       |       WHERE rn <= $k),
        |ann AS (SELECT 'lsh' AS variant, qid, vec_id FROM lsh
        |        UNION ALL SELECT 'lsh_multiprobe', qid, vec_id FROM mp
        |        UNION ALL SELECT 'lsh_banded', qid, vec_id FROM banded
        |        UNION ALL SELECT 'ivf', qid, vec_id FROM ivf
-       |        UNION ALL SELECT 'sq8', qid, vec_id FROM sq8),
+       |        UNION ALL SELECT 'sq8', qid, vec_id FROM sq8
+       |        UNION ALL SELECT 'pq', qid, vec_id FROM pq),
        |m AS (SELECT a.variant, count(*) AS n_returned,
        |             sum(CASE WHEN e.qid IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
        |      FROM ann a LEFT JOIN ex e ON e.qid = a.qid AND e.vec_id = a.vec_id

@@ -153,6 +153,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(hits4 >= hits1)
   }
 
+  test("PQ kNN: code table complete and bounded, re-rank exact, recall monotone in pool") {
+    // codes: exactly m rows per vector, every cid a valid codebook entry
+    val codes = graft.operators.Knn.pqCodes(emb, m = 8, dsub = 8, ncent = 16).collect()
+    val n = emb.count()
+    assert(codes.length == n * 8)
+    assert(codes.forall(r => r.getAs[Long]("cid") >= 0 && r.getAs[Long]("cid") < 16))
+    codes.groupBy(_.getAs[Long]("vec_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("sub")).sorted.sameElements(0 until 8))
+    }
+    // a codebook row codes to ITSELF in every subspace (distance 0 wins;
+    // ties cannot beat it because 0 is minimal and cid order breaks ties
+    // only among equals)
+    codes.filter(_.getAs[Long]("vec_id") < 16).foreach { r =>
+      assert(r.getAs[Long]("cid") == r.getAs[Long]("vec_id"))
+    }
+    // re-rank is exact: returned sims equal brute force for those ids
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val pq = Knn.topKPq(emb, q, 10, excludeId = Some(0L)).collect()
+    assert(pq.length == 10)
+    val exact = Knn.topK(emb, q, 2000).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    pq.foreach(r => assert(exact(r.getAs[Long]("vec_id")) == r.getAs[Double]("sim")))
+    // widening the candidate pool can only raise recall
+    val rec = (m: Int) => graft.operators.KnnRecall
+      .annRecall(emb, k = 10, nQueries = 8, bits = 4, numCentroids = 16,
+        nprobe = 4, sqCandMultiple = m)
+      .collect().find(_.getString(0) == "pq").get.getLong(2)
+    val hits1 = rec(1); val hits4 = rec(4)
+    spark.sharedState.cacheManager.clearCache()
+    assert(hits4 >= hits1)
+  }
+
   test("IVF kNN: results come from probed clusters, sims agree with exact ranking") {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val ivf = Knn.topKIvf(emb, q, 10, numCentroids = 16, nprobe = 4, excludeId = Some(0L)).collect()
