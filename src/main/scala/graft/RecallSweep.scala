@@ -71,6 +71,21 @@ object RecallSweep {
         spark.sharedState.cacheManager.clearCache()
       }
     }
+    // quantized-variant trade: candidate-pool multiple vs recall for SQ8
+    // (bandwidth-compressed) and PQ (8 B/vector) — the knob a deployment
+    // turns is how many approximate-ranked candidates get the exact
+    // re-rank, so the sweep is over candMultiple at the default geometry.
+    for (cm <- Seq(1, 2, 4, 8)) {
+      val rows = graft.operators.KnnRecall
+        .annRecall(index, k = 10, nQueries = 16,
+          bits = 4, numCentroids = 16, nprobe = 4, sqCandMultiple = cm)
+        .collect().filter(r => r.getString(0) == "sq8" || r.getString(0) == "pq")
+      rows.foreach { r =>
+        println(f"candMultiple=$cm variant=${r.getString(0)}%-4s " +
+          f"returned=${r.getLong(1)}%4d hits=${r.getLong(2)}%4d recall=${r.getDouble(4)}%.4f")
+      }
+      spark.sharedState.cacheManager.clearCache()
+    }
     spark.stop()
   }
 }
