@@ -933,7 +933,8 @@ class OperatorSpec extends AnyFunSuite {
   test("ANN recall accounting: bounds hold and exhaustive IVF probing recovers recall 1.0") {
     val r = KnnRecall.annRecall(emb, k = 10, nQueries = 8,
       bits = 4, numCentroids = 16, nprobe = 4).collect()
-    assert(r.map(_.getString(0)).toSeq == Seq("ivf", "lsh", "lsh_banded", "lsh_multiprobe"))
+    assert(r.map(_.getString(0)).toSeq ==
+      Seq("ivf", "lsh", "lsh_banded", "lsh_multiprobe", "pq", "sq8"))
     r.foreach { row =>
       val (ret, hits, exp, rec) = (row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
       assert(exp == 80, s"exact side must return k rows per query, got $exp")
