@@ -329,6 +329,13 @@ object SparkEntry {
     // native session_window state operator (dynamic-gap merge; the batch
     // sessionize's lag+cumsum emulation, done by the engine incrementally)
     "q_stream_sessions" -> ((s, dir) => StreamOps.streamedSessions(s, dir)),
+    // streaming PII scrub: per-doc class rows appended per micro-batch
+    // through the foreachBatch→parquet production sink; probe rows enter
+    // as the static side input; batch-equivalent oracle (q_pii_redact's)
+    "q_stream_pii" -> ((s, dir) => {
+      import s.implicits._
+      StreamOps.streamedPiiScrub(s, dir, PiiProbes.toDF("doc_id", "text"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -573,5 +580,7 @@ object SparkEntry {
     // benchmark side are micro-batch-partitioning-invariant
     "q_stream_decontam" -> CorpusOps.duckDecontaminate("documents"),
     "q_stream_sessions" -> StreamOps.duckStreamedSessions,
+    "q_stream_pii"      -> TextAnalysis.duckPiiRedact(
+      s"(SELECT doc_id, text FROM documents UNION ALL SELECT * FROM $duckPiiProbes)"),
   )
 }

@@ -785,7 +785,12 @@ object TextAnalysis {
     * bank is array-of-structs + explode (CLAUDE.md — never
     * union-of-filters), collapsing in a partial-agged groupBy over a
     * 6-value key. */
-  def piiRedact(documents: DataFrame): DataFrame = {
+  /** The per-doc half of [[piiRedact]]: one (pii_class, cnt, chk) row per
+    * class per doc — a PURE MAP over `text`, so it is micro-batch-
+    * partitioning-invariant, which is what lets the streaming form
+    * ([[graft.streaming.StreamOps.streamedPiiScrub]]) append these rows
+    * per batch and share the batch operator's aggregate + oracle. */
+  private[graft] def piiDocRows(documents: DataFrame): DataFrame = {
     // (textAfter_k, counts) chain: counts_k measured on textAfter_{k-1}
     val t0 = col("text")
     val staged = PiiClasses.scanLeft((t0, lit(0L))) {
@@ -803,12 +808,21 @@ object TextAnalysis {
     documents
       .select(explode(array(structs: _*)).as("r"))
       .select(col("r.cls").as("pii_class"), col("r.cnt").as("cnt"), col("r.chk").as("chk"))
-      .groupBy("pii_class")
+  }
+
+  /** The aggregate half of [[piiRedact]] — over [[piiDocRows]] output,
+    * whether materialized in one pass (batch) or appended per micro-batch
+    * (streaming; sums are over exact integers, so arrival order is
+    * irrelevant). */
+  private[graft] def piiAggregate(rows: DataFrame): DataFrame =
+    rows.groupBy("pii_class")
       .agg(sum("cnt").cast("long").as("n_matches"),
         sum(when(col("cnt") > 0, 1L).otherwise(0L)).cast("long").as("n_docs"),
         sum("chk").cast("long").as("clean_checksum"))
       .orderBy("pii_class")
-  }
+
+  def piiRedact(documents: DataFrame): DataFrame =
+    piiAggregate(piiDocRows(documents))
 
   /** DuckDB mirror of [[piiRedact]] — same sequential staging ('g' flag:
     * DuckDB's regexp_replace is first-match-only by default where Spark's

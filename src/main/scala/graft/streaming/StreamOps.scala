@@ -312,6 +312,46 @@ object StreamOps {
     }
   }
 
+  /** Streaming PII scrub — the continuous-ingest form of
+    * [[graft.operators.TextAnalysis.piiRedact]]: documents stream in,
+    * each micro-batch's per-doc class rows ([[graft.operators.TextAnalysis
+    * .piiDocRows]], a pure map) append to a parquet sink via `foreachBatch`
+    * (the production shape, as [[streamedDecontam]]), and the batch
+    * aggregate runs over the sink. Per-doc rows are batch-partitioning-
+    * invariant and the aggregate sums exact integers, so the streamed
+    * result is row-equal to the batch operator and shares its oracle.
+    *
+    * `staticExtra` is a static (doc_id, text) side input appended to the
+    * sink OUTSIDE the stream — the gate's deterministic probe rows; a
+    * deployment passes compliance canaries the same way. */
+  def streamedPiiScrub(spark: SparkSession, sfDir: String,
+                       staticExtra: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_pii").toString
+    val outSchema = TextAnalysis.piiDocRows(docs.limit(0)).schema
+    try {
+      TextAnalysis.piiDocRows(staticExtra.select(col("text")))
+        .write.mode("append").parquet(outDir)
+      withShufflePartitions(spark, 4) {
+        val stream = spark.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir)
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            TextAnalysis.piiDocRows(batch.select(col("text")))
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      TextAnalysis.piiAggregate(
+        spark.read.schema(outSchema).parquet(outDir))
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(outDir))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
