@@ -165,6 +165,67 @@ object Graft {
     * ([[IndexBuild.writeBucketed]] is its bucketed form), probed new×old
     * only — never old×old, which is the point vs re-running full dedup
     * per ingest. */
+  /** Composed training-set preparation — the batch counterpart of
+    * [[ingestBatch]], run once per corpus snapshot: quality gate + exact
+    * dedup + near-dup removal ([[graft.operators.Curation]]'s funnel) →
+    * leakage-safe train/val split over the SAME near-dup pair graph
+    * ([[graft.operators.Dedup.splitAssignment]]) → sequence packing of
+    * the train split ([[graft.operators.CorpusOps.packSequences]]).
+    * Every stage is independently oracle-gated (q_curation /
+    * q_leakage_split / q_pack_sequences); FacadeSpec proves the
+    * composition ≡ the stages run sequentially plus the conservation
+    * invariants (doc counts, token totals, zero straddling pairs).
+    *
+    * The near-dup pair relation is computed ONCE (the [[graft.operators
+    * .Dedup.nearDupPairs]] materialize-once seam) and feeds both the
+    * curation funnel (via its `pairs` parameter, semi-join-restricted
+    * inside) and the split clustering — re-running the signature+verify
+    * pipeline per stage is exactly what the seam exists to avoid. The
+    * returned manifest is `localCheckpoint`ed BEFORE the scratch caches
+    * release (the [[ingestBatch]] ordering discipline).
+    *
+    * Returns the per-doc manifest: (doc_id, lang, split, ntok, offset,
+    * first_seq, n_seqs) — offset/first_seq/n_seqs NULL for val docs (they
+    * are held out of packing by definition). */
+  def prepareTrainingSet(documents: DataFrame,
+                         minQuality: Double = 0.45,
+                         nearDupThreshold: Double = 0.8,
+                         valPct: Int = 10,
+                         seqLen: Int = 512): DataFrame = {
+    import graft.operators.{CorpusOps, Curation, Dedup}
+    val (pairs0, pairHandles) = Dedup.nearDupPairsWith(
+      documents.select(col("doc_id"), col("text")), nearDupThreshold)
+    val pairs = pairs0.cache()
+    val (kept, stageCaches) =
+      Curation.keptWith(documents, minQuality, nearDupThreshold, Some(pairs))
+    try {
+      // pair membership is per-pair: restrict the full-corpus graph to the
+      // kept docs by semi-joining both endpoints (the nearDupPairs
+      // restriction contract) before clustering — a dropped doc must not
+      // glue two kept clusters together through itself
+      val keptIds = kept.select("doc_id")
+      val keptPairs = pairs
+        .join(keptIds.withColumnRenamed("doc_id", "d1").hint("merge"), Seq("d1"), "left_semi")
+        .join(keptIds.withColumnRenamed("doc_id", "d2").hint("merge"), Seq("d2"), "left_semi")
+      val assign = Dedup.splitAssignment(kept, keptPairs, valPct)
+      val packed = CorpusOps.packSequences(
+        kept.join(assign.filter(col("split") === "train").select("doc_id"), "doc_id"),
+        seqLen)
+      assign
+        .join(kept.select("doc_id", "lang"), "doc_id")
+        .join(packed.select("doc_id", "offset", "first_seq", "n_seqs"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("split"), col("ntok"),
+          col("offset"), col("first_seq"), col("n_seqs"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally {
+      stageCaches.foreach(_.unpersist())
+      pairHandles.foreach(_.unpersist())
+      pairs.unpersist()
+      ()
+    }
+  }
+
   def ingestBatch(spark: SparkSession, indexDir: String,
                   newFiles: org.apache.spark.sql.Dataset[(String, String)],
                   bench: Option[DataFrame] = None,

@@ -103,6 +103,18 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** The kept-doc RELATION half of the funnel plus its cache handles —
+    * the composition seam [[graft.Graft.prepareTrainingSet]] consumes
+    * (the `-With` convention: caller owns the release; FacadeSpec asserts
+    * the cache manager is empty after the facade returns). Returns
+    * (kept docs (doc_id, lang, text), handles). */
+  def keptWith(documents: DataFrame, minQuality: Double,
+               nearDupThreshold: Double, pairs: Option[DataFrame] = None)
+      : (DataFrame, Seq[DataFrame]) = {
+    val (_, _, pass2, kept, _) = funnel(documents, minQuality, nearDupThreshold, pairs)
+    (kept, Seq(pass2))
+  }
+
   /** The kept-corpus WRITER — the artifact half the accounting report
     * describes: the same predicate chain as [[curate]], written as a
     * bucketed parquet table (bucketed by doc_id: downstream doc-keyed

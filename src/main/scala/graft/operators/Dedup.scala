@@ -126,7 +126,15 @@ object Dedup {
   }
 
   def minhash(documents: DataFrame, threshold: Double,
-              seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+              seeds: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    minhashWith(documents, threshold, seeds, rowsPerBand)._1
+
+  /** [[minhash]] plus its cached shingle relation as an explicit handle
+    * (the `-With` convention): the harness clears caches per query, but a
+    * LIBRARY caller must release the scratch itself — by handle, never by
+    * plan-equality rebuild (round-5 advice #1). */
+  def minhashWith(documents: DataFrame, threshold: Double,
+                  seeds: Int = 8, rowsPerBand: Int = 2): (DataFrame, Seq[DataFrame]) = {
     val sh = shingleRows(documents, 3)
     val bands = bandRowsOf(sh, seeds, rowsPerBand)
     val cand = bands.as("x").join(bands.as("y"),
@@ -134,7 +142,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    jaccardOf(sh, cand, threshold)
+    (jaccardOf(sh, cand, threshold), Seq(sh))
   }
 
   /** Duplicate-cluster canonicalization: connected components over the
@@ -178,6 +186,13 @@ object Dedup {
     * filtered corpora need no recompute. */
   def nearDupPairs(documents: DataFrame, threshold: Double): DataFrame =
     minhash(documents, threshold).select(col("d1"), col("d2"))
+
+  /** [[nearDupPairs]] with the shingle-cache handle ([[minhashWith]]). */
+  def nearDupPairsWith(documents: DataFrame, threshold: Double)
+      : (DataFrame, Seq[DataFrame]) = {
+    val (m, handles) = minhashWith(documents, threshold)
+    (m.select(col("d1"), col("d2")), handles)
+  }
 
   /** Label-propagation core over an arbitrary (d1, d2) pair relation —
     * public as the cluster half of the pairs seam ([[nearDupPairs]]), and
@@ -566,17 +581,31 @@ object Dedup {
     * estimate that would plan a locked-in doc-cardinality broadcast
     * (the round-4 curation lesson). The straddle probe's build side is
     * the cached pair relation (candidate-first, broadcast-safe). */
-  def leakageSplit(documents: DataFrame, threshold: Double, valPct: Int = 10,
-                   maxIter: Int = 20): DataFrame = {
-    val pairs = nearDupPairs(documents, threshold).cache()
+  /** The per-doc half of [[leakageSplit]]: (doc_id, ntok, grp, split) for
+    * every doc, group-keyed hash assignment over an EXTERNALLY-owned pair
+    * relation — the composition seam [[graft.Graft.prepareTrainingSet]]
+    * uses, where the same materialized [[nearDupPairs]] feeds curation,
+    * the split, and the straddle probe. `pairs` should be cached by the
+    * caller (it is read by clustering here and usually again by the
+    * caller's own probes); pair membership is per-pair, so a caller on a
+    * FILTERED corpus passes the full-corpus pairs semi-joined to its
+    * subset (the [[nearDupPairs]] restriction contract). */
+  def splitAssignment(documents: DataFrame, pairs: DataFrame,
+                      valPct: Int = 10, maxIter: Int = 20): DataFrame = {
     val cl = clustersOfPairs(pairs, maxIter).select(col("doc_id"), col("cluster"))
-    val a = documents
+    documents
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("ntok"))
       .join(cl, Seq("doc_id"), "left")
       .withColumn("grp", coalesce(col("cluster"), col("doc_id")))
       .withColumn("split",
         when(conv(substring(md5(col("grp").cast("string")), 1, 8), 16, 10)
           .cast("bigint") % 100 < valPct, "val").otherwise("train"))
+  }
+
+  def leakageSplit(documents: DataFrame, threshold: Double, valPct: Int = 10,
+                   maxIter: Int = 20): DataFrame = {
+    val pairs = nearDupPairs(documents, threshold).cache()
+    val a = splitAssignment(documents, pairs, valPct, maxIter)
     val straddle = pairs
       .join(a.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
       .join(a.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")

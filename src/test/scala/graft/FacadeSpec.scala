@@ -85,6 +85,40 @@ class FacadeSpec extends AnyFunSuite {
     assert(Graft.readFile(sb, "../outside.txt").isLeft)
   }
 
+  test("prepare_training_set: composed curate→split→pack ≡ stages, conservation holds") {
+    import graft.operators.{CorpusOps, Curation, Dedup}
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val manifest = Graft.prepareTrainingSet(docs).collect()
+    // cache discipline: every stage handle released before return
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "prepareTrainingSet must release all stage caches")
+    // stage equivalence: manifest docs = the curation funnel's kept set
+    val pairs = Dedup.nearDupPairs(docs.select("doc_id", "text"), 0.8)
+    val (kept, handles) = Curation.keptWith(docs, 0.45, 0.8, Some(pairs))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    handles.foreach(_.unpersist())
+    assert(manifest.map(_.getAs[Long]("doc_id")).toSet == keptIds)
+    // split is exhaustive and leakage-free on the kept pair graph
+    val bySplit = manifest.groupBy(_.getAs[String]("split"))
+    assert(bySplit.keySet.subsetOf(Set("train", "val")) && bySplit.contains("train"))
+    val splitOf = manifest.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    pairs.collect().foreach { p =>
+      val (d1, d2) = (p.getLong(0), p.getLong(1))
+      if (splitOf.contains(d1) && splitOf.contains(d2))
+        assert(splitOf(d1) == splitOf(d2), s"near-dup pair ($d1,$d2) straddles the split")
+    }
+    // packing covers exactly the nonempty train docs, token-conserving
+    val train = manifest.filter(r => r.getAs[String]("split") == "train"
+      && r.getAs[Long]("ntok") > 0)
+    assert(train.forall(r => !r.isNullAt(r.fieldIndex("offset"))))
+    assert(manifest.filter(_.getAs[String]("split") == "val")
+      .forall(r => r.isNullAt(r.fieldIndex("offset"))))
+    val totalTrainTok = train.map(_.getAs[Long]("ntok")).sum
+    val maxEnd = train.map(r => r.getAs[Long]("offset") + r.getAs[Long]("ntok")).max
+    assert(maxEnd == totalTrainTok, "packed token line must end at the train token total")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("ingest_batch: composed chunk→gate→decontam→upsert ≡ the stages run sequentially") {
     import spark.implicits._
     import graft.sources.IndexBuild
