@@ -590,27 +590,44 @@ object Dedup {
     * caller's own probes); pair membership is per-pair, so a caller on a
     * FILTERED corpus passes the full-corpus pairs semi-joined to its
     * subset (the [[nearDupPairs]] restriction contract). */
-  def splitAssignment(documents: DataFrame, pairs: DataFrame,
-                      valPct: Int = 10, maxIter: Int = 20): DataFrame = {
-    val cl = clustersOfPairs(pairs, maxIter).select(col("doc_id"), col("cluster"))
-    documents
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("ntok"))
+  /** (doc_id, grp, split) — the TOKENIZATION-FREE core of the split:
+    * split depends only on the cluster label, so the straddle probe's two
+    * assignment reads skip the corpus regex tokenization entirely (a
+    * per-read full-text scan at corpus scale). Measured cost-neutral at
+    * sf0.1 (~9 s either way under load; the pipeline is dominated by the
+    * shared minhash+CC stages) — the lite form is the bandwidth-correct
+    * shape at 100 TB, where text column reads the probe does not need are
+    * pure waste. */
+  private def liteAssignOf(docIds: DataFrame, cl: DataFrame, valPct: Int): DataFrame =
+    docIds
       .join(cl, Seq("doc_id"), "left")
       .withColumn("grp", coalesce(col("cluster"), col("doc_id")))
       .withColumn("split",
         when(conv(substring(md5(col("grp").cast("string")), 1, 8), 16, 10)
           .cast("bigint") % 100 < valPct, "val").otherwise("train"))
+      .select(col("doc_id"), col("grp"), col("split"))
+
+  def splitAssignment(documents: DataFrame, pairs: DataFrame,
+                      valPct: Int = 10, maxIter: Int = 20): DataFrame = {
+    val cl = clustersOfPairs(pairs, maxIter).select(col("doc_id"), col("cluster"))
+    documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("ntok"))
+      .join(liteAssignOf(documents.select("doc_id"), cl, valPct), "doc_id")
   }
 
   def leakageSplit(documents: DataFrame, threshold: Double, valPct: Int = 10,
                    maxIter: Int = 20): DataFrame = {
     val pairs = nearDupPairs(documents, threshold).cache()
-    val a = splitAssignment(documents, pairs, valPct, maxIter)
+    val cl = clustersOfPairs(pairs, maxIter).select(col("doc_id"), col("cluster"))
+    val lite = liteAssignOf(documents.select("doc_id"), cl, valPct)
     val straddle = pairs
-      .join(a.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
-      .join(a.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
+      .join(lite.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
+      .join(lite.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
       .agg(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)).as("n_straddle"))
-    a.groupBy("split").agg(
+    documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("ntok"))
+      .join(lite, "doc_id")
+      .groupBy("split").agg(
         countDistinct("grp").as("n_groups"),
         count(lit(1)).as("n_docs"),
         sum("ntok").as("n_tokens"))
