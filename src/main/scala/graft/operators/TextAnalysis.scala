@@ -749,6 +749,65 @@ object TextAnalysis {
        |FROM agg ORDER BY rule""".stripMargin
   }
 
+  /** Token-distribution drift monitor — the ingest-time check a
+    * continuous pipeline runs on every new crawl batch: which tokens'
+    * SHARES moved most against the standing corpus? The batch is the
+    * deterministic `doc_id % batchMod = batchRem` slice (the
+    * [[Dedup.minhashIncremental]] convention, standing in for today's
+    * crawl); the score is the quantized log share ratio
+    * `⌊log2(bc·C)⌋ − ⌊log2((cc+1)·B)⌋` — integer-exact in both engines
+    * via the `length(bin(x))−1` trick (the q_fluency/DSIR family), with
+    * add-one smoothing on the corpus side so a token the corpus has
+    * NEVER seen (an OOV — vocabulary drift, the strongest signal) needs
+    * no special case and naturally ranks at the top.
+    *
+    * Scale shape: one tokenization pass, one vocab-keyed agg (map-side
+    * partials; both sides' counts in the SAME pass via conditional sums —
+    * never two aggs joined), totals as a broadcast 1-row aggregate of the
+    * vocab relation (not a second corpus pass), and the report is
+    * orderBy+limit → `TakeOrderedAndProject` (the global-top-k rule:
+    * never an unpartitioned rank window). The vocab relation is cached —
+    * read by the totals row and the report — and released by the harness
+    * per query; it joins nothing, so it creates no broadcast-build
+    * exposure. */
+  def driftReport(documents: DataFrame, batchMod: Int = 10, batchRem: Int = 7,
+                  topN: Int = 20): DataFrame = {
+    def lb(c: Column) = (length(bin(c)) - 1).cast("long")
+    val counts = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("is_batch", col("doc_id") % batchMod === batchRem)
+      .groupBy("token").agg(
+        sum(when(col("is_batch"), 1L).otherwise(0L)).as("batch_cnt"),
+        sum(when(!col("is_batch"), 1L).otherwise(0L)).as("corpus_cnt"))
+      .cache()
+    val totals = counts.agg(
+      sum("batch_cnt").as("bt"), sum("corpus_cnt").as("ct"))
+    counts.filter(col("batch_cnt") > 0)
+      .crossJoin(broadcast(totals))
+      .withColumn("drift_q",
+        lb(col("batch_cnt") * col("ct")) - lb((col("corpus_cnt") + 1) * col("bt")))
+      .orderBy(desc("drift_q"), desc("batch_cnt"), asc("token"))
+      .limit(topN)
+      .select(col("token"), col("corpus_cnt"), col("batch_cnt"), col("drift_q"))
+  }
+
+  /** DuckDB mirror of [[driftReport]]. */
+  def duckDriftReport(table: String, batchMod: Int = 10, batchRem: Int = 7,
+                      topN: Int = 20): String =
+    s"""WITH t AS (SELECT doc_id, unnest(${duckTokens("text")}) AS token FROM $table),
+       |c AS (SELECT token,
+       |        CAST(sum(CASE WHEN doc_id % $batchMod = $batchRem THEN 1 ELSE 0 END) AS BIGINT) AS batch_cnt,
+       |        CAST(sum(CASE WHEN doc_id % $batchMod <> $batchRem THEN 1 ELSE 0 END) AS BIGINT) AS corpus_cnt
+       |      FROM t GROUP BY token),
+       |tot AS (SELECT CAST(sum(batch_cnt) AS BIGINT) AS bt,
+       |               CAST(sum(corpus_cnt) AS BIGINT) AS ct FROM c)
+       |SELECT token, corpus_cnt, batch_cnt,
+       |       CAST((length(bin(batch_cnt * ct)) - 1)
+       |          - (length(bin((corpus_cnt + 1) * bt)) - 1) AS BIGINT) AS drift_q
+       |FROM c CROSS JOIN tot
+       |WHERE batch_cnt > 0
+       |ORDER BY drift_q DESC, batch_cnt DESC, token LIMIT $topN""".stripMargin
+
   /** PII classes scrubbed by [[piiRedact]], in APPLICATION ORDER — the
     * order is part of the contract (classes are counted on the text as it
     * stands when their turn comes, so a digit run inside an already-

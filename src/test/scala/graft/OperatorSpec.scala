@@ -329,6 +329,30 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
   }
 
+  test("drift report: OOV batch token tops the report, quantized ratio recomputes") {
+    import spark.implicits._
+    // corpus speaks three words; one batch doc (107 % 10 = 7) injects an
+    // OOV token — the vocabulary-drift signal the monitor exists to catch
+    val d = ((0L until 100L).map(i => (i, "alpha beta gamma")) :+
+      (107L, "alpha zzznovel zzznovel zzznovel")).toDF("doc_id", "text")
+    val r = TextAnalysis.driftReport(d).collect()
+    spark.sharedState.cacheManager.clearCache()
+    assert(r.head.getAs[String]("token") == "zzznovel")
+    assert(r.head.getAs[Long]("corpus_cnt") == 0L)
+    // quantized ratio recomputes from the row's own counts + the totals
+    val bt = r.map(_.getAs[Long]("batch_cnt")).sum // all batch tokens appear in the report here
+    val ct = 90L * 3 // 90 corpus docs × 3 tokens
+    def lb(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    r.foreach { row =>
+      val (cc, bc, dq) = (row.getAs[Long]("corpus_cnt"),
+        row.getAs[Long]("batch_cnt"), row.getAs[Long]("drift_q"))
+      assert(dq == lb(bc * ct) - lb((cc + 1) * bt), row.toString)
+    }
+    // the no-drift direction: on a corpus whose batch slice is drawn from
+    // the same distribution, no token's quantized ratio exceeds the OOV's
+    assert(r.head.getAs[Long]("drift_q") == r.map(_.getAs[Long]("drift_q")).max)
+  }
+
   test("margin pairs: cross-label only, margins finite, hub discount holds") {
     val out = Knn.marginPairs(emb, srcLabel = 0, tgtLabel = 1, k = 4, topM = 20).collect()
     spark.sharedState.cacheManager.clearCache()
