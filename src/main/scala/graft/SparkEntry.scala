@@ -290,6 +290,9 @@ object SparkEntry {
     "q_events_window" -> ((s, dir) => Relational.eventsWindow(s, dir)),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.asofPurchaseView(s, dir)),
+    // bucketed numeric range join: the dedup band trick on the time line
+    // (bucket-at-δ equijoin + neighbor explode) vs the O(n²) theta join
+    "q_range_join" -> ((s, dir) => Relational.rangeJoinCooccur(s, dir)),
     // semi-structured JSON extraction + exact interpolated quantiles
     "q_json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
     "q_quantiles" -> ((s, dir) => Relational.valueQuantiles(s, dir)),
@@ -554,6 +557,7 @@ object SparkEntry {
     "q_events_window"   -> Relational.duckEventsWindow,
     "q_sessionize"      -> Relational.duckSessionize,
     "q_asof_join"       -> Relational.duckAsofPurchaseView,
+    "q_range_join"      -> Relational.duckRangeJoinCooccur(),
     "q_json_props"      -> Relational.duckJsonProps,
     "q_quantiles"       -> Relational.duckValueQuantiles,
     "q_salted_agg"      -> Relational.duckSaltedEventTotals,

@@ -240,6 +240,65 @@ object Relational {
        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Bucketed numeric range join — cross-user event co-occurrence within
+    * `deltaUs` of each other, aggregated per event-type pair. Spark has no
+    * native range-join optimization: the naive formulation is a theta
+    * join (`abs(a.us − b.us) ≤ δ`), which Catalyst can only plan as a
+    * BroadcastNestedLoopJoin — O(n²) predicate evaluations and a
+    * broadcast of a corpus-scale side, the exact plan that dies at 100 TB.
+    * The scale shape is the dedup band trick applied to NUMBERS: bucket
+    * the time line at width δ (`us DIV δ`), explode ONE side to its three
+    * neighbor buckets, equijoin on the bucket key, and verify the exact
+    * predicate on the collided candidates. Any pair within δ differs by
+    * at most one bucket, so candidates are complete; each pair collides
+    * exactly ONCE (the probe's three neighbor keys are distinct), so no
+    * distinct pass is needed. Shuffle is a keyed equijoin both sides —
+    * AQE-skew-splittable, broadcast-free, 3× one side's rows as the only
+    * overhead.
+    *
+    * Output: (t1, t2, n_pairs, min_gap_us, max_gap_us) per unordered
+    * event-type pair (ordered by event_id inside the pair — deterministic,
+    * not lexicographic, so (view, purchase) and (purchase, view) are both
+    * possible keys and the oracle mirrors the same convention). All
+    * arithmetic BIGINT. */
+  def rangeJoinCooccur(spark: SparkSession, sfDir: String,
+                       deltaUs: Long = 60000000L): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us").as("us"))
+    val a = e.select(col("event_id").as("id1"), col("user_id").as("u1"),
+        col("event_type").as("t1"), col("us").as("us1"))
+      .withColumn("bk", expr(s"us1 DIV $deltaUs"))
+    val b = e.select(col("event_id").as("id2"), col("user_id").as("u2"),
+        col("event_type").as("t2"), col("us").as("us2"))
+      .withColumn("bk", explode(array(
+        expr(s"us2 DIV $deltaUs") - 1L,
+        expr(s"us2 DIV $deltaUs"),
+        expr(s"us2 DIV $deltaUs") + 1L)))
+    a.join(b, Seq("bk"))
+      .filter(col("id1") < col("id2") && col("u1") =!= col("u2") &&
+        abs(col("us1") - col("us2")) <= deltaUs)
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("us1") - col("us2"))).as("min_gap_us"),
+        max(abs(col("us1") - col("us2"))).as("max_gap_us"))
+      .orderBy("t1", "t2")
+  }
+
+  /** DuckDB mirror of [[rangeJoinCooccur]] — the naive range predicate
+    * (BETWEEN form so DuckDB's IEJoin plans it; the oracle need not be
+    * distributed, only row-identical). */
+  def duckRangeJoinCooccur(deltaUs: Long = 60000000L): String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+       |SELECT a.event_type AS t1, b.event_type AS t2,
+       |       count(*)::BIGINT AS n_pairs,
+       |       CAST(min(abs(a.us - b.us)) AS BIGINT) AS min_gap_us,
+       |       CAST(max(abs(a.us - b.us)) AS BIGINT) AS max_gap_us
+       |FROM e a JOIN e b
+       |  ON a.event_id < b.event_id AND a.user_id <> b.user_id
+       | AND b.us BETWEEN a.us - $deltaUs AND a.us + $deltaUs
+       |GROUP BY t1, t2 ORDER BY t1, t2""".stripMargin
+
   /** As-of join: each purchase matched to the user's most recent prior
     * 'view' event — expressed as one window over the ordered stream (zero
     * joins; the 100 TB shape: shuffle once by user, sort by time). */

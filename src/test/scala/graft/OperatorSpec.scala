@@ -329,6 +329,26 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
   }
 
+  test("range join: bucketed equijoin form equals the naive theta join") {
+    val delta = 60000000L
+    val bucketed = Relational.rangeJoinCooccur(spark, TestSpark.sf, delta).collect()
+    val e = Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us").as("us"))
+    val naive = e.as("a").join(e.as("b"),
+        col("a.event_id") < col("b.event_id") &&
+          col("a.user_id") =!= col("b.user_id") &&
+          abs(col("a.us") - col("b.us")) <= delta)
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("a.us") - col("b.us"))).as("min_gap_us"),
+        max(abs(col("a.us") - col("b.us"))).as("max_gap_us"))
+      .orderBy("t1", "t2").collect()
+    assert(bucketed.map(_.toString).toSeq == naive.map(_.toString).toSeq)
+    assert(bucketed.nonEmpty && bucketed.map(_.getAs[Long]("n_pairs")).sum > 0)
+    // every gap respects the predicate
+    bucketed.foreach(r => assert(r.getAs[Long]("max_gap_us") <= delta))
+  }
+
   test("drift report: OOV batch token tops the report, quantized ratio recomputes") {
     import spark.implicits._
     // corpus speaks three words; one batch doc (107 % 10 = 7) injects an
