@@ -105,6 +105,11 @@ object SparkEntry {
     "q_knn_pq" -> ((s, dir) =>
       Knn.topKPq(emb(s, dir), qvec(s, dir), k = 10, excludeId = Some(0L))),
 
+    // Random projection (JL): 64→16 dims via deterministic ±1 signs baked
+    // into the plan as literals; projected-space rank, exact re-rank.
+    "q_knn_rp" -> ((s, dir) =>
+      Knn.topKRp(emb(s, dir), qvec(s, dir), k = 10, excludeId = Some(0L))),
+
     // Measured recall@10 of every ANN variant vs exact top-k over a fixed
     // 16-query set — the parameters mirror the engine's query defaults
     // (bits=4 as q_knn_lsh, 16 centroids / nprobe=4 as q_knn_ivf,
@@ -481,6 +486,7 @@ object SparkEntry {
          |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_knn_pq" -> Knn.duckTopKPq("embeddings", k = 10),
+    "q_knn_rp" -> Knn.duckTopKRp("embeddings", k = 10),
 
     "q_knn_recall" -> graft.operators.KnnRecall.duckAnnRecall("embeddings",
       k = 10, nQueries = 16, bits = 4, numCentroids = 16, nprobe = 4,

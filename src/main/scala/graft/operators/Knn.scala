@@ -370,6 +370,87 @@ object Knn {
       .select(col("vec_id"), col("label"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** Deterministic ±1 random-projection sign matrix (rdim × dim) — the
+    * Achlioptas/JL projection seeds: sign(j,d) = parity of the first hex
+    * nibble of md5("j_d"). Computed at PLAN TIME and baked into both
+    * engines' expression trees as literals (the Spark side here; the
+    * oracle recomputes the same md5 in SQL), so the projection is
+    * engine-independent without shipping a matrix anywhere. */
+  private[graft] def rpSigns(rdim: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(rdim, dim) { (j, d) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_${d}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** The projected vector as an rdim-entry array column: entry j is the
+    * LITERAL 64-term sum Σ_d v_d·s(j,d), left-associated — each term is
+    * exactly ±v_d (sign multiplication is exact negation), and the oracle
+    * evaluates the identical sequential sum, so projected coordinates are
+    * bit-identical cross-engine. The whole projection folds into the scan
+    * projection (no join, no shuffle, no UDF). */
+  private def rpProject(ed: Column, signs: Array[Array[Double]]): Column =
+    array(signs.map(row => row.zipWithIndex.map { case (s, d) =>
+      element_at(ed, d + 1) * lit(s)
+    }.reduce(_ + _)): _*)
+
+  /** Random-projection top-k — the DIMENSION-reduction member of the ANN
+    * toolbox (IVF/LSH prune the candidate set, SQ8/PQ compress bytes per
+    * dim, RP cuts the dims themselves: 64 → rdim floats, a dim/rdim
+    * scan-FLOP cut by Johnson-Lindenstrauss). Rank the whole index by
+    * cosine in the projected space, keep the top `k·candMultiple`, exact
+    * re-rank. Approximation bounds candidate loss only — returned sims
+    * are exact; recall of the projection is spec-measured and recorded in
+    * SCALE.md. */
+  def topKRp(index: DataFrame, queryVec: DataFrame, k: Int,
+             rdim: Int = 16, dim: Int = 64,
+             candMultiple: Int = 4, excludeId: Option[Long] = None): DataFrame = {
+    val signs = rpSigns(rdim, dim)
+    val e0 = excludeId.map(id => index.filter(col("vec_id") =!= id)).getOrElse(index)
+    val q = queryVec.select(col("qv").cast("array<double>").as("qe"))
+      .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
+      .withColumn("qrp", rpProject(col("qe"), signs))
+      .withColumn("qrn", sqrt(dotc(col("qrp"), col("qrp"))))
+    val cands = e0
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("rp", rpProject(col("ed"), signs))
+      .withColumn("rn", sqrt(dotc(col("rp"), col("rp"))))
+      .crossJoin(broadcast(q.select(col("qrp"), col("qrn"))))
+      .withColumn("simr_raw", sim(col("rp"), col("rn"), col("qrp"), col("qrn")))
+      .orderBy(desc("simr_raw"), asc("vec_id"))
+      .limit(k * candMultiple)
+      .select(col("vec_id"))
+    e0.withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+      .join(broadcast(cands), Seq("vec_id"))
+      .crossJoin(broadcast(q.select(col("qe"), col("qn"))))
+      .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn")))
+      .orderBy(desc("sim_raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** DuckDB mirror of [[topKRp]] — the same md5-derived signs recomputed
+    * in SQL, sequential list_sum per projected coordinate. */
+  def duckTopKRp(table: String, k: Int, rdim: Int = 16, dim: Int = 64,
+                 candMultiple: Int = 4): String = {
+    import graft.functions.VectorFns.duckCosine
+    def proj(vecExpr: String): String =
+      s"""list_transform(range(0, $rdim), j -> list_sum(list_transform(range(1, ${dim + 1}),
+         |      d -> (($vecExpr)[d]::DOUBLE) * (CASE WHEN ('0x' || substr(md5(j::VARCHAR || '_' || (d-1)::VARCHAR), 1, 1))::INT % 2 = 0
+         |                                           THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))))""".stripMargin
+    s"""WITH rp AS (SELECT vec_id, ${proj("embedding")} AS rpv FROM $table),
+       |q AS (SELECT embedding AS qv, ${proj("embedding")} AS qrp FROM $table WHERE vec_id = 0),
+       |cand AS (SELECT r.vec_id FROM rp r CROSS JOIN q
+       |         WHERE r.vec_id <> 0
+       |         ORDER BY ${duckCosine("r.rpv", "q.qrp")} DESC, r.vec_id
+       |         LIMIT ${k * candMultiple}),
+       |s AS (SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS sim_raw
+       |      FROM $table e JOIN cand USING (vec_id) CROSS JOIN q)
+       |SELECT vec_id, label, round(sim_raw, 6) AS sim
+       |FROM s ORDER BY sim_raw DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   /** Product-quantization (PQ) codes: split the vector into `m` subspaces
     * of `dsub` dims; per subspace, assign the nearest of `ncent` centroids
     * (L2², lowest-cid tiebreak). Codebook: the first `ncent` rows' own

@@ -153,6 +153,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(hits4 >= hits1)
   }
 
+  test("RP kNN: signs deterministic ±1, re-rank exact, JL recall measured") {
+    val signs = graft.operators.Knn.rpSigns(16, 64)
+    assert(signs.length == 16 && signs.forall(_.length == 64))
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    // both sign values occur (a degenerate all-+1 matrix would be the
+    // identity-ish projection and hide seed bugs)
+    assert(signs.flatten.distinct.length == 2)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val rp = Knn.topKRp(emb, q, 10, excludeId = Some(0L)).collect()
+    assert(rp.length == 10)
+    val exact = Knn.topK(emb, q, 2000).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    rp.foreach(r => assert(exact(r.getAs[Long]("vec_id")) == r.getAs[Double]("sim")))
+    // JL recall over an 8-query panel: projected-space top-40 → exact
+    // top-10, hits vs brute force — the measured number SCALE.md records
+    val hits = (0L until 8L).map { qid =>
+      val qv = emb.filter(col("vec_id") === qid).select(col("embedding").as("qv"))
+      val got = Knn.topKRp(emb, qv, 10, excludeId = Some(qid))
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      val want = Knn.topK(emb, qv, 11).collect().map(_.getAs[Long]("vec_id"))
+        .filter(_ != qid).take(10).toSet
+      (got intersect want).size
+    }.sum
+    info(s"rp recall@10 over 8 queries: $hits/80 = ${hits / 80.0}")
+    assert(hits > 0)
+  }
+
   test("PQ kNN: code table complete and bounded, re-rank exact, recall monotone in pool") {
     // codes: exactly m rows per vector, every cid a valid codebook entry
     val codes = graft.operators.Knn.pqCodes(emb, m = 8, dsub = 8, ncent = 16).collect()
