@@ -298,6 +298,9 @@ object SparkEntry {
     // bucketed numeric range join: the dedup band trick on the time line
     // (bucket-at-δ equijoin + neighbor explode) vs the O(n²) theta join
     "q_range_join" -> ((s, dir) => Relational.rangeJoinCooccur(s, dir)),
+    // engine-exact moments: order-free DECIMAL sums, then identical
+    // double trees for mean/variance (the pricing pattern extended)
+    "q_event_stats" -> ((s, dir) => Relational.eventStats(s, dir)),
     // semi-structured JSON extraction + exact interpolated quantiles
     "q_json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
     "q_quantiles" -> ((s, dir) => Relational.valueQuantiles(s, dir)),
@@ -564,6 +567,7 @@ object SparkEntry {
     "q_sessionize"      -> Relational.duckSessionize,
     "q_asof_join"       -> Relational.duckAsofPurchaseView,
     "q_range_join"      -> Relational.duckRangeJoinCooccur(),
+    "q_event_stats"     -> Relational.duckEventStats,
     "q_json_props"      -> Relational.duckJsonProps,
     "q_quantiles"       -> Relational.duckValueQuantiles,
     "q_salted_agg"      -> Relational.duckSaltedEventTotals,

@@ -240,6 +240,41 @@ object Relational {
        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Engine-exact second moments per event type — the MOMENT extension of
+    * the [[pricingSummary]] decimal pattern: a float `sum(value)` /
+    * `sum(value²)` would accumulate in partition order and break the
+    * oracle, so both sums run in DECIMAL (exact, order-insensitive — the
+    * value column is DECIMAL(18,6)-representable by construction, and its
+    * square fits (37,12)); only THEN are the exact sums cast to double
+    * and the mean/population-variance computed as identical IEEE trees in
+    * both engines: `var = (n·Σv² − (Σv)²)/n²`. One keyed agg, map-side
+    * partials, no second pass — the one-scan moments shape at any scale. */
+  def eventStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = col("value").cast("decimal(18,6)")
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("s"), sum(v * v).as("ss"))
+      .select(col("event_type"), col("n"),
+        round(col("s").cast("double") / col("n").cast("double"), 6).as("mean_value"),
+        round((col("n").cast("double") * col("ss").cast("double")
+            - col("s").cast("double") * col("s").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double")), 6).as("var_value"))
+      .orderBy("event_type")
+  }
+
+  def duckEventStats: String =
+    s"""WITH a AS (SELECT event_type, count(*)::BIGINT AS n,
+       |                  sum(CAST(value AS DECIMAL(18,6))) AS s,
+       |                  sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS ss
+       |           FROM events GROUP BY event_type)
+       |SELECT event_type, n,
+       |       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_value,
+       |       round((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+       |            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+       |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS var_value
+       |FROM a ORDER BY event_type""".stripMargin
+
   /** Bucketed numeric range join — cross-user event co-occurrence within
     * `deltaUs` of each other, aggregated per event-type pair. Spark has no
     * native range-join optimization: the naive formulation is a theta

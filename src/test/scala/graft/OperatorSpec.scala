@@ -356,6 +356,29 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
   }
 
+  test("event stats: variance non-negative and matches a direct recount") {
+    val r = Relational.eventStats(spark, TestSpark.sf).collect()
+    assert(r.nonEmpty)
+    val vals = Tables.events(spark, TestSpark.sf)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rows) =>
+        t -> rows.map(_.getDouble(1))
+      }
+    r.foreach { row =>
+      val (t, n) = (row.getAs[String]("event_type"), row.getAs[Long]("n"))
+      val (mean, variance) = (row.getAs[Double]("mean_value"), row.getAs[Double]("var_value"))
+      assert(variance >= 0.0)
+      val xs = vals(t)
+      assert(xs.length == n)
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / n
+      // recount in naive double order — agreement to 1e-6 (the operator
+      // itself is exact-decimal; the recount is the sanity bound)
+      assert(math.abs(mean - m) < 1e-6 && math.abs(variance - v) < 1e-4,
+        s"$t: $mean/$m $variance/$v")
+    }
+  }
+
   test("range join: bucketed equijoin form equals the naive theta join") {
     val delta = 60000000L
     val bucketed = Relational.rangeJoinCooccur(spark, TestSpark.sf, delta).collect()
