@@ -301,6 +301,10 @@ object SparkEntry {
     // engine-exact moments: order-free DECIMAL sums, then identical
     // double trees for mean/variance (the pricing pattern extended)
     "q_event_stats" -> ((s, dir) => Relational.eventStats(s, dir)),
+    // interchange-format fidelity: JSONL / CSV write → explicit-schema
+    // read → per-lang 48-bit text checksum vs the parquet oracle
+    "q_jsonl_roundtrip" -> ((s, dir) => graft.sources.Formats.jsonlRoundtrip(s, dir)),
+    "q_csv_roundtrip" -> ((s, dir) => graft.sources.Formats.csvRoundtrip(s, dir)),
     // semi-structured JSON extraction + exact interpolated quantiles
     "q_json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
     "q_quantiles" -> ((s, dir) => Relational.valueQuantiles(s, dir)),
@@ -568,6 +572,8 @@ object SparkEntry {
     "q_asof_join"       -> Relational.duckAsofPurchaseView,
     "q_range_join"      -> Relational.duckRangeJoinCooccur(),
     "q_event_stats"     -> Relational.duckEventStats,
+    "q_jsonl_roundtrip" -> graft.sources.Formats.duckRoundtrip("documents"),
+    "q_csv_roundtrip"   -> graft.sources.Formats.duckRoundtrip("documents"),
     "q_json_props"      -> Relational.duckJsonProps,
     "q_quantiles"       -> Relational.duckValueQuantiles,
     "q_salted_agg"      -> Relational.duckSaltedEventTotals,

@@ -356,6 +356,40 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
   }
 
+  test("format round-trips survive hostile content (quotes, commas, newlines, unicode)") {
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, "plain ascii text", "en", "s0", 16L),
+      (2L, "comma, separated, \"quoted\" and 'single'", "en", "s0", 40L),
+      (3L, "embedded\nnewline and\ttab", "de", "s1", 24L),
+      (4L, "unicode: café 日本語 😀", "fr", "s1", 14L),
+      (5L, "trailing backslash \\ and {json:\"like\"}", "en", "s2", 38L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (fmt <- Seq("json", "csv")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_fmt_$fmt").toString
+      try {
+        val w = hostile.coalesce(1).write.mode("overwrite")
+        val r = spark.read.schema(hostile.schema)
+        val back = fmt match {
+          case "json" => w.json(dir); r.json(dir)
+          case "csv" =>
+            // multiline fields need the reader told so (the production
+            // seam sets it; default CSV reading splits on raw newlines)
+            w.option("header", "true").csv(dir)
+            r.option("header", "true").option("multiLine", "true").csv(dir)
+        }
+        val got = back.orderBy("doc_id").collect().map(_.getAs[String]("text"))
+        val want = hostile.orderBy("doc_id").collect().map(_.getAs[String]("text"))
+        assert(got.sameElements(want), s"$fmt round-trip corrupted text")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }
+    }
+  }
+
   test("event stats: variance non-negative and matches a direct recount") {
     val r = Relational.eventStats(spark, TestSpark.sf).collect()
     assert(r.nonEmpty)
