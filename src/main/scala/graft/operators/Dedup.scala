@@ -580,7 +580,14 @@ object Dedup {
     * big at scale → SMJ — instead of a post-materialization actual-size
     * estimate that would plan a locked-in doc-cardinality broadcast
     * (the round-4 curation lesson). The straddle probe's build side is
-    * the cached pair relation (candidate-first, broadcast-safe). */
+    * the cached pair relation (candidate-first, broadcast-safe).
+    *
+    * Cache lifecycle: the pair relation (and [[minhash]]'s shingle
+    * scratch beneath it) stays cached for the lazy straddle probe —
+    * harness-cleared per query. A LIBRARY caller composing the split
+    * into a pipeline uses [[splitAssignment]] with its own
+    * [[nearDupPairsWith]] handles instead (the
+    * [[graft.Graft.prepareTrainingSet]] shape), which leaks nothing. */
   /** The per-doc half of [[leakageSplit]]: (doc_id, ntok, grp, split) for
     * every doc, group-keyed hash assignment over an EXTERNALLY-owned pair
     * relation — the composition seam [[graft.Graft.prepareTrainingSet]]

@@ -606,7 +606,12 @@ object Knn {
     * are pinned `hint("merge")`: an endpoint-cardinality relation must
     * never become a broadcast build side at corpus scale (measured at
     * sf0.1, TimeQ warm min: 0.68 s pinned vs 0.79 s unpinned — the pin is
-    * cost-neutral-to-faster here, and it is insurance at scale). */
+    * cost-neutral-to-faster here, and it is insurance at scale).
+    *
+    * Cache lifecycle: the scored relation is `.cache()`d and lives as
+    * long as the returned lazy plan — the [[Dedup]]/[[KnnRecall]] header
+    * contract: the harness clears session caches per query; a library
+    * caller clears them once the result is materialized. */
   def marginPairs(index: DataFrame, srcLabel: Int, tgtLabel: Int,
                   k: Int = 4, topM: Int = 20): DataFrame = {
     val a = prep(index.filter(col("label") === srcLabel), "x")
