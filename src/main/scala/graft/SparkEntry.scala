@@ -305,6 +305,7 @@ object SparkEntry {
     // read → per-lang 48-bit text checksum vs the parquet oracle
     "q_jsonl_roundtrip" -> ((s, dir) => graft.sources.Formats.jsonlRoundtrip(s, dir)),
     "q_csv_roundtrip" -> ((s, dir) => graft.sources.Formats.csvRoundtrip(s, dir)),
+    "q_orc_roundtrip" -> ((s, dir) => graft.sources.Formats.orcRoundtrip(s, dir)),
     // semi-structured JSON extraction + exact interpolated quantiles
     "q_json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
     "q_quantiles" -> ((s, dir) => Relational.valueQuantiles(s, dir)),
@@ -574,6 +575,7 @@ object SparkEntry {
     "q_event_stats"     -> Relational.duckEventStats,
     "q_jsonl_roundtrip" -> graft.sources.Formats.duckRoundtrip("documents"),
     "q_csv_roundtrip"   -> graft.sources.Formats.duckRoundtrip("documents"),
+    "q_orc_roundtrip"   -> graft.sources.Formats.duckRoundtrip("documents"),
     "q_json_props"      -> Relational.duckJsonProps,
     "q_quantiles"       -> Relational.duckValueQuantiles,
     "q_salted_agg"      -> Relational.duckSaltedEventTotals,

@@ -45,6 +45,7 @@ object Formats {
       format match {
         case "json" => w.json(outDir)
         case "csv"  => w.option("header", "true").csv(outDir)
+        case "orc"  => w.orc(outDir)
       }
       val back = format match {
         case "json" => r.json(outDir)
@@ -55,6 +56,9 @@ object Formats {
         // per-line, so at scale prefer many moderate files (the writer's
         // one-file-per-partition shape) over one giant CSV.
         case "csv"  => r.option("header", "true").option("multiLine", "true").csv(outDir)
+        // columnar like parquet: schema travels with the file, but the
+        // explicit schema stays — the seam's contract is uniform
+        case "orc"  => r.orc(outDir)
       }
       fidelityAgg(back).localCheckpoint()
     } finally deleteRecursively(new java.io.File(outDir))
@@ -69,6 +73,11 @@ object Formats {
     * gate; quoting fidelity is exactly what the checksum pins. */
   def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
     roundtrip(spark, sfDir, "csv")
+
+  /** ORC (the other columnar interchange format Spark ships natively)
+    * write → read → fidelity gate. */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    roundtrip(spark, sfDir, "orc")
 
   /** The oracle never sees the scratch files: a FAITHFUL round-trip is
     * row-identical to the parquet table, so the mirror aggregates the
