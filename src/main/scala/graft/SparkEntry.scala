@@ -135,6 +135,8 @@ object SparkEntry {
     // --- dedup family over documents (BASELINE.json extensions) ---
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhash(Tables.documents(s, dir), threshold = 0.8)),
+    // dup-graph degree histogram: the pre-prune health report
+    "q_dup_degree" -> ((s, dir) => Dedup.dupDegree(Tables.documents(s, dir), threshold = 0.8)),
     // connected components over the near-dup pair graph → canonical keepers
     "q_dedup_clusters" -> ((s, dir) => Dedup.clusters(Tables.documents(s, dir), threshold = 0.8)),
     // leakage-safe split: train/val assigned per near-dup CLUSTER so no
@@ -181,6 +183,8 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), Seq("spark", "table", "stream"), k = 10)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    // per-doc TF-IDF keyword tags (join-back df, never a head-term window)
+    "q_keywords" -> ((s, dir) => TextAnalysis.keywords(Tables.documents(s, dir), k = 5)),
     // within-doc repetition signals (Gopher-style filters, token/n-gram form)
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))),
     // cross-doc incremental novelty: share of shingles unseen in earlier docs
@@ -292,6 +296,8 @@ object SparkEntry {
     "q_top_nations" -> ((s, dir) => Relational.topNations(s, dir)),
     "q_window_topk" -> ((s, dir) => Relational.windowTopK(s, dir)),
     "q_rollup" -> ((s, dir) => Relational.segmentRollup(s, dir)),
+    // static-value-list pivot: one partial-agged shuffle, no discovery scan
+    "q_pivot" -> ((s, dir) => Relational.langPivot(s, dir)),
     "q_events_window" -> ((s, dir) => Relational.eventsWindow(s, dir)),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.asofPurchaseView(s, dir)),
@@ -502,6 +508,7 @@ object SparkEntry {
 
     "q_dedup_exact"   -> Dedup.duckExact("documents"),
     "q_dedup_minhash" -> Dedup.duckMinhashSql("documents", 0.8),
+    "q_dup_degree"    -> Dedup.duckDupDegreeSql("documents", 0.8),
     "q_dedup_clusters" -> Dedup.duckClustersSql("documents", 0.8),
     "q_leakage_split" -> Dedup.duckLeakageSplit("documents", 0.8),
     "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),
@@ -520,6 +527,7 @@ object SparkEntry {
     "q_token_counts"  -> TextAnalysis.duckTokenCounts("documents"),
     "q_bm25"          -> TextAnalysis.duckBm25("documents", Seq("spark", "table", "stream"), k = 10),
     "q_fingerprint"   -> TextAnalysis.duckFingerprint("documents"),
+    "q_keywords"      -> TextAnalysis.duckKeywordsSql("documents", k = 5),
     "q_quality_cut"   -> TextAnalysis.duckQualityCut("documents", 0.1),
     "q_repetition"    -> TextAnalysis.duckRepetition("documents"),
     "q_novelty"       -> TextAnalysis.duckNovelty("documents"),
@@ -568,6 +576,7 @@ object SparkEntry {
     "q_top_nations"     -> Relational.duckTopNations,
     "q_window_topk"     -> Relational.duckWindowTopK,
     "q_rollup"          -> Relational.duckSegmentRollup,
+    "q_pivot"           -> Relational.duckLangPivot,
     "q_events_window"   -> Relational.duckEventsWindow,
     "q_sessionize"      -> Relational.duckSessionize,
     "q_asof_join"       -> Relational.duckAsofPurchaseView,

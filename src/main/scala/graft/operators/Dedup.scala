@@ -555,6 +555,45 @@ object Dedup {
        |       (count(*) OVER (PARTITION BY cluster))::BIGINT AS cluster_size
        |FROM cc ORDER BY cluster, doc_id""".stripMargin
 
+  /** Near-dup graph health report: the degree histogram of the MinHash
+    * pair graph — (degree, n_docs) for every doc that appears in at least
+    * one verified pair. This is the report a production pipeline reads
+    * BEFORE pruning at scale: a fat high-degree tail means a boilerplate
+    * attractor (one template near-dup to thousands of docs — prune by
+    * cluster, or raise maxDf upstream), while an all-degree-1 histogram
+    * means clean A↔B duplicates where pairwise dropping is safe. Same
+    * diagnostic family as [[Curation]]'s funnel accounting: cheap relative
+    * to the pipeline it tunes, because it reuses the materialize-once
+    * [[nearDupPairs]] artifact.
+    *
+    * Scale shape: the pair relation is ≪ corpus by construction; the
+    * endpoint union is column projections (no shuffle), the degree count
+    * and the histogram are two partial-agged aggregations whose output is
+    * bounded by max-degree — nothing here touches corpus cardinality
+    * beyond the pair pipeline itself. */
+  def dupDegree(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = nearDupPairs(documents, threshold)
+    pairs.select(col("d1").as("doc_id"))
+      .unionAll(pairs.select(col("d2").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy(asc("degree"))
+  }
+
+  /** DuckDB mirror of [[dupDegree]] — the same shared MinHash candidate
+    * CTEs and Jaccard tail as [[duckMinhashSql]], then the two-level
+    * degree aggregation. */
+  def duckDupDegreeSql(table: String, threshold: Double,
+                       seeds: Int = 8, rowsPerBand: Int = 2): String =
+    s"""WITH ${duckMinhashCandCtes(table, seeds, rowsPerBand)},
+       |${duckJaccardCtes("cand")},
+       |pairs AS (SELECT d1, d2 FROM j WHERE jac >= $threshold),
+       |deg AS (SELECT doc_id, count(*)::BIGINT AS degree FROM
+       |          (SELECT d1 AS doc_id FROM pairs
+       |           UNION ALL SELECT d2 FROM pairs) e GROUP BY doc_id)
+       |SELECT degree, count(*)::BIGINT AS n_docs
+       |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+
   /** Leakage-safe train/validation split: assign splits by NEAR-DUP
     * CLUSTER, not by document, so no near-duplicate pair can straddle the
     * boundary — the held-out set stays honest. A per-doc hash split (the

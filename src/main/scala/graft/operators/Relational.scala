@@ -410,4 +410,43 @@ object Relational {
        |             quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS q
        |      FROM events GROUP BY event_type)
        |ORDER BY event_type""".stripMargin
+
+  /** The corpus language inventory, fixed at data-generation time. A pivot
+    * needs its value list STATIC — see [[langPivot]]. */
+  val PivotLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** source × lang contingency pivot — the "how is my corpus composed"
+    * report every curation pass starts from (doc counts per source broken
+    * out by language, plus the row total).
+    *
+    * The value list is EXPLICIT (`pivot(col, values)`): without it Spark
+    * runs a separate collect-distinct JOB over the corpus just to discover
+    * the column set before it can even plan — at 100 TB that is a full
+    * extra scan, and the output schema becomes data-dependent (a new lang
+    * appearing mid-pipeline would silently change the schema downstream).
+    * With the list, the pivot compiles to ONE partially-aggregated shuffle
+    * on `source` (pivot_first combines map-side), exactly a groupBy with k
+    * conditional counts — which is also literally what the DuckDB mirror
+    * writes, so the engines agree by construction. Unseen langs produce
+    * NULL cells → filled to 0; `total` sums the pivoted cells so both
+    * engines count only the listed languages. */
+  def langPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotLangs)
+      .withColumn("total", PivotLangs.map(col).reduce(_ + _))
+      .orderBy("source")
+  }
+
+  def duckLangPivot: String = {
+    val cells = PivotLangs.map(l =>
+      s"count(*) FILTER (WHERE lang = '$l')::BIGINT AS $l").mkString(",\n       |       ")
+    val total = PivotLangs.map(l => s"count(*) FILTER (WHERE lang = '$l')").mkString(" + ")
+    s"""SELECT source,
+       |       $cells,
+       |       ($total)::BIGINT AS total
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -914,4 +914,80 @@ object TextAnalysis {
        |  ${(classRows :+ zzRow).mkString("\n       |  UNION ALL ")}
        |) ORDER BY pii_class""".stripMargin
   }
+
+  /** Per-document TF-IDF keyword extraction — the standard metadata-
+    * enrichment pass of a training-data pipeline (tag every doc with its k
+    * most distinctive terms; downstream consumers use them for topic
+    * routing, dedup explanations, and search facets). Smoothed idf
+    * `ln((N+1)/(df+1))` so a corpus-universal term scores exactly 0 rather
+    * than dividing by anything; ties (all-stopword docs) break on the term
+    * string.
+    *
+    * Scale shape:
+    *   1. tf = ONE grouped count over the token rows, CACHED — it feeds
+    *      both the df aggregate and the scored join, and without the cache
+    *      the corpus tokenizes twice (ReuseExchange only dedupes identical
+    *      subtrees — the bm25/spanRemoved rule).
+    *   2. df is computed by groupBy(term) + JOIN-BACK, never `count OVER
+    *      (PARTITION BY term)`: a corpus-head stopword sits in ~every doc,
+    *      so the window form would put |docs| rows on one task with no
+    *      partial aggregation and no AQE skew handling (the zipf hapax-tier
+    *      lesson, inverted). The join form partial-aggs df map-side and the
+    *      skewed probe join is AQE-splittable. df is a cached-derived
+    *      vocab-cardinality aggregate build side → the mandatory-cache
+    *      hint("merge") pin (high-cardinality term key — the decontam-safe
+    *      shape, not the embedCosine bucket exception).
+    *   3. The corpus-size row broadcasts (1 row); ranking is a doc_id
+    *      window that WindowGroupLimit (or the TopKPerKey rewrite) bounds
+    *      to k rows per doc per map task.
+    * Zero-token docs emit no rows by contract — "no content" means "no
+    * keywords", unlike the gopher rule bank where an empty doc must COUNT
+    * as a word_count failure.
+    *
+    * Float discipline: score = tf × ln((N+1)/(df+1)) with every operand
+    * cast and ordered identically in the DuckDB mirror; rank/filter on the
+    * raw double, round(6) only in the final projection.
+    *
+    * Extends the reference's per-file summary surface (SURVEY.md §2.3 C9 —
+    * `indexing_agent.py` summarizes files for retrieval) with the
+    * corpus-statistical keyword variant its single-process design cannot
+    * compute. */
+  def keywords(documents: DataFrame, k: Int = 5): DataFrame = {
+    val tf = graft.functions.TextFns.tokenRowsOf(documents)
+      .groupBy("doc_id", "t0").agg(count(lit(1)).as("tf"))
+      .cache()
+    val dfRel = tf.groupBy("t0").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score_raw"), asc("t0"))
+    tf.join(dfRel.hint("merge"), "t0")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_raw",
+        col("tf").cast("double") *
+          log((col("n_docs").cast("double") + lit(1.0)) /
+            (col("df").cast("double") + lit(1.0))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("t0").as("term"), col("tf"), col("df"),
+        round(col("score_raw"), 6).as("score"))
+      .orderBy(asc("doc_id"), asc("rank"))
+  }
+
+  /** DuckDB mirror of [[keywords]] — same tf/df relations, same smoothed
+    * idf expression tree (operand order preserved so the doubles are
+    * bit-identical), same (score DESC, term) tiebreak. */
+  def duckKeywordsSql(table: String, k: Int = 5): String =
+    s"""WITH tk AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM $table),
+       |tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+       |df AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t),
+       |n AS (SELECT count(*)::BIGINT AS n_docs FROM $table),
+       |s AS (SELECT doc_id, t, tf, df,
+       |             tf::DOUBLE * ln((n_docs::DOUBLE + 1.0) / (df::DOUBLE + 1.0)) AS score_raw
+       |      FROM tf JOIN df USING (t) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                                   ORDER BY score_raw DESC, t) AS rank FROM s)
+       |SELECT doc_id, rank::BIGINT AS rank, t AS term, tf, df,
+       |       round(score_raw, 6) AS score
+       |FROM r WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 }

@@ -851,6 +851,64 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(r0.getAs[Double]("top_token_frac") - top._2.toDouble / toks.size) < 1e-6)
   }
 
+  test("keywords: ranks consecutive, scores non-negative and non-increasing, doc-0 top term matches a scala recount") {
+    val n = docs.count()
+    val rows = TextAnalysis.keywords(docs, k = 5).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (d, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to byRank.length).toSeq, s"doc $d ranks")
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.forall(_ >= 0.0), s"doc $d negative score")
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b }, s"doc $d score order")
+      rs.foreach(r => assert(r.getAs[Long]("df") <= n))
+    }
+    // recount doc 0 against an in-memory tf-idf over the same tokenizer
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def toks(t: String) = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").split(" ").filter(_.nonEmpty).toSeq
+    val dfMap = texts.values.toSeq.flatMap(t => toks(t).distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val tf0 = toks(texts(0L)).groupBy(identity).view.mapValues(_.size).toMap
+    val expTop = tf0.map { case (t, f) =>
+      (t, f.toDouble * math.log((n + 1.0) / (dfMap(t) + 1.0)))
+    }.toSeq.sortBy { case (t, s) => (-s, t) }.head
+    val got0 = rows.filter(_.getAs[Long]("doc_id") == 0L).minBy(_.getAs[Long]("rank"))
+    assert(got0.getAs[String]("term") == expTop._1)
+    assert(math.abs(got0.getAs[Double]("score") - expTop._2) < 1e-5)
+    // df attach must be a join-back (AQE-skew-splittable), never a window
+    // over the head-skewed term key; the only window partitions by doc_id
+    val plan = TextAnalysis.keywords(docs, k = 5).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition(t0"), s"df must not be a term-keyed window:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("dupDegree: histogram mass equals clustered docs, degree sum is twice the pair count") {
+    val pairs = Dedup.nearDupPairs(docs, 0.8).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    spark.catalog.clearCache()
+    val hist = Dedup.dupDegree(docs, 0.8).collect()
+      .map(r => (r.getAs[Long]("degree"), r.getAs[Long]("n_docs")))
+    val nDocsInGraph = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.length
+    assert(hist.map(_._2).sum == nDocsInGraph, "histogram mass = docs with >=1 pair")
+    assert(hist.map { case (d, n) => d * n }.sum == 2L * pairs.length,
+      "sum(degree*n) = 2 * |pairs| (handshake identity)")
+    assert(hist.forall(_._1 >= 1L))
+    spark.catalog.clearCache()
+  }
+
+  test("langPivot: cells cross-check groupBy counts, totals sum the row") {
+    val rows = Relational.langPivot(spark, TestSpark.sf).collect()
+    val expect = docs.groupBy("source", "lang").count().collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) -> r.getAs[Long]("count")).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val cells = Relational.PivotLangs.map(l => l -> r.getAs[Long](l))
+      cells.foreach { case (l, v) => assert(v == expect.getOrElse((src, l), 0L), s"$src/$l") }
+      assert(r.getAs[Long]("total") == cells.map(_._2).sum, s"$src total")
+    }
+  }
+
   test("round-3 plan shapes: novelty is join-free; packing's sequential window sees buckets only") {
     // novelty: the first-owner attach must be a window, never a join whose
     // build side is the distinct-shingle-cardinality relation
