@@ -93,6 +93,9 @@ object SparkEntry {
       Knn.topKIvf(emb(s, dir), qvec(s, dir), k = 10,
         numCentroids = 16, nprobe = 4, excludeId = Some(0L))),
 
+    // IVF layout health report: per-cell fill + coherence (tuning input)
+    "q_ivf_stats" -> ((s, dir) => Knn.ivfStats(emb(s, dir), numCentroids = 16)),
+
     // SQ8 scalar quantization: whole-index scan over int8 codes (4× less
     // bandwidth than float32), top-4k candidates re-ranked full-precision.
     // The quantized ranking key is exact integer arithmetic cross-engine.
@@ -465,6 +468,8 @@ object SparkEntry {
          |      WHERE a.vec_id <> 0)
          |SELECT vec_id, label, cluster, round(sim_raw, 6) AS sim
          |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ivf_stats" -> Knn.duckIvfStatsSql("embeddings", 16),
 
     "q_margin_pairs" -> Knn.duckMarginPairs("embeddings", 0, 1, k = 4, topM = 20),
 

@@ -305,6 +305,69 @@ object Knn {
       .select(col("vec_id"), col("label"), col("cluster"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** IVF layout health report — per-cell fill and coherence, the report a
+    * deployment reads before tuning (numCentroids, nprobe) at scale: fill
+    * skew (one fat cell = probe cost ceiling and a candidate-count hot
+    * spot; re-train or split), and cell coherence (low mean member→centroid
+    * cosine = the cell is a grab-bag and probing it buys little recall).
+    * Completes the ANN family's ops side the way [[Dedup.dupDegree]] does
+    * for the near-dup graph: both read the cheap layout artifact, not the
+    * corpus.
+    *
+    * Scale shape: [[ivfAssign]] is the map-side-only layout projection; the
+    * per-cell aggregation is partial-agged to `numCentroids` rows; the
+    * grand total attaches via a [[graft.functions.BoundedWindow]] window
+    * over the C-row cell relation (bounded by construction, never corpus-
+    * keyed). Cells no row was assigned to are absent by contract — the
+    * mirror derives cells from the same assignment, so both engines agree.
+    *
+    * Float discipline: mean member→centroid cosine goes through order-free
+    * DECIMAL(28,12) sums of bit-identical raw cosines (the eventStats
+    * moments pattern — double addition is order-sensitive, decimal isn't);
+    * min() is order-free on raw doubles; round(6) only in the projection. */
+  def ivfStats(index: DataFrame, numCentroids: Int = 16): DataFrame = {
+    val assigned = ivfAssign(index, numCentroids)
+    val cent = centroids(index, numCentroids)
+    val cells = assigned
+      .join(broadcast(cent), col("cluster") === col("cid"))
+      .withColumn("csim", sim(col("ed"), col("nrm"), col("ce"), col("cn")))
+      .groupBy("cluster").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("csim").cast("decimal(28,12)")).as("simsum"),
+        min(col("csim")).as("mn"))
+    val wAll = graft.functions.BoundedWindow.boundedGlobal(col("cluster"))
+    cells
+      .withColumn("n_total", sum(col("n_vecs")).over(wAll))
+      .select(col("cluster"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_total").cast("double"), 6).as("fill_frac"),
+        round(col("simsum").cast("double") / col("n_vecs").cast("double"), 6).as("mean_csim"),
+        round(col("mn"), 6).as("min_csim"))
+      .orderBy(asc("cluster"))
+  }
+
+  /** DuckDB mirror of [[ivfStats]] — the q_knn_ivf assignment CTEs (same
+    * argmax-cosine, same cid tiebreak), then the decimal-sum moments. */
+  def duckIvfStatsSql(table: String, numCentroids: Int = 16): String = {
+    import graft.functions.VectorFns.duckCosine
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM $table WHERE vec_id < $numCentroids),
+       |asg AS (SELECT e.vec_id, e.embedding, c.cid,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
+       |        FROM $table e CROSS JOIN cent c),
+       |a AS (SELECT vec_id, embedding, cid AS cluster FROM asg WHERE crn = 1),
+       |w AS (SELECT a.cluster, ${duckCosine("a.embedding", "c.ce")} AS csim
+       |      FROM a JOIN cent c ON a.cluster = c.cid),
+       |cells AS (SELECT cluster, count(*)::BIGINT AS n_vecs,
+       |                 sum(CAST(csim AS DECIMAL(28,12))) AS simsum,
+       |                 min(csim) AS mn
+       |          FROM w GROUP BY cluster)
+       |SELECT cluster, n_vecs,
+       |       round(n_vecs::DOUBLE / (sum(n_vecs) OVER ())::DOUBLE, 6) AS fill_frac,
+       |       round(CAST(simsum AS DOUBLE) / n_vecs::DOUBLE, 6) AS mean_csim,
+       |       round(mn, 6) AS min_csim
+       |FROM cells ORDER BY cluster""".stripMargin
+  }
+
   /** Per-dimension SQ8 scale row: ONE broadcast-able row whose `scales`
     * array holds `127/max|v_d|` per dimension (0 for an all-zero dim, so a
     * dead dimension quantizes to 0 instead of NaN). Row-generating

@@ -896,6 +896,21 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ivfStats: cell mass matches ivfAssign, fractions sum to ~1, coherence bounded") {
+    val stats = Knn.ivfStats(emb, numCentroids = 16).collect()
+    val assignCounts = Knn.ivfAssign(emb, 16).groupBy("cluster").count().collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("count")).toMap
+    assert(stats.nonEmpty && stats.length == assignCounts.size)
+    stats.foreach { r =>
+      val cl = r.getAs[Long]("cluster")
+      assert(r.getAs[Long]("n_vecs") == assignCounts(cl), s"cell $cl mass")
+      val mean = r.getAs[Double]("mean_csim"); val mn = r.getAs[Double]("min_csim")
+      assert(mn <= mean + 1e-9 && mean <= 1.0 + 1e-9, s"cell $cl coherence order")
+    }
+    val fracSum = stats.map(_.getAs[Double]("fill_frac")).sum
+    assert(math.abs(fracSum - 1.0) < 1e-3, s"fill fractions sum to $fracSum")
+  }
+
   test("langPivot: cells cross-check groupBy counts, totals sum the row") {
     val rows = Relational.langPivot(spark, TestSpark.sf).collect()
     val expect = docs.groupBy("source", "lang").count().collect()
