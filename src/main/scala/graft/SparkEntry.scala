@@ -310,6 +310,12 @@ object SparkEntry {
     // engine-exact moments: order-free DECIMAL sums, then identical
     // double trees for mean/variance (the pricing pattern extended)
     "q_event_stats" -> ((s, dir) => Relational.eventStats(s, dir)),
+    // ordered conversion funnel: sequence semantics, stage-shrinking joins
+    "q_funnel" -> ((s, dir) => Relational.eventFunnel(s, dir)),
+    // weekly cohort retention triangle, all-integer week arithmetic
+    "q_cohort" -> ((s, dir) => Relational.cohortRetention(s, dir)),
+    // per-source top bigrams: grouped heavy hitters, WindowGroupLimit-pruned
+    "q_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(Tables.documents(s, dir))),
     // interchange-format fidelity: JSONL / CSV write → explicit-schema
     // read → per-lang 48-bit text checksum vs the parquet oracle
     "q_jsonl_roundtrip" -> ((s, dir) => graft.sources.Formats.jsonlRoundtrip(s, dir)),
@@ -587,6 +593,9 @@ object SparkEntry {
     "q_asof_join"       -> Relational.duckAsofPurchaseView,
     "q_range_join"      -> Relational.duckRangeJoinCooccur(),
     "q_event_stats"     -> Relational.duckEventStats,
+    "q_funnel"          -> Relational.duckEventFunnel,
+    "q_cohort"          -> Relational.duckCohortRetention,
+    "q_top_ngrams"      -> TextAnalysis.duckTopNgramsSql("documents"),
     "q_jsonl_roundtrip" -> graft.sources.Formats.duckRoundtrip("documents"),
     "q_csv_roundtrip"   -> graft.sources.Formats.duckRoundtrip("documents"),
     "q_orc_roundtrip"   -> graft.sources.Formats.duckRoundtrip("documents"),

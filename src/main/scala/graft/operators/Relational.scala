@@ -449,4 +449,82 @@ object Relational {
        |       ($total)::BIGINT AS total
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** Ordered conversion funnel signup → view → purchase: per user, the
+    * first signup, the first view strictly AFTER that signup, the first
+    * purchase strictly after that view — the sequence semantics a bare
+    * per-type `min(ts)` gets wrong (a user who purchased before ever
+    * viewing must not count as converted).
+    *
+    * Scale shape: each stage is `event_type = X` (pushed to the parquet
+    * scan) → partial-agged groupBy(user_id) → user-keyed equijoin with the
+    * previous stage. The stage relations shrink monotonically (survivors
+    * only), every join key is user_id (high cardinality, AQE-splittable),
+    * and nothing is cached — the per-stage scans are independent
+    * predicate-pruned column reads, the same discipline as the curation
+    * funnel. All arithmetic on BIGINT micros. */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val s2 = e.filter(col("event_type") === "view").join(s1, "user_id")
+      .filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    val steps = Seq(
+      "0_all" -> e.select("user_id").distinct(),
+      "1_signup" -> s1.select("user_id"),
+      "2_view_after_signup" -> s2.select("user_id"),
+      "3_purchase_after_view" -> s3.select("user_id"))
+    steps.map { case (name, d) =>
+      d.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), col("n_users"))
+    }.reduce(_ unionAll _).orderBy("step")
+  }
+
+  def duckEventFunnel: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+       |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+       |       WHERE event_type = 'view' AND us > t1 GROUP BY e.user_id),
+       |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+       |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+       |SELECT * FROM (
+       |  SELECT '0_all' AS step, count(DISTINCT user_id)::BIGINT AS n_users FROM e
+       |  UNION ALL SELECT '1_signup', count(*)::BIGINT FROM s1
+       |  UNION ALL SELECT '2_view_after_signup', count(*)::BIGINT FROM s2
+       |  UNION ALL SELECT '3_purchase_after_view', count(*)::BIGINT FROM s3
+       |) ORDER BY step""".stripMargin
+
+  /** Weekly cohort retention: users bucketed by first-seen week, activity
+    * counted at week offsets from that first touch — the classic retention
+    * triangle. The first-touch day attaches as `min(day) OVER (PARTITION BY
+    * user_id)` — the window side of the three-way trade is right here
+    * because a single user's event mass is bounded (never a corpus-head
+    * key) and the join-back alternative would plan the user-cardinality
+    * aggregate as a broadcast build side. One shuffle on user_id, then one
+    * partial-agged rollup to the ≤ weeks² retention triangle. All-integer
+    * day/week arithmetic (floor DIV on positive epoch days — identical in
+    * both engines). */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+    val w = Window.partitionBy("user_id")
+    e.withColumn("d0", min("day").over(w))
+      .select(col("user_id"),
+        expr("d0 DIV 7").as("cohort_week"),
+        expr("(day - d0) DIV 7").as("offset_week"))
+      .groupBy("cohort_week", "offset_week")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("cohort_week", "offset_week")
+  }
+
+  def duckCohortRetention: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+       |f AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS d0 FROM e)
+       |SELECT d0 // 7 AS cohort_week, (day - d0) // 7 AS offset_week,
+       |       count(DISTINCT user_id)::BIGINT AS n_users, count(*)::BIGINT AS n_events
+       |FROM f GROUP BY 1, 2 ORDER BY cohort_week, offset_week""".stripMargin
 }

@@ -990,4 +990,42 @@ object TextAnalysis {
        |SELECT doc_id, rank::BIGINT AS rank, t AS term, tf, df,
        |       round(score_raw, 6) AS score
        |FROM r WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
+  /** Per-source top-k n-grams — the "what does each slice of my corpus
+    * actually say" report (per-group heavy hitters over text, the grouped
+    * sibling of [[collocations]]' global top-k).
+    *
+    * Scale shape: n-grams come from the posexplode + lead-window row form
+    * (TextFns.shingleRowsOfTokens — never a transform-lambda array, the
+    * measured-12× HOF rule), the (source, ngram) count partial-aggs
+    * map-side, and the per-source ranking is a rank-filter window — the
+    * documented EXCEPTION to the head-key window hazard, because Spark 4's
+    * WindowGroupLimit (or the TopKPerKey rewrite) pre-prunes to k rows per
+    * source per map task before the exchange, so a source's full n-gram
+    * mass never moves. Ties break on the n-gram string. */
+  def topNgrams(documents: DataFrame, n: Int = 2, k: Int = 3): DataFrame = {
+    val tok = documents.select(col("doc_id"), col("source"),
+      posexplode(tokens(col("text"))).as(Seq("i", "t0")))
+    val grams = graft.functions.TextFns
+      .shingleRowsOfTokens(tok, n, Seq("doc_id", "source"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("cnt"), asc("s"))
+    grams.groupBy("source", "s").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("s").as("ngram"), col("cnt"))
+      .orderBy(asc("source"), asc("rank"))
+  }
+
+  /** DuckDB mirror of [[topNgrams]] — same shingle contract
+    * (TextFns.duckShingles), same (cnt DESC, ngram) tiebreak. */
+  def duckTopNgramsSql(table: String, n: Int = 2, k: Int = 3): String =
+    s"""WITH tk AS (SELECT doc_id, source, ${duckTokens("text")} AS t FROM $table),
+       |ng AS (SELECT source, unnest(${graft.functions.TextFns.duckShingles("t", n)}) AS s FROM tk),
+       |c AS (SELECT source, s, count(*)::BIGINT AS cnt FROM ng GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |                                   ORDER BY cnt DESC, s) AS rank FROM c)
+       |SELECT source, rank::BIGINT AS rank, s AS ngram, cnt
+       |FROM r WHERE rank <= $k ORDER BY source, rank""".stripMargin
 }

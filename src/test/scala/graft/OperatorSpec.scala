@@ -911,6 +911,62 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(fracSum - 1.0) < 1e-3, s"fill fractions sum to $fracSum")
   }
 
+  test("eventFunnel: step counts monotone non-increasing, ordering enforced vs a scala replay") {
+    val steps = Relational.eventFunnel(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[String]("step") -> r.getAs[Long]("n_users")).toMap
+    assert(steps.size == 4)
+    assert(steps("1_signup") <= steps("0_all"))
+    assert(steps("2_view_after_signup") <= steps("1_signup"))
+    assert(steps("3_purchase_after_view") <= steps("2_view_after_signup"))
+    // replay the sequence semantics in memory
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select("user_id", "event_type", "ts_us").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Long]("ts_us")))
+    def firstAfter(u: Long, tpe: String, after: Long): Option[Long] =
+      ev.filter(e => e._1 == u && e._2 == tpe && e._3 > after).map(_._3).sorted.headOption
+    val users = ev.map(_._1).distinct
+    val conv = users.count { u =>
+      ev.filter(e => e._1 == u && e._2 == "signup").map(_._3).sorted.headOption
+        .flatMap(t1 => firstAfter(u, "view", t1))
+        .flatMap(t2 => firstAfter(u, "purchase", t2)).isDefined
+    }
+    assert(steps("3_purchase_after_view") == conv.toLong, "sequence semantics")
+  }
+
+  test("cohortRetention: event mass conserved, offset-0 holds the cohort maximum") {
+    val rows = Relational.cohortRetention(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("offset_week"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("n_events")))
+    val total = Tables.events(spark, TestSpark.sf).count()
+    assert(rows.map(_._4).sum == total, "every event lands in exactly one cell")
+    assert(rows.forall(_._2 >= 0L), "no negative offsets (first touch defines the cohort)")
+    rows.groupBy(_._1).foreach { case (cw, cells) =>
+      val atZero = cells.find(_._2 == 0L)
+      assert(atZero.isDefined, s"cohort $cw missing its offset-0 cell")
+      assert(cells.forall(_._3 <= atZero.get._3), s"cohort $cw offset-0 must bound n_users")
+    }
+  }
+
+  test("topNgrams: ranks consecutive, counts non-increasing, top bigram of one source matches a recount") {
+    val rows = TextAnalysis.topNgrams(docs).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to byRank.length).toSeq, s"$src ranks")
+      val cnts = byRank.map(_.getAs[Long]("cnt"))
+      assert(cnts.zip(cnts.drop(1)).forall { case (a, b) => a >= b }, s"$src count order")
+    }
+    val src0 = docs.filter(col("source") === "src0").select("text").collect()
+      .map(_.getString(0))
+    val bigrams = src0.flatMap { t =>
+      val toks = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").split(" ").filter(_.nonEmpty)
+      toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }
+    val expTop = bigrams.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (g, c) => (-c, g) }.head
+    val got = rows.filter(_.getAs[String]("source") == "src0").minBy(_.getAs[Long]("rank"))
+    assert(got.getAs[String]("ngram") == expTop._1 && got.getAs[Long]("cnt") == expTop._2.toLong)
+  }
+
   test("langPivot: cells cross-check groupBy counts, totals sum the row") {
     val rows = Relational.langPivot(spark, TestSpark.sf).collect()
     val expect = docs.groupBy("source", "lang").count().collect()
