@@ -370,6 +370,10 @@ object SparkEntry {
       import s.implicits._
       StreamOps.streamedPiiScrub(s, dir, PiiProbes.toDF("doc_id", "text"))
     }),
+    // streaming drift monitor: micro-batch partial token counts through
+    // the foreachBatch sink, compared against the standing corpus —
+    // identical report to q_drift_report, so the one oracle gates both
+    "q_stream_drift" -> ((s, dir) => StreamOps.streamedDrift(s, dir)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -631,5 +635,6 @@ object SparkEntry {
     "q_stream_sessions" -> StreamOps.duckStreamedSessions,
     "q_stream_pii"      -> TextAnalysis.duckPiiRedact(
       s"(SELECT doc_id, text FROM documents UNION ALL SELECT * FROM $duckPiiProbes)"),
+    "q_stream_drift"    -> TextAnalysis.duckDriftReport("documents"),
   )
 }

@@ -352,6 +352,69 @@ object StreamOps {
     } finally deleteRecursively(new java.io.File(outDir))
   }
 
+  /** Streaming form of [[graft.operators.TextAnalysis.driftReport]] — the
+    * production shape of the drift monitor: the crawl batch arrives as a
+    * STREAM, each micro-batch contributes partial per-token counts to the
+    * sink (counts are associative, so partials summed downstream equal the
+    * one-shot count exactly — integer arithmetic end to end), and the
+    * report compares the accumulated batch vocabulary against the standing
+    * corpus. Emits the IDENTICAL report to the batch operator (same slice,
+    * same quantized-log score, same tiebreaks), so the one oracle gates
+    * both — the streamedDecontam/PiiScrub convention.
+    *
+    * Scale shape: the per-micro-batch work is one tokenize + partial
+    * count (bounded by micro-batch size); the corpus side tokenizes ONCE
+    * into a cached vocab-cardinality relation read by the join and the ct
+    * total — cached-derived aggregate build side on the high-cardinality
+    * token key → the mandatory-cache hint("merge") pin (bm25 precedent).
+    * The sink holds (token, cnt) partials, ≪ token occurrences. Explicit
+    * sink schema so an empty batch slice yields the empty report instead
+    * of a schema-inference failure (the streamedDecontam lesson). */
+  def streamedDrift(spark: SparkSession, sfDir: String,
+                    batchMod: Int = 10, batchRem: Int = 7, topN: Int = 20): DataFrame = {
+    import graft.functions.TextFns.tokens
+    val docs = Tables.documents(spark, sfDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_drift").toString
+    try {
+      withShufflePartitions(spark, 4) {
+        val stream = spark.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir)
+          .filter(col("doc_id") % batchMod === batchRem)
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.select(explode(tokens(col("text"))).as("token"))
+              .groupBy("token").agg(count(lit(1)).as("cnt"))
+              .write.mode("append").parquet(outDir)
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val batchCnt = spark.read.schema("token STRING, cnt BIGINT").parquet(outDir)
+        .groupBy("token").agg(sum("cnt").as("batch_cnt"))
+      val corpusCnt = docs.filter(col("doc_id") % batchMod =!= batchRem)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("corpus_cnt"))
+        .cache()
+      def lb(c: org.apache.spark.sql.Column) = (length(bin(c)) - 1).cast("long")
+      val bt = batchCnt.agg(sum("batch_cnt").as("bt"))
+      val ct = corpusCnt.agg(sum("corpus_cnt").as("ct"))
+      val res = batchCnt.join(corpusCnt.hint("merge"), Seq("token"), "left")
+        .withColumn("corpus_cnt", coalesce(col("corpus_cnt"), lit(0L)))
+        .crossJoin(broadcast(bt)).crossJoin(broadcast(ct))
+        .withColumn("drift_q",
+          lb(col("batch_cnt") * col("ct")) - lb((col("corpus_cnt") + 1) * col("bt")))
+        .orderBy(desc("drift_q"), desc("batch_cnt"), asc("token"))
+        .limit(topN)
+        .select(col("token"), col("corpus_cnt"), col("batch_cnt"), col("drift_q"))
+        .localCheckpoint()
+      // the checkpoint materialized the report — release the scratch here,
+      // by handle, rather than leaning on the harness cache clear
+      corpusCnt.unpersist()
+      res
+    } finally deleteRecursively(new java.io.File(outDir))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)

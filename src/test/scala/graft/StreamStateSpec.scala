@@ -223,4 +223,12 @@ class StreamStateSpec extends AnyFunSuite {
       assert(after2.filter(col("file_path") === "a.py").count() >= 2)
     } finally q.stop()
   }
+
+  test("streaming drift report equals the batch drift report row for row") {
+    val streamed = StreamOps.streamedDrift(spark, TestSpark.sf).collect().map(_.toString).toSeq
+    val batch = graft.operators.TextAnalysis.driftReport(
+      Tables.documents(spark, TestSpark.sf)).collect().map(_.toString).toSeq
+    spark.catalog.clearCache()
+    assert(streamed == batch, "micro-batch partial counts must reproduce the one-shot report")
+  }
 }
