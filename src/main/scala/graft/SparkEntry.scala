@@ -301,6 +301,8 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => Relational.segmentRollup(s, dir)),
     // static-value-list pivot: one partial-agged shuffle, no discovery scan
     "q_pivot" -> ((s, dir) => Relational.langPivot(s, dir)),
+    // full grouping-set lattice (rollup + the omitted marginals)
+    "q_cube" -> ((s, dir) => Relational.segmentCube(s, dir)),
     "q_events_window" -> ((s, dir) => Relational.eventsWindow(s, dir)),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.asofPurchaseView(s, dir)),
@@ -592,6 +594,7 @@ object SparkEntry {
     "q_window_topk"     -> Relational.duckWindowTopK,
     "q_rollup"          -> Relational.duckSegmentRollup,
     "q_pivot"           -> Relational.duckLangPivot,
+    "q_cube"            -> Relational.duckSegmentCube,
     "q_events_window"   -> Relational.duckEventsWindow,
     "q_sessionize"      -> Relational.duckSessionize,
     "q_asof_join"       -> Relational.duckAsofPurchaseView,

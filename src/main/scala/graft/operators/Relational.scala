@@ -154,6 +154,34 @@ object Relational {
        |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
        |ORDER BY segment, status""".stripMargin
 
+  /** CUBE(segment, status): the full grouping-set lattice — [[segmentRollup]]
+    * plus the status-only marginals the hierarchy omits. Same Expand-based
+    * single-shuffle shape (each input row feeds all FOUR grouping levels
+    * before partial aggregation, so map-side combine still bounds the
+    * exchange at 4×|groups|), same decimal-exact revenue discipline. */
+  def segmentCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("revenue_raw"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"),
+        round(col("revenue_raw").cast("double"), 6).as("revenue"))
+      .orderBy("segment", "status")
+  }
+
+  def duckSegmentCube: String =
+    s"""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       |       coalesce(o_orderstatus, 'ALL') AS status,
+       |       count(*)::BIGINT AS n_orders,
+       |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY CUBE (c_mktsegment, o_orderstatus)
+       |ORDER BY segment, status""".stripMargin
+
   /** Tumbling 6-hour windowed aggregation over the events stream table. */
   def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

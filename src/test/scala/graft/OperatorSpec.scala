@@ -967,6 +967,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.getAs[String]("ngram") == expTop._1 && got.getAs[Long]("cnt") == expTop._2.toLong)
   }
 
+  test("segmentCube: contains the rollup rows plus consistent status marginals") {
+    val cube = Relational.segmentCube(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[String]("status")) ->
+        (r.getAs[Long]("n_orders"), r.getAs[Double]("revenue"))).toMap
+    val rollup = Relational.segmentRollup(spark, TestSpark.sf).collect()
+    rollup.foreach { r =>
+      val k = (r.getAs[String]("segment"), r.getAs[String]("status"))
+      assert(cube.contains(k) && cube(k)._1 == r.getAs[Long]("n_orders"),
+        s"cube must contain rollup cell $k")
+    }
+    // status-only marginals: n_orders sums over the base cells of that status
+    val base = cube.filter { case ((s, st), _) => s != "ALL" && st != "ALL" }
+    cube.filter { case ((s, st), _) => s == "ALL" && st != "ALL" }.foreach {
+      case ((_, st), (n, _)) =>
+        assert(n == base.collect { case ((_, s2), v) if s2 == st => v._1 }.sum,
+          s"status marginal $st")
+    }
+  }
+
   test("langPivot: cells cross-check groupBy counts, totals sum the row") {
     val rows = Relational.langPivot(spark, TestSpark.sf).collect()
     val expect = docs.groupBy("source", "lang").count().collect()
