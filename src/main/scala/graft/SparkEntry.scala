@@ -96,6 +96,12 @@ object SparkEntry {
     // IVF layout health report: per-cell fill + coherence (tuning input)
     "q_ivf_stats" -> ((s, dir) => Knn.ivfStats(emb(s, dir), numCentroids = 16)),
 
+    // IVF × SQ8 composition: probe-pruned candidates ranked over int8
+    // codes (full-index code book), exact re-rank — the production shape
+    "q_knn_ivf_sq8" -> ((s, dir) =>
+      Knn.topKIvfSq8(emb(s, dir), qvec(s, dir), k = 10,
+        numCentroids = 16, nprobe = 4, candMultiple = 4, excludeId = Some(0L))),
+
     // SQ8 scalar quantization: whole-index scan over int8 codes (4× less
     // bandwidth than float32), top-4k candidates re-ranked full-precision.
     // The quantized ranking key is exact integer arithmetic cross-engine.
@@ -516,6 +522,7 @@ object SparkEntry {
          |SELECT vec_id, label, round(sim_raw, 6) AS sim
          |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q_knn_ivf_sq8" -> Knn.duckTopKIvfSq8("embeddings", k = 10),
     "q_knn_pq" -> Knn.duckTopKPq("embeddings", k = 10),
     "q_knn_rp" -> Knn.duckTopKRp("embeddings", k = 10),
 

@@ -433,6 +433,89 @@ object Knn {
       .select(col("vec_id"), col("label"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** IVF × SQ8 composition — the production vector-search shape the
+    * compression ladder's scaladoc promises ("SQ8 composes with IVF:
+    * quantize within probed clusters"), here as a gated query instead of
+    * an assertion. Probe phase prunes candidates to ~N·nprobe/C rows
+    * ([[topKIvf]]'s shape); the quantized pass then ranks ONLY the probed
+    * rows over int8 codes (the 4× bandwidth cut applies to the probed
+    * fraction — at deployment the per-cluster codes table is the thing
+    * materialized, and the float vectors are touched for the final C
+    * re-ranks only); exact re-rank on the top `k·candMultiple`.
+    *
+    * The code book ([[sq8Scales]]) comes from the FULL index, not the
+    * probed subset — it is the stored per-index artifact, so probing
+    * different clusters never changes any code and the quantized ranking
+    * stays reproducible. Recall loss composes: cluster misses (IVF) ∪
+    * candidate-boundary quantization error (SQ8, measured 0 at
+    * candMultiple=4 on this corpus) — spec-pinned: exhaustive probes +
+    * saturating pool reproduce exact top-k. */
+  def topKIvfSq8(index: DataFrame, queryVec: DataFrame, k: Int,
+                 numCentroids: Int = 16, nprobe: Int = 4,
+                 candMultiple: Int = 4, excludeId: Option[Long] = None): DataFrame = {
+    val cent = centroids(index, numCentroids)
+    val scales = sq8Scales(index)
+    val q0 = queryVec.select(col("qv").cast("array<double>").as("ed"))
+      .withColumn("qn", sqrt(dotc(col("ed"), col("ed"))))
+    val qc = sq8Codes(q0, scales)
+      .select(col("ed").as("qe"), col("qn"),
+        col("code").as("qcode"), col("cnq").as("qcnq"))
+    val probes = cent
+      .crossJoin(broadcast(q0.select(col("ed").as("qe"), col("qn"))))
+      .withColumn("qsim", sim(col("ce"), col("cn"), col("qe"), col("qn")))
+      .orderBy(desc("qsim"), asc("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("pcid"))
+    val assigned = ivfAssign(index, numCentroids)
+    val e0 = excludeId.map(id => assigned.filter(col("vec_id") =!= id)).getOrElse(assigned)
+    val probed = e0.join(broadcast(probes), col("cluster") === col("pcid"))
+    val cands = sq8Codes(probed, scales)
+      .crossJoin(broadcast(qc.select(col("qcode"), col("qcnq"))))
+      .withColumn("simq_raw", sim(col("code"), col("cnq"), col("qcode"), col("qcnq")))
+      .orderBy(desc("simq_raw"), asc("vec_id"))
+      .limit(k * candMultiple)
+      .select(col("vec_id"))
+    probed.join(broadcast(cands), Seq("vec_id"))
+      .crossJoin(broadcast(qc.select(col("qe"), col("qn"))))
+      .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn")))
+      .orderBy(desc("sim_raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("cluster"),
+        round(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** DuckDB mirror of [[topKIvfSq8]] — the q_knn_ivf assignment/probe CTEs
+    * composed with the q_knn_sq8 code CTEs; the quantized dot restricted
+    * to probed rows, full-index code book, same tiebreaks. */
+  def duckTopKIvfSq8(table: String, k: Int, numCentroids: Int = 16,
+                     nprobe: Int = 4, candMultiple: Int = 4): String = {
+    import graft.functions.VectorFns.{duckCosine, duckSq8Ctes}
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM $table WHERE vec_id < $numCentroids),
+       |asg AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
+       |        FROM $table e CROSS JOIN cent c),
+       |a AS (SELECT vec_id, label, embedding, cid AS cluster FROM asg WHERE crn = 1),
+       |q0 AS (SELECT embedding AS qv FROM $table WHERE vec_id = 0),
+       |probes AS (SELECT c.cid AS pcid FROM cent c CROSS JOIN q0
+       |           ORDER BY ${duckCosine("c.ce", "q0.qv")} DESC, c.cid LIMIT $nprobe),
+       |p AS (SELECT a.vec_id, a.label, a.embedding, a.cluster
+       |      FROM a JOIN probes ON a.cluster = probes.pcid WHERE a.vec_id <> 0),
+       |${duckSq8Ctes(table)},
+       |qc AS (SELECT d, c FROM sq8_codes WHERE vec_id = 0),
+       |qn AS (SELECT sqrt(sum(c*c)) AS qcn FROM qc),
+       |ad AS (SELECT sq8_codes.vec_id, sum(sq8_codes.c * qc.c) AS qdot
+       |       FROM sq8_codes JOIN qc USING (d)
+       |       JOIN (SELECT vec_id FROM p) pv ON pv.vec_id = sq8_codes.vec_id
+       |       GROUP BY sq8_codes.vec_id),
+       |cand AS (SELECT ad.vec_id FROM ad JOIN sq8_cn USING (vec_id) CROSS JOIN qn
+       |         ORDER BY qdot / (cn * qcn) DESC, vec_id LIMIT ${k * candMultiple}),
+       |s AS (SELECT p.vec_id, p.label, p.cluster, ${duckCosine("p.embedding", "q0.qv")} AS sim_raw
+       |      FROM p JOIN cand USING (vec_id) CROSS JOIN q0)
+       |SELECT vec_id, label, cluster, round(sim_raw, 6) AS sim
+       |FROM s ORDER BY sim_raw DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   /** Deterministic ±1 random-projection sign matrix (rdim × dim) — the
     * Achlioptas/JL projection seeds: sign(j,d) = parity of the first hex
     * nibble of md5("j_d"). Computed at PLAN TIME and baked into both

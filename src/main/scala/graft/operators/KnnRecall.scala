@@ -147,6 +147,27 @@ object KnnRecall {
         .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
         .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
 
+    // IVF × SQ8 composition ([[Knn.topKIvfSq8]] batched per qid): the
+    // quantized ranking restricted to each query's probed clusters, same
+    // full-index code book, exact re-rank — measures the composed recall
+    // (cluster misses ∪ quantization boundary error) beside its factors.
+    val wIs = Window.partitionBy("qid").orderBy(desc("simq_raw"), asc("vec_id"))
+    val isCand = eq
+      .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .join(broadcast(iprobes.select(col("qid"), col("pcid"))),
+        col("cluster") === col("pcid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qq), Seq("qid"))
+      .withColumn("simq_raw", sim(col("code"), col("cnq"), col("qcode"), col("qcnq")))
+      .withColumn("crn", row_number().over(wIs))
+      .filter(col("crn") <= k * sqCandMultiple)
+      .select(col("qid"), col("vec_id"))
+    val ivfSq = topPairs(
+      isCand
+        .join(e.select(col("vec_id"), col("ed"), col("nrm")), Seq("vec_id"))
+        .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
+        .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
+
     // PQ/ADC: codes assigned once ([[Knn.pqCodes]]), each query's ADC
     // table joined on (sub, cid), per-(qid, vec) approximate dot as the
     // fixed-order pivot sum — the same construction [[Knn.topKPq]] runs,
@@ -182,6 +203,7 @@ object KnnRecall {
       .unionByName(mp.withColumn("variant", lit("lsh_multiprobe")))
       .unionByName(banded.withColumn("variant", lit("lsh_banded")))
       .unionByName(ivf.withColumn("variant", lit("ivf")))
+      .unionByName(ivfSq.withColumn("variant", lit("ivf_sq8")))
       .unionByName(sq8.withColumn("variant", lit("sq8")))
       .unionByName(pq.withColumn("variant", lit("pq")))
 
@@ -307,6 +329,22 @@ object KnnRecall {
        |                   ORDER BY ${duckCosine("e.embedding", "q.qv")} DESC, c.vec_id) AS rn
        |          FROM sq8_cand c JOIN $table e USING (vec_id) JOIN q USING (qid)) t
        |        WHERE rn <= $k),
+       |is_cand AS (SELECT qid, vec_id FROM (
+       |              SELECT a2.qid, a2.vec_id,
+       |                     row_number() OVER (PARTITION BY a2.qid
+       |                       ORDER BY a2.qdot / (c.cn * n.qcn) DESC, a2.vec_id) AS crn
+       |              FROM sq8_ad a2
+       |              JOIN a ON a.vec_id = a2.vec_id
+       |              JOIN iprobes p ON p.qid = a2.qid AND a.cluster = p.pcid
+       |              JOIN sq8_cn c ON c.vec_id = a2.vec_id
+       |              JOIN sq8_qn n ON a2.qid = n.qid) t
+       |            WHERE crn <= ${k * sqCandMultiple}),
+       |ivfsq AS (SELECT qid, vec_id FROM (
+       |            SELECT c.qid, c.vec_id,
+       |                   row_number() OVER (PARTITION BY c.qid
+       |                     ORDER BY ${duckCosine("e.embedding", "q.qv")} DESC, c.vec_id) AS rn
+       |            FROM is_cand c JOIN $table e USING (vec_id) JOIN q USING (qid)) t
+       |          WHERE rn <= $k),
        |pq_subs AS (SELECT unnest(generate_series(0, ${pqM - 1})) AS sub),
        |pq_cent AS (SELECT s.sub, e.vec_id AS cid, e.embedding AS ced
        |            FROM $table e CROSS JOIN pq_subs s WHERE e.vec_id < $pqNcent),
@@ -335,6 +373,7 @@ object KnnRecall {
        |        UNION ALL SELECT 'lsh_multiprobe', qid, vec_id FROM mp
        |        UNION ALL SELECT 'lsh_banded', qid, vec_id FROM banded
        |        UNION ALL SELECT 'ivf', qid, vec_id FROM ivf
+       |        UNION ALL SELECT 'ivf_sq8', qid, vec_id FROM ivfsq
        |        UNION ALL SELECT 'sq8', qid, vec_id FROM sq8
        |        UNION ALL SELECT 'pq', qid, vec_id FROM pq),
        |m AS (SELECT a.variant, count(*) AS n_returned,

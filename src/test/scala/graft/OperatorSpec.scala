@@ -896,6 +896,22 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("topKIvfSq8: saturating pool reproduces topKIvf; exhaustive probes + pool reproduce exact top-k") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // pool saturation makes the quantized pre-rank irrelevant → pure IVF
+    val composed = Knn.topKIvfSq8(emb, q, k = 10, numCentroids = 16, nprobe = 4,
+      candMultiple = 10000, excludeId = Some(0L)).collect().map(_.toString).toSeq
+    val ivf = Knn.topKIvf(emb, q, k = 10, numCentroids = 16, nprobe = 4,
+      excludeId = Some(0L)).collect().map(_.toString).toSeq
+    assert(composed == ivf, "saturated pool must equal plain IVF")
+    // exhaustive probing + saturated pool → exact brute-force top-k ids
+    val exhaustive = Knn.topKIvfSq8(emb, q, k = 10, numCentroids = 16, nprobe = 16,
+      candMultiple = 10000, excludeId = Some(0L)).collect().map(_.getAs[Long]("vec_id")).toSeq
+    val exact = Knn.topK(emb, q, 10, excludeId = Some(0L)).collect()
+      .map(_.getAs[Long]("vec_id")).toSeq
+    assert(exhaustive == exact, "exhaustive config must recover exact top-k")
+  }
+
   test("ivfStats: cell mass matches ivfAssign, fractions sum to ~1, coherence bounded") {
     val stats = Knn.ivfStats(emb, numCentroids = 16).collect()
     val assignCounts = Knn.ivfAssign(emb, 16).groupBy("cluster").count().collect()
@@ -1210,7 +1226,12 @@ class OperatorSpec extends AnyFunSuite {
     val r = KnnRecall.annRecall(emb, k = 10, nQueries = 8,
       bits = 4, numCentroids = 16, nprobe = 4).collect()
     assert(r.map(_.getString(0)).toSeq ==
-      Seq("ivf", "lsh", "lsh_banded", "lsh_multiprobe", "pq", "sq8"))
+      Seq("ivf", "ivf_sq8", "lsh", "lsh_banded", "lsh_multiprobe", "pq", "sq8"))
+    // the composed variant's hits are bounded by its pruning factor (IVF):
+    // its candidates are a subset of the probed clusters
+    val ivfHits = r.find(_.getString(0) == "ivf").get.getLong(2)
+    val composedHits = r.find(_.getString(0) == "ivf_sq8").get.getLong(2)
+    assert(composedHits <= ivfHits, "composition cannot out-recall its pruning factor")
     r.foreach { row =>
       val (ret, hits, exp, rec) = (row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
       assert(exp == 80, s"exact side must return k rows per query, got $exp")
