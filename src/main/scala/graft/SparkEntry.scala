@@ -324,6 +324,10 @@ object SparkEntry {
     "q_cohort" -> ((s, dir) => Relational.cohortRetention(s, dir)),
     // per-source top bigrams: grouped heavy hitters, WindowGroupLimit-pruned
     "q_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(Tables.documents(s, dir))),
+    // engine-exact Pearson + OLS via DECIMAL(38,0) sufficient statistics
+    "q_corr_ols" -> ((s, dir) => TextAnalysis.charTokenFit(Tables.documents(s, dir))),
+    // source-pair vocabulary Jaccard: |sources|^2-bounded self-join fan-out
+    "q_source_overlap" -> ((s, dir) => TextAnalysis.sourceOverlap(Tables.documents(s, dir))),
     // interchange-format fidelity: JSONL / CSV write → explicit-schema
     // read → per-lang 48-bit text checksum vs the parquet oracle
     "q_jsonl_roundtrip" -> ((s, dir) => graft.sources.Formats.jsonlRoundtrip(s, dir)),
@@ -610,6 +614,8 @@ object SparkEntry {
     "q_funnel"          -> Relational.duckEventFunnel,
     "q_cohort"          -> Relational.duckCohortRetention,
     "q_top_ngrams"      -> TextAnalysis.duckTopNgramsSql("documents"),
+    "q_corr_ols"        -> TextAnalysis.duckCharTokenFitSql("documents"),
+    "q_source_overlap"  -> TextAnalysis.duckSourceOverlapSql("documents"),
     "q_jsonl_roundtrip" -> graft.sources.Formats.duckRoundtrip("documents"),
     "q_csv_roundtrip"   -> graft.sources.Formats.duckRoundtrip("documents"),
     "q_orc_roundtrip"   -> graft.sources.Formats.duckRoundtrip("documents"),

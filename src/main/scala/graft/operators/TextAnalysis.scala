@@ -1028,4 +1028,126 @@ object TextAnalysis {
        |                                   ORDER BY cnt DESC, s) AS rank FROM c)
        |SELECT source, rank::BIGINT AS rank, s AS ngram, cnt
        |FROM r WHERE rank <= $k ORDER BY source, rank""".stripMargin
+
+  /** Engine-exact Pearson correlation + OLS fit of token count on char
+    * count, per language and overall — the statistical primitive behind
+    * every "does metric X track metric Y" curation question, built so the
+    * oracle hash-matches: all six sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx², Σy²) are sums of INTEGER products accumulated in DECIMAL(38,0)
+    * (order-free, overflow-safe where a BIGINT sum of x·y would silently
+    * wrap at corpus scale), and corr/slope/intercept are the same double
+    * expression tree in both engines — the eventStats moments pattern
+    * extended to bivariate form.
+    *
+    * Scale shape: ONE pass (map-side: chars + token count per doc), one
+    * partial-agged rollup(lang) — the overall row costs no second scan
+    * (Expand feeds both grouping levels before partial aggregation).
+    * Degenerate slices (zero variance in x or y) emit NULL corr/slope via
+    * the same CASE guard in both engines rather than a NaN/NULL mismatch. */
+  def charTokenFit(documents: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val per = documents.select(col("lang"), col("n_chars").as("x"),
+      size(tokens(col("text"))).cast("long").as("y"))
+    val agg = per.rollup("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+      sum(d38(col("x") * col("y"))).as("sxy"),
+      sum(d38(col("x") * col("x"))).as("sxx"),
+      sum(d38(col("y") * col("y"))).as("syy"))
+    val n = col("n_docs").cast("double")
+    val (sx, sy, sxy, sxx, syy) =
+      (col("sx").cast("double"), col("sy").cast("double"), col("sxy").cast("double"),
+        col("sxx").cast("double"), col("syy").cast("double"))
+    val covN = n * sxy - sx * sy
+    val varXN = n * sxx - sx * sx
+    val varYN = n * syy - sy * sy
+    agg.select(
+      coalesce(col("lang"), lit("zz_all")).as("lang"),
+      col("n_docs"),
+      round(when(varXN === 0.0 || varYN === 0.0, lit(null))
+        .otherwise(covN / (sqrt(varXN) * sqrt(varYN))), 6).as("corr"),
+      round(when(varXN === 0.0, lit(null)).otherwise(covN / varXN), 6).as("slope"),
+      round(when(varXN === 0.0, lit(null))
+        .otherwise((sy - (covN / varXN) * sx) / n), 6).as("intercept"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[charTokenFit]] — same DECIMAL(38,0) sufficient
+    * statistics, same double trees, same zero-variance guards. */
+  def duckCharTokenFitSql(table: String): String =
+    s"""WITH per AS (SELECT lang, n_chars AS x,
+       |                    len(${duckTokens("text")})::BIGINT AS y FROM $table),
+       |a AS (SELECT lang, count(*)::BIGINT AS n_docs,
+       |             sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |             sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+       |             sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+       |             sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+       |      FROM per GROUP BY ROLLUP (lang)),
+       |d AS (SELECT coalesce(lang, 'zz_all') AS lang, n_docs,
+       |             CAST(n_docs AS DOUBLE) AS n,
+       |             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+       |             CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+       |             CAST(syy AS DOUBLE) AS syy
+       |      FROM a)
+       |SELECT lang, n_docs,
+       |       round(CASE WHEN (n * sxx - sx * sx) = 0.0 OR (n * syy - sy * sy) = 0.0 THEN NULL
+       |                  ELSE (n * sxy - sx * sy)
+       |                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END, 6) AS corr,
+       |       round(CASE WHEN (n * sxx - sx * sx) = 0.0 THEN NULL
+       |                  ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+       |       round(CASE WHEN (n * sxx - sx * sx) = 0.0 THEN NULL
+       |                  ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END, 6) AS intercept
+       |FROM d ORDER BY lang""".stripMargin
+
+  /** Cross-slice vocabulary overlap — Jaccard similarity of the distinct
+    * token sets of every source pair: the "are these two crawls the same
+    * corpus wearing different names" report that decides whether sources
+    * merge or stay separate mixture components.
+    *
+    * Scale shape: the distinct (source, token) relation is ONE exchange
+    * and is CACHED (it feeds the self-join probe, build, and the size
+    * aggregate — uncached it tokenizes the corpus three times); the
+    * token-keyed self-join's fan-out per token is bounded by
+    * |sources|² — a STRUCTURAL cap (20² here), unlike the document
+    * n-gram self-join whose per-shingle f² is unbounded, which is why
+    * this join needs no df cap. Intersections are counted in the SAME
+    * pass as the join (the single-pass rule); per-source set sizes are a
+    * |sources|-row aggregate — bounded by the source inventory, NOT
+    * corpus cardinality, so its broadcast is safe BY CONSTRUCTION and
+    * deliberately unpinned (the pin rule targets corpus-cardinality
+    * cached-derived build sides). */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val st = documents
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .distinct()
+      .cache()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    // pin: st is a CACHED corpus-cardinality relation joining on the
+    // high-cardinality token key — the decontam-safe merge shape, not the
+    // embedCosine low-cardinality bucket exception (rows here are narrow)
+    val inter = st.as("a").join(st.as("b").hint("merge"),
+        col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")).cast("double"))
+      .select(col("s1"), col("s2"), col("n_inter"), col("n1"), col("n2"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
+  /** DuckDB mirror of [[sourceOverlap]]. */
+  def duckSourceOverlapSql(table: String): String =
+    s"""WITH st AS (SELECT DISTINCT source, unnest(${duckTokens("text")}) AS t FROM $table),
+       |sz AS (SELECT source, count(*)::BIGINT AS n FROM st GROUP BY source),
+       |iv AS (SELECT a.source AS s1, b.source AS s2, count(*)::BIGINT AS n_inter
+       |       FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+       |       GROUP BY 1, 2)
+       |SELECT s1, s2, n_inter, z1.n AS n1, z2.n AS n2,
+       |       round(n_inter::DOUBLE / (z1.n + z2.n - n_inter)::DOUBLE, 6) AS jaccard
+       |FROM iv JOIN sz z1 ON z1.source = iv.s1 JOIN sz z2 ON z2.source = iv.s2
+       |ORDER BY s1, s2""".stripMargin
 }

@@ -1002,6 +1002,52 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("charTokenFit: corr bounded, zz_all recomputed from a scala OLS, slices cover the corpus") {
+    val rows = TextAnalysis.charTokenFit(docs).collect()
+    val byLang = rows.map(r => r.getAs[String]("lang") -> r).toMap
+    assert(byLang.contains("zz_all"))
+    assert(byLang("zz_all").getAs[Long]("n_docs") ==
+      rows.filter(_.getAs[String]("lang") != "zz_all").map(_.getAs[Long]("n_docs")).sum)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"${r.getAs[String]("lang")} corr $c")
+    }
+    // recompute the overall fit in memory over the same tokenizer
+    val xy = docs.select("n_chars", "text").collect().map { r =>
+      val y = r.getAs[String]("text").toLowerCase.replaceAll("[^a-z0-9]+", " ")
+        .split(" ").count(_.nonEmpty)
+      (r.getAs[Long]("n_chars").toDouble, y.toDouble)
+    }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(byLang("zz_all").getAs[Double]("slope") - slope) < 1e-4)
+    assert(math.abs(byLang("zz_all").getAs[Double]("intercept") - (sy - slope * sx) / n) < 1e-3)
+  }
+
+  test("sourceOverlap: symmetric-complete pair set, jaccard bounded, one pair recounted") {
+    val rows = TextAnalysis.sourceOverlap(docs).collect()
+    val nSources = docs.select("source").distinct().count().toInt
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      "every source pair must appear (shared corpus vocabulary guarantees nonzero intersections)")
+    rows.foreach { r =>
+      val (i, n1, n2) = (r.getAs[Long]("n_inter"), r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+      assert(i >= 0 && i <= math.min(n1, n2), r.toString)
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    def vocab(src: String) = docs.filter(col("source") === src).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.replaceAll("[^a-z0-9]+", " ").split(" "))
+      .filter(_.nonEmpty).toSet
+    val (va, vb) = (vocab("src0"), vocab("src1"))
+    val got = rows.find(r => r.getAs[String]("s1") == "src0" && r.getAs[String]("s2") == "src1").get
+    assert(got.getAs[Long]("n_inter") == va.intersect(vb).size.toLong)
+    assert(got.getAs[Long]("n1") == va.size.toLong && got.getAs[Long]("n2") == vb.size.toLong)
+    spark.catalog.clearCache()
+  }
+
   test("langPivot: cells cross-check groupBy counts, totals sum the row") {
     val rows = Relational.langPivot(spark, TestSpark.sf).collect()
     val expect = docs.groupBy("source", "lang").count().collect()
