@@ -35,6 +35,11 @@ object SparkEntry {
     (900000003L, "ssn 123-45-6789 phone 415-555-0176 card 4111111122223333"),
     (900000004L, "tracking 987654321012 delivered"))
 
+  /** Misspelled forms of corpus vocabulary for the fuzzy-match gate —
+    * fixed on both engines (Spark literal array / oracle VALUES). */
+  private val FuzzyProbes: Seq[String] =
+    Seq("sprak", "tabel", "stremm", "qurey", "windoow")
+
   /** The probe rows as a DuckDB inline relation matching `documents`'
     * (doc_id, text) projection. */
   private def duckPiiProbes: String =
@@ -328,6 +333,9 @@ object SparkEntry {
     "q_corr_ols" -> ((s, dir) => TextAnalysis.charTokenFit(Tables.documents(s, dir))),
     // source-pair vocabulary Jaccard: |sources|^2-bounded self-join fan-out
     "q_source_overlap" -> ((s, dir) => TextAnalysis.sourceOverlap(Tables.documents(s, dir))),
+    // fuzzy vocabulary match: integer edit distance, engine-exact ranking
+    "q_fuzzy_vocab" -> ((s, dir) =>
+      TextAnalysis.fuzzyVocab(Tables.documents(s, dir), FuzzyProbes)),
     // interchange-format fidelity: JSONL / CSV write → explicit-schema
     // read → per-lang 48-bit text checksum vs the parquet oracle
     "q_jsonl_roundtrip" -> ((s, dir) => graft.sources.Formats.jsonlRoundtrip(s, dir)),
@@ -616,6 +624,7 @@ object SparkEntry {
     "q_top_ngrams"      -> TextAnalysis.duckTopNgramsSql("documents"),
     "q_corr_ols"        -> TextAnalysis.duckCharTokenFitSql("documents"),
     "q_source_overlap"  -> TextAnalysis.duckSourceOverlapSql("documents"),
+    "q_fuzzy_vocab"     -> TextAnalysis.duckFuzzyVocabSql("documents", FuzzyProbes),
     "q_jsonl_roundtrip" -> graft.sources.Formats.duckRoundtrip("documents"),
     "q_csv_roundtrip"   -> graft.sources.Formats.duckRoundtrip("documents"),
     "q_orc_roundtrip"   -> graft.sources.Formats.duckRoundtrip("documents"),

@@ -1150,4 +1150,43 @@ object TextAnalysis {
        |       round(n_inter::DOUBLE / (z1.n + z2.n - n_inter)::DOUBLE, 6) AS jaccard
        |FROM iv JOIN sz z1 ON z1.source = iv.s1 JOIN sz z2 ON z2.source = iv.s2
        |ORDER BY s1, s2""".stripMargin
+
+  /** Fuzzy vocabulary match — nearest corpus tokens by Levenshtein edit
+    * distance for a fixed probe list: the typo/variant-normalization
+    * primitive (map OCR noise, crawl misspellings, or tag variants onto
+    * the canonical vocabulary before counting). Both engines implement
+    * classic Levenshtein identically on ASCII tokens, and distances are
+    * integers, so the ranking is engine-exact with the (dist, term)
+    * tiebreak.
+    *
+    * Scale shape: ONE distinct pass builds the vocabulary (vocab ≪ token
+    * occurrences), the probe list explodes map-side (|vocab|·|probes|
+    * rows — probes are a fixed O(1) list), and the per-probe ranking is a
+    * rank-filter window WindowGroupLimit bounds to k per probe per map
+    * task. Nothing touches corpus cardinality after the distinct. */
+  def fuzzyVocab(documents: DataFrame, probes: Seq[String], k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe").orderBy(asc("dist"), asc("t"))
+    documents.select(explode(tokens(col("text"))).as("t")).distinct()
+      .select(col("t"), explode(array(probes.map(lit): _*)).as("probe"))
+      .withColumn("dist", levenshtein(col("probe"), col("t")).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe"), col("rank").cast("long").as("rank"),
+        col("t").as("term"), col("dist"))
+      .orderBy(asc("probe"), asc("rank"))
+  }
+
+  /** DuckDB mirror of [[fuzzyVocab]]. */
+  def duckFuzzyVocabSql(table: String, probes: Seq[String], k: Int = 3): String = {
+    val probeRows = probes.map(p => s"('$p')").mkString(", ")
+    s"""WITH v AS (SELECT DISTINCT unnest(${duckTokens("text")}) AS t FROM $table),
+       |p(probe) AS (VALUES $probeRows),
+       |d AS (SELECT p.probe, v.t, levenshtein(p.probe, v.t)::BIGINT AS dist
+       |      FROM v CROSS JOIN p),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY probe
+       |                                   ORDER BY dist, t) AS rank FROM d)
+       |SELECT probe, rank::BIGINT AS rank, t AS term, dist
+       |FROM r WHERE rank <= $k ORDER BY probe, rank""".stripMargin
+  }
 }

@@ -1048,6 +1048,30 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("fuzzyVocab: distances non-decreasing per probe, top match recounted with a scala edit distance") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = TextAnalysis.fuzzyVocab(docs, Seq("sprak", "tabel"), k = 3).collect()
+    val vocab = docs.select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.replaceAll("[^a-z0-9]+", " ").split(" "))
+      .filter(_.nonEmpty).distinct
+    rows.groupBy(_.getAs[String]("probe")).foreach { case (probe, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      val dists = byRank.map(_.getAs[Long]("dist"))
+      assert(dists.zip(dists.drop(1)).forall { case (a, b) => a <= b }, s"$probe dist order")
+      val expBest = vocab.map(t => (t, lev(probe, t))).sortBy { case (t, d) => (d, t) }.head
+      val got = byRank.head
+      assert(got.getAs[String]("term") == expBest._1 && got.getAs[Long]("dist") == expBest._2.toLong,
+        s"$probe top: got ${got.getAs[String]("term")}, expected $expBest")
+    }
+  }
+
   test("langPivot: cells cross-check groupBy counts, totals sum the row") {
     val rows = Relational.langPivot(spark, TestSpark.sf).collect()
     val expect = docs.groupBy("source", "lang").count().collect()
