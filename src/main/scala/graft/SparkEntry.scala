@@ -151,6 +151,8 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhash(Tables.documents(s, dir), threshold = 0.8)),
     // dup-graph degree histogram: the pre-prune health report
     "q_dup_degree" -> ((s, dir) => Dedup.dupDegree(Tables.documents(s, dir), threshold = 0.8)),
+    // duplicate centrality: integer-exact PageRank over the pair graph
+    "q_dup_pagerank" -> ((s, dir) => Dedup.dupPagerank(Tables.documents(s, dir), threshold = 0.8)),
     // connected components over the near-dup pair graph → canonical keepers
     "q_dedup_clusters" -> ((s, dir) => Dedup.clusters(Tables.documents(s, dir), threshold = 0.8)),
     // leakage-safe split: train/val assigned per near-dup CLUSTER so no
@@ -545,6 +547,7 @@ object SparkEntry {
     "q_dedup_exact"   -> Dedup.duckExact("documents"),
     "q_dedup_minhash" -> Dedup.duckMinhashSql("documents", 0.8),
     "q_dup_degree"    -> Dedup.duckDupDegreeSql("documents", 0.8),
+    "q_dup_pagerank"  -> Dedup.duckDupPagerankSql("documents", 0.8),
     "q_dedup_clusters" -> Dedup.duckClustersSql("documents", 0.8),
     "q_leakage_split" -> Dedup.duckLeakageSplit("documents", 0.8),
     "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),

@@ -594,6 +594,87 @@ object Dedup {
        |SELECT degree, count(*)::BIGINT AS n_docs
        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** Duplicate centrality — integer-exact PageRank over the near-dup pair
+    * graph, `iters` fixed power iterations: which docs sit at the CENTER
+    * of near-dup mass (templates radiating variants) vs its periphery?
+    * Degree alone ([[dupDegree]]) can't tell a hub from a member of one
+    * big clique; centrality concentrates on the former, which is the
+    * prune-priority / inspection queue a production pass wants.
+    *
+    * Arithmetic contract: ranks are integers at scale 10^12, the damping
+    * step is `base + (85·Σ contrib) DIV 100` and the spread step
+    * `r DIV deg` — ALL integer (floor) operations, so no float sum ever
+    * happens and the oracle matches bit-for-bit; both engines truncate
+    * positive integer division identically. Rank mass is bounded by
+    * S·|nodes| (~10^12·|graph|), so BIGINT holds up to ~10^5 graph nodes
+    * — a deployment with a larger dup graph lowers S one decade per 10×
+    * nodes (the scaladoc constant, not a code change).
+    *
+    * Scale shape: the per-iteration step is one edge-keyed equijoin +
+    * one partial-agged groupBy over the PAIR GRAPH (≪ corpus, the
+    * [[clustersOfPairs]] argument), `localCheckpoint` truncates lineage
+    * per round, and the symmetric edge relation guarantees every node
+    * receives each round (no dangling-rank bookkeeping). Fixed iteration
+    * count, not convergence-probed: centrality ordering stabilizes in a
+    * few rounds on short-diameter dup components, and a FIXED count is
+    * what the unrolled oracle can mirror. */
+  def dupPagerank(documents: DataFrame, threshold: Double = 0.8,
+                  iters: Int = 3, topN: Int = 20): DataFrame =
+    pagerankOfPairs(nearDupPairs(documents, threshold), iters, topN)
+
+  /** Power-iteration core over an arbitrary (d1, d2) pair relation — the
+    * centrality half of the pairs seam ([[nearDupPairs]]), testable on
+    * synthetic graphs (a star must rank its hub first). */
+  def pagerankOfPairs(pairs: DataFrame, iters: Int = 3, topN: Int = 20): DataFrame = {
+    val S = 1000000000000L
+    val base = 150000000000L
+    val p = pairs.select(col("d1"), col("d2")).cache()
+    val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(p.select(col("d2").as("src"), col("d1").as("dst")))
+      .cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var rank = edges.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(S)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      rank = edges
+        .join(deg, "src")
+        .join(rank.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst").as("node"), expr("r DIV deg").as("c"))
+        .groupBy("node").agg(sum("c").as("insum"))
+        .select(col("node"), (lit(base) + expr("(85 * insum) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    rank.join(deg.select(col("src").as("node"), col("deg").as("degree")), "node")
+      .orderBy(desc("r"), asc("node"))
+      .limit(topN)
+      .select(col("node").as("doc_id"), col("degree"), col("r").as("rank_q"))
+  }
+
+  /** DuckDB mirror of [[dupPagerank]] — same pair CTEs, the power
+    * iteration UNROLLED (fixed count is the contract), same integer floor
+    * arithmetic (`//` truncates positive BIGINTs exactly like Spark DIV;
+    * DuckDB's HUGEINT sum is cast back to BIGINT inside the bound). */
+  def duckDupPagerankSql(table: String, threshold: Double, iters: Int = 3,
+                         topN: Int = 20, seeds: Int = 8, rowsPerBand: Int = 2): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |          (150000000000 + (85 * sum(r.r // d.deg)) // 100)::BIGINT AS r
+         |        FROM edges e JOIN deg d ON d.src = e.src
+         |        JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n       |")
+    s"""WITH ${duckMinhashCandCtes(table, seeds, rowsPerBand)},
+       |${duckJaccardCtes("cand")},
+       |pairs AS (SELECT d1, d2 FROM j WHERE jac >= $threshold),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT DISTINCT src AS node, 1000000000000::BIGINT AS r FROM edges),
+       |$iterCtes
+       |SELECT rf.node AS doc_id, d2.deg AS degree, rf.r AS rank_q
+       |FROM r$iters rf JOIN deg d2 ON d2.src = rf.node
+       |ORDER BY rf.r DESC, doc_id LIMIT $topN""".stripMargin
+  }
+
   /** Leakage-safe train/validation split: assign splits by NEAR-DUP
     * CLUSTER, not by document, so no near-duplicate pair can straddle the
     * boundary — the held-out set stays honest. A per-doc hash split (the

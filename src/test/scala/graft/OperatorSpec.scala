@@ -1072,6 +1072,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dupPagerank: star hub ranks first, mass bounded, all graph nodes ranked") {
+    import spark.implicits._
+    // star 0—{1..6} plus a detached pair (10, 11)
+    val pairs = (1L to 6L).map(i => (0L, i)).toSeq ++ Seq((10L, 11L))
+    val rows = Dedup.pagerankOfPairs(pairs.toDF("d1", "d2"), iters = 3, topN = 100).collect()
+    spark.catalog.clearCache()
+    assert(rows.length == 9, "every graph node gets a rank")
+    val byRank = rows.sortBy(r => (-r.getAs[Long]("rank_q"), r.getAs[Long]("doc_id")))
+    assert(byRank.head.getAs[Long]("doc_id") == 0L, "the hub must rank first")
+    assert(byRank.head.getAs[Long]("degree") == 6L)
+    val S = 1000000000000L
+    assert(rows.map(_.getAs[Long]("rank_q")).sum <= S * 9, "rank mass cannot grow under floors")
+    assert(rows.forall(_.getAs[Long]("rank_q") >= 150000000000L), "damping base is the floor")
+    // symmetric detached pair: the two nodes tie exactly
+    val ten = rows.find(_.getAs[Long]("doc_id") == 10L).get.getAs[Long]("rank_q")
+    val eleven = rows.find(_.getAs[Long]("doc_id") == 11L).get.getAs[Long]("rank_q")
+    assert(ten == eleven, "symmetric nodes must tie bit-for-bit")
+  }
+
   test("langPivot: cells cross-check groupBy counts, totals sum the row") {
     val rows = Relational.langPivot(spark, TestSpark.sf).collect()
     val expect = docs.groupBy("source", "lang").count().collect()
