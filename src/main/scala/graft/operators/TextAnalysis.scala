@@ -13,9 +13,11 @@ import graft.functions.TextFns._
   * (SURVEY.md §2.5, §2.8 scalar functions) to corpus scale; mandated by the
   * BASELINE.json north star ("text analysis" extension).
   *
-  * Cache lifecycle: [[fingerprint]]'s and [[bm25]]'s token relations are
-  * `.cache()`d and live as long as the returned lazy plan — same contract
-  * as [[Dedup]]'s header: the harness clears session caches per query; a
+  * Cache lifecycle: the token/statistic relations of [[fingerprint]],
+  * [[bm25]], [[driftReport]], [[keywords]] (its tf relation), and
+  * [[sourceOverlap]] (its distinct source-token relation) are `.cache()`d
+  * and live as long as the returned lazy plan — same contract as
+  * [[Dedup]]'s header: the harness clears session caches per query; a
   * library caller clears them (`spark.catalog.clearCache()`) once results
   * are materialized.
   */
