@@ -572,7 +572,11 @@ object Dedup {
     * bounded by max-degree — nothing here touches corpus cardinality
     * beyond the pair pipeline itself. */
   def dupDegree(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val pairs = nearDupPairs(documents, threshold)
+    // cached: the endpoint union reads the pair relation TWICE, and an
+    // uncached plan re-runs the full minhash+verify pipeline per branch
+    // (the clustersOfPairs lesson, ~2 s duplicated at sf0.1; harness
+    // clears caches per query — the Dedup header contract)
+    val pairs = nearDupPairs(documents, threshold).cache()
     pairs.select(col("d1").as("doc_id"))
       .unionAll(pairs.select(col("d2").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))

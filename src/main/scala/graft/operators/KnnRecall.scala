@@ -151,7 +151,8 @@ object KnnRecall {
     // quantized ranking restricted to each query's probed clusters, same
     // full-index code book, exact re-rank — measures the composed recall
     // (cluster misses ∪ quantization boundary error) beside its factors.
-    val wIs = Window.partitionBy("qid").orderBy(desc("simq_raw"), asc("vec_id"))
+    // wSq reused: the quantized-candidate tiebreak is ONE definition for
+    // both the sq8 and ivf_sq8 variants — they cannot silently diverge
     val isCand = eq
       .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
       .join(broadcast(iprobes.select(col("qid"), col("pcid"))),
@@ -159,7 +160,7 @@ object KnnRecall {
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(qq), Seq("qid"))
       .withColumn("simq_raw", sim(col("code"), col("cnq"), col("qcode"), col("qcnq")))
-      .withColumn("crn", row_number().over(wIs))
+      .withColumn("crn", row_number().over(wSq))
       .filter(col("crn") <= k * sqCandMultiple)
       .select(col("qid"), col("vec_id"))
     val ivfSq = topPairs(

@@ -397,21 +397,23 @@ object StreamOps {
         .groupBy("token").agg(count(lit(1)).as("corpus_cnt"))
         .cache()
       def lb(c: org.apache.spark.sql.Column) = (length(bin(c)) - 1).cast("long")
-      val bt = batchCnt.agg(sum("batch_cnt").as("bt"))
-      val ct = corpusCnt.agg(sum("corpus_cnt").as("ct"))
-      val res = batchCnt.join(corpusCnt.hint("merge"), Seq("token"), "left")
-        .withColumn("corpus_cnt", coalesce(col("corpus_cnt"), lit(0L)))
-        .crossJoin(broadcast(bt)).crossJoin(broadcast(ct))
-        .withColumn("drift_q",
-          lb(col("batch_cnt") * col("ct")) - lb((col("corpus_cnt") + 1) * col("bt")))
-        .orderBy(desc("drift_q"), desc("batch_cnt"), asc("token"))
-        .limit(topN)
-        .select(col("token"), col("corpus_cnt"), col("batch_cnt"), col("drift_q"))
-        .localCheckpoint()
-      // the checkpoint materialized the report — release the scratch here,
-      // by handle, rather than leaning on the harness cache clear
-      corpusCnt.unpersist()
-      res
+      // inner finally: the checkpoint materializes the report, after which
+      // the scratch cache is released by handle — and a FAILING read-back
+      // or join must release it too, or a library caller retrying leaks a
+      // corpus-cardinality cache entry (the streamedDecontam precedent)
+      try {
+        val bt = batchCnt.agg(sum("batch_cnt").as("bt"))
+        val ct = corpusCnt.agg(sum("corpus_cnt").as("ct"))
+        batchCnt.join(corpusCnt.hint("merge"), Seq("token"), "left")
+          .withColumn("corpus_cnt", coalesce(col("corpus_cnt"), lit(0L)))
+          .crossJoin(broadcast(bt)).crossJoin(broadcast(ct))
+          .withColumn("drift_q",
+            lb(col("batch_cnt") * col("ct")) - lb((col("corpus_cnt") + 1) * col("bt")))
+          .orderBy(desc("drift_q"), desc("batch_cnt"), asc("token"))
+          .limit(topN)
+          .select(col("token"), col("corpus_cnt"), col("batch_cnt"), col("drift_q"))
+          .localCheckpoint()
+      } finally { corpusCnt.unpersist(); () }
     } finally deleteRecursively(new java.io.File(outDir))
   }
 
