@@ -574,8 +574,10 @@ object Dedup {
   def dupDegree(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
     // cached: the endpoint union reads the pair relation TWICE, and an
     // uncached plan re-runs the full minhash+verify pipeline per branch
-    // (the clustersOfPairs lesson, ~2 s duplicated at sf0.1; harness
-    // clears caches per query — the Dedup header contract)
+    // (the clustersOfPairs lesson; measured A/B same-load at sf0.1: warm
+    // 4.0-4.3 s cached vs 4.9-5.4 s uncached — ReuseExchange shares the
+    // lower exchanges but not the verify tail; harness clears caches per
+    // query — the Dedup header contract)
     val pairs = nearDupPairs(documents, threshold).cache()
     pairs.select(col("d1").as("doc_id"))
       .unionAll(pairs.select(col("d2").as("doc_id")))
