@@ -73,12 +73,37 @@ object Bench {
       (name, sec, loadavg())
     }
     val loadEnd = loadavg()
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // Full-precision per-query record (every query + per-query loadavg)
+    // goes to a sidecar file; stdout gets a SHORT line. The driver keeps
+    // only the last ~2000 chars of output and json.loads a line from it,
+    // so the stdout line must fit the tail with room for sbt's trailing
+    // "[success] ..." line — at 115+ queries the full map alone is ~2.5 KB.
+    val qsFull = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val loads = results.map { case (k, _, l) => s"\"" + k + "\":" + l }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"estimator":"min","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_per_query":$loads}""")
+    val detailPath = java.nio.file.Paths.get("out/bench_detail.json")
+    java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.write(detailPath,
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","reps":$Reps,"estimator":"min","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_per_query":$loads}"""
+        .getBytes("UTF-8"))
+    def r2(v: Double): String = f"$v%.2f"
+    // Slowest-first per-query entries, as many as fit a ~1500-byte budget
+    // (the slow tail is what the judge compares against BASELINE.md).
+    val sorted = results.sortBy(-_._2)
+    val sb = new StringBuilder
+    var kept = 0
+    sorted.foreach { case (k, v, _) =>
+      val entry = (if (kept == 0) "" else ",") + "\"" + k + "\":" + r2(v)
+      if (sb.length + entry.length <= 1500) { sb.append(entry); kept += 1 }
+    }
+    val sfName = new java.io.File(sfDir).getName
+    val line =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfName","n_queries":${results.size},"reps":$Reps,"estimator":"min","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"detail":"out/bench_detail.json","queries":{${sb.toString}}}"""
+    // Stop Spark BEFORE printing so its stop-time WARN lines cannot land
+    // after the JSON line in the captured tail.
     spark.stop()
+    println(line)
   }
 }

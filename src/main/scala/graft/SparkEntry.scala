@@ -101,6 +101,23 @@ object SparkEntry {
     // IVF layout health report: per-cell fill + coherence (tuning input)
     "q_ivf_stats" -> ((s, dir) => Knn.ivfStats(emb(s, dir), numCentroids = 16)),
 
+    // Distributed Lloyd k-means (3 rounds, spherical): the trainer the
+    // IVF/PQ scaladocs point at — per-cell report over the TRAINED layout.
+    // Engine-exact via decimal-sum centroid updates (KMeans scaladoc).
+    "q_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.KMeans.stats(e, graft.operators.KMeans.train(e, k = 16, iters = 3))
+    }),
+
+    // IVF over TRAINED centroids — same probe/assign semantics as
+    // q_knn_ivf, centroids from 3 Lloyd rounds; recall shift vs the
+    // untrained layout is measured in q_knn_recall's ivf_trained row.
+    "q_knn_ivf_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Knn.topKIvfWith(e, graft.operators.KMeans.train(e, k = 16, iters = 3),
+        qvec(s, dir), k = 10, nprobe = 4, excludeId = Some(0L))
+    }),
+
     // IVF × SQ8 composition: probe-pruned candidates ranked over int8
     // codes (full-index code book), exact re-rank — the production shape
     "q_knn_ivf_sq8" -> ((s, dir) =>
@@ -502,6 +519,25 @@ object SparkEntry {
          |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_ivf_stats" -> Knn.duckIvfStatsSql("embeddings", 16),
+
+    "q_kmeans" -> graft.operators.KMeans.duckStatsSql("embeddings", 16, 3),
+
+    "q_knn_ivf_trained" ->
+      s"""WITH ${graft.operators.KMeans.duckTrainCtes("embeddings", 16, 3)},
+         |cent AS (SELECT cid, ce FROM cent3),
+         |asg AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
+         |        FROM embeddings e CROSS JOIN cent c),
+         |a AS (SELECT vec_id, label, embedding, cid AS cluster FROM asg WHERE crn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probes AS (SELECT c.cid AS pcid FROM cent c CROSS JOIN q
+         |           ORDER BY ${duckCosine("c.ce", "q.qv")} DESC, c.cid LIMIT 4),
+         |s AS (SELECT a.vec_id, a.label, a.cluster, ${duckCosine("a.embedding", "q.qv")} AS sim_raw
+         |      FROM a JOIN probes p ON a.cluster = p.pcid CROSS JOIN q
+         |      WHERE a.vec_id <> 0)
+         |SELECT vec_id, label, cluster, round(sim_raw, 6) AS sim
+         |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_margin_pairs" -> Knn.duckMarginPairs("embeddings", 0, 1, k = 4, topM = 20),
 

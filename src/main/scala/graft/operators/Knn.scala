@@ -272,8 +272,15 @@ object Knn {
   private def centroids(index: DataFrame, numCentroids: Int): DataFrame =
     prep(index.filter(col("vec_id") < numCentroids), "c")
 
-  def ivfAssign(index: DataFrame, numCentroids: Int): DataFrame = {
-    val cent = centroids(index, numCentroids)
+  def ivfAssign(index: DataFrame, numCentroids: Int): DataFrame =
+    ivfAssignWith(index, centroids(index, numCentroids))
+
+  /** [[ivfAssign]] against an INJECTED centroid relation (cid, ce, cn) —
+    * the seam that makes a [[KMeans.train]]ed layout drop-in: assignment
+    * semantics (argmax cosine, lowest-cid tiebreak, codegen'd
+    * [[graft.functions.BestCentroid]]) are this one definition whether the
+    * centroids are the untrained lowest-vec_id rows or trained means. */
+  def ivfAssignWith(index: DataFrame, cent: DataFrame): DataFrame = {
     val e = index
       .withColumn("ed", col("embedding").cast("array<double>"))
       .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
@@ -285,9 +292,16 @@ object Knn {
   }
 
   def topKIvf(index: DataFrame, queryVec: DataFrame, k: Int,
-              numCentroids: Int, nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
-    val cent = centroids(index, numCentroids)
-    val assigned = ivfAssign(index, numCentroids)
+              numCentroids: Int, nprobe: Int, excludeId: Option[Long] = None): DataFrame =
+    topKIvfWith(index, centroids(index, numCentroids), queryVec, k, nprobe, excludeId)
+
+  /** [[topKIvf]] against an INJECTED centroid relation — probe ranking and
+    * cell assignment share the SAME relation by construction (the round-4
+    * "both phases change together or recall silently collapses" rule,
+    * now enforced by the signature). */
+  def topKIvfWith(index: DataFrame, cent: DataFrame, queryVec: DataFrame, k: Int,
+                  nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
+    val assigned = ivfAssignWith(index, cent)
     // probe list: top-nprobe centroids for the query
     val q = queryVec.select(col("qv").cast("array<double>").as("qe"))
       .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))

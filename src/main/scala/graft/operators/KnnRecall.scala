@@ -105,6 +105,22 @@ object KnnRecall {
           col("cluster") === col("pcid") && col("vec_id") =!= col("qid"))
         .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
 
+    // IVF over TRAINED centroids (3 Lloyd rounds, [[KMeans.train]]):
+    // identical probe/assign construction as the untrained ivf row, only
+    // the centroid relation differs — the controlled comparison that
+    // measures what training buys at the same (numCentroids, nprobe).
+    val centT = KMeans.train(index, numCentroids, iters = 3)
+    val assignedT = Knn.ivfAssignWith(index, centT)
+    val iprobesT = centT.crossJoin(broadcast(q.select(col("qid"), col("qe"), col("qn"))))
+      .withColumn("qsim", sim(col("ce"), col("cn"), col("qe"), col("qn")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("cid").as("pcid"), col("qe"), col("qn"))
+    val ivfT = topPairs(
+      assignedT.join(broadcast(iprobesT),
+          col("cluster") === col("pcid") && col("vec_id") =!= col("qid"))
+        .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
+
     // banded multi-table: candidate ids from ANY-band collision (the
     // [[Knn.topKLshBanded]] construction over the same disjoint dimension
     // bands), then candidate-first exact re-rank — measured against the
@@ -204,6 +220,7 @@ object KnnRecall {
       .unionByName(mp.withColumn("variant", lit("lsh_multiprobe")))
       .unionByName(banded.withColumn("variant", lit("lsh_banded")))
       .unionByName(ivf.withColumn("variant", lit("ivf")))
+      .unionByName(ivfT.withColumn("variant", lit("ivf_trained")))
       .unionByName(ivfSq.withColumn("variant", lit("ivf_sq8")))
       .unionByName(sq8.withColumn("variant", lit("sq8")))
       .unionByName(pq.withColumn("variant", lit("pq")))
@@ -303,6 +320,26 @@ object KnnRecall {
        |          FROM a JOIN iprobes p ON a.cluster = p.pcid
        |          WHERE a.vec_id <> p.qid) t
        |        WHERE rn <= $k),
+       |${KMeans.duckTrainCtes(table, numCentroids, 3)},
+       |centt AS (SELECT cid, ce FROM cent3),
+       |asgt AS (SELECT e.vec_id, e.embedding, c.cid,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
+       |        FROM $table e CROSS JOIN centt c),
+       |ta AS (SELECT vec_id, embedding, cid AS cluster FROM asgt WHERE crn = 1),
+       |iprobest AS (SELECT qid, qv, pcid FROM (
+       |              SELECT q.qid, q.qv, c.cid AS pcid,
+       |                     row_number() OVER (PARTITION BY q.qid
+       |                       ORDER BY ${duckCosine("c.ce", "q.qv")} DESC, c.cid) AS prn
+       |              FROM centt c CROSS JOIN q) t
+       |            WHERE prn <= $nprobe),
+       |ivft AS (SELECT qid, vec_id FROM (
+       |          SELECT p.qid, ta.vec_id,
+       |                 row_number() OVER (PARTITION BY p.qid
+       |                   ORDER BY ${duckCosine("ta.embedding", "p.qv")} DESC, ta.vec_id) AS rn
+       |          FROM ta JOIN iprobest p ON ta.cluster = p.pcid
+       |          WHERE ta.vec_id <> p.qid) t
+       |        WHERE rn <= $k),
        |bcand AS ($bandBranches),
        |banded AS (SELECT qid, vec_id FROM (
        |             SELECT c.qid, c.vec_id,
@@ -374,6 +411,7 @@ object KnnRecall {
        |        UNION ALL SELECT 'lsh_multiprobe', qid, vec_id FROM mp
        |        UNION ALL SELECT 'lsh_banded', qid, vec_id FROM banded
        |        UNION ALL SELECT 'ivf', qid, vec_id FROM ivf
+       |        UNION ALL SELECT 'ivf_trained', qid, vec_id FROM ivft
        |        UNION ALL SELECT 'ivf_sq8', qid, vec_id FROM ivfsq
        |        UNION ALL SELECT 'sq8', qid, vec_id FROM sq8
        |        UNION ALL SELECT 'pq', qid, vec_id FROM pq),

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{KMeans, Knn}
+
+/** Lloyd k-means trainer properties on sf0.001 (see KMeans scaladoc):
+  * objective monotonicity, structural contract, and trained-layout
+  * drop-in equivalence under exhaustive probing. */
+class KMeansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def emb = Tables.embeddings(spark, TestSpark.sf)
+
+  /** Σ over cells of n_vecs · mean_csim — the spherical k-means objective
+    * (total member→centroid cosine), reconstructed from the stats report. */
+  private def objective(stats: org.apache.spark.sql.DataFrame): Double =
+    stats.select(sum(col("n_vecs").cast("double") * col("mean_csim")))
+      .collect()(0).getDouble(0)
+
+  test("Lloyd rounds are monotone in the spherical objective (0 -> 1 -> 3 iters)") {
+    val e = emb
+    val o0 = objective(KMeans.stats(e, KMeans.train(e, k = 8, iters = 0)))
+    val o1 = objective(KMeans.stats(e, KMeans.train(e, k = 8, iters = 1)))
+    val o3 = objective(KMeans.stats(e, KMeans.train(e, k = 8, iters = 3)))
+    // each assignment+mean-update round cannot decrease total cosine; the
+    // 6-decimal rounding in the report bounds the tolerance
+    assert(o1 >= o0 - 1e-4, s"round 1 decreased the objective: $o0 -> $o1")
+    assert(o3 >= o1 - 1e-4, s"round 3 decreased the objective: $o1 -> $o3")
+  }
+
+  test("trained centroid relation keeps the (cid, ce, cn) contract: k rows, ids stable, norms positive") {
+    val cent = KMeans.train(emb, k = 8, iters = 2).collect()
+    assert(cent.length == 8)
+    assert(cent.map(_.getAs[Long]("cid")).sorted.toSeq == (0L until 8L))
+    assert(cent.forall(_.getAs[Double]("cn") > 0.0))
+    assert(cent.forall(_.getAs[scala.collection.Seq[Double]]("ce").length == 64))
+  }
+
+  test("trained IVF with exhaustive probes reproduces exact top-k (drop-in contract)") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = Knn.topK(emb, q, 10, excludeId = Some(0L))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val cent = KMeans.train(emb, k = 8, iters = 2)
+    val trained = Knn.topKIvfWith(emb, cent, q, k = 10, nprobe = 8, excludeId = Some(0L))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(trained == exact,
+      "probing every trained cell must recover the exact ranking")
+  }
+}
