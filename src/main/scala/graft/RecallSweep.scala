@@ -79,9 +79,9 @@ object RecallSweep {
       val rows = graft.operators.KnnRecall
         .annRecall(index, k = 10, nQueries = 16,
           bits = 4, numCentroids = 16, nprobe = 4, sqCandMultiple = cm)
-        .collect().filter(r => r.getString(0) == "sq8" || r.getString(0) == "pq")
+        .collect().filter(r => Set("sq8", "pq", "pq_trained")(r.getString(0)))
       rows.foreach { r =>
-        println(f"candMultiple=$cm variant=${r.getString(0)}%-4s " +
+        println(f"candMultiple=$cm variant=${r.getString(0)}%-10s " +
           f"returned=${r.getLong(1)}%4d hits=${r.getLong(2)}%4d recall=${r.getDouble(4)}%.4f")
       }
       spark.sharedState.cacheManager.clearCache()

@@ -136,10 +136,22 @@ object SparkEntry {
     "q_knn_pq" -> ((s, dir) =>
       Knn.topKPq(emb(s, dir), qvec(s, dir), k = 10, excludeId = Some(0L))),
 
+    // PQ over a TRAINED codebook: 3 Lloyd rounds per subspace
+    // (KMeans.trainPq), same ADC/pivot ranking — the "train offline and
+    // swap the codebook" path, recall shift measured in q_knn_recall.
+    "q_knn_pq_trained" -> ((s, dir) =>
+      Knn.topKPqTrained(emb(s, dir), qvec(s, dir), k = 10, excludeId = Some(0L))),
+
     // Random projection (JL): 64→16 dims via deterministic ±1 signs baked
     // into the plan as literals; projected-space rank, exact re-rank.
     "q_knn_rp" -> ((s, dir) =>
       Knn.topKRp(emb(s, dir), qvec(s, dir), k = 10, excludeId = Some(0L))),
+
+    // Analytic banding S-curve for the engine's two LSH geometries —
+    // P(candidate | s) = 1-(1-s^r)^b as literal product chains (pow() is
+    // not cross-engine-exact); the planning complement to the empirical
+    // q_dedup_recall / q_knn_recall measurements.
+    "q_lsh_scurve" -> ((s, dir) => graft.operators.LshTuner.sCurve(s)),
 
     // Measured recall@10 of every ANN variant vs exact top-k over a fixed
     // 16-query set — the parameters mirror the engine's query defaults
@@ -574,6 +586,10 @@ object SparkEntry {
 
     "q_knn_ivf_sq8" -> Knn.duckTopKIvfSq8("embeddings", k = 10),
     "q_knn_pq" -> Knn.duckTopKPq("embeddings", k = 10),
+
+    "q_knn_pq_trained" -> Knn.duckTopKPqTrained("embeddings", k = 10),
+
+    "q_lsh_scurve" -> graft.operators.LshTuner.duckSCurveSql,
     "q_knn_rp" -> Knn.duckTopKRp("embeddings", k = 10),
 
     "q_knn_recall" -> graft.operators.KnnRecall.duckAnnRecall("embeddings",

@@ -105,6 +105,114 @@ object KMeans {
       .orderBy(asc("cluster"))
   }
 
+  // ------------------------------------------------------------ PQ trainer
+
+  /** The PQ subvector relation (vec_id, sub, sv: array<double> of dsub) —
+    * ONE construction shared by training, code assignment, and the oracle
+    * mirrors, so the subspace slicing can never diverge between phases. */
+  private[operators] def pqParts(index: DataFrame, m: Int, dsub: Int): DataFrame =
+    index.select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      .select(col("vec_id"), explode(array((0 until m).map(lit(_)): _*)).as("sub"), col("ed"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("ed"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
+
+  /** Literal dsub-term L2² between the subvector and a codebook entry —
+    * fixed index order, the [[Knn.pqCodes]] float discipline (an identical
+    * expression tree in both engines). */
+  private def l2Sub(dsub: Int) = (1 to dsub).map { i =>
+    val d = element_at(col("sv"), i) - element_at(col("ce"), i)
+    d * d
+  }.reduce(_ + _)
+
+  /** Assign every (vec_id, sub) to its nearest codebook entry — argmin L2²,
+    * lowest-cid tiebreak: the PQ family's own assignment semantics
+    * ([[Knn.pqCodes]]), against an INJECTED codebook (sub, cid, ce).
+    * Output (vec_id, sub, cid) — the codes relation. */
+  private[operators] def pqAssignWith(parts: DataFrame, cent: DataFrame,
+                                      dsub: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "sub").orderBy(asc("dist"), asc("cid"))
+    parts.join(broadcast(cent), Seq("sub"))
+      .withColumn("dist", l2Sub(dsub))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid"), col("sv"))
+  }
+
+  /** Per-subspace Lloyd trainer for PQ codebooks — [[train]]'s loop with
+    * the subspace key carried through every stage and the PQ metric (L2²)
+    * instead of cosine. Init: each subspace's codebook = the k lowest
+    * vec_ids' own subvectors (exactly the untrained [[Knn.pqCodes]]
+    * codebook, making trained-vs-untrained recall a controlled
+    * comparison). Returns (sub: int, cid: long, ce: array<double>).
+    *
+    * Scale shape: identical to [[train]] per round — the codebook is an
+    * m·k-row broadcast; the update is a posexplode→groupBy(sub, cluster, d)
+    * partial-agged decimal sum over m·k·dsub groups; localCheckpoint per
+    * round bounds lineage the same way. */
+  def trainPq(index: DataFrame, m: Int = 8, dsub: Int = 8,
+              k: Int = 16, iters: Int = 3): DataFrame = {
+    val parts = pqParts(index, m, dsub)
+    var cent = parts.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("ce"))
+    for (_ <- 1 to iters) {
+      val asg = pqAssignWith(parts, cent, dsub)
+        .select(col("sub"), col("cid").as("cluster"), col("sv"))
+      val upd = asg
+        .select(col("sub"), col("cluster"), posexplode(col("sv")).as(Seq("d", "v")))
+        .groupBy("sub", "cluster", "d")
+        .agg(sum(col("v").cast("decimal(38,12)")).as("s"), count(lit(1)).as("n"))
+        .withColumn("mu", col("s").cast("double") / col("n").cast("double"))
+        .groupBy("sub", "cluster")
+        .agg(sort_array(collect_list(struct(col("d"), col("mu")))).as("dm"))
+        .select(col("sub").as("usub"), col("cluster").as("ucid"),
+          transform(col("dm"), x => x.getField("mu")).as("uce"))
+      cent = cent.join(upd,
+          col("sub") === col("usub") && col("cid") === col("ucid"), "left")
+        .select(col("sub"), col("cid"), coalesce(col("uce"), col("ce")).as("ce"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** DuckDB mirror of [[trainPq]]: CTE chain `pqt_cent0 … pqt_cent$iters`
+    * keyed by sub throughout; same decimal-sum means, same empty-cell
+    * coalesce. `pqt_parts` expects a `subs` CTE in scope is NOT assumed —
+    * it generates its own series. */
+  def duckTrainPqCtes(table: String, m: Int = 8, dsub: Int = 8,
+                      k: Int = 16, iters: Int = 3): String = {
+    val distTerms = (1 to dsub).map(i =>
+      s"(p.sv[$i]::DOUBLE - c.ce[$i]::DOUBLE) * (p.sv[$i]::DOUBLE - c.ce[$i]::DOUBLE)")
+      .mkString(" + ")
+    val init =
+      s"""pqt_subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+         |pqt_parts AS (SELECT e.vec_id, s.sub,
+         |                     list_slice(e.embedding, s.sub*$dsub+1, s.sub*$dsub+$dsub) AS sv
+         |              FROM $table e CROSS JOIN pqt_subs s),
+         |pqt_cent0 AS (SELECT sub, vec_id AS cid, list_transform(sv, x -> x::DOUBLE) AS ce
+         |              FROM pqt_parts WHERE vec_id < $k)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      val p = s"pqt_cent${t - 1}"
+      s"""pqt_asg$t AS (SELECT p.vec_id, p.sub, p.sv, c.cid,
+         |                row_number() OVER (PARTITION BY p.vec_id, p.sub
+         |                  ORDER BY ($distTerms) ASC, c.cid) AS rn
+         |              FROM pqt_parts p JOIN $p c USING (sub)),
+         |pqt_a$t AS (SELECT sub, cid AS cluster, sv FROM pqt_asg$t WHERE rn = 1),
+         |pqt_x$t AS (SELECT sub, cluster, generate_subscripts(sv, 1) AS d, unnest(sv) AS v
+         |            FROM pqt_a$t),
+         |pqt_u$t AS (SELECT sub, cluster, d,
+         |                   sum(CAST(v::DOUBLE AS DECIMAL(38,12))) AS s, count(*) AS n
+         |            FROM pqt_x$t GROUP BY sub, cluster, d),
+         |pqt_uc$t AS (SELECT sub, cluster AS cid,
+         |                    list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY d) AS ce
+         |             FROM pqt_u$t GROUP BY sub, cluster),
+         |pqt_cent$t AS (SELECT p.sub, p.cid, COALESCE(u.ce, p.ce) AS ce
+         |               FROM $p p LEFT JOIN pqt_uc$t u
+         |                 ON p.sub = u.sub AND p.cid = u.cid)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
   /** DuckDB mirror of [[train]]: the CTE chain `cent0 … cent$iters`, each
     * round = proven q_knn_ivf assignment CTEs against the previous round's
     * centroids + the decimal-sum mean update + the empty-cluster coalesce.

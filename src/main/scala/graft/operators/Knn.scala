@@ -706,6 +706,87 @@ object Knn {
       .select(col("vec_id"), col("label"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** [[topKPq]] over a TRAINED codebook ([[KMeans.trainPq]], `iters` Lloyd
+    * rounds per subspace): codes assigned by the SHARED
+    * [[KMeans.pqAssignWith]] (the same argmin-L2²/lowest-cid semantics
+    * training used — assignment and training cannot diverge), the ADC
+    * table built against the trained entries (`pdot = Σ qv[sub·dsub+i] ·
+    * ce[i]`, fixed index order), then the identical pivot-sum ranking and
+    * exact re-rank as the untrained path. The recall shift the trained
+    * codebook buys is measured in [[KnnRecall.annRecall]]'s `pq_trained`
+    * row beside the untrained `pq` — the measurement the PQ scaladoc's
+    * "train offline and swap the codebook" promise calls for. */
+  def topKPqTrained(index: DataFrame, queryVec: DataFrame, k: Int,
+                    m: Int = 8, dsub: Int = 8, ncent: Int = 16, iters: Int = 3,
+                    candMultiple: Int = 4, excludeId: Option[Long] = None): DataFrame = {
+    val e0 = excludeId.map(id => index.filter(col("vec_id") =!= id)).getOrElse(index)
+    val cent = KMeans.trainPq(index, m, dsub, ncent, iters)
+    val parts = KMeans.pqParts(index, m, dsub)
+    val codes0 = KMeans.pqAssignWith(parts, cent, dsub)
+      .select(col("vec_id"), col("sub"), col("cid"))
+    val codes = excludeId.map(id => codes0.filter(col("vec_id") =!= id)).getOrElse(codes0)
+    val q = queryVec.select(col("qv").cast("array<double>").as("qe"))
+      .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
+    val pdot = (1 to dsub).map { i =>
+      element_at(col("qe"), (col("sub") * dsub + i).cast("int")) *
+        element_at(col("ce"), i)
+    }.reduce(_ + _)
+    val qtab = cent.crossJoin(broadcast(q.select("qe")))
+      .withColumn("pdot", pdot)
+      .select(col("sub"), col("cid"), col("pdot"))
+    val pivots = (0 until m).map(s =>
+      max(when(col("sub") === s, col("pdot"))).as(s"p$s"))
+    val cands = codes.join(broadcast(qtab), Seq("sub", "cid"))
+      .groupBy("vec_id").agg(pivots.head, pivots.tail: _*)
+      .withColumn("adot", (0 until m).map(s => col(s"p$s")).reduce(_ + _))
+      .orderBy(desc("adot"), asc("vec_id"))
+      .limit(k * candMultiple)
+      .select(col("vec_id"))
+    e0.withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+      .join(broadcast(cands), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn")))
+      .orderBy(desc("sim_raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** DuckDB mirror of [[topKPqTrained]] — [[KMeans.duckTrainPqCtes]]'s
+    * final codebook composed with the q_knn_pq code/ADC/pivot CTEs. */
+  def duckTopKPqTrained(table: String, k: Int,
+                        m: Int = 8, dsub: Int = 8, ncent: Int = 16, iters: Int = 3,
+                        candMultiple: Int = 4): String = {
+    import graft.functions.VectorFns.duckCosine
+    val distTerms = (1 to dsub).map(i =>
+      s"(p.sv[$i]::DOUBLE - c.ce[$i]::DOUBLE) * (p.sv[$i]::DOUBLE - c.ce[$i]::DOUBLE)")
+      .mkString(" + ")
+    val pdotTerms = (1 to dsub).map(i =>
+      s"(q.qv[c.sub*$dsub+$i]::DOUBLE * c.ce[$i]::DOUBLE)").mkString(" + ")
+    val pivotCols = (0 until m).map(s =>
+      s"max(CASE WHEN sub = $s THEN pdot END)").mkString(" + ")
+    s"""WITH ${graft.operators.KMeans.duckTrainPqCtes(table, m, dsub, ncent, iters)},
+       |tcent AS (SELECT sub, cid, ce FROM pqt_cent$iters),
+       |codes AS (SELECT vec_id, sub, cid FROM (
+       |            SELECT p.vec_id, p.sub, c.cid,
+       |                   row_number() OVER (PARTITION BY p.vec_id, p.sub
+       |                     ORDER BY ($distTerms) ASC, c.cid) AS rn
+       |            FROM pqt_parts p JOIN tcent c USING (sub)) t
+       |          WHERE rn = 1),
+       |q AS (SELECT embedding AS qv FROM $table WHERE vec_id = 0),
+       |qtab AS (SELECT c.sub, c.cid, ($pdotTerms) AS pdot
+       |         FROM tcent c CROSS JOIN q),
+       |adot AS (SELECT vec_id, ($pivotCols) AS adot
+       |         FROM codes JOIN qtab USING (sub, cid)
+       |         WHERE vec_id <> 0 GROUP BY vec_id),
+       |cand AS (SELECT vec_id FROM adot
+       |         ORDER BY adot DESC, vec_id LIMIT ${k * candMultiple}),
+       |s AS (SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS sim_raw
+       |      FROM $table e JOIN cand USING (vec_id) CROSS JOIN q)
+       |SELECT vec_id, label, round(sim_raw, 6) AS sim
+       |FROM s ORDER BY sim_raw DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   /** DuckDB mirror of [[topKPq]] — same literal distance/pivot trees. */
   def duckTopKPq(table: String, k: Int,
                  m: Int = 8, dsub: Int = 8, ncent: Int = 16,

@@ -216,6 +216,35 @@ object KnnRecall {
         .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
         .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
 
+    // PQ over a TRAINED codebook ([[KMeans.trainPq]], 3 Lloyd rounds per
+    // subspace) — same ADC/pivot construction as the untrained pq row,
+    // only the codebook differs: the controlled comparison measuring the
+    // recall the trained codebook buys ("the curve shifts left" claim in
+    // SCALE.md, now a gated number).
+    val centPqT = KMeans.trainPq(index, pqM, pqDsub, pqNcent, iters = 3)
+    val partsPq = KMeans.pqParts(index, pqM, pqDsub)
+    val codesT = KMeans.pqAssignWith(partsPq, centPqT, pqDsub)
+      .select(col("vec_id"), col("sub"), col("cid"))
+    val pdotT = (1 to pqDsub).map { i =>
+      element_at(col("qe"), (col("sub") * pqDsub + i).cast("int")) *
+        element_at(col("ce"), i)
+    }.reduce(_ + _)
+    val qtabT = centPqT.crossJoin(broadcast(q.select(col("qid"), col("qe"))))
+      .withColumn("pdot", pdotT)
+      .select(col("qid"), col("sub"), col("cid"), col("pdot"))
+    val pqCandT = codesT.join(broadcast(qtabT), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(pqPivots.head, pqPivots.tail: _*)
+      .withColumn("adot", (0 until pqM).map(s => col(s"p$s")).reduce(_ + _))
+      .withColumn("crn", row_number().over(wPq))
+      .filter(col("crn") <= k * sqCandMultiple)
+      .select(col("qid"), col("vec_id"))
+    val pqT = topPairs(
+      pqCandT
+        .join(e.select(col("vec_id"), col("ed"), col("nrm")), Seq("vec_id"))
+        .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
+        .withColumn("sim_raw", sim(col("ed"), col("nrm"), col("qe"), col("qn"))), k)
+
     val ann = lsh.withColumn("variant", lit("lsh"))
       .unionByName(mp.withColumn("variant", lit("lsh_multiprobe")))
       .unionByName(banded.withColumn("variant", lit("lsh_banded")))
@@ -224,6 +253,7 @@ object KnnRecall {
       .unionByName(ivfSq.withColumn("variant", lit("ivf_sq8")))
       .unionByName(sq8.withColumn("variant", lit("sq8")))
       .unionByName(pq.withColumn("variant", lit("pq")))
+      .unionByName(pqT.withColumn("variant", lit("pq_trained")))
 
     val nExpected = exact.agg(count(lit(1)).as("n_expected"))
     ann.join(exact.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
@@ -253,6 +283,17 @@ object KnnRecall {
 
   private def pqPivotCols(m: Int): String =
     (0 until m).map(s => s"max(CASE WHEN sub = $s THEN pdot END)").mkString(" + ")
+
+  /** Trained-codebook variants of the literal fragments: the codebook entry
+    * is a dsub-length list (`ce[i]`), not a full-vector slice. */
+  private def pqTrainedDistTerms(dsub: Int): String =
+    (1 to dsub).map(i =>
+      s"(p.sv[$i]::DOUBLE - c.ce[$i]::DOUBLE) * (p.sv[$i]::DOUBLE - c.ce[$i]::DOUBLE)")
+      .mkString(" + ")
+
+  private def pqTrainedPdotTerms(dsub: Int): String =
+    (1 to dsub).map(i =>
+      s"(q.qv[c.sub*$dsub+$i]::DOUBLE * c.ce[$i]::DOUBLE)").mkString(" + ")
 
   /** DuckDB mirror of [[annRecall]]. */
   def duckAnnRecall(table: String, k: Int, nQueries: Int,
@@ -407,6 +448,29 @@ object KnnRecall {
        |                  ORDER BY ${duckCosine("e.embedding", "q.qv")} DESC, c.vec_id) AS rn
        |         FROM pq_cand c JOIN $table e USING (vec_id) JOIN q USING (qid)) t
        |       WHERE rn <= $k),
+       |${KMeans.duckTrainPqCtes(table, pqM, pqDsub, pqNcent, 3)},
+       |pqt_tcent AS (SELECT sub, cid, ce FROM pqt_cent3),
+       |pqt_codes AS (SELECT vec_id, sub, cid FROM (
+       |               SELECT p.vec_id, p.sub, c.cid,
+       |                      row_number() OVER (PARTITION BY p.vec_id, p.sub
+       |                        ORDER BY (${pqTrainedDistTerms(pqDsub)}) ASC, c.cid) AS rn
+       |               FROM pqt_parts p JOIN pqt_tcent c USING (sub)) t
+       |             WHERE rn = 1),
+       |pqt_qtab AS (SELECT q.qid, c.sub, c.cid, (${pqTrainedPdotTerms(pqDsub)}) AS pdot
+       |             FROM pqt_tcent c CROSS JOIN q),
+       |pqt_adot AS (SELECT qt.qid, pc.vec_id, (${pqPivotCols(pqM)}) AS adot
+       |             FROM pqt_codes pc JOIN pqt_qtab qt USING (sub, cid)
+       |             WHERE pc.vec_id <> qt.qid GROUP BY qt.qid, pc.vec_id),
+       |pqt_cand AS (SELECT qid, vec_id FROM (
+       |               SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |                 ORDER BY adot DESC, vec_id) AS crn FROM pqt_adot) t
+       |             WHERE crn <= ${k * sqCandMultiple}),
+       |pqt AS (SELECT qid, vec_id FROM (
+       |          SELECT c.qid, c.vec_id,
+       |                 row_number() OVER (PARTITION BY c.qid
+       |                   ORDER BY ${duckCosine("e.embedding", "q.qv")} DESC, c.vec_id) AS rn
+       |          FROM pqt_cand c JOIN $table e USING (vec_id) JOIN q USING (qid)) t
+       |        WHERE rn <= $k),
        |ann AS (SELECT 'lsh' AS variant, qid, vec_id FROM lsh
        |        UNION ALL SELECT 'lsh_multiprobe', qid, vec_id FROM mp
        |        UNION ALL SELECT 'lsh_banded', qid, vec_id FROM banded
@@ -414,7 +478,8 @@ object KnnRecall {
        |        UNION ALL SELECT 'ivf_trained', qid, vec_id FROM ivft
        |        UNION ALL SELECT 'ivf_sq8', qid, vec_id FROM ivfsq
        |        UNION ALL SELECT 'sq8', qid, vec_id FROM sq8
-       |        UNION ALL SELECT 'pq', qid, vec_id FROM pq),
+       |        UNION ALL SELECT 'pq', qid, vec_id FROM pq
+       |        UNION ALL SELECT 'pq_trained', qid, vec_id FROM pqt),
        |m AS (SELECT a.variant, count(*) AS n_returned,
        |             sum(CASE WHEN e.qid IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
        |      FROM ann a LEFT JOIN ex e ON e.qid = a.qid AND e.vec_id = a.vec_id

@@ -36,6 +36,27 @@ class KMeansSpec extends AnyFunSuite {
     assert(cent.forall(_.getAs[scala.collection.Seq[Double]]("ce").length == 64))
   }
 
+  test("trained PQ codebook keeps the (sub, cid, ce) contract: m·k rows of dsub-length entries") {
+    val cent = KMeans.trainPq(emb, m = 8, dsub = 8, k = 8, iters = 2).collect()
+    assert(cent.length == 8 * 8)
+    assert(cent.forall(_.getAs[scala.collection.Seq[Double]]("ce").length == 8))
+    val perSub = cent.groupBy(_.getAs[Int]("sub")).view.mapValues(_.length).toMap
+    assert(perSub.values.forall(_ == 8) && perSub.keySet == (0 until 8).toSet)
+  }
+
+  test("trained PQ with a saturating candidate pool reproduces exact top-k") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = Knn.topK(emb, q, 10, excludeId = Some(0L))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // candMultiple large enough that the ADC pool covers the whole corpus:
+    // approximation then bounds candidate loss only, so the exact re-rank
+    // must recover the exact ranking bit-for-bit
+    val viaPq = Knn.topKPqTrained(emb, q, k = 10, iters = 2,
+      candMultiple = 200, excludeId = Some(0L))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(viaPq == exact)
+  }
+
   test("trained IVF with exhaustive probes reproduces exact top-k (drop-in contract)") {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val exact = Knn.topK(emb, q, 10, excludeId = Some(0L))
