@@ -224,6 +224,17 @@ object SparkEntry {
     // distribution-aware filter: drop the bottom decile per language
     "q_quality_cut" -> ((s, dir) => TextAnalysis.qualityCut(Tables.documents(s, dir), dropFrac = 0.1)),
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+
+    // BPE tokenizer training: 8 merge rounds over the corpus vocabulary
+    // (word-freq state, leftmost-greedy run-parity merges — Bpe scaladoc);
+    // output is the learned merge list itself.
+    "q_bpe_merges" -> ((s, dir) =>
+      graft.operators.Bpe.learn(Tables.documents(s, dir), iters = 8)),
+
+    // The learned vocabulary applied back to its corpus: top symbols by
+    // corpus frequency after the 8 merges — the compression artifact check.
+    "q_bpe_vocab" -> ((s, dir) =>
+      graft.operators.Bpe.vocabProfile(Tables.documents(s, dir), iters = 8)),
     // BM25 ranking over token stats (fixed query bag, fixed-order float sum)
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), Seq("spark", "table", "stream"), k = 10)),
@@ -616,6 +627,10 @@ object SparkEntry {
     "q_drift_report"  -> TextAnalysis.duckDriftReport("documents"),
     "q_text_quality"  -> TextAnalysis.duckQuality("documents"),
     "q_token_counts"  -> TextAnalysis.duckTokenCounts("documents"),
+
+    "q_bpe_merges" -> graft.operators.Bpe.duckLearnSql("documents", iters = 8),
+
+    "q_bpe_vocab" -> graft.operators.Bpe.duckVocabProfileSql("documents", iters = 8),
     "q_bm25"          -> TextAnalysis.duckBm25("documents", Seq("spark", "table", "stream"), k = 10),
     "q_fingerprint"   -> TextAnalysis.duckFingerprint("documents"),
     "q_keywords"      -> TextAnalysis.duckKeywordsSql("documents", k = 5),

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Byte-pair-encoding vocabulary learning (Sennrich et al. 2016) — the
+  * tokenizer-training operator a training-data pipeline runs before the
+  * token-counting / packing stages that already consume a learned
+  * vocabulary ([[TextAnalysis]]'s BPE-ish token regex stands in for
+  * exactly this artifact). The reference has no tokenizer training at all;
+  * this is a scale-first formulation of the standard algorithm.
+  *
+  * Semantics (classic word-level BPE): corpus → (word, freq) once; each
+  * word starts as its character sequence with `</w>` appended to the final
+  * character (the end-of-word marker, so "low" and "lower" learn different
+  * finals). Each round: count adjacent symbol pairs weighted by word
+  * frequency (overlapping occurrences count, the standard convention),
+  * take the single most frequent pair (tiebreak: lexicographic on both
+  * symbols — a strict total order, so the learned vocabulary is
+  * deterministic), and merge its occurrences LEFTMOST-GREEDY
+  * non-overlapping within every word ("aaaa" + merge (a,a) → "aa","aa",
+  * never three overlapping pairs).
+  *
+  * Leftmost-greedy without sequential scans: a match flag per position,
+  * gaps-and-islands run grouping (`pos − row_number` over matched rows),
+  * then keep matches at EVEN offset from their run start — overlapping
+  * matches are only possible inside runs of a repeated symbol, where
+  * even-parity selection IS the leftmost-greedy answer. Every step is a
+  * word-partitioned window (a partition = one word's symbols, bounded by
+  * word length) or an integer aggregation — engine-exact, no floats
+  * anywhere.
+  *
+  * Scale shape: the corpus is read ONCE into the (word, freq) relation —
+  * Heaps' law makes everything after vocabulary-cardinality, the same
+  * state-minimization every production BPE trainer uses. Per round: one
+  * lead-window pass for pair counts (partial-agged groupBy), a global
+  * top-1 via orderBy+limit (TakeOrderedAndProject — never an unpartitioned
+  * rank window), a 1-row broadcast of the chosen pair, and the
+  * merge-rebuild windows. The symbol state is `localCheckpoint(eager)`ed
+  * per round — it feeds both the round's pair count and the merge, and
+  * unbounded lineage would re-evaluate the whole prefix per round (the
+  * [[KMeans.train]] discipline; state is vocab·avg_word_len rows).
+  */
+object Bpe {
+
+  private val Marker = "</w>"
+  private val wWord = Window.partitionBy("word").orderBy("pos")
+
+  /** Initial symbol state: (word, freq, pos, sym). */
+  private def initialSyms(documents: DataFrame): DataFrame = {
+    val charAt = col("word").substr(col("pos"), lit(1))
+    documents
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .withColumn("sym",
+        when(col("pos") === length(col("word")), concat(charAt, lit(Marker)))
+          .otherwise(charAt))
+      .select("word", "freq", "pos", "sym")
+  }
+
+  /** One training pass: returns (final symbol state, per-round best pairs
+    * (b1, b2, pair_count) in round order). Shared by [[learn]] and
+    * [[vocabProfile]] so the learned vocabulary and its application can
+    * never diverge. */
+  private def trainState(documents: DataFrame, iters: Int): (DataFrame, Seq[DataFrame]) = {
+    var syms = initialSyms(documents).localCheckpoint(true)
+    val bests = (1 to iters).map { _ =>
+      val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(wWord))
+      val best = paired.filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum(col("freq")).as("pair_count"))
+        .orderBy(desc("pair_count"), asc("sym"), asc("nxt"))
+        .limit(1)
+        .select(col("sym").as("b1"), col("nxt").as("b2"), col("pair_count"))
+        .localCheckpoint(true) // 1 row; feeds the merge AND the output
+      val flagged = paired.crossJoin(broadcast(best.select("b1", "b2")))
+        .withColumn("m", col("nxt").isNotNull &&
+          col("sym") === col("b1") && col("nxt") === col("b2"))
+      // leftmost-greedy: runs of consecutive matched positions, keep even
+      // offsets from the run start
+      val sel = flagged
+        .withColumn("mrn",
+          when(col("m"), row_number().over(
+            Window.partitionBy("word", "m").orderBy("pos"))))
+        .withColumn("grp", when(col("m"), col("pos") - col("mrn")))
+        .withColumn("sel", col("m") &&
+          (col("pos") - min(col("pos")).over(Window.partitionBy("word", "grp"))) % 2 === 0)
+      val rebuilt = sel
+        .withColumn("prev_sel",
+          coalesce(lag(col("sel"), 1).over(wWord), lit(false)))
+        .filter(!col("prev_sel"))
+        .withColumn("sym2", when(col("sel"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")))
+        .select(col("word"), col("freq"),
+          row_number().over(wWord).as("pos"), col("sym2").as("sym"))
+      syms = rebuilt.localCheckpoint(true)
+      best
+    }
+    (syms, bests)
+  }
+
+  /** Learn `iters` merges. Output: one row per round,
+    * (it, s1, s2, merged, pair_count), ordered by it. */
+  def learn(documents: DataFrame, iters: Int): DataFrame = {
+    val (_, bests) = trainState(documents, iters)
+    bests.zipWithIndex.map { case (best, i) =>
+      best.select(lit(i + 1).as("it"), col("b1").as("s1"), col("b2").as("s2"),
+        concat(col("b1"), col("b2")).as("merged"), col("pair_count"))
+    }.reduce(_ unionByName _).orderBy("it")
+  }
+
+  /** Corpus token profile under the learned vocabulary — the artifact
+    * check that the merges actually compress the corpus they were trained
+    * on. Output: top `topN` symbols by corpus frequency,
+    * (sym, n_words, total_freq). */
+  def vocabProfile(documents: DataFrame, iters: Int, topN: Int = 30): DataFrame = {
+    val (syms, _) = trainState(documents, iters)
+    syms.groupBy("sym")
+      .agg(countDistinct(col("word")).as("n_words"), sum(col("freq")).as("total_freq"))
+      .orderBy(desc("total_freq"), asc("sym"))
+      .limit(topN)
+  }
+
+  // ------------------------------------------------------------- oracle
+
+  /** Per-round CTE block against `$prev`: produces `best$t` and `s$t` —
+    * the same pair-count / top-1 / run-parity merge as [[trainState]]. */
+  private def roundCtes(t: Int, prev: String): String =
+    s"""p$t AS (SELECT word, freq, pos, sym,
+       |              lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |       FROM $prev),
+       |best$t AS (SELECT sym AS b1, nxt AS b2, sum(freq)::BIGINT AS pair_count
+       |           FROM p$t WHERE nxt IS NOT NULL
+       |           GROUP BY sym, nxt
+       |           ORDER BY pair_count DESC, b1, b2 LIMIT 1),
+       |f$t AS (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+       |               (p.nxt IS NOT NULL AND p.sym = b.b1 AND p.nxt = b.b2) AS m
+       |        FROM p$t p CROSS JOIN best$t b),
+       |g$t AS (SELECT *, CASE WHEN m THEN pos - row_number()
+       |                 OVER (PARTITION BY word, m ORDER BY pos) END AS grp
+       |        FROM f$t),
+       |sel$t AS (SELECT *, m AND (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0 AS sel
+       |          FROM g$t),
+       |s$t AS (SELECT word, freq,
+       |               row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+       |               CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+       |        FROM (SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos), false) AS prev_sel
+       |              FROM sel$t) t
+       |        WHERE NOT prev_sel)""".stripMargin
+
+  private def baseCtes(table: String, iters: Int): String = {
+    val tok = TextFns.duckTokens("text")
+    val init =
+      s"""w AS (SELECT t AS word, count(*)::BIGINT AS freq
+         |      FROM (SELECT unnest($tok) AS t FROM $table) u
+         |      GROUP BY t),
+         |s0 AS (SELECT word, freq, i AS pos,
+         |              CASE WHEN i = length(word)
+         |                   THEN substr(word, i, 1) || '$Marker'
+         |                   ELSE substr(word, i, 1) END AS sym
+         |       FROM (SELECT word, freq, unnest(generate_series(1, length(word))) AS i
+         |             FROM w) c)""".stripMargin
+    (init +: (1 to iters).map(t => roundCtes(t, s"s${t - 1}"))).mkString(",\n")
+  }
+
+  /** DuckDB mirror of [[learn]]. */
+  def duckLearnSql(table: String, iters: Int): String = {
+    val union = (1 to iters).map(t =>
+      s"SELECT $t::INTEGER AS it, b1 AS s1, b2 AS s2, b1 || b2 AS merged, pair_count FROM best$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${baseCtes(table, iters)}
+       |$union
+       |ORDER BY it""".stripMargin
+  }
+
+  /** DuckDB mirror of [[vocabProfile]]. */
+  def duckVocabProfileSql(table: String, iters: Int, topN: Int = 30): String =
+    s"""WITH ${baseCtes(table, iters)}
+       |SELECT sym, count(DISTINCT word)::BIGINT AS n_words, sum(freq)::BIGINT AS total_freq
+       |FROM s$iters
+       |GROUP BY sym ORDER BY total_freq DESC, sym LIMIT $topN""".stripMargin
+}
