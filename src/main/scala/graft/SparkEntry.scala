@@ -235,6 +235,17 @@ object SparkEntry {
     // corpus frequency after the 8 merges — the compression artifact check.
     "q_bpe_vocab" -> ((s, dir) =>
       graft.operators.Bpe.vocabProfile(Tables.documents(s, dir), iters = 8)),
+
+    // Frozen-vocabulary tokenization of held-out data: train on even
+    // doc_ids, tokenize the odd half under the learned merge list — the
+    // production apply path (train once per snapshot, tokenize batches).
+    "q_bpe_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Bpe.applyMerges(
+        docs.filter(col("doc_id") % 2 =!= 0),
+        graft.operators.Bpe.learn(docs.filter(col("doc_id") % 2 === 0), iters = 8),
+        iters = 8)
+    }),
     // BM25 ranking over token stats (fixed query bag, fixed-order float sum)
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), Seq("spark", "table", "stream"), k = 10)),
@@ -631,6 +642,10 @@ object SparkEntry {
     "q_bpe_merges" -> graft.operators.Bpe.duckLearnSql("documents", iters = 8),
 
     "q_bpe_vocab" -> graft.operators.Bpe.duckVocabProfileSql("documents", iters = 8),
+
+    "q_bpe_apply" -> graft.operators.Bpe.duckApplySql(
+      "(SELECT * FROM documents WHERE doc_id % 2 = 0) tr",
+      "(SELECT * FROM documents WHERE doc_id % 2 <> 0) ho", iters = 8),
     "q_bm25"          -> TextAnalysis.duckBm25("documents", Seq("spark", "table", "stream"), k = 10),
     "q_fingerprint"   -> TextAnalysis.duckFingerprint("documents"),
     "q_keywords"      -> TextAnalysis.duckKeywordsSql("documents", k = 5),

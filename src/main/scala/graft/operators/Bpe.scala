@@ -76,31 +76,62 @@ object Bpe {
         .limit(1)
         .select(col("sym").as("b1"), col("nxt").as("b2"), col("pair_count"))
         .localCheckpoint(true) // 1 row; feeds the merge AND the output
-      val flagged = paired.crossJoin(broadcast(best.select("b1", "b2")))
-        .withColumn("m", col("nxt").isNotNull &&
-          col("sym") === col("b1") && col("nxt") === col("b2"))
-      // leftmost-greedy: runs of consecutive matched positions, keep even
-      // offsets from the run start
-      val sel = flagged
-        .withColumn("mrn",
-          when(col("m"), row_number().over(
-            Window.partitionBy("word", "m").orderBy("pos"))))
-        .withColumn("grp", when(col("m"), col("pos") - col("mrn")))
-        .withColumn("sel", col("m") &&
-          (col("pos") - min(col("pos")).over(Window.partitionBy("word", "grp"))) % 2 === 0)
-      val rebuilt = sel
-        .withColumn("prev_sel",
-          coalesce(lag(col("sel"), 1).over(wWord), lit(false)))
-        .filter(!col("prev_sel"))
-        .withColumn("sym2", when(col("sel"), concat(col("sym"), col("nxt")))
-          .otherwise(col("sym")))
-        .select(col("word"), col("freq"),
-          row_number().over(wWord).as("pos"), col("sym2").as("sym"))
-      syms = rebuilt.localCheckpoint(true)
+      syms = mergeOne(syms, best.select("b1", "b2")).localCheckpoint(true)
       best
     }
     (syms, bests)
   }
+
+  /** Apply ONE merge (a 1-row (b1, b2) relation) to the symbol state —
+    * the leftmost-greedy run-parity rebuild, shared by training and
+    * [[applyMerges]] so learned and applied semantics cannot diverge. */
+  private def mergeOne(syms: DataFrame, best: DataFrame): DataFrame = {
+    val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(wWord))
+    val flagged = paired.crossJoin(broadcast(best))
+      .withColumn("m", col("nxt").isNotNull &&
+        col("sym") === col("b1") && col("nxt") === col("b2"))
+    // leftmost-greedy: runs of consecutive matched positions, keep even
+    // offsets from the run start
+    val sel = flagged
+      .withColumn("mrn",
+        when(col("m"), row_number().over(
+          Window.partitionBy("word", "m").orderBy("pos"))))
+      .withColumn("grp", when(col("m"), col("pos") - col("mrn")))
+      .withColumn("sel", col("m") &&
+        (col("pos") - min(col("pos")).over(Window.partitionBy("word", "grp"))) % 2 === 0)
+    sel
+      .withColumn("prev_sel",
+        coalesce(lag(col("sel"), 1).over(wWord), lit(false)))
+      .filter(!col("prev_sel"))
+      .withColumn("sym2", when(col("sel"), concat(col("sym"), col("nxt")))
+        .otherwise(col("sym")))
+      .select(col("word"), col("freq"),
+        row_number().over(wWord).as("pos"), col("sym2").as("sym"))
+  }
+
+  /** Tokenize a NEW corpus under a FIXED learned merge list — the
+    * production apply path (train on a snapshot, tokenize every later
+    * batch with the frozen vocabulary). `merges` is [[learn]]'s output;
+    * round t applies its `it = t` row (a merge pair absent from the new
+    * corpus is a no-op round, as it should be). Output: the same
+    * (sym, n_words, total_freq) profile as [[vocabProfile]], over the new
+    * corpus. */
+  def applyMerges(documents: DataFrame, merges: DataFrame, iters: Int,
+                  topN: Int = 30): DataFrame = {
+    var syms = initialSyms(documents).localCheckpoint(true)
+    (1 to iters).foreach { t =>
+      val best = merges.filter(col("it") === t)
+        .select(col("s1").as("b1"), col("s2").as("b2"))
+      syms = mergeOne(syms, best).localCheckpoint(true)
+    }
+    profileOf(syms, topN)
+  }
+
+  private def profileOf(syms: DataFrame, topN: Int): DataFrame =
+    syms.groupBy("sym")
+      .agg(countDistinct(col("word")).as("n_words"), sum(col("freq")).as("total_freq"))
+      .orderBy(desc("total_freq"), asc("sym"))
+      .limit(topN)
 
   /** Learn `iters` merges. Output: one row per round,
     * (it, s1, s2, merged, pair_count), ordered by it. */
@@ -118,10 +149,7 @@ object Bpe {
     * (sym, n_words, total_freq). */
   def vocabProfile(documents: DataFrame, iters: Int, topN: Int = 30): DataFrame = {
     val (syms, _) = trainState(documents, iters)
-    syms.groupBy("sym")
-      .agg(countDistinct(col("word")).as("n_words"), sum(col("freq")).as("total_freq"))
-      .orderBy(desc("total_freq"), asc("sym"))
-      .limit(topN)
+    profileOf(syms, topN)
   }
 
   // ------------------------------------------------------------- oracle
@@ -182,4 +210,50 @@ object Bpe {
        |SELECT sym, count(DISTINCT word)::BIGINT AS n_words, sum(freq)::BIGINT AS total_freq
        |FROM s$iters
        |GROUP BY sym ORDER BY total_freq DESC, sym LIMIT $topN""".stripMargin
+
+  /** Apply-round CTE block: `a_s$t` from `a_s${t-1}` merged against the
+    * TRAIN chain's `best$t` — no pair counting, the frozen-vocabulary
+    * replay of [[roundCtes]]'s merge half. */
+  private def applyRoundCtes(t: Int): String =
+    s"""ap$t AS (SELECT word, freq, pos, sym,
+       |              lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |       FROM a_s${t - 1}),
+       |af$t AS (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+       |               (p.nxt IS NOT NULL AND p.sym = b.b1 AND p.nxt = b.b2) AS m
+       |        FROM ap$t p CROSS JOIN best$t b),
+       |ag$t AS (SELECT *, CASE WHEN m THEN pos - row_number()
+       |                 OVER (PARTITION BY word, m ORDER BY pos) END AS grp
+       |        FROM af$t),
+       |asel$t AS (SELECT *, m AND (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0 AS sel
+       |          FROM ag$t),
+       |a_s$t AS (SELECT word, freq,
+       |               row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+       |               CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+       |        FROM (SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos), false) AS prev_sel
+       |              FROM asel$t) t
+       |        WHERE NOT prev_sel)""".stripMargin
+
+  /** DuckDB mirror of [[applyMerges]]: train on `trainTable`, tokenize
+    * `applyTable` under the learned merges. Both may be subquery
+    * expressions, e.g. doc_id-parity halves of one table. */
+  def duckApplySql(trainTable: String, applyTable: String, iters: Int,
+                   topN: Int = 30): String = {
+    val applyInit =
+      s"""aw AS (SELECT t AS word, count(*)::BIGINT AS freq
+         |       FROM (SELECT unnest(${TextFns.duckTokens("text")}) AS t FROM $applyTable) u
+         |       GROUP BY t),
+         |a_s0 AS (SELECT word, freq, i AS pos,
+         |              CASE WHEN i = length(word)
+         |                   THEN substr(word, i, 1) || '$Marker'
+         |                   ELSE substr(word, i, 1) END AS sym
+         |       FROM (SELECT word, freq, unnest(generate_series(1, length(word))) AS i
+         |             FROM aw) c)""".stripMargin
+    val applies = (1 to iters).map(applyRoundCtes).mkString(",\n")
+    s"""WITH ${baseCtes(trainTable, iters)},
+       |$applyInit,
+       |$applies
+       |SELECT sym, count(DISTINCT word)::BIGINT AS n_words, sum(freq)::BIGINT AS total_freq
+       |FROM a_s$iters
+       |GROUP BY sym ORDER BY total_freq DESC, sym LIMIT $topN""".stripMargin
+  }
 }

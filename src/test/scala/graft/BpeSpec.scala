@@ -40,6 +40,14 @@ class BpeSpec extends AnyFunSuite {
     assert(t4 < t2, s"rounds 3-4 did not compress: $t2 -> $t4")
   }
 
+  test("applying the learned list back to the training corpus reproduces the training profile") {
+    val merges = Bpe.learn(docs, iters = 3)
+    val applied = Bpe.applyMerges(docs, merges, iters = 3).collect().map(_.toString).toSeq
+    val trained = Bpe.vocabProfile(docs, iters = 3).collect().map(_.toString).toSeq
+    assert(applied == trained,
+      "frozen-list application must replay training's merge semantics exactly")
+  }
+
   test("learned merge list is deterministic across runs") {
     val a = Bpe.learn(docs, iters = 3).collect().map(_.toString).toSeq
     val b = Bpe.learn(docs, iters = 3).collect().map(_.toString).toSeq
