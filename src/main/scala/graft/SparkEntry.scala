@@ -376,6 +376,10 @@ object SparkEntry {
     // engine-exact moments: order-free DECIMAL sums, then identical
     // double trees for mean/variance (the pricing pattern extended)
     "q_event_stats" -> ((s, dir) => Relational.eventStats(s, dir)),
+
+    // Per-type daily anomaly report: day totals z-scored within their own
+    // event type (decimal-exact moments; zero-variance guarded).
+    "q_anomaly_days" -> ((s, dir) => Relational.anomalyDays(s, dir)),
     // ordered conversion funnel: sequence semantics, stage-shrinking joins
     "q_funnel" -> ((s, dir) => Relational.eventFunnel(s, dir)),
     // weekly cohort retention triangle, all-integer week arithmetic
@@ -704,6 +708,7 @@ object SparkEntry {
     "q_asof_join"       -> Relational.duckAsofPurchaseView,
     "q_range_join"      -> Relational.duckRangeJoinCooccur(),
     "q_event_stats"     -> Relational.duckEventStats,
+    "q_anomaly_days"    -> Relational.duckAnomalyDays(),
     "q_funnel"          -> Relational.duckEventFunnel,
     "q_cohort"          -> Relational.duckCohortRetention,
     "q_top_ngrams"      -> TextAnalysis.duckTopNgramsSql("documents"),

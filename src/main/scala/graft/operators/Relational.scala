@@ -291,6 +291,69 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Per-type daily anomaly report — each day's total value z-scored
+    * against its own event type's day distribution, |z| ≥ `zThreshold`
+    * flagged. The monitoring query an event pipeline runs after ingest
+    * (drop-offs, spikes, a broken producer all surface as |z| outliers).
+    *
+    * Float discipline: daily totals are order-free DECIMAL(18,6) sums cast
+    * to double ONCE; the cross-day moments go back through DECIMAL(38,12)
+    * sums (a type's day totals land on arbitrary partitions — a double
+    * aggregate would be partition-order-sensitive), and the variance uses
+    * the same (n·Σx² − (Σx)²)/n² tree as [[eventStats]]. Zero-variance
+    * guard: z = 0 when std = 0 (identical CASE in both engines — a raw
+    * division would produce inf and round(inf, 6) throws on the Spark
+    * side). Rank/flag on RAW doubles, round(6) in the projection only.
+    *
+    * Scale shape: one partial-agged shuffle to (event_type, day) — the
+    * only corpus-cardinality pass; the z-scores are `agg OVER (PARTITION
+    * BY event_type)` windows over the day relation (types × days rows,
+    * bounded by calendar, never by corpus — the window-vs-join-back
+    * three-way trade's safe case). */
+  def anomalyDays(spark: SparkSession, sfDir: String, zThreshold: Double = 2.0): DataFrame = {
+    val v = col("value").cast("decimal(18,6)")
+    val wType = Window.partitionBy("event_type")
+    val dt = col("day_total")
+    val std = sqrt(greatest(col("var_raw"), lit(0.0)))
+    val zRaw = when(std > 0, (dt - col("sd") / col("nd")) / std).otherwise(lit(0.0))
+    Tables.events(spark, sfDir)
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"), sum(v).as("s"))
+      .withColumn("day_total", col("s").cast("double"))
+      .withColumn("nd", count(lit(1)).over(wType).cast("double"))
+      .withColumn("sd", sum(dt.cast("decimal(38,12)")).over(wType).cast("double"))
+      .withColumn("sq", sum((dt * dt).cast("decimal(38,12)")).over(wType).cast("double"))
+      .withColumn("var_raw",
+        (col("nd") * col("sq") - col("sd") * col("sd")) / (col("nd") * col("nd")))
+      .withColumn("z_raw", zRaw)
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(dt, 6).as("day_total"), round(col("z_raw"), 6).as("z"),
+        (abs(col("z_raw")) >= zThreshold).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  def duckAnomalyDays(zThreshold: Double = 2.0): String =
+    s"""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |                  count(*)::BIGINT AS n_events,
+       |                  sum(CAST(value AS DECIMAL(18,6))) AS s
+       |           FROM events GROUP BY 1, 2),
+       |t AS (SELECT *, CAST(s AS DOUBLE) AS day_total FROM d),
+       |w AS (SELECT *,
+       |        CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS nd,
+       |        CAST(sum(CAST(day_total AS DECIMAL(38,12))) OVER (PARTITION BY event_type) AS DOUBLE) AS sd,
+       |        CAST(sum(CAST(day_total * day_total AS DECIMAL(38,12))) OVER (PARTITION BY event_type) AS DOUBLE) AS sq
+       |      FROM t),
+       |vr AS (SELECT *, (nd * sq - sd * sd) / (nd * nd) AS var_raw FROM w),
+       |zz AS (SELECT *, CASE WHEN sqrt(greatest(var_raw, 0.0)) > 0
+       |                      THEN (day_total - sd / nd) / sqrt(greatest(var_raw, 0.0))
+       |                      ELSE 0.0 END AS z_raw
+       |       FROM vr)
+       |SELECT event_type, day, n_events,
+       |       round(day_total, 6) AS day_total, round(z_raw, 6) AS z,
+       |       abs(z_raw) >= $zThreshold AS is_anomaly
+       |FROM zz ORDER BY event_type, day""".stripMargin
+
   def duckEventStats: String =
     s"""WITH a AS (SELECT event_type, count(*)::BIGINT AS n,
        |                  sum(CAST(value AS DECIMAL(18,6))) AS s,
