@@ -291,4 +291,30 @@ object Graft {
       ()
     }
   }
+
+  /** Train a BPE vocabulary on a corpus snapshot — the tokenizer-training
+    * companion to [[prepareTrainingSet]] (learn once, then tokenize every
+    * later batch with [[tokenizeWith]]). Returns the learned merge list
+    * ([[graft.operators.Bpe.learn]]'s (it, s1, s2, merged, pair_count)). */
+  def trainTokenizer(documents: DataFrame, merges: Int = 8): DataFrame =
+    graft.operators.Bpe.learn(documents, merges)
+
+  /** Tokenize a batch under a FROZEN learned merge list — the per-batch
+    * apply path; `merges` is [[trainTokenizer]]'s output and `rounds`
+    * must not exceed its row count. */
+  def tokenizeWith(documents: DataFrame, merges: DataFrame, rounds: Int,
+                   topN: Int = 30): DataFrame =
+    graft.operators.Bpe.applyMerges(documents, merges, rounds, topN)
+
+  /** Train and persist the IVF vector layout for a corpus snapshot —
+    * centroids + cluster-partitioned cells ([[graft.sources.VectorLayout]]);
+    * [[searchVectorLayout]] probes it with static partition pruning. */
+  def buildVectorLayout(spark: SparkSession, index: DataFrame, dir: String,
+                        numCentroids: Int = 16, iters: Int = 3): Unit =
+    graft.sources.VectorLayout.write(spark, index, dir, numCentroids, iters)
+
+  def searchVectorLayout(spark: SparkSession, dir: String, queryVec: DataFrame,
+                         k: Int, nprobe: Int = 4,
+                         excludeId: Option[Long] = None): DataFrame =
+    graft.sources.VectorLayout.search(spark, dir, queryVec, k, nprobe, excludeId)
 }

@@ -109,6 +109,10 @@ object SparkEntry {
       graft.operators.KMeans.stats(e, graft.operators.KMeans.train(e, k = 16, iters = 3))
     }),
 
+    // Choose-k sweep: objective + fill spread per k (4..32) — the elbow
+    // tuning input behind ivfStats' "re-train or split" advice.
+    "q_kmeans_elbow" -> ((s, dir) => graft.operators.KMeans.elbow(emb(s, dir))),
+
     // IVF over TRAINED centroids — same probe/assign semantics as
     // q_knn_ivf, centroids from 3 Lloyd rounds; recall shift vs the
     // untrained layout is measured in q_knn_recall's ivf_trained row.
@@ -559,6 +563,8 @@ object SparkEntry {
     "q_ivf_stats" -> Knn.duckIvfStatsSql("embeddings", 16),
 
     "q_kmeans" -> graft.operators.KMeans.duckStatsSql("embeddings", 16, 3),
+
+    "q_kmeans_elbow" -> graft.operators.KMeans.duckElbowSql("embeddings"),
 
     "q_knn_ivf_trained" ->
       s"""WITH ${graft.operators.KMeans.duckTrainCtes("embeddings", 16, 3)},

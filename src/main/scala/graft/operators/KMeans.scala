@@ -105,6 +105,65 @@ object KMeans {
       .orderBy(asc("cluster"))
   }
 
+  /** Choose-k sweep (the "elbow" input): train at each k, report one row
+    * per k — cells occupied, objective (mean member→centroid cosine, via
+    * order-free decimal sums), and fill spread (min/max cell size, the
+    * probe-cost bound [[Knn.ivfStats]] tracks per cell). The tuning query
+    * behind the ivfStats scaladoc's "re-train or split" advice: run on a
+    * corpus sample, read where the objective flattens. Cost: Σ trainings
+    * — deliberately a sample-scale query, like q_dedup_recall. */
+  def elbow(index: DataFrame, ks: Seq[Int] = Seq(4, 8, 16, 32),
+            iters: Int = 2): DataFrame =
+    ks.map { k =>
+      val cent = train(index, k, iters)
+      val assigned = Knn.ivfAssignWith(index, cent)
+      assigned
+        .join(broadcast(cent), col("cluster") === col("cid"))
+        .withColumn("csim",
+          dotc(col("ed"), col("ce")) / (col("nrm") * col("cn")))
+        .groupBy("cluster").agg(
+          count(lit(1)).as("n"),
+          sum(col("csim").cast("decimal(28,12)")).as("simsum"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          sum(col("n")).as("n_vecs"),
+          sum(col("simsum")).as("simsum"),
+          min(col("n")).as("min_cell"),
+          max(col("n")).as("max_cell"))
+        .select(lit(k).as("k"), col("n_cells"),
+          round(col("simsum").cast("double") / col("n_vecs").cast("double"), 6)
+            .as("mean_csim"),
+          col("min_cell"), col("max_cell"))
+    }.reduce(_ unionByName _).orderBy("k")
+
+  /** DuckDB mirror of [[elbow]] — one prefixed train chain per k. */
+  def duckElbowSql(table: String, ks: Seq[Int] = Seq(4, 8, 16, 32),
+                   iters: Int = 2): String = {
+    import graft.functions.VectorFns.{duckCosine, duckNorm}
+    val chains = ks.map(k => duckTrainCtes(table, k, iters, s"k${k}_")).mkString(",\n")
+    val branches = ks.map { k =>
+      val p = s"k${k}_"
+      s"""SELECT $k::INTEGER AS k, count(*)::BIGINT AS n_cells,
+         |       round(CAST(sum(simsum) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS mean_csim,
+         |       min(n) AS min_cell, max(n) AS max_cell
+         |FROM (
+         |  SELECT cluster, count(*)::BIGINT AS n,
+         |         sum(CAST(csim AS DECIMAL(28,12))) AS simsum
+         |  FROM (
+         |    SELECT fa.cluster, ${duckCosine("fa.embedding", "c.ce")} AS csim
+         |    FROM (SELECT vec_id, embedding, cid AS cluster FROM (
+         |            SELECT e.vec_id, e.embedding, c.cid,
+         |                   row_number() OVER (PARTITION BY e.vec_id
+         |                     ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
+         |            FROM $table e CROSS JOIN ${p}cent$iters c) t WHERE crn = 1) fa
+         |    JOIN ${p}cent$iters c ON fa.cluster = c.cid) w
+         |  GROUP BY cluster) cells""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $chains
+       |$branches
+       |ORDER BY k""".stripMargin
+  }
+
   // ------------------------------------------------------------ PQ trainer
 
   /** The PQ subvector relation (vec_id, sub, sv: array<double> of dsub) —
@@ -218,27 +277,28 @@ object KMeans {
     * centroids + the decimal-sum mean update + the empty-cluster coalesce.
     * The caller composes `cent$iters` exactly where the untrained mirrors
     * use their `cent` CTE. */
-  def duckTrainCtes(table: String, k: Int = 16, iters: Int = 3): String = {
+  def duckTrainCtes(table: String, k: Int = 16, iters: Int = 3,
+                    prefix: String = ""): String = {
     import graft.functions.VectorFns.duckCosine
     val init =
-      s"""cent0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+      s"""${prefix}cent0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
          |          FROM $table WHERE vec_id < $k)""".stripMargin
     val rounds = (1 to iters).map { t =>
-      val p = s"cent${t - 1}"
-      s"""asg$t AS (SELECT e.vec_id, e.embedding, c.cid,
+      val p = s"${prefix}cent${t - 1}"
+      s"""${prefix}asg$t AS (SELECT e.vec_id, e.embedding, c.cid,
          |               row_number() OVER (PARTITION BY e.vec_id
          |                 ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
          |        FROM $table e CROSS JOIN $p c),
-         |a$t AS (SELECT vec_id, embedding, cid AS cluster FROM asg$t WHERE crn = 1),
-         |x$t AS (SELECT cluster, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS v
-         |        FROM a$t),
-         |u$t AS (SELECT cluster, d, sum(CAST(v::DOUBLE AS DECIMAL(38,12))) AS s, count(*) AS n
-         |        FROM x$t GROUP BY cluster, d),
-         |uc$t AS (SELECT cluster AS cid,
+         |${prefix}a$t AS (SELECT vec_id, embedding, cid AS cluster FROM ${prefix}asg$t WHERE crn = 1),
+         |${prefix}x$t AS (SELECT cluster, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS v
+         |        FROM ${prefix}a$t),
+         |${prefix}u$t AS (SELECT cluster, d, sum(CAST(v::DOUBLE AS DECIMAL(38,12))) AS s, count(*) AS n
+         |        FROM ${prefix}x$t GROUP BY cluster, d),
+         |${prefix}uc$t AS (SELECT cluster AS cid,
          |                list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY d) AS ce
-         |         FROM u$t GROUP BY cluster),
-         |cent$t AS (SELECT p.cid, COALESCE(u.ce, p.ce) AS ce
-         |           FROM $p p LEFT JOIN uc$t u ON p.cid = u.cid)""".stripMargin
+         |         FROM ${prefix}u$t GROUP BY cluster),
+         |${prefix}cent$t AS (SELECT p.cid, COALESCE(u.ce, p.ce) AS ce
+         |           FROM $p p LEFT JOIN ${prefix}uc$t u ON p.cid = u.cid)""".stripMargin
     }
     (init +: rounds).mkString(",\n")
   }

@@ -615,8 +615,10 @@ object Knn {
     * of `dsub` dims; per subspace, assign the nearest of `ncent` centroids
     * (L2², lowest-cid tiebreak). Codebook: the first `ncent` rows' own
     * subvectors — the same untrained-but-deterministic stand-in as the IVF
-    * centroid rule (a deployment trains k-means per subspace offline and
-    * swaps the codebook; everything downstream is unchanged). Output:
+    * centroid rule. The trained path exists since round 6:
+    * [[KMeans.trainPq]] + [[topKPqTrained]] swap the codebook with
+    * everything downstream unchanged, recall shift measured in
+    * [[KnnRecall.annRecall]]. Output:
     * (vec_id, sub, cid) — m·log2(ncent) bits per vector, the FAISS-PQ
     * memory story (64 float dims → 8 bytes at 8×16).
     *

@@ -1315,7 +1315,8 @@ class OperatorSpec extends AnyFunSuite {
     val r = KnnRecall.annRecall(emb, k = 10, nQueries = 8,
       bits = 4, numCentroids = 16, nprobe = 4).collect()
     assert(r.map(_.getString(0)).toSeq ==
-      Seq("ivf", "ivf_sq8", "lsh", "lsh_banded", "lsh_multiprobe", "pq", "sq8"))
+      Seq("ivf", "ivf_sq8", "ivf_trained", "lsh", "lsh_banded", "lsh_multiprobe",
+        "pq", "pq_trained", "sq8"))
     // the composed variant's hits are bounded by its pruning factor (IVF):
     // its candidates are a subset of the probed clusters
     val ivfHits = r.find(_.getString(0) == "ivf").get.getLong(2)
