@@ -313,6 +313,11 @@ object SparkEntry {
     // UniMax language balancing (Chung et al. 2023): closed-form integer
     // waterfill of a token budget under a per-language epoch cap
     "q_lang_balance" -> ((s, dir) => CorpusOps.langBalance(Tables.documents(s, dir))),
+
+    // Curriculum phases: corpus split into 3 easy->hard phases of ~equal
+    // token mass via the two-phase quality-bucket prefix sum (never a
+    // corpus-wide rank window).
+    "q_curriculum" -> ((s, dir) => CorpusOps.curriculum(Tables.documents(s, dir))),
     // cluster-balanced diversity sample: budget waterfilled over IVF
     // clusters, all-integer quotas, md5-rank draw within cluster
     "q_diverse_sample" -> ((s, dir) =>
@@ -681,6 +686,7 @@ object SparkEntry {
     "q_sample_weighted" -> CorpusOps.duckWeightedSample("documents", 50),
     "q_dsir_weights"  -> CorpusOps.duckDsirWeights("documents"),
     "q_lang_balance"  -> CorpusOps.duckLangBalance("documents"),
+    "q_curriculum"    -> CorpusOps.duckCurriculum("documents"),
     "q_diverse_sample" -> CorpusOps.duckDiverseSample("embeddings", 200),
     "q_pii_redact"    -> TextAnalysis.duckPiiRedact(
       s"(SELECT doc_id, text FROM documents UNION ALL SELECT * FROM $duckPiiProbes)"),

@@ -217,6 +217,63 @@ object CorpusOps {
     * estimate-driven. Output: (lang, n_docs, lang_tokens, capacity,
     * capped, alloc_tokens, epochs), ORDER BY lang.
     */
+  /** Curriculum phase assignment (Bengio et al. 2009 applied to corpus
+    * prep): split the corpus into `phases` consecutive training phases of
+    * ~equal TOKEN mass, ordered easy→hard (highest [[TextAnalysis.quality]]
+    * score first — the fluent, low-noise docs a curriculum schedule feeds
+    * first). Output: one row per phase with doc/token totals and the
+    * quality range it covers.
+    *
+    * Scale shape — the two-phase bucket trick, NOT a global rank: a
+    * corpus-wide `ntile`/`percent_rank` would move every doc through one
+    * window task (the documented unpartitioned-window killer). Instead
+    * docs quantize to ≤1001 quality buckets (floor(score·1000) — score is
+    * already round(6), so the product is a deterministic double in both
+    * engines); the prefix sum that places each bucket on the token line
+    * runs over the BUCKET relation ([[graft.functions.BoundedWindow]],
+    * the packSequences pattern), and docs inherit their bucket's phase.
+    * Buckets are atomic — a bucket straddling a boundary lands wholly in
+    * its cum-before phase, so phase token masses are equal only to bucket
+    * granularity (~0.1% of the quality range; document, don't hide).
+    * Phase arithmetic is all-BIGINT (`cum_before·P div total`). */
+  def curriculum(documents: DataFrame, phases: Int = 3): DataFrame = {
+    val wCum = graft.functions.BoundedWindow.boundedGlobal(col("qb"), desc("qb"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wAll = graft.functions.BoundedWindow.boundedGlobal(col("qb"))
+    TextAnalysis.quality(documents)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+      .withColumn("qb", floor(col("quality_score") * lit(1000.0)).cast("long"))
+      .groupBy("qb").agg(
+        count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("ntok"),
+        min(col("quality_score")).as("qmin"), max(col("quality_score")).as("qmax"))
+      .withColumn("cum_before", coalesce(sum(col("ntok")).over(wCum), lit(0L)))
+      .withColumn("total", sum(col("ntok")).over(wAll))
+      .withColumn("phase",
+        least(lit(phases.toLong), expr(s"(cum_before * $phases) div total") + lit(1L)))
+      .groupBy("phase").agg(
+        sum(col("n_docs")).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        max(col("qmax")).as("q_hi"), min(col("qmin")).as("q_lo"))
+      .orderBy("phase")
+  }
+
+  /** DuckDB mirror of [[curriculum]]. */
+  def duckCurriculum(table: String, phases: Int = 3): String =
+    s"""WITH q AS (${TextAnalysis.duckQuality(table)}),
+       |s AS (SELECT doc_id, quality_score, n_tokens,
+       |             CAST(floor(quality_score * 1000.0) AS BIGINT) AS qb FROM q),
+       |b AS (SELECT qb, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS ntok,
+       |             min(quality_score) AS qmin, max(quality_score) AS qmax
+       |      FROM s GROUP BY qb),
+       |c AS (SELECT *, coalesce(sum(ntok) OVER (ORDER BY qb DESC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+       |             sum(ntok) OVER () AS total
+       |      FROM b),
+       |p AS (SELECT *, CAST(least($phases, (cum_before * $phases // total) + 1) AS BIGINT) AS phase
+       |      FROM c)
+       |SELECT phase, sum(n_docs)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens,
+       |       max(qmax) AS q_hi, min(qmin) AS q_lo
+       |FROM p GROUP BY phase ORDER BY phase""".stripMargin
+
   def langBalance(documents: DataFrame, budgetFrac: Double = 0.8,
                   maxEpochs: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
