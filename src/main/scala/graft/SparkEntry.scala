@@ -314,6 +314,10 @@ object SparkEntry {
     // waterfill of a token budget under a per-language epoch cap
     "q_lang_balance" -> ((s, dir) => CorpusOps.langBalance(Tables.documents(s, dir))),
 
+    // Embedding Gram/covariance entries (PCA/whitening input): top-50
+    // (d1,d2) by |cov| — dims^2-bounded self-join, decimal-exact moments.
+    "q_embed_gram" -> ((s, dir) => CorpusOps.embedGram(emb(s, dir))),
+
     // Curriculum phases: corpus split into 3 easy->hard phases of ~equal
     // token mass via the two-phase quality-bucket prefix sum (never a
     // corpus-wide rank window).
@@ -687,6 +691,7 @@ object SparkEntry {
     "q_dsir_weights"  -> CorpusOps.duckDsirWeights("documents"),
     "q_lang_balance"  -> CorpusOps.duckLangBalance("documents"),
     "q_curriculum"    -> CorpusOps.duckCurriculum("documents"),
+    "q_embed_gram"    -> CorpusOps.duckEmbedGram("embeddings"),
     "q_diverse_sample" -> CorpusOps.duckDiverseSample("embeddings", 200),
     "q_pii_redact"    -> TextAnalysis.duckPiiRedact(
       s"(SELECT doc_id, text FROM documents UNION ALL SELECT * FROM $duckPiiProbes)"),

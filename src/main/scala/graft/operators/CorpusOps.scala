@@ -217,6 +217,66 @@ object CorpusOps {
     * estimate-driven. Output: (lang, n_docs, lang_tokens, capacity,
     * capped, alloc_tokens, epochs), ORDER BY lang.
     */
+  /** Embedding second-moment report — Gram and covariance entries over the
+    * embedding matrix (the PCA/whitening input a pipeline computes before
+    * decorrelating features or diagnosing a collapsed embedder: large
+    * off-diagonal |cov| = redundant dimensions). Output: the `topK`
+    * (d1 ≤ d2) entries by |covariance|.
+    *
+    * Scale shape: the pair generation is a self-equijoin on vec_id with
+    * per-key fan-out bounded by dims²/2 — a CONSTANT (2080 at 64 dims),
+    * never corpus-driven (the structural-cap argument of
+    * [[TextAnalysis]]'s source-overlap join, not the document-n-gram f²
+    * hazard); the aggregation partial-aggs to dims² rows. Σx·y and Σx go
+    * through order-free DECIMAL(38,12); the covariance
+    * `(Sxy − n·μ1·μ2)/n` is one fixed double tree; rank on RAW |cov|,
+    * round(6) in the projection. */
+  def embedGram(index: DataFrame, topK: Int = 50): DataFrame = {
+    val rows = index.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("d", "v")))
+    val sums = rows.groupBy("d")
+      .agg(sum(col("v").cast("decimal(38,12)")).as("sv"))
+      .select(col("d"), col("sv").cast("double").as("sv"))
+    val pairs = rows.as("a")
+      .join(rows.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.d") <= col("b.d"))
+      .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
+      .agg(sum((col("a.v") * col("b.v")).cast("decimal(38,12)")).as("sxy"),
+        count(lit(1)).as("n"))
+    val nd = col("n").cast("double")
+    pairs
+      .join(broadcast(sums.select(col("d").as("d1"), col("sv").as("sv1"))), "d1")
+      .join(broadcast(sums.select(col("d").as("d2"), col("sv").as("sv2"))), "d2")
+      .withColumn("gram_raw", col("sxy").cast("double"))
+      .withColumn("cov_raw",
+        (col("gram_raw") - nd * (col("sv1") / nd) * (col("sv2") / nd)) / nd)
+      .orderBy(abs(col("cov_raw")).desc, asc("d1"), asc("d2"))
+      .limit(topK)
+      .select(col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"),
+        round(col("gram_raw"), 6).as("gram"), round(col("cov_raw"), 6).as("cov"))
+  }
+
+  /** DuckDB mirror of [[embedGram]] (0-based dims to match posexplode). */
+  def duckEmbedGram(table: String, topK: Int = 50): String =
+    s"""WITH r AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+       |                  unnest(embedding) AS v
+       |           FROM $table),
+       |sums AS (SELECT d, CAST(sum(CAST(v::DOUBLE AS DECIMAL(38,12))) AS DOUBLE) AS sv
+       |         FROM r GROUP BY d),
+       |p AS (SELECT a.d AS d1, b.d AS d2,
+       |             sum(CAST(a.v::DOUBLE * b.v::DOUBLE AS DECIMAL(38,12))) AS sxy,
+       |             count(*)::BIGINT AS n
+       |      FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.d <= b.d
+       |      GROUP BY a.d, b.d),
+       |c AS (SELECT p.d1, p.d2, CAST(p.sxy AS DOUBLE) AS gram_raw,
+       |             (CAST(p.sxy AS DOUBLE)
+       |               - CAST(p.n AS DOUBLE) * (m1.sv / CAST(p.n AS DOUBLE))
+       |                                     * (m2.sv / CAST(p.n AS DOUBLE)))
+       |               / CAST(p.n AS DOUBLE) AS cov_raw
+       |      FROM p JOIN sums m1 ON p.d1 = m1.d JOIN sums m2 ON p.d2 = m2.d)
+       |SELECT d1, d2, round(gram_raw, 6) AS gram, round(cov_raw, 6) AS cov
+       |FROM c ORDER BY abs(cov_raw) DESC, d1, d2 LIMIT $topK""".stripMargin
+
   /** Curriculum phase assignment (Bengio et al. 2009 applied to corpus
     * prep): split the corpus into `phases` consecutive training phases of
     * ~equal TOKEN mass, ordered easy→hard (highest [[TextAnalysis.quality]]
