@@ -88,7 +88,11 @@ object Bench {
     java.nio.file.Files.write(detailPath,
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","reps":$Reps,"estimator":"min","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_per_query":$loads}"""
         .getBytes("UTF-8"))
-    def r2(v: Double): String = f"$v%.2f"
+    // Locale.ROOT: f"%.2f" under a non-dot-decimal default locale (de_DE
+    // etc.) would render "12,34" and break the driver's json.loads — the
+    // exact failure this line exists to fix (review finding).
+    def r2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // Slowest-first per-query entries, as many as fit a ~1500-byte budget
     // (the slow tail is what the judge compares against BASELINE.md).
     val sorted = results.sortBy(-_._2)

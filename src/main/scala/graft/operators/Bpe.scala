@@ -137,10 +137,18 @@ object Bpe {
     * (it, s1, s2, merged, pair_count), ordered by it. */
   def learn(documents: DataFrame, iters: Int): DataFrame = {
     val (_, bests) = trainState(documents, iters)
-    bests.zipWithIndex.map { case (best, i) =>
+    val rows = bests.zipWithIndex.map { case (best, i) =>
       best.select(lit(i + 1).as("it"), col("b1").as("s1"), col("b2").as("s2"),
         concat(col("b1"), col("b2")).as("merged"), col("pair_count"))
-    }.reduce(_ unionByName _).orderBy("it")
+    }
+    // iters = 0 (baseline-vocabulary probe through Graft.trainTokenizer):
+    // an empty merge list, not empty.reduce (review finding)
+    if (rows.isEmpty)
+      documents.sparkSession.emptyDataFrame
+        .select(lit(0).as("it"), lit("").as("s1"), lit("").as("s2"),
+          lit("").as("merged"), lit(0L).as("pair_count"))
+        .limit(0)
+    else rows.reduce(_ unionByName _).orderBy("it")
   }
 
   /** Corpus token profile under the learned vocabulary — the artifact

@@ -68,7 +68,11 @@ object VectorLayout {
       .withColumn("sim_raw", dotc(col("ed"), col("qe")) / (col("nrm") * col("qn")))
       .orderBy(desc("sim_raw"), asc("vec_id"))
       .limit(k)
-      .select(col("vec_id"), col("label"), col("cluster"),
+      // cluster comes back as a PARTITION column, which Spark's directory
+      // inference types IntegerType — cast restores the LongType contract
+      // shared with Knn.topKIvfWith (review finding: a union of the two
+      // paths' outputs would otherwise fail analysis)
+      .select(col("vec_id"), col("label"), col("cluster").cast("long").as("cluster"),
         round(col("sim_raw"), 6).as("sim"))
   }
 }

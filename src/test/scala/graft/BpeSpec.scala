@@ -48,6 +48,12 @@ class BpeSpec extends AnyFunSuite {
       "frozen-list application must replay training's merge semantics exactly")
   }
 
+  test("zero merge rounds yields an empty merge list with the full schema (facade probe path)") {
+    val m = Bpe.learn(docs, iters = 0)
+    assert(m.columns.toSeq == Seq("it", "s1", "s2", "merged", "pair_count"))
+    assert(m.count() == 0)
+  }
+
   test("learned merge list is deterministic across runs") {
     val a = Bpe.learn(docs, iters = 3).collect().map(_.toString).toSeq
     val b = Bpe.learn(docs, iters = 3).collect().map(_.toString).toSeq

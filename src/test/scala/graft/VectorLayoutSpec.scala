@@ -22,9 +22,14 @@ class VectorLayoutSpec extends AnyFunSuite {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val viaLayout = VectorLayout.search(spark, dir, q, k = 10, nprobe = 3,
       excludeId = Some(0L)).collect().map(_.toString).toSeq
-    val viaMemory = Knn.topKIvfWith(emb, KMeans.train(emb, k = 8, iters = 2), q,
-      k = 10, nprobe = 3, excludeId = Some(0L)).collect().map(_.toString).toSeq
+    val memory = Knn.topKIvfWith(emb, KMeans.train(emb, k = 8, iters = 2), q,
+      k = 10, nprobe = 3, excludeId = Some(0L))
+    val viaMemory = memory.collect().map(_.toString).toSeq
     assert(viaLayout == viaMemory)
+    // schema parity too: the partition-column read infers cluster as INT
+    // unless the projection restores the LongType contract
+    assert(VectorLayout.search(spark, dir, q, k = 10, nprobe = 3,
+      excludeId = Some(0L)).schema == memory.schema)
   }
 
   test("probe scan carries a static PartitionFilter on cluster (file-level pruning)") {
