@@ -578,11 +578,7 @@ object SparkEntry {
     "q_knn_ivf_trained" ->
       s"""WITH ${graft.operators.KMeans.duckTrainCtes("embeddings", 16, 3)},
          |cent AS (SELECT cid, ce FROM cent3),
-         |asg AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
-         |               row_number() OVER (PARTITION BY e.vec_id
-         |                 ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
-         |        FROM embeddings e CROSS JOIN cent c),
-         |a AS (SELECT vec_id, label, embedding, cid AS cluster FROM asg WHERE crn = 1),
+         |${graft.operators.KMeans.duckAssignCtes("embeddings", "cent", "asg", "a")},
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |probes AS (SELECT c.cid AS pcid FROM cent c CROSS JOIN q
          |           ORDER BY ${duckCosine("c.ce", "q.qv")} DESC, c.cid LIMIT 4),

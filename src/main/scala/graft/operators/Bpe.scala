@@ -162,30 +162,42 @@ object Bpe {
 
   // ------------------------------------------------------------- oracle
 
+  /** Lead-pair CTE: `$name` = `$from` plus the nxt column. */
+  private def pairCte(name: String, from: String): String =
+    s"""$name AS (SELECT word, freq, pos, sym,
+       |              lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |       FROM $from)""".stripMargin
+
+  /** The ONE merge-CTE generator (flag → run parity → rebuild) — shared by
+    * the training and apply chains exactly as the Spark side shares
+    * [[mergeOne]], so learned and applied oracle semantics cannot diverge
+    * (review finding: the block used to exist twice, prefix-renamed). */
+  private def mergeCtes(pairs: String, best: String,
+                        fN: String, gN: String, selN: String, outN: String): String =
+    s"""$fN AS (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+       |               (p.nxt IS NOT NULL AND p.sym = b.b1 AND p.nxt = b.b2) AS m
+       |        FROM $pairs p CROSS JOIN $best b),
+       |$gN AS (SELECT *, CASE WHEN m THEN pos - row_number()
+       |                 OVER (PARTITION BY word, m ORDER BY pos) END AS grp
+       |        FROM $fN),
+       |$selN AS (SELECT *, m AND (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0 AS sel
+       |          FROM $gN),
+       |$outN AS (SELECT word, freq,
+       |               row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+       |               CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+       |        FROM (SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos), false) AS prev_sel
+       |              FROM $selN) t
+       |        WHERE NOT prev_sel)""".stripMargin
+
   /** Per-round CTE block against `$prev`: produces `best$t` and `s$t` —
     * the same pair-count / top-1 / run-parity merge as [[trainState]]. */
   private def roundCtes(t: Int, prev: String): String =
-    s"""p$t AS (SELECT word, freq, pos, sym,
-       |              lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-       |       FROM $prev),
+    s"""${pairCte(s"p$t", prev)},
        |best$t AS (SELECT sym AS b1, nxt AS b2, sum(freq)::BIGINT AS pair_count
        |           FROM p$t WHERE nxt IS NOT NULL
        |           GROUP BY sym, nxt
        |           ORDER BY pair_count DESC, b1, b2 LIMIT 1),
-       |f$t AS (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
-       |               (p.nxt IS NOT NULL AND p.sym = b.b1 AND p.nxt = b.b2) AS m
-       |        FROM p$t p CROSS JOIN best$t b),
-       |g$t AS (SELECT *, CASE WHEN m THEN pos - row_number()
-       |                 OVER (PARTITION BY word, m ORDER BY pos) END AS grp
-       |        FROM f$t),
-       |sel$t AS (SELECT *, m AND (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0 AS sel
-       |          FROM g$t),
-       |s$t AS (SELECT word, freq,
-       |               row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
-       |               CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
-       |        FROM (SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos), false) AS prev_sel
-       |              FROM sel$t) t
-       |        WHERE NOT prev_sel)""".stripMargin
+       |${mergeCtes(s"p$t", s"best$t", s"f$t", s"g$t", s"sel$t", s"s$t")}""".stripMargin
 
   private def baseCtes(table: String, iters: Int): String = {
     val tok = TextFns.duckTokens("text")
@@ -221,25 +233,10 @@ object Bpe {
 
   /** Apply-round CTE block: `a_s$t` from `a_s${t-1}` merged against the
     * TRAIN chain's `best$t` — no pair counting, the frozen-vocabulary
-    * replay of [[roundCtes]]'s merge half. */
+    * replay through the SHARED [[mergeCtes]] generator. */
   private def applyRoundCtes(t: Int): String =
-    s"""ap$t AS (SELECT word, freq, pos, sym,
-       |              lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-       |       FROM a_s${t - 1}),
-       |af$t AS (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
-       |               (p.nxt IS NOT NULL AND p.sym = b.b1 AND p.nxt = b.b2) AS m
-       |        FROM ap$t p CROSS JOIN best$t b),
-       |ag$t AS (SELECT *, CASE WHEN m THEN pos - row_number()
-       |                 OVER (PARTITION BY word, m ORDER BY pos) END AS grp
-       |        FROM af$t),
-       |asel$t AS (SELECT *, m AND (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0 AS sel
-       |          FROM ag$t),
-       |a_s$t AS (SELECT word, freq,
-       |               row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
-       |               CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
-       |        FROM (SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos), false) AS prev_sel
-       |              FROM asel$t) t
-       |        WHERE NOT prev_sel)""".stripMargin
+    s"""${pairCte(s"ap$t", s"a_s${t - 1}")},
+       |${mergeCtes(s"ap$t", s"best$t", s"af$t", s"ag$t", s"asel$t", s"a_s$t")}""".stripMargin
 
   /** DuckDB mirror of [[applyMerges]]: train on `trainTable`, tokenize
     * `applyTable` under the learned merges. Both may be subquery

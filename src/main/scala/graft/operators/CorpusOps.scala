@@ -232,16 +232,23 @@ object CorpusOps {
     * `(Sxy − n·μ1·μ2)/n` is one fixed double tree; rank on RAW |cov|,
     * round(6) in the projection. */
   def embedGram(index: DataFrame, topK: Int = 50): DataFrame = {
-    val rows = index.select(col("vec_id"),
-      posexplode(col("embedding").cast("array<double>")).as(Seq("d", "v")))
+    val base = index.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("ed"))
+    val rows = base.select(col("vec_id"), posexplode(col("ed")).as(Seq("d", "v")))
     val sums = rows.groupBy("d")
       .agg(sum(col("v").cast("decimal(38,12)")).as("sv"))
       .select(col("d"), col("sv").cast("double").as("sv"))
-    val pairs = rows.as("a")
-      .join(rows.as("b"),
-        col("a.vec_id") === col("b.vec_id") && col("a.d") <= col("b.d"))
-      .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
-      .agg(sum((col("a.v") * col("b.v")).cast("decimal(38,12)")).as("sxy"),
+    // pair generation as a DOUBLE posexplode over one scan — a vec_id
+    // self-join would shuffle both exploded sides on vec_id for a product
+    // the row already holds (review finding); this form is shuffle-free
+    // until the (d1, d2) partial agg
+    val pairs = base
+      .select(col("vec_id"), col("ed"), posexplode(col("ed")).as(Seq("d1", "v1")))
+      .select(col("vec_id"), col("d1"), col("v1"),
+        posexplode(col("ed")).as(Seq("d2", "v2")))
+      .filter(col("d1") <= col("d2"))
+      .groupBy("d1", "d2")
+      .agg(sum((col("v1") * col("v2")).cast("decimal(38,12)")).as("sxy"),
         count(lit(1)).as("n"))
     val nd = col("n").cast("double")
     pairs

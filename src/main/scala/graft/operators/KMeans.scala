@@ -105,6 +105,37 @@ object KMeans {
       .orderBy(asc("cluster"))
   }
 
+  /** The ONE DuckDB assignment-CTE generator — the oracle-side twin of
+    * [[Knn.ivfAssignWith]]'s "both phases change together" rule: every
+    * mirror that assigns vectors to centroids (training rounds, stats,
+    * elbow, trained search, recall) generates this pair, so the tiebreak
+    * and cosine tree can never drift between mirrors (review finding:
+    * the block used to be copy-pasted four times).
+    * Emits `$asgName` (ranked cross join) and `$outName`
+    * (vec_id, label, embedding, cluster). */
+  private[graft] def duckAssignCtes(table: String, centCte: String,
+                                        asgName: String, outName: String): String = {
+    import graft.functions.VectorFns.duckCosine
+    s"""$asgName AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
+       |        FROM $table e CROSS JOIN $centCte c),
+       |$outName AS (SELECT vec_id, label, embedding, cid AS cluster FROM $asgName WHERE crn = 1)""".stripMargin
+  }
+
+  /** Literal PQ fragments over a TRAINED codebook entry (dsub-length `ce`
+    * list, aliases `p` = parts, `c` = codebook, `q` = query) — one
+    * definition for training, the trained-search oracle, and the recall
+    * oracle (review finding: three hand-maintained copies). */
+  private[operators] def pqTrainedDistSql(dsub: Int): String =
+    (1 to dsub).map(i =>
+      s"(p.sv[$i]::DOUBLE - c.ce[$i]::DOUBLE) * (p.sv[$i]::DOUBLE - c.ce[$i]::DOUBLE)")
+      .mkString(" + ")
+
+  private[operators] def pqTrainedPdotSql(dsub: Int): String =
+    (1 to dsub).map(i =>
+      s"(q.qv[c.sub*$dsub+$i]::DOUBLE * c.ce[$i]::DOUBLE)").mkString(" + ")
+
   /** Choose-k sweep (the "elbow" input): train at each k, report one row
     * per k — cells occupied, objective (mean member→centroid cosine, via
     * order-free decimal sums), and fill spread (min/max cell size, the
@@ -139,8 +170,12 @@ object KMeans {
   /** DuckDB mirror of [[elbow]] — one prefixed train chain per k. */
   def duckElbowSql(table: String, ks: Seq[Int] = Seq(4, 8, 16, 32),
                    iters: Int = 2): String = {
-    import graft.functions.VectorFns.{duckCosine, duckNorm}
-    val chains = ks.map(k => duckTrainCtes(table, k, iters, s"k${k}_")).mkString(",\n")
+    import graft.functions.VectorFns.duckCosine
+    val chains = ks.map { k =>
+      val p = s"k${k}_"
+      duckTrainCtes(table, k, iters, p) + ",\n" +
+        duckAssignCtes(table, s"${p}cent$iters", s"${p}fasg", s"${p}fa")
+    }.mkString(",\n")
     val branches = ks.map { k =>
       val p = s"k${k}_"
       s"""SELECT $k::INTEGER AS k, count(*)::BIGINT AS n_cells,
@@ -151,11 +186,7 @@ object KMeans {
          |         sum(CAST(csim AS DECIMAL(28,12))) AS simsum
          |  FROM (
          |    SELECT fa.cluster, ${duckCosine("fa.embedding", "c.ce")} AS csim
-         |    FROM (SELECT vec_id, embedding, cid AS cluster FROM (
-         |            SELECT e.vec_id, e.embedding, c.cid,
-         |                   row_number() OVER (PARTITION BY e.vec_id
-         |                     ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
-         |            FROM $table e CROSS JOIN ${p}cent$iters c) t WHERE crn = 1) fa
+         |    FROM ${p}fa fa
          |    JOIN ${p}cent$iters c ON fa.cluster = c.cid) w
          |  GROUP BY cluster) cells""".stripMargin
     }.mkString("\nUNION ALL\n")
@@ -240,9 +271,7 @@ object KMeans {
     * it generates its own series. */
   def duckTrainPqCtes(table: String, m: Int = 8, dsub: Int = 8,
                       k: Int = 16, iters: Int = 3): String = {
-    val distTerms = (1 to dsub).map(i =>
-      s"(p.sv[$i]::DOUBLE - c.ce[$i]::DOUBLE) * (p.sv[$i]::DOUBLE - c.ce[$i]::DOUBLE)")
-      .mkString(" + ")
+    val distTerms = pqTrainedDistSql(dsub)
     val init =
       s"""pqt_subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
          |pqt_parts AS (SELECT e.vec_id, s.sub,
@@ -285,11 +314,7 @@ object KMeans {
          |          FROM $table WHERE vec_id < $k)""".stripMargin
     val rounds = (1 to iters).map { t =>
       val p = s"${prefix}cent${t - 1}"
-      s"""${prefix}asg$t AS (SELECT e.vec_id, e.embedding, c.cid,
-         |               row_number() OVER (PARTITION BY e.vec_id
-         |                 ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
-         |        FROM $table e CROSS JOIN $p c),
-         |${prefix}a$t AS (SELECT vec_id, embedding, cid AS cluster FROM ${prefix}asg$t WHERE crn = 1),
+      s"""${duckAssignCtes(table, p, s"${prefix}asg$t", s"${prefix}a$t")},
          |${prefix}x$t AS (SELECT cluster, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS v
          |        FROM ${prefix}a$t),
          |${prefix}u$t AS (SELECT cluster, d, sum(CAST(v::DOUBLE AS DECIMAL(38,12))) AS s, count(*) AS n
@@ -308,11 +333,7 @@ object KMeans {
     import graft.functions.VectorFns.{duckCosine, duckNorm}
     s"""WITH ${duckTrainCtes(table, k, iters)},
        |cent AS (SELECT cid, ce, ${duckNorm("ce")} AS cn FROM cent$iters),
-       |fasg AS (SELECT e.vec_id, e.embedding, c.cid,
-       |               row_number() OVER (PARTITION BY e.vec_id
-       |                 ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
-       |        FROM $table e CROSS JOIN cent c),
-       |fa AS (SELECT vec_id, embedding, cid AS cluster FROM fasg WHERE crn = 1),
+       |${duckAssignCtes(table, "cent", "fasg", "fa")},
        |w AS (SELECT fa.cluster, ${duckCosine("fa.embedding", "c.ce")} AS csim, c.cn
        |      FROM fa JOIN cent c ON fa.cluster = c.cid),
        |cells AS (SELECT cluster, count(*)::BIGINT AS n_vecs,

@@ -760,11 +760,8 @@ object Knn {
                         m: Int = 8, dsub: Int = 8, ncent: Int = 16, iters: Int = 3,
                         candMultiple: Int = 4): String = {
     import graft.functions.VectorFns.duckCosine
-    val distTerms = (1 to dsub).map(i =>
-      s"(p.sv[$i]::DOUBLE - c.ce[$i]::DOUBLE) * (p.sv[$i]::DOUBLE - c.ce[$i]::DOUBLE)")
-      .mkString(" + ")
-    val pdotTerms = (1 to dsub).map(i =>
-      s"(q.qv[c.sub*$dsub+$i]::DOUBLE * c.ce[$i]::DOUBLE)").mkString(" + ")
+    val distTerms = KMeans.pqTrainedDistSql(dsub)
+    val pdotTerms = KMeans.pqTrainedPdotSql(dsub)
     val pivotCols = (0 until m).map(s =>
       s"max(CASE WHEN sub = $s THEN pdot END)").mkString(" + ")
     s"""WITH ${graft.operators.KMeans.duckTrainPqCtes(table, m, dsub, ncent, iters)},

@@ -284,16 +284,6 @@ object KnnRecall {
   private def pqPivotCols(m: Int): String =
     (0 until m).map(s => s"max(CASE WHEN sub = $s THEN pdot END)").mkString(" + ")
 
-  /** Trained-codebook variants of the literal fragments: the codebook entry
-    * is a dsub-length list (`ce[i]`), not a full-vector slice. */
-  private def pqTrainedDistTerms(dsub: Int): String =
-    (1 to dsub).map(i =>
-      s"(p.sv[$i]::DOUBLE - c.ce[$i]::DOUBLE) * (p.sv[$i]::DOUBLE - c.ce[$i]::DOUBLE)")
-      .mkString(" + ")
-
-  private def pqTrainedPdotTerms(dsub: Int): String =
-    (1 to dsub).map(i =>
-      s"(q.qv[c.sub*$dsub+$i]::DOUBLE * c.ce[$i]::DOUBLE)").mkString(" + ")
 
   /** DuckDB mirror of [[annRecall]]. */
   def duckAnnRecall(table: String, k: Int, nQueries: Int,
@@ -363,11 +353,7 @@ object KnnRecall {
        |        WHERE rn <= $k),
        |${KMeans.duckTrainCtes(table, numCentroids, 3)},
        |centt AS (SELECT cid, ce FROM cent3),
-       |asgt AS (SELECT e.vec_id, e.embedding, c.cid,
-       |               row_number() OVER (PARTITION BY e.vec_id
-       |                 ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS crn
-       |        FROM $table e CROSS JOIN centt c),
-       |ta AS (SELECT vec_id, embedding, cid AS cluster FROM asgt WHERE crn = 1),
+       |${KMeans.duckAssignCtes(table, "centt", "asgt", "ta")},
        |iprobest AS (SELECT qid, qv, pcid FROM (
        |              SELECT q.qid, q.qv, c.cid AS pcid,
        |                     row_number() OVER (PARTITION BY q.qid
@@ -453,10 +439,10 @@ object KnnRecall {
        |pqt_codes AS (SELECT vec_id, sub, cid FROM (
        |               SELECT p.vec_id, p.sub, c.cid,
        |                      row_number() OVER (PARTITION BY p.vec_id, p.sub
-       |                        ORDER BY (${pqTrainedDistTerms(pqDsub)}) ASC, c.cid) AS rn
+       |                        ORDER BY (${KMeans.pqTrainedDistSql(pqDsub)}) ASC, c.cid) AS rn
        |               FROM pqt_parts p JOIN pqt_tcent c USING (sub)) t
        |             WHERE rn = 1),
-       |pqt_qtab AS (SELECT q.qid, c.sub, c.cid, (${pqTrainedPdotTerms(pqDsub)}) AS pdot
+       |pqt_qtab AS (SELECT q.qid, c.sub, c.cid, (${KMeans.pqTrainedPdotSql(pqDsub)}) AS pdot
        |             FROM pqt_tcent c CROSS JOIN q),
        |pqt_adot AS (SELECT qt.qid, pc.vec_id, (${pqPivotCols(pqM)}) AS adot
        |             FROM pqt_codes pc JOIN pqt_qtab qt USING (sub, cid)
