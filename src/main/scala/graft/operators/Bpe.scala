@@ -49,7 +49,7 @@ object Bpe {
   private val wWord = Window.partitionBy("word").orderBy("pos")
 
   /** Initial symbol state: (word, freq, pos, sym). */
-  private def initialSyms(documents: DataFrame): DataFrame = {
+  private[graft] def initialSyms(documents: DataFrame): DataFrame = {
     val charAt = col("word").substr(col("pos"), lit(1))
     documents
       .select(explode(TextFns.tokens(col("text"))).as("word"))
@@ -84,8 +84,11 @@ object Bpe {
 
   /** Apply ONE merge (a 1-row (b1, b2) relation) to the symbol state —
     * the leftmost-greedy run-parity rebuild, shared by training and
-    * [[applyMerges]] so learned and applied semantics cannot diverge. */
-  private def mergeOne(syms: DataFrame, best: DataFrame): DataFrame = {
+    * [[applyMerges]] so learned and applied semantics cannot diverge.
+    * `private[graft]` for the generative spec (BpeSpec compares full
+    * symbol states against a sequential reference — the profile view
+    * cannot distinguish greedy from non-greedy on symmetric runs). */
+  private[graft] def mergeOne(syms: DataFrame, best: DataFrame): DataFrame = {
     val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(wWord))
     val flagged = paired.crossJoin(broadcast(best))
       .withColumn("m", col("nxt").isNotNull &&

@@ -48,6 +48,41 @@ class BpeSpec extends AnyFunSuite {
       "frozen-list application must replay training's merge semantics exactly")
   }
 
+  test("run-parity merge equals the sequential leftmost-greedy reference on random words") {
+    // the window formulation's whole claim is equivalence to the textbook
+    // sequential scan — checked on FULL symbol states (profiles cannot
+    // distinguish greedy [aa, a] from non-greedy [a, aa] on "aaa")
+    def refMerge(syms: List[String], b1: String, b2: String): List[String] = syms match {
+      case x :: y :: rest if x == b1 && y == b2 => (x + y) :: refMerge(rest, b1, b2)
+      case x :: rest => x :: refMerge(rest, b1, b2)
+      case Nil => Nil
+    }
+    val rnd = new scala.util.Random(42)
+    // binary alphabet maximizes repeated-symbol runs — the adversarial case
+    val words = (1 to 80).map(_ =>
+      (1 to (1 + rnd.nextInt(9))).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+      .distinct
+    val corpus = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val initial = Bpe.initialSyms(corpus)
+    for ((b1, b2) <- Seq(("a", "a"), ("b", "b"), ("a", "b"),
+                         ("a", "a</w>"), ("b", "a</w>"))) {
+      val best = Seq((b1, b2)).toDF("b1", "b2")
+      val merged = Bpe.mergeOne(initial, best)
+        .collect()
+        .groupBy(_.getAs[String]("word"))
+        .map { case (w, rows) =>
+          w -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[String]("sym")).toList
+        }
+      words.foreach { w =>
+        val chars = w.toList.map(_.toString)
+        val init = chars.init :+ (chars.last + "</w>")
+        assert(merged(w) == refMerge(init, b1, b2),
+          s"word '$w' merge ($b1,$b2): got ${merged(w)}, want ${refMerge(init, b1, b2)}")
+      }
+    }
+  }
+
   test("zero merge rounds yields an empty merge list with the full schema (facade probe path)") {
     val m = Bpe.learn(docs, iters = 0)
     assert(m.columns.toSeq == Seq("it", "s1", "s2", "merged", "pair_count"))
