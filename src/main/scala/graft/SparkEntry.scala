@@ -393,6 +393,10 @@ object SparkEntry {
     // Per-type daily anomaly report: day totals z-scored within their own
     // event type (decimal-exact moments; zero-variance guarded).
     "q_anomaly_days" -> ((s, dir) => Relational.anomalyDays(s, dir)),
+
+    // TPC-H Q5 shape: the 6-table join with the correlated customer/
+    // supplier nation constraint; dims broadcast off natural stats only.
+    "q_local_supplier" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     // ordered conversion funnel: sequence semantics, stage-shrinking joins
     "q_funnel" -> ((s, dir) => Relational.eventFunnel(s, dir)),
     // weekly cohort retention triangle, all-integer week arithmetic
@@ -722,6 +726,7 @@ object SparkEntry {
     "q_range_join"      -> Relational.duckRangeJoinCooccur(),
     "q_event_stats"     -> Relational.duckEventStats,
     "q_anomaly_days"    -> Relational.duckAnomalyDays(),
+    "q_local_supplier"  -> Relational.duckLocalSupplierVolume(),
     "q_funnel"          -> Relational.duckEventFunnel,
     "q_cohort"          -> Relational.duckCohortRetention,
     "q_top_ngrams"      -> TextAnalysis.duckTopNgramsSql("documents"),

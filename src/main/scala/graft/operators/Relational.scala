@@ -291,6 +291,62 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** TPC-H Q5 shape (local supplier volume): the SIX-table join —
+    * lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region — with the
+    * classic correlated constraint (customer and supplier share a nation)
+    * that makes the supplier join a TWO-predicate equijoin, not another
+    * star leg. The biggest relational plan in the engine: three
+    * fact-to-fact shuffle equijoins (lineitem-orders, orders-customer,
+    * lineitem-supplier) that AQE sizes at runtime, and two dimensions
+    * that broadcast off natural parquet stats — no forced broadcast()
+    * beyond them, per the round-4 lock-in rule (a dimension table is the
+    * ONLY side guaranteed small at 100 TB). Rank on the RAW decimal
+    * revenue; round in the projection (the topNations discipline). */
+  def localSupplierVolume(spark: SparkSession, sfDir: String,
+                          region: String = "ASIA"): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(col("r_name") === region)
+      .groupBy("n_name")
+      .agg(
+        sum(dec(col("l_extendedprice"))
+          * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).as("revenue_raw"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy(desc("revenue_raw"), asc("n_name"))
+      .select(col("n_name"),
+        round(col("revenue_raw").cast("double"), 6).as("revenue"),
+        col("n_items"), col("n_suppliers"))
+  }
+
+  def duckLocalSupplierVolume(region: String = "ASIA"): String =
+    s"""WITH g AS (
+       |  SELECT n_name,
+       |         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+       |             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS revenue_raw,
+       |         count(*)::BIGINT AS n_items,
+       |         count(DISTINCT s_suppkey)::BIGINT AS n_suppliers
+       |  FROM lineitem
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  JOIN nation   ON s_nationkey = n_nationkey
+       |  JOIN region   ON n_regionkey = r_regionkey
+       |  WHERE r_name = '$region'
+       |  GROUP BY n_name)
+       |SELECT n_name, round(CAST(revenue_raw AS DOUBLE), 6) AS revenue,
+       |       n_items, n_suppliers
+       |FROM g ORDER BY revenue_raw DESC, n_name""".stripMargin
+
   /** Per-type daily anomaly report — each day's total value z-scored
     * against its own event type's day distribution, |z| ≥ `zThreshold`
     * flagged. The monitoring query an event pipeline runs after ingest
