@@ -397,6 +397,11 @@ object SparkEntry {
     // TPC-H Q5 shape: the 6-table join with the correlated customer/
     // supplier nation constraint; dims broadcast off natural stats only.
     "q_local_supplier" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
+
+    // Triangle census of the dup graph: clustering coefficient — cliques
+    // (true dup groups) vs chains/stars (threshold bridges, attractors).
+    "q_dup_triangles" -> ((s, dir) =>
+      Dedup.dupTriangles(Tables.documents(s, dir), threshold = 0.8)),
     // ordered conversion funnel: sequence semantics, stage-shrinking joins
     "q_funnel" -> ((s, dir) => Relational.eventFunnel(s, dir)),
     // weekly cohort retention triangle, all-integer week arithmetic
@@ -640,6 +645,7 @@ object SparkEntry {
     "q_dedup_exact"   -> Dedup.duckExact("documents"),
     "q_dedup_minhash" -> Dedup.duckMinhashSql("documents", 0.8),
     "q_dup_degree"    -> Dedup.duckDupDegreeSql("documents", 0.8),
+    "q_dup_triangles" -> Dedup.duckDupTrianglesSql("documents", 0.8),
     "q_dup_pagerank"  -> Dedup.duckDupPagerankSql("documents", 0.8),
     "q_dedup_clusters" -> Dedup.duckClustersSql("documents", 0.8),
     "q_leakage_split" -> Dedup.duckLeakageSplit("documents", 0.8),

@@ -600,6 +600,75 @@ object Dedup {
        |SELECT degree, count(*)::BIGINT AS n_docs
        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** Triangle census of the near-dup graph — global clustering coefficient
+    * as a ONE-row report: how clique-like is the duplicate structure?
+    * High closure = LSH pairs agree transitively (true duplicate groups —
+    * [[clustersOfPairs]] components are dense); low closure = chains and
+    * stars (threshold-boundary bridges or a boilerplate attractor linking
+    * unrelated docs — inspect before a 100 TB prune, alongside
+    * [[dupDegree]]'s tail and [[dupPagerank]]'s hubs).
+    *
+    * Counting contract: edges are canonical (d1 < d2), triangles are
+    * enumerated once from their LOWEST vertex (edges (a,b), (a,c), b < c,
+    * closed by (b,c)); wedges are Σ_v C(deg v, 2) from the degree
+    * relation. All-integer; clustering = 3·T/W is one double division,
+    * round(6) in the projection.
+    *
+    * Scale shape: the wedge join is an equijoin on the LOW endpoint of
+    * the pair graph (≪ corpus); its fan-out is C(deg_low(v), 2) — the
+    * [[dupDegree]] histogram is the input that predicts this cost, and a
+    * deployment with a fat tail prunes the attractor first (the report's
+    * own advice). The closure test is candidate-first (wedges probe the
+    * edge relation) with the cached-derived build side merge-pinned — the
+    * minhash verify-join precedent: a pair-graph relation must not become
+    * a broadcast build side off a stale pre-materialization estimate.
+    * Pairs cached once, read three times (two wedge legs + closure probe;
+    * the [[dupDegree]] A/B measured the cache worthwhile at two reads). */
+  def dupTriangles(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = nearDupPairs(documents, threshold).cache()
+    val e = pairs.select(col("d1"), col("d2"))
+    val wedgeLow = e.as("x").join(e.as("y"),
+        col("x.d1") === col("y.d1") && col("x.d2") < col("y.d2"))
+      .select(col("x.d2").as("wb"), col("y.d2").as("wc"))
+    val tri = wedgeLow.join(
+        e.select(col("d1").as("wb"), col("d2").as("wc")).hint("merge"),
+        Seq("wb", "wc"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = pairs.select(col("d1").as("doc_id"))
+      .unionAll(pairs.select(col("d2").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .agg(sum(expr("degree * (degree - 1) div 2")).cast("long").as("n_wedges"))
+    val edges = pairs.agg(count(lit(1)).as("n_edges"))
+    edges.crossJoin(tri).crossJoin(wedges)
+      .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** DuckDB mirror of [[dupTriangles]] — the shared pair CTEs, then the
+    * same lowest-vertex triangle enumeration and degree-wedge count. */
+  def duckDupTrianglesSql(table: String, threshold: Double,
+                          seeds: Int = 8, rowsPerBand: Int = 2): String =
+    s"""WITH ${duckMinhashCandCtes(table, seeds, rowsPerBand)},
+       |${duckJaccardCtes("cand")},
+       |pairs AS (SELECT d1, d2 FROM j WHERE jac >= $threshold),
+       |wl AS (SELECT x.d2 AS wb, y.d2 AS wc
+       |       FROM pairs x JOIN pairs y ON x.d1 = y.d1 AND x.d2 < y.d2),
+       |tri AS (SELECT count(*)::BIGINT AS n_triangles FROM wl
+       |        WHERE EXISTS (SELECT 1 FROM pairs p
+       |                      WHERE p.d1 = wl.wb AND p.d2 = wl.wc)),
+       |deg AS (SELECT doc_id, count(*)::BIGINT AS degree FROM
+       |          (SELECT d1 AS doc_id FROM pairs
+       |           UNION ALL SELECT d2 FROM pairs) u GROUP BY doc_id),
+       |wd AS (SELECT CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+       |ed AS (SELECT count(*)::BIGINT AS n_edges FROM pairs)
+       |SELECT ed.n_edges, tri.n_triangles, wd.n_wedges,
+       |       CASE WHEN wd.n_wedges > 0
+       |            THEN round(3.0 * tri.n_triangles / wd.n_wedges, 6)
+       |            ELSE 0.0 END AS clustering
+       |FROM ed CROSS JOIN tri CROSS JOIN wd""".stripMargin
+
   /** Duplicate centrality — integer-exact PageRank over the near-dup pair
     * graph, `iters` fixed power iterations: which docs sit at the CENTER
     * of near-dup mass (templates radiating variants) vs its periphery?
