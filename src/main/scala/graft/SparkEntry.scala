@@ -394,6 +394,11 @@ object SparkEntry {
     // event type (decimal-exact moments; zero-variance guarded).
     "q_anomaly_days" -> ((s, dir) => Relational.anomalyDays(s, dir)),
 
+    // Bucketed approximate quantiles: the engine-exact 100TB path for
+    // percentile() (fixed-width histogram + prefix sums over the bounded
+    // bucket relation), with |est - exact| measured in-query.
+    "q_quantiles_bucketed" -> ((s, dir) => Relational.bucketedQuantiles(s, dir)),
+
     // TPC-H Q5 shape: the 6-table join with the correlated customer/
     // supplier nation constraint; dims broadcast off natural stats only.
     "q_local_supplier" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
@@ -733,6 +738,7 @@ object SparkEntry {
     "q_event_stats"     -> Relational.duckEventStats,
     "q_anomaly_days"    -> Relational.duckAnomalyDays(),
     "q_local_supplier"  -> Relational.duckLocalSupplierVolume(),
+    "q_quantiles_bucketed" -> Relational.duckBucketedQuantiles(),
     "q_funnel"          -> Relational.duckEventFunnel,
     "q_cohort"          -> Relational.duckCohortRetention,
     "q_top_ngrams"      -> TextAnalysis.duckTopNgramsSql("documents"),

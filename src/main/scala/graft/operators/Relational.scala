@@ -549,6 +549,109 @@ object Relational {
         round(element_at(col("q"), 4), 6).as("p95"))
       .orderBy("event_type")
 
+  /** The 100 TB quantile path the [[valueQuantiles]] header promises
+    * ("swaps in an approximation and re-gates at sample scale") — but
+    * ENGINE-EXACT, unlike percentile_approx/t-digest whose sketch states
+    * are not reproducible across engines: a fixed-width histogram
+    * (two-pass: per-type bounds, then bucket counts), prefix sums over
+    * the B-bucket relation, estimate = midpoint of the bucket containing
+    * the target rank. Error is bounded by ONE bucket width, and rather
+    * than asserting that, the query MEASURES it: each estimate ships with
+    * |est − exact| (the exact percentile is gate-scale only — a 100 TB
+    * run drops the exact columns and keeps the estimator, which is the
+    * point).
+    *
+    * Scale shape: bounds are a partial-agged group aggregate joined back
+    * as a natural broadcast — a TYPES-cardinality relation (bounded by
+    * schema like a dimension table, so the round-3 join-back hazard does
+    * not apply and no pin is needed); bucket counts partial-agg to
+    * |types|·B rows; the prefix sum and rank pick run over that bounded
+    * bucket relation. No corpus window (the per-type `agg OVER` form
+    * would put a type's full mass on one task — the head-key exposure).
+    * Degenerate guard: a constant-valued type (hi = lo) takes bucket 0
+    * and estimate lo through an identical CASE in both engines. */
+  def bucketedQuantiles(spark: SparkSession, sfDir: String,
+                        buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"), count(lit(1)).as("n"))
+    val wCol = (col("hi") - col("lo")) / lit(buckets)
+    val bkt = when(col("hi") > col("lo"),
+      least(floor((col("value") - col("lo")) / wCol).cast("long"), lit(buckets - 1L)))
+      .otherwise(lit(0L))
+    val counts = ev.join(bounds, "event_type")
+      .withColumn("bkt", bkt)
+      .groupBy("event_type", "bkt")
+      .agg(count(lit(1)).as("cnt"),
+        min("lo").as("lo"), min("hi").as("hi"), min("n").as("n"))
+    val wCum = Window.partitionBy("event_type").orderBy("bkt")
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(wCum))
+    def pickB(q: Double, name: String) =
+      min(when(col("cum").cast("double") >=
+        floor(lit(q) * (col("n") - 1).cast("double")) + lit(1.0), col("bkt"))).as(name)
+    val est = cum.groupBy("event_type").agg(
+      min("lo").as("lo"), min("hi").as("hi"),
+      pickB(0.5, "b50"), pickB(0.95, "b95"))
+    def estOf(b: org.apache.spark.sql.Column) =
+      when(col("hi") > col("lo"),
+        col("lo") + (b.cast("double") + lit(0.5)) * ((col("hi") - col("lo")) / lit(buckets)))
+        .otherwise(col("lo"))
+    val exact = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(percentile(col("value"), array(lit(0.5), lit(0.95))).as("q"))
+      .select(col("event_type"),
+        element_at(col("q"), 1).as("x50"), element_at(col("q"), 2).as("x95"))
+    est.join(exact, "event_type")
+      .withColumn("e50", estOf(col("b50")))
+      .withColumn("e95", estOf(col("b95")))
+      .select(col("event_type"),
+        round(col("e50"), 6).as("p50_bucketed"),
+        round(abs(col("e50") - col("x50")), 6).as("p50_abs_err"),
+        round(col("e95"), 6).as("p95_bucketed"),
+        round(abs(col("e95") - col("x95")), 6).as("p95_abs_err"))
+      .orderBy("event_type")
+  }
+
+  def duckBucketedQuantiles(buckets: Int = 64): String =
+    s"""WITH ev AS (SELECT event_type, value FROM events),
+       |bounds AS (SELECT event_type, min(value) AS lo, max(value) AS hi,
+       |                  count(*)::BIGINT AS n
+       |           FROM ev GROUP BY event_type),
+       |bk AS (SELECT e.event_type,
+       |              CASE WHEN b.hi > b.lo
+       |                   THEN least(CAST(floor((e.value - b.lo) / ((b.hi - b.lo) / $buckets)) AS BIGINT),
+       |                              ${buckets - 1})
+       |                   ELSE 0 END AS bkt,
+       |              b.lo, b.hi, b.n
+       |       FROM ev e JOIN bounds b USING (event_type)),
+       |counts AS (SELECT event_type, bkt, count(*)::BIGINT AS cnt,
+       |                  min(lo) AS lo, min(hi) AS hi, min(n) AS n
+       |           FROM bk GROUP BY event_type, bkt),
+       |cum AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt) AS cum
+       |        FROM counts),
+       |est AS (SELECT event_type, min(lo) AS lo, min(hi) AS hi,
+       |               min(CASE WHEN cum::DOUBLE >= floor(0.5 * CAST(n - 1 AS DOUBLE)) + 1.0
+       |                        THEN bkt END) AS b50,
+       |               min(CASE WHEN cum::DOUBLE >= floor(0.95 * CAST(n - 1 AS DOUBLE)) + 1.0
+       |                        THEN bkt END) AS b95
+       |        FROM cum GROUP BY event_type),
+       |exact AS (SELECT event_type, q[1] AS x50, q[2] AS x95
+       |          FROM (SELECT event_type, quantile_cont(value, [0.5, 0.95]) AS q
+       |                FROM events GROUP BY event_type)),
+       |f AS (SELECT e.event_type,
+       |             CASE WHEN e.hi > e.lo
+       |                  THEN e.lo + (CAST(e.b50 AS DOUBLE) + 0.5) * ((e.hi - e.lo) / $buckets)
+       |                  ELSE e.lo END AS e50,
+       |             CASE WHEN e.hi > e.lo
+       |                  THEN e.lo + (CAST(e.b95 AS DOUBLE) + 0.5) * ((e.hi - e.lo) / $buckets)
+       |                  ELSE e.lo END AS e95,
+       |             x.x50, x.x95
+       |      FROM est e JOIN exact x USING (event_type))
+       |SELECT event_type,
+       |       round(e50, 6) AS p50_bucketed, round(abs(e50 - x50), 6) AS p50_abs_err,
+       |       round(e95, 6) AS p95_bucketed, round(abs(e95 - x95), 6) AS p95_abs_err
+       |FROM f ORDER BY event_type""".stripMargin
+
   def duckValueQuantiles: String =
     s"""SELECT event_type,
        |       round(q[1], 6) AS p25, round(q[2], 6) AS p50,
