@@ -394,6 +394,10 @@ object SparkEntry {
     // event type (decimal-exact moments; zero-variance guarded).
     "q_anomaly_days" -> ((s, dir) => Relational.anomalyDays(s, dir)),
 
+    // Numeric value-distribution drift (PSI analog): odd-vs-even-day
+    // bucket shares scored by the quantized log ratio.
+    "q_value_drift" -> ((s, dir) => Relational.valueDrift(s, dir)),
+
     // Bucketed approximate quantiles: the engine-exact 100TB path for
     // percentile() (fixed-width histogram + prefix sums over the bounded
     // bucket relation), with |est - exact| measured in-query.
@@ -739,6 +743,7 @@ object SparkEntry {
     "q_anomaly_days"    -> Relational.duckAnomalyDays(),
     "q_local_supplier"  -> Relational.duckLocalSupplierVolume(),
     "q_quantiles_bucketed" -> Relational.duckBucketedQuantiles(),
+    "q_value_drift"     -> Relational.duckValueDrift(),
     "q_funnel"          -> Relational.duckEventFunnel,
     "q_cohort"          -> Relational.duckCohortRetention,
     "q_top_ngrams"      -> TextAnalysis.duckTopNgramsSql("documents"),

@@ -652,6 +652,77 @@ object Relational {
        |       round(e95, 6) AS p95_bucketed, round(abs(e95 - x95), 6) AS p95_abs_err
        |FROM f ORDER BY event_type""".stripMargin
 
+  /** Numeric-distribution drift monitor (the PSI-report analog for VALUE
+    * columns, completing the drift family beside [[TextAnalysis]]'s token
+    * monitor): events split into baseline (even days) and current (odd
+    * days), value-bucketed per type over SHARED whole-corpus bounds, and
+    * each bucket's share ratio scored with the engine-exact quantized log
+    * (`length(bin(x)) − 1` = floor(log2) — real PSI's ln() is not
+    * cross-engine-exact; the quantized integer ordering is, and ordering
+    * is what a drift triage reads). Top `topN` drifted (type, bucket)
+    * rows, add-one smoothing on the baseline side so a bucket appearing
+    * ONLY in the current window tops the report — the driftReport rule.
+    *
+    * Scale shape: one partial-agged shuffle to (type, bucket); bounds and
+    * per-type totals join back as natural broadcasts of schema-bounded
+    * relations (the [[bucketedQuantiles]] argument — types, not groups of
+    * corpus cardinality). */
+  def valueDrift(spark: SparkSession, sfDir: String,
+                 buckets: Int = 32, topN: Int = 20): DataFrame = {
+    def lb(c: org.apache.spark.sql.Column) = (length(bin(c)) - 1).cast("long")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        expr("ts_us div 86400000000").as("day"))
+    val bounds = ev.groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val bkt = when(col("hi") > col("lo"),
+      least(floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / lit(buckets))).cast("long"),
+        lit(buckets - 1L)))
+      .otherwise(lit(0L))
+    val counts = ev.join(bounds, "event_type")
+      .withColumn("bkt", bkt)
+      .withColumn("is_cur", col("day") % 2 === 1)
+      .groupBy("event_type", "bkt").agg(
+        sum(when(col("is_cur"), 1L).otherwise(0L)).as("cur_cnt"),
+        sum(when(!col("is_cur"), 1L).otherwise(0L)).as("base_cnt"))
+      .cache() // totals re-read the bucket relation (the driftReport pattern)
+    val totals = counts.groupBy("event_type")
+      .agg(sum("cur_cnt").as("ctot"), sum("base_cnt").as("btot"))
+    counts.filter(col("cur_cnt") > 0)
+      .join(broadcast(totals), "event_type")
+      .withColumn("drift_q",
+        lb(col("cur_cnt") * col("btot")) - lb((col("base_cnt") + 1) * col("ctot")))
+      .orderBy(desc("drift_q"), desc("cur_cnt"), asc("event_type"), asc("bkt"))
+      .limit(topN)
+      .select(col("event_type"), col("bkt"), col("base_cnt"), col("cur_cnt"),
+        col("drift_q"))
+  }
+
+  def duckValueDrift(buckets: Int = 32, topN: Int = 20): String =
+    s"""WITH ev AS (SELECT event_type, value, epoch_us(ts) // 86400000000 AS day FROM events),
+       |bounds AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+       |           FROM ev GROUP BY event_type),
+       |bk AS (SELECT e.event_type,
+       |              CASE WHEN b.hi > b.lo
+       |                   THEN least(CAST(floor((e.value - b.lo) / ((b.hi - b.lo) / $buckets)) AS BIGINT),
+       |                              ${buckets - 1})
+       |                   ELSE 0 END AS bkt,
+       |              (e.day % 2 = 1) AS is_cur
+       |       FROM ev e JOIN bounds b USING (event_type)),
+       |c AS (SELECT event_type, bkt,
+       |        CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt,
+       |        CAST(sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END) AS BIGINT) AS base_cnt
+       |      FROM bk GROUP BY event_type, bkt),
+       |tot AS (SELECT event_type, CAST(sum(cur_cnt) AS BIGINT) AS ctot,
+       |               CAST(sum(base_cnt) AS BIGINT) AS btot
+       |        FROM c GROUP BY event_type)
+       |SELECT c.event_type, c.bkt, c.base_cnt, c.cur_cnt,
+       |       CAST((length(bin(c.cur_cnt * t.btot)) - 1)
+       |          - (length(bin((c.base_cnt + 1) * t.ctot)) - 1) AS BIGINT) AS drift_q
+       |FROM c JOIN tot t USING (event_type)
+       |WHERE c.cur_cnt > 0
+       |ORDER BY drift_q DESC, cur_cnt DESC, event_type, bkt LIMIT $topN""".stripMargin
+
   def duckValueQuantiles: String =
     s"""SELECT event_type,
        |       round(q[1], 6) AS p25, round(q[2], 6) AS p50,
