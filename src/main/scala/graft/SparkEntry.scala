@@ -394,6 +394,10 @@ object SparkEntry {
     // event type (decimal-exact moments; zero-variance guarded).
     "q_anomaly_days" -> ((s, dir) => Relational.anomalyDays(s, dir)),
 
+    // Daily activity: DAU, new users (first touch), cumulative user base
+    // — the growth dashboard; cumulative sum over the bounded day relation.
+    "q_daily_active" -> ((s, dir) => Relational.dailyActive(s, dir)),
+
     // Numeric value-distribution drift (PSI analog): odd-vs-even-day
     // bucket shares scored by the quantized log ratio.
     "q_value_drift" -> ((s, dir) => Relational.valueDrift(s, dir)),
@@ -744,6 +748,7 @@ object SparkEntry {
     "q_local_supplier"  -> Relational.duckLocalSupplierVolume(),
     "q_quantiles_bucketed" -> Relational.duckBucketedQuantiles(),
     "q_value_drift"     -> Relational.duckValueDrift(),
+    "q_daily_active"    -> Relational.duckDailyActive,
     "q_funnel"          -> Relational.duckEventFunnel,
     "q_cohort"          -> Relational.duckCohortRetention,
     "q_top_ngrams"      -> TextAnalysis.duckTopNgramsSql("documents"),

@@ -652,6 +652,46 @@ object Relational {
        |       round(e95, 6) AS p95_bucketed, round(abs(e95 - x95), 6) AS p95_abs_err
        |FROM f ORDER BY event_type""".stripMargin
 
+  /** Daily activity report — DAU, per-day event volume, new-user counts
+    * (first-touch day) and the cumulative user base: the growth dashboard
+    * every event pipeline feeds. All-integer; the cumulative sum runs
+    * over the CALENDAR-bounded day relation through
+    * [[graft.functions.BoundedWindow]] (never a corpus window); first
+    * touch is a partial-agged groupBy(user), not a per-user window, so a
+    * power user's event mass stays AQE-splittable. The day-keyed join of
+    * two calendar-cardinality aggregates broadcasts naturally. */
+  def dailyActive(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+    val daily = ev.groupBy("day").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_active"))
+    val news = ev.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new0"))
+    val wCum = graft.functions.BoundedWindow.boundedGlobal(col("day"), col("day"))
+    daily.join(news, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new0"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new")).over(wCum).cast("long"))
+      .select(col("day"), col("n_events"), col("n_active"), col("n_new"),
+        col("cum_users"))
+      .orderBy("day")
+  }
+
+  def duckDailyActive: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+       |d AS (SELECT day, count(*)::BIGINT AS n_events,
+       |             count(DISTINCT user_id)::BIGINT AS n_active
+       |      FROM ev GROUP BY day),
+       |nw AS (SELECT day, count(*)::BIGINT AS n_new0 FROM
+       |         (SELECT user_id, min(day) AS day FROM ev GROUP BY user_id) f
+       |       GROUP BY day),
+       |j AS (SELECT d.day, d.n_events, d.n_active,
+       |             coalesce(nw.n_new0, 0)::BIGINT AS n_new
+       |      FROM d LEFT JOIN nw USING (day))
+       |SELECT day, n_events, n_active, n_new,
+       |       CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+       |FROM j ORDER BY day""".stripMargin
+
   /** Numeric-distribution drift monitor (the PSI-report analog for VALUE
     * columns, completing the drift family beside [[TextAnalysis]]'s token
     * monitor): events split into baseline (even days) and current (odd
