@@ -182,15 +182,28 @@ object SparkEntry {
     // --- dedup family over documents (BASELINE.json extensions) ---
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhash(Tables.documents(s, dir), threshold = 0.8)),
-    // dup-graph degree histogram: the pre-prune health report
-    "q_dup_degree" -> ((s, dir) => Dedup.dupDegree(Tables.documents(s, dir), threshold = 0.8)),
-    // duplicate centrality: integer-exact PageRank over the pair graph
-    "q_dup_pagerank" -> ((s, dir) => Dedup.dupPagerank(Tables.documents(s, dir), threshold = 0.8)),
-    // connected components over the near-dup pair graph → canonical keepers
-    "q_dedup_clusters" -> ((s, dir) => Dedup.clusters(Tables.documents(s, dir), threshold = 0.8)),
+    // The persisted near-dup pair artifact itself: full pipeline + write +
+    // read-back, REBUILT every execution — this is the entry that PRICES
+    // the materialize-once build the report queries below read for free
+    // (round-6 verdict #1).
+    "q_pairs_artifact" -> ((s, dir) =>
+      graft.sources.PairsLayout.rebuild(s, Tables.documents(s, dir), dir, 0.8)
+        .orderBy(asc("d1"), asc("d2"))),
+    // dup-graph degree histogram over the persisted pair artifact: the
+    // report measures ITS OWN aggregation, not the shared pair pipeline
+    "q_dup_degree" -> ((s, dir) => Dedup.degreeOfPairs(
+      graft.sources.PairsLayout.ensure(s, Tables.documents(s, dir), dir, 0.8))),
+    // duplicate centrality: integer-exact PageRank over the pair artifact
+    "q_dup_pagerank" -> ((s, dir) => Dedup.pagerankOfPairs(
+      graft.sources.PairsLayout.ensure(s, Tables.documents(s, dir), dir, 0.8))),
+    // connected components over the pair artifact → canonical keepers
+    "q_dedup_clusters" -> ((s, dir) => Dedup.clustersOfPairs(
+      graft.sources.PairsLayout.ensure(s, Tables.documents(s, dir), dir, 0.8))),
     // leakage-safe split: train/val assigned per near-dup CLUSTER so no
     // near-duplicate pair straddles the boundary; straddle count measured
-    "q_leakage_split" -> ((s, dir) => Dedup.leakageSplit(Tables.documents(s, dir), threshold = 0.8)),
+    "q_leakage_split" -> ((s, dir) => Dedup.leakageSplitOfPairs(
+      Tables.documents(s, dir),
+      graft.sources.PairsLayout.ensure(s, Tables.documents(s, dir), dir, 0.8))),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), threshold = 0.5)),
     // df-capped variant: stopword-shingles cut from candidate generation —
     // the scale path (bounded fan-out) vs the exact-recall baseline above
@@ -413,8 +426,8 @@ object SparkEntry {
 
     // Triangle census of the dup graph: clustering coefficient — cliques
     // (true dup groups) vs chains/stars (threshold bridges, attractors).
-    "q_dup_triangles" -> ((s, dir) =>
-      Dedup.dupTriangles(Tables.documents(s, dir), threshold = 0.8)),
+    "q_dup_triangles" -> ((s, dir) => Dedup.trianglesOfPairs(
+      graft.sources.PairsLayout.ensure(s, Tables.documents(s, dir), dir, 0.8))),
     // ordered conversion funnel: sequence semantics, stage-shrinking joins
     "q_funnel" -> ((s, dir) => Relational.eventFunnel(s, dir)),
     // weekly cohort retention triangle, all-integer week arithmetic
@@ -657,6 +670,7 @@ object SparkEntry {
 
     "q_dedup_exact"   -> Dedup.duckExact("documents"),
     "q_dedup_minhash" -> Dedup.duckMinhashSql("documents", 0.8),
+    "q_pairs_artifact" -> Dedup.duckPairsSql("documents", 0.8),
     "q_dup_degree"    -> Dedup.duckDupDegreeSql("documents", 0.8),
     "q_dup_triangles" -> Dedup.duckDupTrianglesSql("documents", 0.8),
     "q_dup_pagerank"  -> Dedup.duckDupPagerankSql("documents", 0.8),

@@ -533,6 +533,13 @@ object Dedup {
     s"""WITH ${duckMinhashCandCtes(table, seeds, rowsPerBand)},
        |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin
 
+  /** DuckDB mirror of the persisted [[graft.sources.PairsLayout]] relation
+    * (= [[nearDupPairs]]): the bare verified pair set, ordered. */
+  def duckPairsSql(table: String, threshold: Double,
+                   seeds: Int = 8, rowsPerBand: Int = 2): String =
+    s"""WITH ${duckMinhashCandCtes(table, seeds, rowsPerBand)},
+       |${duckJaccard("cand", s"jac >= $threshold", "d1, d2")}""".stripMargin
+
   /** DuckDB mirror of [[clusters]]: the same MinHash pair CTEs, then
     * connected components as a recursive min-label closure — `reach` holds
     * every (node, reachable-node) pair, so `min(root)` per node is the
@@ -571,20 +578,37 @@ object Dedup {
     * and the histogram are two partial-agged aggregations whose output is
     * bounded by max-degree — nothing here touches corpus cardinality
     * beyond the pair pipeline itself. */
-  def dupDegree(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def dupDegree(documents: DataFrame, threshold: Double = 0.8): DataFrame =
+    dupDegreeWith(documents, threshold)._1
+
+  /** [[dupDegree]] with its cache handles (pairs + shingle scratch) — the
+    * `-With` library convention; the plain form relies on the harness's
+    * per-query cache clear (Dedup header contract). */
+  def dupDegreeWith(documents: DataFrame, threshold: Double = 0.8)
+      : (DataFrame, Seq[DataFrame]) = {
     // cached: the endpoint union reads the pair relation TWICE, and an
     // uncached plan re-runs the full minhash+verify pipeline per branch
     // (the clustersOfPairs lesson; measured A/B same-load at sf0.1: warm
     // 4.0-4.3 s cached vs 4.9-5.4 s uncached — ReuseExchange shares the
-    // lower exchanges but not the verify tail; harness clears caches per
-    // query — the Dedup header contract)
-    val pairs = nearDupPairs(documents, threshold).cache()
+    // lower exchanges but not the verify tail). A production run skips
+    // this facade entirely and calls [[degreeOfPairs]] over the persisted
+    // [[graft.sources.PairsLayout]] artifact.
+    val (pairs0, handles) = nearDupPairsWith(documents, threshold)
+    val pairs = pairs0.cache()
+    (degreeOfPairs(pairs), handles :+ pairs)
+  }
+
+  /** Degree-histogram core over an arbitrary (d1, d2) pair relation — the
+    * report half of the pairs seam. Reads `pairs` twice; deliberately does
+    * NOT cache (a [[graft.sources.PairsLayout]] read is a tiny parquet
+    * scan with honest stats; a recompute caller caches via the `-With`
+    * facade). */
+  def degreeOfPairs(pairs: DataFrame): DataFrame =
     pairs.select(col("d1").as("doc_id"))
       .unionAll(pairs.select(col("d2").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_docs"))
       .orderBy(asc("degree"))
-  }
 
   /** DuckDB mirror of [[dupDegree]] — the same shared MinHash candidate
     * CTEs and Jaccard tail as [[duckMinhashSql]], then the two-level
@@ -624,8 +648,25 @@ object Dedup {
     * a broadcast build side off a stale pre-materialization estimate.
     * Pairs cached once, read three times (two wedge legs + closure probe;
     * the [[dupDegree]] A/B measured the cache worthwhile at two reads). */
-  def dupTriangles(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val pairs = nearDupPairs(documents, threshold).cache()
+  def dupTriangles(documents: DataFrame, threshold: Double = 0.8): DataFrame =
+    dupTrianglesWith(documents, threshold)._1
+
+  /** [[dupTriangles]] with its cache handles — the `-With` convention
+    * (round-6 advice #2: the plain form's cached pairs leaked for library
+    * callers outside the harness's per-query cache clear). */
+  def dupTrianglesWith(documents: DataFrame, threshold: Double = 0.8)
+      : (DataFrame, Seq[DataFrame]) = {
+    val (pairs0, handles) = nearDupPairsWith(documents, threshold)
+    // cached: read three times (two wedge legs + closure probe); the
+    // dupDegree A/B measured the cache worthwhile at two reads already
+    val pairs = pairs0.cache()
+    (trianglesOfPairs(pairs), handles :+ pairs)
+  }
+
+  /** Triangle-census core over an arbitrary (d1, d2) pair relation —
+    * uncached like [[degreeOfPairs]] (the artifact-read path's stats stay
+    * honest; recompute callers cache via the facade). */
+  def trianglesOfPairs(pairs: DataFrame): DataFrame = {
     val e = pairs.select(col("d1"), col("d2"))
     val wedgeLow = e.as("x").join(e.as("y"),
         col("x.d1") === col("y.d1") && col("x.d2") < col("y.d2"))
@@ -695,12 +736,28 @@ object Dedup {
     * what the unrolled oracle can mirror. */
   def dupPagerank(documents: DataFrame, threshold: Double = 0.8,
                   iters: Int = 3, topN: Int = 20): DataFrame =
-    pagerankOfPairs(nearDupPairs(documents, threshold), iters, topN)
+    dupPagerankWith(documents, threshold, iters, topN)._1
+
+  /** [[dupPagerank]] with every cache handle (shingle scratch + the
+    * power-iteration core's edge caches) — the `-With` convention. */
+  def dupPagerankWith(documents: DataFrame, threshold: Double = 0.8,
+                      iters: Int = 3, topN: Int = 20): (DataFrame, Seq[DataFrame]) = {
+    val (pairs, handles) = nearDupPairsWith(documents, threshold)
+    val (out, prHandles) = pagerankOfPairsWith(pairs, iters, topN)
+    (out, handles ++ prHandles)
+  }
 
   /** Power-iteration core over an arbitrary (d1, d2) pair relation — the
     * centrality half of the pairs seam ([[nearDupPairs]]), testable on
     * synthetic graphs (a star must rank its hub first). */
-  def pagerankOfPairs(pairs: DataFrame, iters: Int = 3, topN: Int = 20): DataFrame = {
+  def pagerankOfPairs(pairs: DataFrame, iters: Int = 3, topN: Int = 20): DataFrame =
+    pagerankOfPairsWith(pairs, iters, topN)._1
+
+  /** [[pagerankOfPairs]] returning its internal caches (the doubled edge
+    * relation is read every round AND by the final degree join; the plain
+    * form relies on the harness's per-query cache clear). */
+  def pagerankOfPairsWith(pairs: DataFrame, iters: Int = 3, topN: Int = 20)
+      : (DataFrame, Seq[DataFrame]) = {
     val S = 1000000000000L
     val base = 150000000000L
     val p = pairs.select(col("d1"), col("d2")).cache()
@@ -719,10 +776,12 @@ object Dedup {
         .select(col("node"), (lit(base) + expr("(85 * insum) DIV 100")).as("r"))
         .localCheckpoint()
     }
-    rank.join(deg.select(col("src").as("node"), col("deg").as("degree")), "node")
+    val out = rank
+      .join(deg.select(col("src").as("node"), col("deg").as("degree")), "node")
       .orderBy(desc("r"), asc("node"))
       .limit(topN)
       .select(col("node").as("doc_id"), col("degree"), col("r").as("rank_q"))
+    (out, Seq(p, edges))
   }
 
   /** DuckDB mirror of [[dupPagerank]] — same pair CTEs, the power
@@ -818,8 +877,24 @@ object Dedup {
   }
 
   def leakageSplit(documents: DataFrame, threshold: Double, valPct: Int = 10,
-                   maxIter: Int = 20): DataFrame = {
-    val pairs = nearDupPairs(documents, threshold).cache()
+                   maxIter: Int = 20): DataFrame =
+    leakageSplitWith(documents, threshold, valPct, maxIter)._1
+
+  /** [[leakageSplit]] with its cache handles — the `-With` convention. */
+  def leakageSplitWith(documents: DataFrame, threshold: Double, valPct: Int = 10,
+                       maxIter: Int = 20): (DataFrame, Seq[DataFrame]) = {
+    val (pairs0, handles) = nearDupPairsWith(documents, threshold)
+    val pairs = pairs0.cache()
+    (leakageSplitOfPairs(documents, pairs, valPct, maxIter), handles :+ pairs)
+  }
+
+  /** Split-report core over an arbitrary (d1, d2) pair relation —
+    * clustering + group-keyed split + straddle probe, with `pairs` read
+    * by both the CC loop and the probe. Uncached like the other OfPairs
+    * cores: over a [[graft.sources.PairsLayout]] artifact every read is a
+    * tiny parquet scan and the relation keeps honest stats. */
+  def leakageSplitOfPairs(documents: DataFrame, pairs: DataFrame,
+                          valPct: Int = 10, maxIter: Int = 20): DataFrame = {
     val cl = clustersOfPairs(pairs, maxIter).select(col("doc_id"), col("cluster"))
     val lite = liteAssignOf(documents.select("doc_id"), cl, valPct)
     val straddle = pairs

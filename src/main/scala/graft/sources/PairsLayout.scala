@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.operators.Dedup
+
+/** Persisted near-dup PAIR artifact — the materialize-once seam the whole
+  * dup-graph report family reads (round-6 verdict #1). The MinHash
+  * signature + verify pipeline ([[Dedup.nearDupPairsWith]]) runs ONCE per
+  * corpus snapshot and lands as a bare (d1, d2) parquet relation; every
+  * consumer — degree/triangle/centrality reports, connected components,
+  * the leakage-safe split, ad-hoc keep/drop policies — then reads a
+  * pair-cardinality table (≪ corpus) instead of re-running a corpus-scale
+  * signature pipeline per report. Same production shape as
+  * [[VectorLayout]]: trainer/etl writes the artifact offline, queries only
+  * scan it.
+  *
+  * Freshness contract: [[ensure]] REBUILDS the artifact on its first touch
+  * in each JVM (per-process memo) — a run can never read a previous
+  * corpus snapshot's pairs (the harness regenerates testdata between
+  * rounds), while every later consumer in the same run gets the pure read.
+  * A deployment with a durable snapshot id would key the directory by that
+  * id instead and skip the rebuild; the memo is the snapshot id this
+  * harness has.
+  *
+  * Restriction contract (inherited from [[Dedup.nearDupPairs]]): pair
+  * membership depends only on the two docs, so consumers on a FILTERED
+  * corpus semi-join both endpoints against their subset — no recompute.
+  */
+object PairsLayout {
+
+  /** Artifact directories this JVM has already (re)built — see the
+    * freshness contract above. */
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Deterministic artifact dir for a (corpus dir, banding params) key,
+    * under the repo-local `out/artifacts` root. */
+  def dirFor(sfDir: String, threshold: Double,
+             seeds: Int = 8, rowsPerBand: Int = 2): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|$threshold|$seeds|$rowsPerBand".getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    s"out/artifacts/pairs-$h"
+  }
+
+  /** Run the pair pipeline once and persist `$dir/pairs` (d1, d2). The
+    * shingle scratch cached inside the pipeline is released by handle
+    * after the write — the `-With` lifecycle, nothing leaks. */
+  def write(spark: SparkSession, documents: DataFrame, dir: String,
+            threshold: Double, seeds: Int = 8, rowsPerBand: Int = 2): Unit = {
+    val (m, handles) = Dedup.minhashWith(documents, threshold, seeds, rowsPerBand)
+    try m.select("d1", "d2").write.mode(SaveMode.Overwrite).parquet(s"$dir/pairs")
+    finally handles.foreach(_.unpersist())
+  }
+
+  /** Pure read of a persisted pair relation. Deliberately uncached: the
+    * relation keeps its natural parquet-stat size estimate (small at test
+    * scale → broadcast where correct, big at 100 TB → shuffle join), the
+    * round-4 curation lesson. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pairs")
+
+  /** Build-once-per-run + read: the form the report queries use. */
+  def ensure(spark: SparkSession, documents: DataFrame, sfDir: String,
+             threshold: Double, seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val dir = dirFor(sfDir, threshold, seeds, rowsPerBand)
+    built.synchronized {
+      if (!built.contains(dir)) {
+        // add only AFTER a successful write: a failed build must retry on
+        // the next touch, not hand out a missing/partial artifact
+        write(spark, documents, dir, threshold, seeds, rowsPerBand)
+        built.add(dir)
+      }
+    }
+    read(spark, dir)
+  }
+
+  /** Unconditional rebuild + read-back — the bench entry that PRICES the
+    * artifact build (q_pairs_artifact), so the fast read-side report
+    * entries never hide the pipeline cost. */
+  def rebuild(spark: SparkSession, documents: DataFrame, sfDir: String,
+              threshold: Double, seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val dir = dirFor(sfDir, threshold, seeds, rowsPerBand)
+    built.synchronized {
+      write(spark, documents, dir, threshold, seeds, rowsPerBand)
+      built.add(dir)
+    }
+    read(spark, dir)
+  }
+}
