@@ -304,6 +304,80 @@ case class Quantize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codegen'd random-projection: `array<double>` (dim) → `array<double>`
+  * (rdim) against a ±1 sign matrix baked into the expression at plan time.
+  *
+  * The literal-tree formulation (rdim × dim `element_at * lit` terms —
+  * ~4,000 expression nodes with the mirrored query side) cost ~8.7 s of
+  * plan/codegen time on FIRST execution and ~1.7 s warm at sf0.1 (round-6
+  * verdict #1; TimeQ, quiet host) — the codegen-budget variant of the
+  * HOF-lambda trap. Here the projection is two primitive loops inside
+  * whole-stage codegen and the plan carries ONE node; the sign matrix
+  * travels as a codegen reference object, not as literals.
+  *
+  * Arithmetic contract (oracle parity): entry j accumulates
+  * Σ_d v(d)·s(j,d) SEQUENTIALLY over d = 0..dim-1 in double precision —
+  * the same left-associated sum as the literal tree and as DuckDB's
+  * `list_sum(list_transform(...))` mirror (Knn.duckTopKRp), and ±1.0
+  * multiplication is exact negation — so projected coordinates are
+  * bit-identical cross-engine. Rows shorter than `dim` project their
+  * prefix (inputs are fixed-dim embeddings; this never triggers). */
+case class RpProject(child: Expression, signs: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"RpProject requires array<double>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(vecAny: Any): Any = {
+    val v = vecAny.asInstanceOf[ArrayData]
+    val out = new Array[Double](signs.length)
+    var j = 0
+    while (j < signs.length) {
+      val row = signs(j)
+      val m = math.min(row.length, v.numElements())
+      var s = 0.0
+      var d = 0
+      while (d < m) { s += v.getDouble(d) * row(d); d += 1 }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("rpSigns", signs, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val m = ctx.freshName("m")
+      val row = ctx.freshName("row")
+      val s = ctx.freshName("s")
+      val tmp = ctx.freshName("tmp")
+      s"""
+         |double[] $tmp = new double[${signs.length}];
+         |for (int $j = 0; $j < ${signs.length}; $j++) {
+         |  double[] $row = $mat[$j];
+         |  int $m = java.lang.Math.min($row.length, $v.numElements());
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $m; $d++) {
+         |    $s += $v.getDouble($d) * $row[$d];
+         |  }
+         |  $tmp[$j] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): RpProject =
+    copy(child = c)
+}
+
 object VecExprs {
   /** Column wrapper for [[DotProduct]]; casts both sides to array<double>
     * (the expression reads doubles unconditionally). */
@@ -330,4 +404,8 @@ object VecExprs {
     Bridge.column(Quantize(
       Bridge.expression(vec.cast("array<double>")),
       Bridge.expression(scales.cast("array<double>"))))
+
+  /** Column wrapper for [[RpProject]]; casts the input to array<double>. */
+  def rpProject(vec: Column, signs: Array[Array[Double]]): Column =
+    Bridge.column(RpProject(Bridge.expression(vec.cast("array<double>")), signs))
 }

@@ -543,16 +543,16 @@ object Knn {
       if (((h(0) >> 4) & 0xF) % 2 == 0) 1.0 else -1.0
     }
 
-  /** The projected vector as an rdim-entry array column: entry j is the
-    * LITERAL 64-term sum Σ_d v_d·s(j,d), left-associated — each term is
-    * exactly ±v_d (sign multiplication is exact negation), and the oracle
-    * evaluates the identical sequential sum, so projected coordinates are
-    * bit-identical cross-engine. The whole projection folds into the scan
-    * projection (no join, no shuffle, no UDF). */
+  /** The projected vector as an rdim-entry array column — the codegen'd
+    * [[graft.functions.RpProject]] kernel: entry j is the sequential
+    * (left-associated) sum Σ_d v_d·s(j,d), each term exactly ±v_d, so
+    * projected coordinates are bit-identical to the oracle's
+    * `list_sum(list_transform(...))`. One expression node in the plan;
+    * still a pure scan projection (no join, no shuffle, no UDF). The
+    * original literal-tree form (rdim·dim element_at·lit terms) measured
+    * ~8.7 s plan/codegen on first execution at sf0.1 (round-6 verdict #1). */
   private def rpProject(ed: Column, signs: Array[Array[Double]]): Column =
-    array(signs.map(row => row.zipWithIndex.map { case (s, d) =>
-      element_at(ed, d + 1) * lit(s)
-    }.reduce(_ + _)): _*)
+    graft.functions.VecExprs.rpProject(ed, signs)
 
   /** Random-projection top-k — the DIMENSION-reduction member of the ANN
     * toolbox (IVF/LSH prune the candidate set, SQ8/PQ compress bytes per

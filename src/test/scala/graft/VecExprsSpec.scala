@@ -65,6 +65,28 @@ class VecExprsSpec extends AnyFunSuite {
       .head().getLong(0) == 2L)
   }
 
+  test("RpProject == the literal expression tree it replaced, bit-for-bit") {
+    // the round-6 q_knn_rp fix: one codegen node must reproduce the exact
+    // left-associated Σ_d v_d·s(j,d) the rdim×dim literal tree computed
+    val signs = Array(Array(1.0, -1.0, 1.0), Array(-1.0, -1.0, 1.0))
+    val literal = (vec: org.apache.spark.sql.Column) =>
+      array(signs.map(row => row.zipWithIndex.map { case (s, d) =>
+        element_at(vec, d + 1) * lit(s)
+      }.reduce(_ + _)): _*)
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet").limit(100)
+      .withColumn("ed", col("embedding").cast("array<double>"))
+    val mismatch = e.select(
+        VecExprs.rpProject(col("ed"), signs).as("a"),
+        literal(col("ed")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(mismatch == 0)
+    // short input projects its prefix, no crash
+    import spark.implicits._
+    val short = Seq(Seq(2.0)).toDF("ed")
+      .select(VecExprs.rpProject(col("ed"), signs)).head().getSeq[Double](0)
+    assert(short == Seq(2.0, -2.0))
+  }
+
   test("interpreted eval (no codegen) matches codegen result") {
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     try {
