@@ -171,6 +171,15 @@ object SparkEntry {
     "q_margin_pairs" -> ((s, dir) =>
       Knn.marginPairs(emb(s, dir), srcLabel = 0, tgtLabel = 1, k = 4, topM = 20)),
 
+    // Candidates-first margin mining: banded sign-LSH equijoin replaces
+    // the label-pool cross join (the 100×-scale shape); sims and hubness
+    // denominators computed over candidates only. 2-bit×32-table pool =
+    // the spec-pinned saturating config for this corpus's sim regime
+    // (OperatorSpec); higher-sim corpora widen bands to prune harder.
+    "q_margin_pairs_banded" -> ((s, dir) =>
+      Knn.marginPairsBanded(emb(s, dir), srcLabel = 0, tgtLabel = 1,
+        k = 4, topM = 20, bandBits = 2, tables = 32)),
+
     // Near-duplicate detection over embeddings: exact all-pairs θ-join.
     "q_sim_join_exact" -> ((s, dir) =>
       Knn.simJoinExact(emb(s, dir), threshold = 0.4)),
@@ -624,6 +633,9 @@ object SparkEntry {
          |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_margin_pairs" -> Knn.duckMarginPairs("embeddings", 0, 1, k = 4, topM = 20),
+    "q_margin_pairs_banded" ->
+      Knn.duckMarginPairsBanded("embeddings", 0, 1, k = 4, topM = 20,
+        bandBits = 2, tables = 32),
 
     "q_sim_join_exact" ->
       s"""WITH s AS (SELECT a.vec_id AS v1, b.vec_id AS v2,

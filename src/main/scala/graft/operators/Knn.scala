@@ -860,6 +860,14 @@ object Knn {
       .withColumn("sim_raw", sim(col("xe"), col("xn"), col("ye"), col("yn")))
       .select(col("xid"), col("yid"), col("sim_raw"))
       .cache() // three readers: margin numerator + both k-NN pivots
+    marginOfScored(scored, k, topM)
+  }
+
+  /** The margin tail shared by [[marginPairs]] (exact, all-pairs scored)
+    * and [[marginPairsBanded]] (candidates-first): per-endpoint k-NN
+    * pivot sums over the scored relation, hubness-corrected margin,
+    * top-M. `scored` must be cached by the caller (three readers). */
+  private def marginOfScored(scored: DataFrame, k: Int, topM: Int): DataFrame = {
     def knnSum(idCol: String, otherCol: String, prefix: String): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(desc("sim_raw"), asc(otherCol))
       val ranked = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -880,6 +888,43 @@ object Knn {
         round(col("margin_raw"), 6).as("margin"))
   }
 
+  /** Candidates-first [[marginPairs]] — the composition its scaladoc
+    * promised (round-6 verdict #3): banded sign-LSH candidate generation
+    * (the [[topKLshBanded]] geometry, A-side × B-side equijoin on
+    * (table, band-bucket)), then sims and margins computed over the
+    * CANDIDATE relation only. The label-pool cross join — O(|A|·|B|) sim
+    * evaluations, the piece that cannot survive corpus-scale pools —
+    * becomes a shuffle equijoin whose fan-out is bounded by bucket
+    * occupancy (2^bandBits buckets per table; skew → AQE).
+    *
+    * Approximation contract: both the mined pairs AND the hubness
+    * denominators (each endpoint's k-NN mean) see only candidate pairs. An
+    * endpoint with fewer than k candidates gets a null pivot sum and its
+    * pairs drop out — the visible degradation mode at under-provisioned
+    * table counts; raise `tables` to recover (recall per pair at angle θ
+    * is 1 − (1 − (1 − θ/π)^bandBits)^tables, the banded-LSH S-curve).
+    * Equality with the exact form at a saturating pool is spec-pinned
+    * (the topKIvfSq8 precedent). */
+  def marginPairsBanded(index: DataFrame, srcLabel: Int, tgtLabel: Int,
+                        k: Int = 4, topM: Int = 20,
+                        bandBits: Int = 4, tables: Int = 16): DataFrame = {
+    import graft.functions.VectorFns.signBucketAt
+    val a = prep(index.filter(col("label") === srcLabel), "x")
+    val b = prep(index.filter(col("label") === tgtLabel), "y")
+    def bandsOf(df: DataFrame, idCol: String, eCol: String): DataFrame =
+      df.select(col(idCol), posexplode(array((0 until tables).map(t =>
+        signBucketAt(col(eCol), t * bandBits, bandBits)): _*)).as(Seq("t", "bucket")))
+    val cand = bandsOf(a, "xid", "xe")
+      .join(bandsOf(b, "yid", "ye"), Seq("t", "bucket"))
+      .select("xid", "yid").distinct()
+    val scored = cand
+      .join(a, "xid").join(b, "yid")
+      .withColumn("sim_raw", sim(col("xe"), col("xn"), col("ye"), col("yn")))
+      .select(col("xid"), col("yid"), col("sim_raw"))
+      .cache() // same three-reader lifecycle as the exact form
+    marginOfScored(scored, k, topM)
+  }
+
   /** DuckDB mirror of [[marginPairs]] — same fixed-order pivot sums. */
   def duckMarginPairs(table: String, srcLabel: Int, tgtLabel: Int,
                       k: Int = 4, topM: Int = 20): String = {
@@ -895,6 +940,42 @@ object Knn {
     s"""WITH a AS (SELECT vec_id AS xid, embedding AS xe FROM $table WHERE label = $srcLabel),
        |b AS (SELECT vec_id AS yid, embedding AS ye FROM $table WHERE label = $tgtLabel),
        |s AS (SELECT xid, yid, ${duckCosine("xe", "ye")} AS sim_raw FROM a CROSS JOIN b),
+       |nx AS (${pivotSum("xid", "yid")}),
+       |ny AS (${pivotSum("yid", "xid")}),
+       |m AS (SELECT s.xid, s.yid, s.sim_raw,
+       |             s.sim_raw / ((nx.sm + ny.sm) / ${2 * k}.0::DOUBLE) AS margin_raw
+       |      FROM s JOIN nx USING (xid) JOIN ny USING (yid))
+       |SELECT xid, yid, round(sim_raw, 6) AS sim, round(margin_raw, 6) AS margin
+       |FROM m ORDER BY margin_raw DESC, xid, yid LIMIT $topM""".stripMargin
+  }
+
+  /** DuckDB mirror of [[marginPairsBanded]] — the same per-table
+    * sign-bucket candidate equijoin, then [[duckMarginPairs]]' pivot tail
+    * over the candidate-scored relation. */
+  def duckMarginPairsBanded(table: String, srcLabel: Int, tgtLabel: Int,
+                            k: Int = 4, topM: Int = 20,
+                            bandBits: Int = 4, tables: Int = 16): String = {
+    import graft.functions.VectorFns.{duckCosine, duckSignBucketAt}
+    def bands(src: String, id: String, e: String): String =
+      (0 until tables).map(t =>
+        s"SELECT $id, $t AS t, ${duckSignBucketAt(e, t * bandBits, bandBits)} AS bucket FROM $src")
+        .mkString("\n       UNION ALL ")
+    def pivotSum(id: String, other: String): String = {
+      val cols = (1 to k).map(r => s"max(CASE WHEN rn = $r THEN sim_raw END)").mkString(" + ")
+      s"""SELECT $id, ($cols) AS sm FROM (
+         |    SELECT $id, $other, sim_raw,
+         |           row_number() OVER (PARTITION BY $id
+         |             ORDER BY sim_raw DESC, $other) AS rn FROM s) t
+         |  WHERE rn <= $k GROUP BY $id""".stripMargin
+    }
+    s"""WITH a AS (SELECT vec_id AS xid, embedding AS xe FROM $table WHERE label = $srcLabel),
+       |b AS (SELECT vec_id AS yid, embedding AS ye FROM $table WHERE label = $tgtLabel),
+       |ab AS (${bands("a", "xid", "xe")}),
+       |bb AS (${bands("b", "yid", "ye")}),
+       |cand AS (SELECT DISTINCT ab.xid, bb.yid
+       |         FROM ab JOIN bb ON ab.t = bb.t AND ab.bucket = bb.bucket),
+       |s AS (SELECT c.xid, c.yid, ${duckCosine("a.xe", "b.ye")} AS sim_raw
+       |      FROM cand c JOIN a ON a.xid = c.xid JOIN b ON b.yid = c.yid),
        |nx AS (${pivotSum("xid", "yid")}),
        |ny AS (${pivotSum("yid", "xid")}),
        |m AS (SELECT s.xid, s.yid, s.sim_raw,

@@ -475,6 +475,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(margins.zip(margins.tail).forall { case (p, n) => p >= n })
   }
 
+  test("banded margin pairs == exact margin pairs at a saturating candidate pool, and the pool actually prunes") {
+    val exact = Knn.marginPairs(emb, srcLabel = 0, tgtLabel = 1, k = 4, topM = 20)
+      .collect().map(_.toString).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    // saturating pool: 32 disjoint 2-bit sign bands over 64 dims — miss
+    // probability per sim-0.1 pair is (1-a²)³² ≈ 2e-5 (a = sign-agreement
+    // rate), so on the fixture every endpoint's top-k neighborhood and
+    // every top-M pair survives candidate generation and output AND
+    // denominators match the cross join exactly (the topKIvfSq8
+    // spec-pinning precedent). 4-bit×16 tables was measured NOT to
+    // saturate here (6-26% per-pair miss): band width is the recall
+    // lever, width 4 is a prune lever for higher-sim regimes.
+    val banded = Knn.marginPairsBanded(emb, srcLabel = 0, tgtLabel = 1,
+      k = 4, topM = 20, bandBits = 2, tables = 32)
+      .collect().map(_.toString).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    assert(banded == exact)
+    // and at the WIDE-band config the candidate join is a genuine prune
+    // (fewer scored pairs than |A|·|B|): width trades recall for pruning,
+    // so the two properties are pinned at their respective ends — the
+    // saturating config must preserve semantics exactly (above), the
+    // pruning config must actually cut the pool (here; its recall price
+    // on this corpus is the 6-26% per-pair miss measured in the scaladoc)
+    val nA = emb.filter(col("label") === 0).count()
+    val nB = emb.filter(col("label") === 1).count()
+    import graft.functions.VectorFns.signBucketAt
+    def bandsOf(lbl: Int) = emb.filter(col("label") === lbl)
+      .select(col("vec_id"), posexplode(array((0 until 16).map(t =>
+        signBucketAt(col("embedding"), t * 4, 4)): _*)).as(Seq("t", "bucket")))
+    val nCand = bandsOf(0).as("x").join(bandsOf(1).as("y"), Seq("t", "bucket"))
+      .select(col("x.vec_id").as("xid"), col("y.vec_id").as("yid"))
+      .distinct().count()
+    assert(nCand < nA * nB, s"4-bit pool did not prune ($nCand of ${nA * nB})")
+  }
+
   test("leakage split: clusters move whole, zero straddling pairs, doc conservation") {
     val out = Dedup.leakageSplit(docs, threshold = 0.8).collect()
     spark.sharedState.cacheManager.clearCache()
