@@ -95,12 +95,19 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // Slowest-first per-query entries, as many as fit a ~1500-byte budget
     // (the slow tail is what the judge compares against BASELINE.md).
+    // break at the FIRST entry that does not fit (round-6 advice #4):
+    // skip-and-continue let later short-named entries through, so the
+    // printed map was not a strict slowest-first prefix and a reader
+    // could miss a slow query with a long name. The full map is always
+    // in out/bench_detail.json.
     val sorted = results.sortBy(-_._2)
     val sb = new StringBuilder
     var kept = 0
-    sorted.foreach { case (k, v, _) =>
+    sorted.takeWhile { case (k, v, _) =>
       val entry = (if (kept == 0) "" else ",") + "\"" + k + "\":" + r2(v)
-      if (sb.length + entry.length <= 1500) { sb.append(entry); kept += 1 }
+      val fits = sb.length + entry.length <= 1500
+      if (fits) { sb.append(entry); kept += 1 }
+      fits
     }
     val sfName = new java.io.File(sfDir).getName
     val line =

@@ -90,9 +90,17 @@ object Bpe {
     * cannot distinguish greedy from non-greedy on symmetric runs). */
   private[graft] def mergeOne(syms: DataFrame, best: DataFrame): DataFrame = {
     val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(wWord))
-    val flagged = paired.crossJoin(broadcast(best))
-      .withColumn("m", col("nxt").isNotNull &&
-        col("sym") === col("b1") && col("nxt") === col("b2"))
+    // collapse `best` to EXACTLY one row (nulls when empty): the naive
+    // crossJoin against a 0-row best silently annihilated the whole
+    // symbol state (round-6 advice #1 — applyMerges called past the
+    // learned list's rounds, or a degenerate corpus round with no
+    // adjacent pairs). With the null row, `m` is false everywhere and
+    // the round is a structural no-op — frozen-list replay degrades
+    // safely. Contract unchanged otherwise: `best` carries ≤ 1 row.
+    val best1 = best.agg(min(col("b1")).as("b1"), min(col("b2")).as("b2"))
+    val flagged = paired.crossJoin(broadcast(best1))
+      .withColumn("m", coalesce(col("nxt").isNotNull &&
+        col("sym") === col("b1") && col("nxt") === col("b2"), lit(false)))
     // leftmost-greedy: runs of consecutive matched positions, keep even
     // offsets from the run start
     val sel = flagged

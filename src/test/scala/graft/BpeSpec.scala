@@ -48,6 +48,17 @@ class BpeSpec extends AnyFunSuite {
       "frozen-list application must replay training's merge semantics exactly")
   }
 
+  test("applying MORE rounds than the learned list holds is a no-op tail, not annihilation") {
+    // round-6 advice #1: the crossJoin against an empty per-round best
+    // used to delete the entire symbol state; now an absent merge row is
+    // a structural no-op and frozen-list replay degrades safely
+    val merges = Bpe.learn(docs, iters = 2)
+    val exact = Bpe.applyMerges(docs, merges, iters = 2).collect().map(_.toString).toSeq
+    val over = Bpe.applyMerges(docs, merges, iters = 5).collect().map(_.toString).toSeq
+    assert(over.nonEmpty && over == exact,
+      "rounds past the learned list must leave the symbol state unchanged")
+  }
+
   test("run-parity merge equals the sequential leftmost-greedy reference on random words") {
     // the window formulation's whole claim is equivalence to the textbook
     // sequential scan — checked on FULL symbol states (profiles cannot
