@@ -122,6 +122,24 @@ object SparkEntry {
         qvec(s, dir), k = 10, nprobe = 4, excludeId = Some(0L))
     }),
 
+    // Incremental layout maintenance gate: train + persist the IVF layout
+    // on a 90% slice, UPSERT the held-out 10% against the STORED
+    // centroids (VectorLayout.upsert — partition-confined rewrite), then
+    // probe the upserted artifact. The oracle trains on the same slice in
+    // SQL and batch-assigns the full corpus — upsert ≡ batch assignment
+    // under one codebook is the invariant (also spec-pinned with moves
+    // and empty-partition deletion in VectorLayoutSpec). Rebuilds the
+    // layout every execution: the entry prices the maintenance op itself.
+    "q_knn_ivf_upsert" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val d = "out/artifacts/ivf_upsert"
+      graft.sources.VectorLayout.write(s, e.filter(col("vec_id") % 10 =!= 7),
+        d, numCentroids = 16, iters = 3)
+      graft.sources.VectorLayout.upsert(s, d, e.filter(col("vec_id") % 10 === 7))
+      graft.sources.VectorLayout.search(s, d, qvec(s, dir), k = 10,
+        nprobe = 4, excludeId = Some(0L))
+    }),
+
     // IVF × SQ8 composition: probe-pruned candidates ranked over int8
     // codes (full-index code book), exact re-rank — the production shape
     "q_knn_ivf_sq8" -> ((s, dir) =>
@@ -621,6 +639,20 @@ object SparkEntry {
 
     "q_knn_ivf_trained" ->
       s"""WITH ${graft.operators.KMeans.duckTrainCtes("embeddings", 16, 3)},
+         |cent AS (SELECT cid, ce FROM cent3),
+         |${graft.operators.KMeans.duckAssignCtes("embeddings", "cent", "asg", "a")},
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probes AS (SELECT c.cid AS pcid FROM cent c CROSS JOIN q
+         |           ORDER BY ${duckCosine("c.ce", "q.qv")} DESC, c.cid LIMIT 4),
+         |s AS (SELECT a.vec_id, a.label, a.cluster, ${duckCosine("a.embedding", "q.qv")} AS sim_raw
+         |      FROM a JOIN probes p ON a.cluster = p.pcid CROSS JOIN q
+         |      WHERE a.vec_id <> 0)
+         |SELECT vec_id, label, cluster, round(sim_raw, 6) AS sim
+         |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_knn_ivf_upsert" ->
+      s"""WITH sub AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+         |${graft.operators.KMeans.duckTrainCtes("sub", 16, 3)},
          |cent AS (SELECT cid, ce FROM cent3),
          |${graft.operators.KMeans.duckAssignCtes("embeddings", "cent", "asg", "a")},
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -75,4 +75,89 @@ object VectorLayout {
       .select(col("vec_id"), col("label"), col("cluster").cast("long").as("cluster"),
         round(col("sim_raw"), 6).as("sim"))
   }
+
+  /** The stored cells with the partition column's LongType contract
+    * restored (directory inference types it INT — the CLAUDE.md partition
+    * -column rule; every internal consumer reads through this seam). */
+  private def cells(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/cells")
+      .withColumn("cluster", col("cluster").cast("long"))
+
+  /** Incremental upsert — the maintenance path a production vector index
+    * needs between retrains (round-6 verdict #4; [[write]] alone is a
+    * write-once snapshot). Semantics: last-writer-wins per vec_id against
+    * the STORED centroids — new and updated vectors are assigned with the
+    * same [[graft.operators.Knn.ivfAssignWith]] expression the batch build
+    * uses, so an upserted layout is INDISTINGUISHABLE from assigning the
+    * updated corpus against the same codebook in one batch (spec-pinned).
+    * Training drift — the stored centroids slowly mismatching the data —
+    * is deliberately NOT hidden here: it is what [[stats]] measures, and
+    * the deployment answer is a retrain + fresh [[write]].
+    *
+    * Scale shape: the rewrite is confined to AFFECTED cluster partitions
+    * (those receiving new rows plus those holding prior versions of the
+    * upserted ids) under dynamic partition overwrite — cost scales with
+    * the batch's cluster footprint, never the index size. An affected
+    * partition left EMPTY (its only rows moved clusters) is deleted
+    * explicitly — dynamic overwrite cannot express an empty partition,
+    * and leaving the stale directory would resurrect replaced rows.
+    * Driver-side collects are bounded by the affected-cluster count
+    * (≤ 2·C), the same facade tolerance as [[search]]'s probe list. */
+  def upsert(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    import graft.operators.Knn
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val assigned = Knn.ivfAssignWith(batch, cent)
+    val stored = cells(spark, dir)
+    val ids = batch.select("vec_id").distinct()
+    val affected = assigned.select("cluster").distinct()
+      .union(stored.join(ids, Seq("vec_id"), "left_semi").select("cluster").distinct())
+      .distinct()
+    // survivors of affected partitions + the freshly assigned batch;
+    // affected is cluster-cardinality (tiny) — broadcast semi-join is the
+    // correct shape, no pin needed
+    val rewritten = stored
+      .join(affected, Seq("cluster"), "left_semi")
+      .join(ids, Seq("vec_id"), "left_anti")
+      .select("vec_id", "label", "ed", "nrm", "cluster")
+      .unionByName(assigned.select("vec_id", "label", "ed", "nrm", "cluster"))
+    val affectedIds = affected.collect().map(_.getLong(0)).toSet
+    val writtenIds = rewritten.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // scope the overwrite mode around this eager, self-contained write
+    // only (the StreamOps conf pattern: never leak session conf from a
+    // lazily-evaluated operator)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try rewritten.write.mode(SaveMode.Overwrite).partitionBy("cluster")
+      .parquet(s"$dir/cells")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    (affectedIds -- writtenIds).foreach { cid =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/cells/cluster=$cid"), true)
+      ()
+    }
+  }
+
+  /** Recluster-check stat over the CURRENT layout: per-cluster fill and
+    * mean member→centroid cosine (decimal order-free mean — the ivfStats
+    * float discipline). A deployment snapshots this at [[write]] time and
+    * re-reads it after upsert batches; falling coherence or fill skew is
+    * the retrain trigger the [[upsert]] scaladoc points at. */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    cells(spark, dir)
+      .join(cent, col("cluster") === col("cid"))
+      .withColumn("csim", dotc(col("ed"), col("ce")) / (col("nrm") * col("cn")))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("csim").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("double").as("mean_sim"))
+      .select(col("cluster"), col("n_vecs"), round(col("mean_sim"), 6).as("mean_sim"))
+      .orderBy(asc("cluster"))
+  }
 }
