@@ -198,7 +198,26 @@ object Dedup {
     * public as the cluster half of the pairs seam ([[nearDupPairs]]), and
     * testable on synthetic graphs (long chains stress diameter; the
     * corpus' near-dup components are shallow). */
-  def clustersOfPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def clustersOfPairs(pairs: DataFrame, maxIter: Int = 20,
+                      algo: String = "label"): DataFrame = {
+    val labels = algo match {
+      case "label" => ccLabelProp(pairs, maxIter)._1
+      case "star"  => ccStar(pairs, maxIter)._1
+      case other => throw new IllegalArgumentException(
+        s"clustersOfPairs: unknown algo '$other' (label | star)")
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster"),
+        (col("node") === col("label")).as("is_canonical"),
+        col("cluster_size"))
+      .orderBy(asc("cluster"), asc("doc_id"))
+  }
+
+  /** The pointer-jumping min-label propagation core — returns
+    * ((node, label) at the fixpoint, rounds used). */
+  private[graft] def ccLabelProp(pairs: DataFrame, maxIter: Int = 20)
+      : (DataFrame, Int) = {
     // cache the pair relation itself (tiny: near-dup pairs ≪ corpus): the
     // edge union below references it TWICE, and an uncached pairs plan —
     // e.g. the full minhash+verify pipeline — would execute once per
@@ -255,15 +274,84 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"clustersOfPairs: no fixpoint after $maxIter rounds (component deeper than 2^$maxIter?)")
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    val out = labels.join(sizes, "label")
-      .select(col("node").as("doc_id"), col("label").as("cluster"),
-        (col("node") === col("label")).as("is_canonical"),
-        col("cluster_size"))
-      .orderBy(asc("cluster"), asc("doc_id"))
     edges.unpersist()
     p.unpersist()
-    out
+    // labels is localCheckpoint-ed: safe to release the loop scratch here
+    (labels, iter)
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the
+    * adversarial-depth-safe alternative behind [[clustersOfPairs]]'s
+    * `algo = "star"` (round-6 verdict #5): provably O(log² n) rounds on
+    * ANY component shape with no per-node state relation — each round
+    * rewrites the EDGE relation itself toward a star rooted at the
+    * component minimum.
+    *
+    * Round shape: large-star connects every strictly-larger neighbor of
+    * u to min(Γ(u) ∪ {u}); small-star connects every smaller neighbor
+    * (and u itself) to the minimum of that smaller neighborhood. Both are
+    * one groupBy + one equijoin over the edge relation — the same
+    * partial-agged, AQE-skew-eligible shapes as the label loop, but the
+    * state that shrinks is the edges, so a boilerplate mega-component
+    * contracts instead of funneling through a single label chain.
+    * Edges stay canonically (min, max)-oriented so the convergence test
+    * is plain set equality (|next| == |cur| == |next ∪ cur|, two counts
+    * per round on checkpointed relations).
+    *
+    * At the fixpoint the relation is a star per component: (root,
+    * member) with root the component minimum — the same canonical label
+    * [[ccLabelProp]] converges to, so the two algorithms are output-
+    * interchangeable (spec-pinned on chain/star/clique/fixture graphs). */
+  private[graft] def ccStar(pairs: DataFrame, maxIter: Int = 20)
+      : (DataFrame, Int) = {
+    var edges = pairs
+      .filter(col("d1") =!= col("d2"))
+      .select(least(col("d1"), col("d2")).as("u"),
+        greatest(col("d1"), col("d2")).as("v"))
+      .distinct().localCheckpoint(true)
+    var cnt = edges.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star: strictly-larger neighbors hook onto the local minimum
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("mu"))
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(least(col("v"), col("mu")).as("u"),
+          greatest(col("v"), col("mu")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint(true)
+      // small-star: smaller-or-self neighborhood hooks onto its minimum
+      val sym2 = ls.union(ls.select(col("v").as("u"), col("u").as("v")))
+      val small = sym2.filter(col("v") < col("u"))
+      val mins2 = small.groupBy("u").agg(min("v").as("mn"))
+      val ss = small.join(mins2, "u")
+        .select(col("v").as("a"), col("mn").as("b"))
+        .union(mins2.select(col("u").as("a"), col("mn").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct().localCheckpoint(eager = false)
+      // lazy checkpoint + the two convergence counts materialize it —
+      // the ccLabelProp one-action discipline
+      val nextCnt = ss.count()
+      val unionCnt = ss.union(edges).distinct().count()
+      converged = nextCnt == cnt && unionCnt == cnt
+      edges = ss
+      cnt = nextCnt
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ccStar: no fixpoint after $maxIter alternating rounds")
+    val nodes = pairs.select(col("d1").as("node"))
+      .union(pairs.select(col("d2").as("node"))).distinct()
+    val labels = nodes
+      .join(edges.select(col("v").as("node"), col("u").as("lbl")), Seq("node"), "left")
+      .groupBy("node").agg(min(coalesce(col("lbl"), col("node"))).as("label"))
+    (labels, iter)
   }
 
   /** Exact n-gram Jaccard via inverted-index self-join (full recall).

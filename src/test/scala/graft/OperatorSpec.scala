@@ -1223,6 +1223,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(cl.size == 14 + 4 + 2)
   }
 
+  test("large-star/small-star CC == label propagation on chain, star, cliques, and real pairs") {
+    import spark.implicits._
+    def viaBoth(pairs: org.apache.spark.sql.DataFrame): (Seq[String], Seq[String]) = {
+      val a = Dedup.clustersOfPairs(pairs, algo = "label").collect().map(_.toString).toSeq
+      val b = Dedup.clustersOfPairs(pairs, algo = "star").collect().map(_.toString).toSeq
+      (a, b)
+    }
+    // deep chain (the adversarial shape star-CC exists for), a star, two
+    // 4-cliques bridged by one edge, and an isolated pair
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val star = (1L to 5L).map(i => (100L, 100L + i))
+    val cliques = (for {
+      base <- Seq(200L, 210L); i <- 0 until 4; j <- (i + 1) until 4
+    } yield (base + i, base + j)) :+ (203L, 210L)
+    val pair = Seq((300L, 301L))
+    val synth = (chain ++ star ++ cliques ++ pair).toDF("d1", "d2")
+    val (l1, s1) = viaBoth(synth)
+    assert(l1 == s1)
+    // shuffled-orientation edges (d1 > d2 sometimes) — both must canonize
+    val flipped = synth.select(col("d2").as("d1"), col("d1").as("d2"))
+    val (l2, s2) = viaBoth(flipped)
+    assert(l2 == s2 && l2 == l1)
+    // the corpus' real minhash pair graph
+    val real = Dedup.nearDupPairs(docs, 0.5)
+    val (l3, s3) = viaBoth(real)
+    spark.sharedState.cacheManager.clearCache()
+    assert(l3 == s3 && l3.nonEmpty)
+    // round counts on the 64-chain: both cores are O(log n) here (label
+    // prop pointer-jumps); record the measured numbers in SCALE.md
+    val (_, lr) = Dedup.ccLabelProp(synth)
+    val (_, sr) = Dedup.ccStar(synth)
+    assert(lr <= 10 && sr <= 10, s"rounds label=$lr star=$sr")
+  }
+
   test("embed-cosine near-dup pairs all clear the threshold and match brute-force cosine") {
     val pairs = Dedup.embedCosine(docs, threshold = 0.95).collect()
     assert(pairs.nonEmpty)
