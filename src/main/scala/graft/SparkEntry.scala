@@ -484,6 +484,13 @@ object SparkEntry {
     "q_frames" -> ((s, dir) => Multimodal.frameSamples(Tables.documents(s, dir))),
     // per-modality fixed-capacity decode batches (two-phase prefix sum)
     "q_mm_batches" -> ((s, dir) => Multimodal.decodeBatches(Tables.documents(s, dir))),
+    // perceptual near-dup over the binary payload: 64-bit blockhash
+    // signatures, 8x8 hamming bands (tuned to the measured near-dup
+    // hamming profile), full-signature verify — the image dedup member of
+    // the dedup family (signature over decoded pixels in a real pipeline;
+    // byte blocks are the container's decode stand-in)
+    "q_phash_dedup" -> ((s, dir) =>
+      Multimodal.phashDedup(Tables.documents(s, dir), maxHamming = 13)),
     "q_embed_hist" -> ((s, dir) =>
       Embedder.bucketHistogram(Tables.documents(s, dir))
         .filter(col("doc_id") < 100).orderBy("doc_id", "bucket")),
@@ -822,6 +829,7 @@ object SparkEntry {
     "q_multimodal"      -> Multimodal.duckFeatures("documents"),
     "q_frames"          -> Multimodal.duckFrameSamples("documents"),
     "q_mm_batches"      -> Multimodal.duckDecodeBatches("documents"),
+    "q_phash_dedup"     -> Multimodal.duckPhashDedup("documents", 13),
     "q_embed_hist" ->
       s"""WITH h AS (${Embedder.duckBucketHistogram("documents")})
          |SELECT doc_id, bucket, cnt FROM h WHERE doc_id < 100

@@ -1436,6 +1436,35 @@ class OperatorSpec extends AnyFunSuite {
     stub.foreach { f => assert(f.mean_byte > 0 && f.n_frames >= 1) }
   }
 
+  test("phash: 64-bit signatures, perceptual locality, banded pairs = brute-force hamming cut") {
+    import spark.implicits._
+    val sigs = Multimodal.phashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    // perceptual locality: a small local edit moves the signature a few
+    // bits; an unrelated doc sits near the random-pair center (~32)
+    val base = docs.orderBy("doc_id").select("doc_id", "text").as[(Long, String)].head(2)
+    val (id0, t0) = base(0)
+    val edited = Seq((9000001L, t0.take(40) + "zzzzz" + t0.drop(45))).toDF("doc_id", "text")
+    val editSig = Multimodal.phashSignatures(edited).head().getString(1)
+    assert(ham(sigs(id0), editSig) <= 13,
+      s"local edit moved ${ham(sigs(id0), editSig)} bits")
+    assert(ham(sigs(base(0)._1), sigs(base(1)._1)) > 13)
+    // the banded join may only LOSE candidates vs the brute-force hamming
+    // cut (precision 1 by construction), and on this fixture it keeps all
+    val pairs = Multimodal.phashDedup(docs, maxHamming = 13).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.sharedState.cacheManager.clearCache()
+    val ids = sigs.keys.toSeq.sorted
+    val brute = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      h = ham(sigs(ids(i)), sigs(ids(j))) if h <= 13
+    } yield (ids(i), ids(j), h.toLong)
+    assert(pairs.toSet.subsetOf(brute.toSet))
+    assert(pairs.nonEmpty)
+  }
+
   test("frame sampling caps frames per asset; resize stub shrinks dims and payload") {
     val fr = Multimodal.frameSamples(docs, maxFrames = 4)
     val perDoc = fr.groupBy("doc_id").count().agg(max("count")).collect()(0).getLong(0)
