@@ -182,7 +182,8 @@ object Multimodal {
           .otherwise(lit("0")))
     bits.groupBy("doc_id")
       .agg(concat((0 until 64).map(k =>
-        coalesce(max(when(col("blk") === k, col("bit"))), lit("0"))): _*).as("phash"))
+        coalesce(max(when(col("blk") === k, col("bit"))), lit("0"))): _*).as("phash"),
+        max("len").as("plen"))
   }
 
   /** Perceptual near-dup pairs over the payload signatures — the simhash
@@ -205,13 +206,25 @@ object Multimodal {
   def phashDedup(documents: DataFrame, maxHamming: Int = 13): DataFrame = {
     import graft.functions.TextFns.hammingDist
     val sig = phashSignatures(documents).cache()
+    // band key = (band, 8 signature bits, payload-length bucket): an
+    // 8-bit band alone has only 256 values, so at corpus scale every
+    // bucket's occupancy grows linearly and the self-join quadratically —
+    // the sf1 gate measured ~39M candidate pairs at 50k docs. Length
+    // bucketing (width 64 bytes) splits that by the corpus' length
+    // spread; each doc emits its own bucket AND the next one, so any
+    // pair within |len diff| < 64 still meets (symmetric double emission,
+    // one extra row per band row). Pairs further apart in length than one
+    // bucket are dropped BY CONTRACT — payloads differing by 64+ bytes
+    // are not perceptual near-dups of one another at these payload sizes.
     val bands = sig.select(col("doc_id"), col("phash"), explode(array(
-      (0 until 8).map(b => struct(
+      (for (b <- 0 until 8; probe <- 0 to 1) yield struct(
         lit(b).as("band"),
-        substring(col("phash"), b * 8 + 1, 8).as("bkey"))): _*)).as("bb"))
-      .select(col("doc_id"), col("phash"), col("bb.band"), col("bb.bkey"))
+        substring(col("phash"), b * 8 + 1, 8).as("bkey"),
+        (expr("plen DIV 64") + lit(probe)).as("lb"))): _*)).as("bb"))
+      .select(col("doc_id"), col("phash"), col("bb.band"), col("bb.bkey"), col("bb.lb"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.lb") === col("y.lb") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         hammingDist(col("x.phash"), col("y.phash"), 64).as("hamming"))
@@ -228,8 +241,8 @@ object Multimodal {
     val pivot = (0 until 64).map(k =>
       s"coalesce(max(CASE WHEN blk = $k THEN bit END), '0')")
       .mkString("concat(", ", ", ")")
-    val bandRows = (0 until 8).map(b =>
-      s"SELECT doc_id, phash, $b AS band, substr(phash, ${b * 8 + 1}, 8) AS bkey FROM sig")
+    val bandRows = (for (b <- 0 until 8; probe <- 0 to 1) yield
+      s"SELECT doc_id, phash, $b AS band, substr(phash, ${b * 8 + 1}, 8) AS bkey, plen // 64 + $probe AS lb FROM sig")
       .mkString("\n       UNION ALL ")
     s"""WITH ch AS (SELECT doc_id, len(text)::BIGINT AS l,
        |                   unnest(range(1, len(text) + 1)) AS pos, text
@@ -246,12 +259,14 @@ object Multimodal {
        |                CASE WHEN b.bsum * t.len > t.tsum * b.blen
        |                     THEN '1' ELSE '0' END AS bit
        |         FROM blocks b JOIN tot t USING (doc_id)),
-       |sig AS (SELECT doc_id, $pivot AS phash FROM bits GROUP BY doc_id),
+       |sig AS (SELECT b.doc_id, $pivot AS phash, max(t.len) AS plen
+       |        FROM bits b JOIN tot t USING (doc_id) GROUP BY b.doc_id),
        |bands AS ($bandRows),
        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
        |                x.phash AS p1, y.phash AS p2
        |         FROM bands x JOIN bands y
-       |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |         ON x.band = y.band AND x.bkey = y.bkey AND x.lb = y.lb
+       |            AND x.doc_id < y.doc_id),
        |h AS (SELECT d1, d2, (${duckHamming("p1", "p2", 64)})::BIGINT AS hamming
        |      FROM cand)
        |SELECT d1, d2, hamming, round(1.0 - hamming / 64.0, 6) AS psim

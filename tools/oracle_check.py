@@ -30,13 +30,15 @@ def type_key(arrow_type):
     surfaces here first (queries cast to the canonical type explicitly)."""
     return str(arrow_type)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # subset gate (e.g. the sf1 heavy-tail run): check just these
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -81,10 +83,12 @@ def main(sf_dir, out_dir):
     # silently skipped and the gate would print a green total for an
     # unvalidated query (the CLAUDE.md every-query-needs-an-oracle rule)
     dumped = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)}
+    if only:
+        dumped &= set(only)
     for name in sorted(dumped - set(oracle)):
         print(f"FAIL {name}: spark result has no oracle entry"); n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
