@@ -158,6 +158,21 @@ object CodeChunker {
     mask
   }
 
+  /** Span start of a decorated definition: tree-sitter wraps decorators
+    * and the def/class in ONE `decorated_definition` node whose text
+    * begins at the first decorator (the reference chunks that node,
+    * indexing_agent.py:158-172), so the element must include contiguous
+    * same-indent `@decorator` lines directly above the header. Multi-line
+    * decorator argument lists remain a declared deviation (SURVEY §2.2). */
+  private def decoratedStart(lines: Array[String], inStr: Array[Boolean],
+                             header: Int): Int = {
+    val indent = indentOf(lines(header))
+    var s = header
+    while (s > 0 && !inStr(s - 1) && lines(s - 1).trim.startsWith("@") &&
+      indentOf(lines(s - 1)) == indent) s -= 1
+    s
+  }
+
   def chunkPython(path: String, content: String): Seq[CodeElement] = {
     val lines = content.split("\n", -1)
     val inStr = tripleStringMask(lines)
@@ -172,14 +187,16 @@ object CodeChunker {
           // recurses into every child (indexing_agent.py:158-172), so nested
           // defs and imports inside a function body are emitted too.
           val end = blockEnd(lines, i)
-          out += CodeElement.make(name, "function", path, i + 1, end + 1,
-            lines.slice(i, end + 1).mkString("\n"), pyDocstring(lines, i, end))
+          val start = decoratedStart(lines, inStr, i)
+          out += CodeElement.make(name, "function", path, start + 1, end + 1,
+            lines.slice(start, end + 1).mkString("\n"), pyDocstring(lines, i, end))
           i += 1
         case pyClass(name) if !l.trim.startsWith("#") =>
           // class header is emitted as one element; nested defs still found
           val end = blockEnd(lines, i)
-          out += CodeElement.make(name, "class", path, i + 1, end + 1,
-            lines.slice(i, end + 1).mkString("\n"), pyDocstring(lines, i, end))
+          val start = decoratedStart(lines, inStr, i)
+          out += CodeElement.make(name, "class", path, start + 1, end + 1,
+            lines.slice(start, end + 1).mkString("\n"), pyDocstring(lines, i, end))
           i += 1
         case _ if isPyImport(l) =>
           out += CodeElement.make("import", "import", path, i + 1, i + 1, l, "")
@@ -321,8 +338,15 @@ object CodeChunker {
           i += 1
         case jsClass(name) =>
           val end = braceEnd(m, i)
-          out += CodeElement.make(name, "class", path, i + 1, end + 1,
-            lines.slice(i, end + 1).mkString("\n"))
+          // TS/stage-3 decorators (@Component etc.) belong to the class
+          // node in the tree-sitter grammar — same attachment as Python's
+          // decorated_definition (masked lines: a "@" inside a string or
+          // comment is blanked and cannot attach)
+          var start = i
+          while (start > 0 && m(start - 1).trim.startsWith("@") &&
+            indentOf(m(start - 1)) == indentOf(m(i))) start -= 1
+          out += CodeElement.make(name, "class", path, start + 1, end + 1,
+            lines.slice(start, end + 1).mkString("\n"))
           i += 1
         case jsMethod(name) if inClassBody(i) && !jsKeywords(name) =>
           val end = braceEnd(m, i)

@@ -129,6 +129,43 @@ class CodeChunkerSpec extends AnyFunSuite {
     assert(up.map(_.element_type) == Seq("function"))
   }
 
+  test("decorated definitions span from the first decorator (decorated_definition fidelity)") {
+    val py =
+      """@app.route("/x")
+        |@cached
+        |def handler(req):
+        |    return req
+        |
+        |class Plain:
+        |    @property
+        |    def value(self):
+        |        return 1
+        |""".stripMargin
+    val els = CodeChunker.chunkFile("deco.py", py)
+    val handler = els.find(e => e.name == "handler").get
+    assert(handler.start_line == 1 && handler.content.startsWith("@app.route"))
+    val value = els.find(e => e.name == "value").get
+    assert(value.content.startsWith("    @property"))
+    // a "@" inside a docstring must NOT attach
+    val tricky = "'''\n@fake\n'''\ndef real():\n    pass\n"
+    val r = CodeChunker.chunkFile("t.py", tricky).find(_.name == "real").get
+    assert(r.start_line == 4 && r.content.startsWith("def real"))
+    // TS class decorator attaches; decorator text in a comment does not
+    val ts =
+      """@Component({sel: 'x'})
+        |class Widget {
+        |  render() { return 1; }
+        |}
+        |// @NotADecorator
+        |class Plain {
+        |}
+        |""".stripMargin
+    val tls = CodeChunker.chunkFile("w.ts", ts)
+    val widget = tls.find(_.name == "Widget").get
+    assert(widget.start_line == 1 && widget.content.startsWith("@Component"))
+    assert(tls.find(_.name == "Plain").get.content.startsWith("class Plain"))
+  }
+
   test("content hash is stable and md5-shaped (C7)") {
     val a = CodeChunker.chunkFile("sample.py", read("sample.py"))
     val b = CodeChunker.chunkFile("sample.py", read("sample.py"))
