@@ -54,8 +54,17 @@ object KMeans {
       col("vec_id"),
       col("embedding").cast("array<double>").as("ed"))
       .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
-    var cent = e.filter(col("vec_id") < k)
+    val cent0 = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
+    lloyd(e.select(col("ed"), col("nrm")), cent0, iters)
+  }
+
+  /** The Lloyd loop over an arbitrary seed relation — lets callers whose
+    * rows have no numeric vec_id (e.g. the code-elements index, string
+    * ids) supply their own deterministic seeds. `e` needs (ed, nrm);
+    * `cent0` needs (cid, ce, cn). */
+  private[graft] def lloyd(e: DataFrame, cent0: DataFrame, iters: Int): DataFrame = {
+    var cent = cent0
     for (_ <- 1 to iters) {
       val centArr = broadcast(
         cent.agg(collect_list(struct(col("cid"), col("ce"), col("cn"))).as("cents")))

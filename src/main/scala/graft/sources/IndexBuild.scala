@@ -455,6 +455,77 @@ object IndexBuild {
     searchElementsTable(spark.read.parquet(s"$indexDir/code_elements"),
       queryText, k, elementType, fileType)
 
+  /** Train + persist an IVF layout over the code-elements index —
+    * `$indexDir/vector_layout/{centroids, cells}` — wiring the
+    * [[VectorLayout]] seam into the flagship search surface (the round-6
+    * hand-off item: the two were separate surfaces with parity only
+    * spec-proven). Elements have STRING ids, so seeding uses the k
+    * lexicographically-first ids (TakeOrderedAndProject — the sanctioned
+    * global top-k shape, never an unpartitioned rank window) numbered
+    * through a [[graft.functions.BoundedWindow]] over the k-row seed
+    * relation, then the shared [[graft.operators.KMeans.lloyd]] loop.
+    * Cells carry the FULL element columns + nrm, partitioned by cluster,
+    * so a probe reads only the layout (static PartitionFilters), never
+    * joins back to code_elements. */
+  def writeSearchLayout(spark: SparkSession, indexDir: String,
+                        numCentroids: Int = 16, iters: Int = 3): Unit = {
+    import graft.functions.VecExprs.{bestCentroid, dotc}
+    val els = spark.read.parquet(s"$indexDir/code_elements")
+    val e = els.select(col("id"), col("embedding").cast("array<double>").as("ed"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+    val seeds = e.orderBy(asc("id")).limit(numCentroids)
+    val w = graft.functions.BoundedWindow.boundedGlobal(lit("seed"), asc("id"))
+    val cent0 = seeds
+      .withColumn("cid", (row_number().over(w) - 1).cast("long"))
+      .select(col("cid"), col("ed").as("ce"), col("nrm").as("cn"))
+    graft.operators.KMeans.lloyd(e.select(col("ed"), col("nrm")), cent0, iters)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/vector_layout/centroids")
+    val cent = spark.read.parquet(s"$indexDir/vector_layout/centroids")
+    val centArr = broadcast(
+      cent.agg(collect_list(struct(col("cid"), col("ce"), col("cn"))).as("cents")))
+    els
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+      .drop("ed")
+      .crossJoin(centArr)
+      .withColumn("cluster", bestCentroid(col("cents"), col("embedding"), col("nrm")))
+      .drop("cents")
+      .write.mode(SaveMode.Overwrite).partitionBy("cluster")
+      .parquet(s"$indexDir/vector_layout/cells")
+  }
+
+  /** [[searchIndex]] through the persisted trained layout: rank the stored
+    * centroids against the query embedding, statically prune to the
+    * top-`nprobe` cell partitions, then run the SAME filter + exact-top-k
+    * kernel over the pruned cells. Approximate by the standard IVF
+    * contract (recall loss bounded to unprobed clusters; exhaustive
+    * nprobe ≡ [[searchIndex]], spec-pinned). Metadata filters apply AFTER
+    * pruning — cells carry every element column, so no join back. */
+  def searchIndexIvf(spark: SparkSession, indexDir: String, queryText: String,
+                     k: Int, nprobe: Int = 4,
+                     elementType: Option[String] = None,
+                     fileType: Option[String] = None): DataFrame = {
+    import graft.functions.VecExprs.dotc
+    require(graft.functions.TextFns.tokenizable(queryText),
+      s"query text tokenizes to nothing: '$queryText' — empty query vector has no ranking")
+    val cent = spark.read.parquet(s"$indexDir/vector_layout/centroids")
+    val qdf = {
+      import spark.implicits._
+      Embedder.embed(Seq((0L, queryText)).toDF("doc_id", "text"))
+        .select(col("embedding").as("qe"))
+        .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
+    }
+    val probeIds = cent.crossJoin(broadcast(qdf))
+      .withColumn("qsim", dotc(col("ce"), col("qe")) / (col("cn") * col("qn")))
+      .orderBy(desc("qsim"), asc("cid"))
+      .limit(nprobe)
+      .select("cid").collect().map(_.getLong(0)).toSeq
+    val cells = spark.read.parquet(s"$indexDir/vector_layout/cells")
+      .filter(col("cluster").isin(probeIds: _*))
+      .drop("cluster") // partition col (int-inferred) — not part of the contract
+    searchElementsTable(cells, queryText, k, elementType, fileType)
+  }
+
   /** Write both index tables BUCKETED by file_path (same bucket count), so
     * every per-file join in the query surface — elements ⋈ summaries,
     * def/ref, structure aggregation — is co-located: Spark's bucketed-scan

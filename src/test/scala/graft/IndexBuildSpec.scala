@@ -78,6 +78,31 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(after.filter(col("file_path") === "sample.py").count() == before("sample.py"))
   }
 
+  test("trained search layout: exhaustive probe == exact searchIndex; probe prunes partitions") {
+    IndexBuild.writeSearchLayout(spark, indexDir, numCentroids = 4, iters = 2)
+    // exhaustive nprobe ≡ the exact full-scan flagship (the VectorLayout
+    // parity contract, now on the search surface itself)
+    for ((et, ft) <- Seq((None, None), (Some("function"), None),
+        (Some("function"), Some(".py")))) {
+      val exact = IndexBuild.searchIndex(spark, indexDir, "say hello to name", 3,
+        elementType = et, fileType = ft).collect().map(_.toString).toSeq
+      val viaLayout = IndexBuild.searchIndexIvf(spark, indexDir, "say hello to name", 3,
+        nprobe = 4, elementType = et, fileType = ft).collect().map(_.toString).toSeq
+      assert(viaLayout == exact, s"filters et=$et ft=$ft")
+    }
+    // sub-exhaustive probe carries a static cluster PartitionFilter
+    val plan = IndexBuild.searchIndexIvf(spark, indexDir, "say hello to name", 3,
+      nprobe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"expected a cluster PartitionFilter in:\n$plan")
+    // and still returns k ranked rows
+    val hits = IndexBuild.searchIndexIvf(spark, indexDir, "say hello to name", 3,
+      nprobe = 2).collect()
+    assert(hits.length == 3)
+    val sims = hits.map(_.getAs[Double]("similarity"))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
   test("empty or untokenizable query text fails loudly instead of returning nothing") {
     intercept[IllegalArgumentException] {
       IndexBuild.searchIndex(spark, indexDir, "!!! ---", 3)
