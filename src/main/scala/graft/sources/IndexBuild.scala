@@ -494,6 +494,62 @@ object IndexBuild {
       .parquet(s"$indexDir/vector_layout/cells")
   }
 
+  /** Incremental maintenance of the search layout — [[VectorLayout.upsert]]
+    * for the string-keyed code-elements cells: assign the fresh elements
+    * against the STORED centroids, rewrite only the affected cluster
+    * partitions (dynamic partition overwrite, scoped conf), delete a
+    * partition emptied by a cluster move. Last-writer-wins per element id.
+    * No-op when no layout exists (callers need not probe first). */
+  def upsertSearchLayout(spark: SparkSession, indexDir: String,
+                         fresh: DataFrame): Unit = {
+    import graft.functions.VecExprs.{bestCentroid, dotc}
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$indexDir/vector_layout/centroids"))) return
+    val cent = spark.read.parquet(s"$indexDir/vector_layout/centroids")
+    val centArr = broadcast(
+      cent.agg(collect_list(struct(col("cid"), col("ce"), col("cn"))).as("cents")))
+    val assigned = fresh
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+      .drop("ed")
+      .crossJoin(centArr)
+      .withColumn("cluster", bestCentroid(col("cents"), col("embedding"), col("nrm")))
+      .drop("cents")
+    val stored = spark.read.parquet(s"$indexDir/vector_layout/cells")
+      .withColumn("cluster", col("cluster").cast("long"))
+    // FILE-granular displacement (the upsertIndex delete-insert contract):
+    // every stored cell of a touched file goes, so an element deleted from
+    // a re-indexed file cannot linger in the layout as a stale row
+    val paths = fresh.select("file_path").distinct()
+    val affected = assigned.select("cluster").distinct()
+      .union(stored.join(paths, Seq("file_path"), "left_semi")
+        .select("cluster").distinct())
+      .distinct()
+    val rewritten = stored
+      .join(affected, Seq("cluster"), "left_semi")
+      .join(paths, Seq("file_path"), "left_anti")
+      .unionByName(assigned.select(stored.columns.map(col).toIndexedSeq: _*))
+    val affectedIds = affected.collect().map(_.getLong(0)).toSet
+    val writtenIds = rewritten.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try rewritten.write.mode(SaveMode.Overwrite).partitionBy("cluster")
+      .parquet(s"$indexDir/vector_layout/cells")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    (affectedIds -- writtenIds).foreach { cid =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$indexDir/vector_layout/cells/cluster=$cid"), true)
+      ()
+    }
+  }
+
   /** [[searchIndex]] through the persisted trained layout: rank the stored
     * centroids against the query embedding, statically prune to the
     * top-`nprobe` cell partitions, then run the SAME filter + exact-top-k

@@ -506,6 +506,12 @@ object StreamOps {
           if (!files.isEmpty) {
             val fresh = IndexBuild.buildElements(files)
             IndexBuild.upsertIndex(spark, indexDir, fresh)
+            // keep the trained search layout current too (no-op when no
+            // layout exists): same fresh elements, assigned against the
+            // STORED centroids, partition-confined rewrite
+            IndexBuild.upsertSearchLayout(spark, indexDir,
+              spark.read.parquet(s"$indexDir/code_elements")
+                .join(fresh.select("file_path").distinct(), Seq("file_path"), "left_semi"))
           }
         } finally { files.unpersist(); () }
         ()

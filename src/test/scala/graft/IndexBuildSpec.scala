@@ -103,6 +103,39 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(sims.sameElements(sims.sorted.reverse))
   }
 
+  test("layout upsert: file-granular replace drops deleted elements, moves clusters, keeps parity") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_idx_up").toString
+    IndexBuild.run(spark, projectDir, d).collect()
+    IndexBuild.writeSearchLayout(spark, d, numCentroids = 2, iters = 1)
+    // re-chunk one file with different content: old elements of that path
+    // must vanish from the layout, the new ones appear
+    val els = spark.read.parquet(s"$d/code_elements")
+    // a .py path: the replacement content must chunk as PYTHON (a .md path
+    // would read the def as prose and emit a markdown section instead)
+    val somePath = els
+      .filter(org.apache.spark.sql.functions.col("file_type") === ".py")
+      .select("file_path").orderBy("file_path").head().getString(0)
+    val fresh = IndexBuild.buildElements(
+      Seq((somePath, "def lonely_survivor():\n    return 42\n")).toDS())
+    IndexBuild.upsertIndex(spark, d, fresh.toDF())
+    IndexBuild.upsertSearchLayout(spark, d,
+      spark.read.parquet(s"$d/code_elements")
+        .filter(org.apache.spark.sql.functions.col("file_path") === somePath))
+    val cells = spark.read.parquet(s"$d/vector_layout/cells")
+    assert(cells.filter(org.apache.spark.sql.functions.col("file_path") === somePath).count() == 1,
+      "stale elements of the replaced file must not linger")
+    assert(cells.filter(org.apache.spark.sql.functions.col("name") === "lonely_survivor").count() == 1)
+    // layout still covers the whole index 1:1
+    assert(cells.count() == spark.read.parquet(s"$d/code_elements").count())
+    // exhaustive probe == exact search over the upserted state
+    val exact = IndexBuild.searchIndex(spark, d, "lonely survivor", 3)
+      .collect().map(_.toString).toSeq
+    val probed = IndexBuild.searchIndexIvf(spark, d, "lonely survivor", 3,
+      nprobe = 2).collect().map(_.toString).toSeq
+    assert(probed == exact)
+  }
+
   test("empty or untokenizable query text fails loudly instead of returning nothing") {
     intercept[IllegalArgumentException] {
       IndexBuild.searchIndex(spark, indexDir, "!!! ---", 3)

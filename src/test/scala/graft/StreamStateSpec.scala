@@ -221,6 +221,27 @@ class StreamStateSpec extends AnyFunSuite {
       val after2 = spark.read.parquet(s"${index.getAbsolutePath}/code_elements")
       assert(after2.filter(col("file_path") === "b.py").count() >= 1)
       assert(after2.filter(col("file_path") === "a.py").count() >= 2)
+
+      // a trained layout present during streaming is kept CURRENT as new
+      // files arrive (Spark's file source delivers additions only — the
+      // same-path replace branch of upsertSearchLayout is unit-tested in
+      // IndexBuildSpec): after the next batch the layout covers every
+      // element and the exhaustive probe equals the exact flagship search
+      graft.sources.IndexBuild.writeSearchLayout(spark, index.getAbsolutePath,
+        numCentroids = 2, iters = 1)
+      JF.writeString(new java.io.File(watch, "c.py").toPath,
+        "def gamma():\n    return 3\n")
+      q.processAllAvailable()
+      val els = spark.read.parquet(s"${index.getAbsolutePath}/code_elements")
+      val cells = spark.read.parquet(s"${index.getAbsolutePath}/vector_layout/cells")
+      assert(cells.filter(col("name") === "gamma").count() == 1)
+      assert(cells.count() == els.count())
+      val exact = graft.sources.IndexBuild.searchIndex(spark,
+        index.getAbsolutePath, "gamma three", 3).collect().map(_.toString).toSeq
+      val probed = graft.sources.IndexBuild.searchIndexIvf(spark,
+        index.getAbsolutePath, "gamma three", 3, nprobe = 2)
+        .collect().map(_.toString).toSeq
+      assert(probed == exact)
     } finally q.stop()
   }
 
