@@ -878,19 +878,23 @@ object Dedup {
     * DuckDB's HUGEINT sum is cast back to BIGINT inside the bound). */
   def duckDupPagerankSql(table: String, threshold: Double, iters: Int = 3,
                          topN: Int = 20, seeds: Int = 8, rowsPerBand: Int = 2): String = {
+    // MATERIALIZED: DuckDB inlines plain CTEs per reference, so round i
+    // would re-evaluate the whole minhash chain through r0..r_{i-1} —
+    // the same O(2^T) lineage blowup the Spark loop's localCheckpoint
+    // prevents; the sf1 gate measured it as a temp-spill explosion
     val iterCtes = (1 to iters).map { i =>
-      s"""r$i AS (SELECT e.dst AS node,
+      s"""r$i AS MATERIALIZED (SELECT e.dst AS node,
          |          (150000000000 + (85 * sum(r.r // d.deg)) // 100)::BIGINT AS r
          |        FROM edges e JOIN deg d ON d.src = e.src
          |        JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst)""".stripMargin
     }.mkString(",\n       |")
     s"""WITH ${duckMinhashCandCtes(table, seeds, rowsPerBand)},
        |${duckJaccardCtes("cand")},
-       |pairs AS (SELECT d1, d2 FROM j WHERE jac >= $threshold),
-       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |pairs AS MATERIALIZED (SELECT d1, d2 FROM j WHERE jac >= $threshold),
+       |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
        |          UNION ALL SELECT d2, d1 FROM pairs),
-       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
-       |r0 AS (SELECT DISTINCT src AS node, 1000000000000::BIGINT AS r FROM edges),
+       |deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1000000000000::BIGINT AS r FROM edges),
        |$iterCtes
        |SELECT rf.node AS doc_id, d2.deg AS degree, rf.r AS rank_q
        |FROM r$iters rf JOIN deg d2 ON d2.src = rf.node
