@@ -236,6 +236,11 @@ object SparkEntry {
     // the scale path (bounded fan-out) vs the exact-recall baseline above
     "q_dedup_ngram_capped" -> ((s, dir) =>
       Dedup.ngramJaccardCapped(Tables.documents(s, dir), threshold = 0.5, maxDf = 20)),
+    // corpus-RELATIVE df cap: smallest cap keeping >= 99% of distinct
+    // shingles, derived in-plan (integer-exact) — the sf1 gate showed an
+    // absolute cap collapses to zero recall when the corpus outgrows it
+    "q_dedup_ngram_adaptive" -> ((s, dir) =>
+      Dedup.ngramJaccardCappedAdaptive(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_embed" -> ((s, dir) => Dedup.embedCosine(Tables.documents(s, dir), threshold = 0.95)),
     // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup over
@@ -729,6 +734,7 @@ object SparkEntry {
     "q_leakage_split" -> Dedup.duckLeakageSplit("documents", 0.8),
     "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),
     "q_dedup_ngram_capped" -> Dedup.duckNgramCappedSql("documents", 0.5, 20),
+    "q_dedup_ngram_adaptive" -> Dedup.duckNgramCappedAdaptiveSql("documents", 0.5),
     "q_span_dedup"    -> Dedup.duckSpanSql("documents", 5),
     "q_span_removed"  -> Dedup.duckSpanRemovedSql("documents", 5),
     "q_dedup_recall"  -> Dedup.duckDedupRecall("documents"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Embedder
 import graft.functions.TextFns._
@@ -385,22 +385,56 @@ object Dedup {
     * Recall vs the exact baseline is measurable by diffing against
     * [[ngramJaccard]]; at the oracle scales the outputs are identical.
     */
-  def ngramJaccardCapped(documents: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
-    // df via `count OVER (PARTITION BY s)` — NOT groupBy + join-back: the
-    // join-back form plans the cached-relation-derived aggregate as a
-    // locked-in broadcast build side on BOTH self-join sides and computes
-    // it twice (the CLAUDE.md group-aggregate rule; measured 8.6 s at
-    // sf0.1). One cached relation carries (doc_id, s, df); rare/freq are
-    // cheap filters over it. Skew caveat (round-4 audit): a head shingle's
-    // occurrences all hit one window task (no partial agg / AQE for
-    // windows) — on boilerplate-heavy corpora, compute df by partial-agged
-    // groupBy + merge-pinned join-back instead, and eat the measured cost.
+  def ngramJaccardCapped(documents: DataFrame, threshold: Double, maxDf: Int): DataFrame =
+    cappedPairsOf(dfShingles(documents), lit(maxDf), threshold)
+
+  /** Corpus-RELATIVE df cap — the one-decade-up gate's finding made
+    * operational: an ABSOLUTE cap silently collapses to zero recall when
+    * the corpus outgrows it (at sf1, 10× the bench scale, the synthetic
+    * corpus' flat vocabulary pushed every shingle's df past 20 and
+    * [[ngramJaccardCapped]] returned NO pairs in both engines — agreeing,
+    * and both wrong for the user). Here the cap derives IN-PLAN from the
+    * df distribution: the smallest cap that keeps at least `keepPct`% of
+    * DISTINCT shingles in candidate generation — Zipf corpora still prune
+    * their head hard, while a corpus with no rare shingles correctly
+    * declines to prune. All-integer (cum·100 ≥ keepPct·total over the
+    * bounded df-histogram relation, two-phase via BoundedWindow), so the
+    * cap is engine-exact. */
+  def ngramJaccardCappedAdaptive(documents: DataFrame, threshold: Double,
+                                 keepPct: Int = 99): DataFrame = {
+    val shDf0 = dfShingles(documents)
+    val hist = shDf0.select(col("s"), col("df")).distinct()
+      .groupBy("df").agg(count(lit(1)).as("n"))
+    val wH = graft.functions.BoundedWindow.boundedGlobal(lit("dfh"), asc("df"))
+    val cum = hist.withColumn("cum", sum("n").over(wH))
+    val tot = hist.agg(sum("n").as("t"))
+    val cap = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") * 100 >= lit(keepPct) * col("t"))
+      .agg(min("df").as("cap"))
+    cappedPairsOf(shDf0.crossJoin(broadcast(cap)), col("cap"), threshold)
+  }
+
+  /** Shared (doc_id, s, df) relation of the capped variants, cached (read
+    * by rare/freq filters and the size aggregate). df via `count OVER
+    * (PARTITION BY s)` — NOT groupBy + join-back: the join-back form plans
+    * the cached-relation-derived aggregate as a locked-in broadcast build
+    * side on BOTH self-join sides and computes it twice (the CLAUDE.md
+    * group-aggregate rule; measured 8.6 s at sf0.1). Skew caveat (round-4
+    * audit): a head shingle's occurrences all hit one window task (no
+    * partial agg / AQE for windows) — on boilerplate-heavy corpora,
+    * compute df by partial-agged groupBy + merge-pinned join-back instead,
+    * and eat the measured cost. */
+  private def dfShingles(documents: DataFrame): DataFrame = {
     val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
-    val shDf = graft.functions.TextFns.shingleRowsOf(documents, 3).distinct()
+    graft.functions.TextFns.shingleRowsOf(documents, 3).distinct()
       .withColumn("df", count(lit(1)).over(wS))
       .cache()
-    val rare = shDf.filter(col("df") <= maxDf)
-    val freq = shDf.filter(col("df") > maxDf)
+  }
+
+  private def cappedPairsOf(shDf: DataFrame, cap: Column,
+                            threshold: Double): DataFrame = {
+    val rare = shDf.filter(col("df") <= cap)
+    val freq = shDf.filter(col("df") > cap)
     // Pass 1 — the bounded quadratic: self-join the RARE partition on s and
     // count shared-rare-shingles in the SAME pass (the single-pass trick of
     // [[ngramJaccard]]; a separate candidate-distinct + full re-expansion
@@ -435,6 +469,22 @@ object Dedup {
     s"""WITH ${duckSh(table)},
        |rare AS (SELECT sh.doc_id, sh.s FROM sh
        |         JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= $maxDf) f USING (s)),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin
+
+  /** DuckDB mirror of [[ngramJaccardCappedAdaptive]] — same in-plan
+    * integer cap derivation over the df histogram. */
+  def duckNgramCappedAdaptiveSql(table: String, threshold: Double,
+                                 keepPct: Int = 99): String =
+    s"""WITH ${duckSh(table)},
+       |dfr AS (SELECT s, count(*)::BIGINT AS df FROM sh GROUP BY s),
+       |hist AS (SELECT df, count(*)::BIGINT AS n FROM dfr GROUP BY df),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM hist),
+       |cum AS (SELECT df, CAST(sum(n) OVER (ORDER BY df) AS BIGINT) AS c FROM hist),
+       |cap AS (SELECT min(df) AS cap FROM cum, tot WHERE c * 100 >= $keepPct * t),
+       |rare AS (SELECT sh.doc_id, sh.s FROM sh
+       |         JOIN dfr USING (s), cap WHERE dfr.df <= cap.cap),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
        |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin

@@ -1223,6 +1223,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(cl.size == 14 + 4 + 2)
   }
 
+  test("adaptive df cap survives a corpus the absolute cap collapses on") {
+    import spark.implicits._
+    // every shingle appears in all 25 docs: the absolute cap of 20 drops
+    // the WHOLE vocabulary from candidate generation (the sf1 failure in
+    // miniature — both engines agreed on zero pairs); the corpus-relative
+    // cap keeps >=99% of distinct shingles and recovers full recall
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val clones = (0L until 25L).map(i => (i, base)).toDF("doc_id", "text")
+    val absolute = Dedup.ngramJaccardCapped(clones, threshold = 0.5, maxDf = 20)
+      .collect()
+    spark.sharedState.cacheManager.clearCache()
+    val adaptive = Dedup.ngramJaccardCappedAdaptive(clones, threshold = 0.5)
+      .collect().map(_.toString).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val full = Dedup.ngramJaccard(clones, threshold = 0.5)
+      .collect().map(_.toString).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    assert(absolute.isEmpty, "absolute cap should collapse on the clone corpus")
+    assert(adaptive == full && adaptive.nonEmpty)
+    // and on the real corpus the adaptive cap stays full-recall too
+    val realAdaptive = Dedup.ngramJaccardCappedAdaptive(docs, threshold = 0.5)
+      .collect().map(_.toString).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val realFull = Dedup.ngramJaccard(docs, threshold = 0.5)
+      .collect().map(_.toString).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    assert(realAdaptive == realFull)
+  }
+
   test("large-star/small-star CC == label propagation on chain, star, cliques, and real pairs") {
     import spark.implicits._
     def viaBoth(pairs: org.apache.spark.sql.DataFrame): (Seq[String], Seq[String]) = {
