@@ -113,6 +113,15 @@ object SparkEntry {
     // tuning input behind ivfStats' "re-train or split" advice.
     "q_kmeans_elbow" -> ((s, dir) => graft.operators.KMeans.elbow(emb(s, dir))),
 
+    // Deterministic k-means++-style seeding (farthest-first traversal,
+    // md5-ranked first pick) feeding the same Lloyd loop — the seeding
+    // A/B against q_kmeans' lowest-id init, oracle-exact end to end.
+    "q_kmeans_pp" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.KMeans.stats(e,
+        graft.operators.KMeans.trainFarthest(e, k = 16, iters = 3))
+    }),
+
     // IVF over TRAINED centroids — same probe/assign semantics as
     // q_knn_ivf, centroids from 3 Lloyd rounds; recall shift vs the
     // untrained layout is measured in q_knn_recall's ivf_trained row.
@@ -648,6 +657,8 @@ object SparkEntry {
     "q_kmeans" -> graft.operators.KMeans.duckStatsSql("embeddings", 16, 3),
 
     "q_kmeans_elbow" -> graft.operators.KMeans.duckElbowSql("embeddings"),
+
+    "q_kmeans_pp" -> graft.operators.KMeans.duckStatsPpSql("embeddings", 16, 3),
 
     "q_knn_ivf_trained" ->
       s"""WITH ${graft.operators.KMeans.duckTrainCtes("embeddings", 16, 3)},

@@ -478,12 +478,12 @@ object Dedup {
   def duckNgramCappedAdaptiveSql(table: String, threshold: Double,
                                  keepPct: Int = 99): String =
     s"""WITH ${duckSh(table)},
-       |dfr AS (SELECT s, count(*)::BIGINT AS df FROM sh GROUP BY s),
+       |dfr AS MATERIALIZED (SELECT s, count(*)::BIGINT AS df FROM sh GROUP BY s),
        |hist AS (SELECT df, count(*)::BIGINT AS n FROM dfr GROUP BY df),
        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM hist),
        |cum AS (SELECT df, CAST(sum(n) OVER (ORDER BY df) AS BIGINT) AS c FROM hist),
        |cap AS (SELECT min(df) AS cap FROM cum, tot WHERE c * 100 >= $keepPct * t),
-       |rare AS (SELECT sh.doc_id, sh.s FROM sh
+       |rare AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh
        |         JOIN dfr USING (s), cap WHERE dfr.df <= cap.cap),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
@@ -621,15 +621,15 @@ object Dedup {
 
   private def duckSh(table: String): String =
     s"""tk AS (SELECT doc_id, ${duckTokens("text")} AS t FROM $table),
-       |sh AS (SELECT DISTINCT doc_id, s
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, s
        |       FROM (SELECT doc_id, unnest(${duckShingles("t", 3)}) AS s FROM tk))""".stripMargin
 
   /** CTE chain `sizes, inter, j` computing exact Jaccard for the candidate
     * pairs in `candCte` — shared by the per-variant final selects and by
     * [[duckClustersSql]]'s recursive wrapper. */
   private def duckJaccardCtes(candCte: String): String =
-    s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+    s"""sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |          JOIN $candCte c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
        |          GROUP BY 1, 2),
@@ -661,7 +661,7 @@ object Dedup {
     s"""${duckSh(table)},
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS ($bandRows),
-       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |         FROM bands x JOIN bands y
        |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
   }

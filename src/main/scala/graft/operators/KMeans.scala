@@ -317,10 +317,17 @@ object KMeans {
     * use their `cent` CTE. */
   def duckTrainCtes(table: String, k: Int = 16, iters: Int = 3,
                     prefix: String = ""): String = {
-    import graft.functions.VectorFns.duckCosine
     val init =
       s"""${prefix}cent0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
          |          FROM $table WHERE vec_id < $k)""".stripMargin
+    duckTrainCtesFrom(table, init, iters, prefix)
+  }
+
+  /** [[duckTrainCtes]] with a caller-supplied `cent0` CTE — the seeding
+    * seam ([[duckSeedCtes]] plugs the farthest-first chain in here). */
+  private def duckTrainCtesFrom(table: String, init: String, iters: Int,
+                                prefix: String = ""): String = {
+    import graft.functions.VectorFns.duckCosine
     val rounds = (1 to iters).map { t =>
       val p = s"${prefix}cent${t - 1}"
       s"""${duckAssignCtes(table, p, s"${prefix}asg$t", s"${prefix}a$t")},
@@ -335,6 +342,106 @@ object KMeans {
          |           FROM $p p LEFT JOIN ${prefix}uc$t u ON p.cid = u.cid)""".stripMargin
     }
     (init +: rounds).mkString(",\n")
+  }
+
+  /** Deterministic k-means++-style seeding — farthest-first traversal
+    * (Gonzalez 1985, the k-center 2-approximation; the deterministic
+    * member of the k-means++ family, trading the D² random draw for the
+    * argmax): seed 1 is the md5-ranked "random" pick, each next seed the
+    * vector MINIMIZING its best cosine to the chosen set (i.e. the
+    * farthest point spherically), ties to the lowest vec_id. Exactly
+    * mirrored in SQL ([[duckSeedCtes]]) — the md5 rank, the greatest()
+    * over per-seed cosines, and the tiebreak are all engine-exact — so a
+    * trained-from-farthest-seeds layout is oracle-gateable end to end.
+    *
+    * Scale shape: k driver rounds, each ONE corpus pass (broadcast seed
+    * literals folded into the scan projection) ending in a
+    * TakeOrderedAndProject of ONE row — the sanctioned global top-k; the
+    * collected state is k rows (facade tolerance). An offline trainer
+    * step, like [[train]] itself.
+    *
+    * Returns (cid = 0..k-1 in pick order, ce, cn). */
+  def seedsFarthest(index: DataFrame, k: Int): DataFrame = {
+    val spark = index.sparkSession
+    val e = index.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("ed"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+    case class Seed(id: Long, ed: Seq[Double], nrm: Double)
+    def of(r: org.apache.spark.sql.Row) =
+      Seed(r.getLong(0), r.getSeq[Double](1), r.getDouble(2))
+    val first = of(e
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), asc("vec_id"))
+      .limit(1).select("vec_id", "ed", "nrm").head())
+    val picked = scala.collection.mutable.ArrayBuffer(first)
+    while (picked.length < k) {
+      val sims = picked.map(s =>
+        dotc(col("ed"), typedlit(s.ed)) / (col("nrm") * lit(s.nrm)))
+      val best = if (sims.size == 1) sims.head else greatest(sims.toSeq: _*)
+      picked += of(e
+        .filter(!col("vec_id").isin(picked.map(_.id).toSeq: _*))
+        .withColumn("ms", best)
+        .orderBy(asc("ms"), asc("vec_id"))
+        .limit(1).select("vec_id", "ed", "nrm").head())
+    }
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.ed, s.nrm) }
+      .toDF("cid", "ce", "cn")
+  }
+
+  /** [[train]] from [[seedsFarthest]] — same Lloyd loop, seeded spread-out
+    * instead of by lowest vec_id; objective/coherence shift vs the
+    * baseline init is measured through [[stats]] (q_kmeans_pp). */
+  def trainFarthest(index: DataFrame, k: Int = 16, iters: Int = 3): DataFrame = {
+    val e = index.select(col("embedding").cast("array<double>").as("ed"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+    lloyd(e, seedsFarthest(index, k).localCheckpoint(true), iters)
+  }
+
+  /** DuckDB mirror of [[seedsFarthest]]: k chained one-row CTEs, each an
+    * ORDER BY greatest(cosines-to-chosen) ASC, vec_id LIMIT 1 — emits
+    * `${prefix}cent0` (cid, ce) for [[duckTrainCtesFrom]]. */
+  private def duckSeedCtes(table: String, k: Int, prefix: String = ""): String = {
+    import graft.functions.VectorFns.duckCosine
+    val ctes = (1 to k).map { i =>
+      if (i == 1)
+        s"""${prefix}fs1 AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ce, embedding
+           |       FROM $table ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1)""".stripMargin
+      else {
+        val froms = (1 until i).map(j => s"${prefix}fs$j s$j").mkString(", ")
+        val notIn = (1 until i).map(j => s"t.vec_id <> s$j.vec_id").mkString(" AND ")
+        val coss = (1 until i).map(j => duckCosine("t.embedding", s"s$j.embedding"))
+        val ms = if (coss.size == 1) coss.head else coss.mkString("greatest(", ", ", ")")
+        s"""${prefix}fs$i AS MATERIALIZED (SELECT t.vec_id, list_transform(t.embedding, x -> x::DOUBLE) AS ce, t.embedding
+           |       FROM $table t, $froms WHERE $notIn
+           |       ORDER BY $ms ASC, t.vec_id LIMIT 1)""".stripMargin
+      }
+    }
+    val union = (1 to k).map(i =>
+      s"SELECT ${i - 1}::BIGINT AS cid, ce FROM ${prefix}fs$i").mkString("\n       UNION ALL ")
+    s"""${ctes.mkString(",\n")},
+       |${prefix}cent0 AS ($union)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[stats]] over a farthest-seeded training run. */
+  def duckStatsPpSql(table: String, k: Int = 16, iters: Int = 3): String = {
+    import graft.functions.VectorFns.{duckCosine, duckNorm}
+    s"""WITH ${duckSeedCtes(table, k)},
+       |${duckTrainCtesFrom(table, "__ppseed_marker__", iters)},
+       |cent AS (SELECT cid, ce, ${duckNorm("ce")} AS cn FROM cent$iters),
+       |${duckAssignCtes(table, "cent", "fasg", "fa")},
+       |w AS (SELECT fa.cluster, ${duckCosine("fa.embedding", "c.ce")} AS csim, c.cn
+       |      FROM fa JOIN cent c ON fa.cluster = c.cid),
+       |cells AS (SELECT cluster, count(*)::BIGINT AS n_vecs,
+       |                 sum(CAST(csim AS DECIMAL(28,12))) AS simsum,
+       |                 min(csim) AS mn, min(cn) AS cnorm
+       |          FROM w GROUP BY cluster)
+       |SELECT cluster, n_vecs,
+       |       round(CAST(simsum AS DOUBLE) / n_vecs::DOUBLE, 6) AS mean_csim,
+       |       round(mn, 6) AS min_csim,
+       |       round(cnorm, 6) AS centroid_norm
+       |FROM cells ORDER BY cluster""".stripMargin
+      .replace("__ppseed_marker__,\n", "") // cent0 already emitted by the seed chain
   }
 
   /** DuckDB mirror of [[stats]] over [[duckTrainCtes]]'s final centroids. */

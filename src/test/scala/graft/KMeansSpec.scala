@@ -67,4 +67,33 @@ class KMeansSpec extends AnyFunSuite {
     assert(trained == exact,
       "probing every trained cell must recover the exact ranking")
   }
+
+  test("farthest-first seeds: deterministic, distinct, spread wider than the lowest-id seeds") {
+    val s1 = KMeans.seedsFarthest(emb, k = 8).collect().map(_.toString).toSeq
+    val s2 = KMeans.seedsFarthest(emb, k = 8).collect().map(_.toString).toSeq
+    assert(s1 == s2 && s1.length == 8)
+    // seed contract: cids are 0..k-1 in pick order
+    val cids = KMeans.seedsFarthest(emb, k = 8).select("cid")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(cids == (0L until 8L))
+    // the spread property the traversal exists for: the max pairwise
+    // cosine among farthest-first seeds is lower than among the first-k
+    // baseline seeds (seeds are spread out, not adjacent ids)
+    def maxPairSim(cent: org.apache.spark.sql.DataFrame): Double = {
+      val a = cent.select(col("cid").as("i"), col("ce").as("ea"), col("cn").as("na"))
+      val b = cent.select(col("cid").as("j"), col("ce").as("eb"), col("cn").as("nb"))
+      a.crossJoin(b).filter(col("i") < col("j"))
+        .select(max(graft.functions.VecExprs.dotc(col("ea"), col("eb"))
+          / (col("na") * col("nb"))).as("m"))
+        .head().getDouble(0)
+    }
+    val baseline = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("ce"))
+      .withColumn("cn", sqrt(graft.functions.VecExprs.dotc(col("ce"), col("ce"))))
+    assert(maxPairSim(KMeans.seedsFarthest(emb, k = 8)) < maxPairSim(baseline))
+    // and the full trained run stays a valid centroid relation
+    val cent = KMeans.trainFarthest(emb, k = 8, iters = 2)
+    assert(cent.count() == 8)
+  }
 }
