@@ -547,6 +547,9 @@ object SparkEntry {
     // the foreachBatch sink, compared against the standing corpus —
     // identical report to q_drift_report, so the one oracle gates both
     "q_stream_drift" -> ((s, dir) => StreamOps.streamedDrift(s, dir)),
+    // frozen-vocabulary BPE tokenization per micro-batch through the
+    // foreachBatch sink — profile identical to the batch apply path
+    "q_stream_bpe" -> ((s, dir) => StreamOps.streamedBpeApply(s, dir)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -874,5 +877,8 @@ object SparkEntry {
     "q_stream_pii"      -> TextAnalysis.duckPiiRedact(
       s"(SELECT doc_id, text FROM documents UNION ALL SELECT * FROM $duckPiiProbes)"),
     "q_stream_drift"    -> TextAnalysis.duckDriftReport("documents"),
+    "q_stream_bpe" -> graft.operators.Bpe.duckApplySql(
+      "(SELECT * FROM documents WHERE doc_id % 2 = 0) tr",
+      "(SELECT * FROM documents WHERE doc_id % 2 <> 0) ho", iters = 8),
   )
 }

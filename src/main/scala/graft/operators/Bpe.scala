@@ -128,14 +128,23 @@ object Bpe {
     * (sym, n_words, total_freq) profile as [[vocabProfile]], over the new
     * corpus. */
   def applyMerges(documents: DataFrame, merges: DataFrame, iters: Int,
-                  topN: Int = 30): DataFrame = {
+                  topN: Int = 30): DataFrame =
+    profileOf(applyState(documents, merges, iters), topN)
+
+  /** The raw post-merge symbol state (word, freq, pos, sym) under a frozen
+    * merge list — the per-batch seam [[graft.streaming.StreamOps]]'s
+    * streaming tokenizer aggregates through its sink: merge application is
+    * per-word, so a batch-split corpus merges identically and the profile
+    * is recoverable from per-batch (sym, word, Σfreq) partials. */
+  private[graft] def applyState(documents: DataFrame, merges: DataFrame,
+                                iters: Int): DataFrame = {
     var syms = initialSyms(documents).localCheckpoint(true)
     (1 to iters).foreach { t =>
       val best = merges.filter(col("it") === t)
         .select(col("s1").as("b1"), col("s2").as("b2"))
       syms = mergeOne(syms, best).localCheckpoint(true)
     }
-    profileOf(syms, topN)
+    syms
   }
 
   private def profileOf(syms: DataFrame, topN: Int): DataFrame =

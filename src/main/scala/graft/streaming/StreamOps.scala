@@ -480,6 +480,58 @@ object StreamOps {
     * on "everything currently visible is indexed" and `stop()` when done; on
     * a real deployment the query runs unbounded.
     */
+  /** Streaming frozen-vocabulary tokenization — hand-off item: the trained
+    * BPE merge list applied to every arriving micro-batch through the
+    * production foreachBatch→parquet sink, the [[streamedDrift]] shape.
+    * Train once on the even-doc_id snapshot (frozen, checkpointed), then
+    * per batch run [[graft.operators.Bpe]]'s merge application on the
+    * batch's word-freq state and sink the per-batch (sym, word, Σfreq)
+    * PARTIALS; the final profile aggregates the sink. Correct under any
+    * batch split because merge application is per-word and the profile's
+    * aggregates are linear in word counts (countDistinct unions words,
+    * freq partials sum) — batch-split equivalence is spec-proven.
+    * Output = the q_bpe_apply profile, row for row. */
+  def streamedBpeApply(spark: SparkSession, sfDir: String,
+                       iters: Int = 8, topN: Int = 30): DataFrame = {
+    import graft.operators.Bpe
+    val docs = Tables.documents(spark, sfDir)
+    val merges = Bpe.learn(docs.filter(col("doc_id") % 2 === 0), iters)
+      .localCheckpoint(true) // the FROZEN artifact: train once, apply per batch
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 2 =!= 0)
+    streamedBpeApplyOf(stream, merges, iters, topN)
+  }
+
+  /** The sink core of [[streamedBpeApply]] over an arbitrary document
+    * stream and frozen merge list — the batch-split-equivalence spec
+    * drives it with a two-file source at maxFilesPerTrigger=1. */
+  private[graft] def streamedBpeApplyOf(stream: DataFrame, merges: DataFrame,
+                                        iters: Int, topN: Int = 30): DataFrame = {
+    import graft.operators.Bpe
+    val spark = stream.sparkSession
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_bpe").toString
+    try {
+      withShufflePartitions(spark, 4) {
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            Bpe.applyState(b, merges, iters)
+              .groupBy("sym", "word").agg(sum("freq").as("f"))
+              .write.mode("append").parquet(outDir)
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      spark.read.schema("sym STRING, word STRING, f BIGINT").parquet(outDir)
+        .groupBy("sym")
+        .agg(countDistinct(col("word")).as("n_words"), sum("f").as("total_freq"))
+        .orderBy(desc("total_freq"), asc("sym"))
+        .limit(topN)
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(outDir))
+  }
+
   def streamingReindex(spark: SparkSession, watchDir: String,
                        indexDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._

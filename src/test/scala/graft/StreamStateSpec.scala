@@ -245,6 +245,32 @@ class StreamStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming frozen-vocabulary BPE apply is batch-split invariant and equals the batch path") {
+    import java.nio.file.{Files => JF}
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val merges = graft.operators.Bpe
+      .learn(docs.filter(col("doc_id") % 2 === 0), iters = 4)
+      .localCheckpoint(true)
+    val ho = docs.filter(col("doc_id") % 2 =!= 0)
+    val batch = graft.operators.Bpe.applyMerges(ho, merges, iters = 4)
+      .collect().map(_.toString).toSeq
+    // split the held-out corpus into TWO parquet files and stream them one
+    // per trigger: two genuine micro-batches through the sink, words
+    // straddling the split must still profile identically
+    val srcDir = JF.createTempDirectory("graft_bpe_split").toString
+    ho.filter(col("doc_id") % 4 === 1).write.parquet(s"$srcDir/p1")
+    ho.filter(col("doc_id") % 4 === 3).write.parquet(s"$srcDir/p2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+    val streamed = graft.streaming.StreamOps
+      .streamedBpeApplyOf(stream, merges, iters = 4)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch,
+      "per-batch partials through the sink must reproduce the one-shot profile")
+  }
+
   test("streaming drift report equals the batch drift report row for row") {
     val streamed = StreamOps.streamedDrift(spark, TestSpark.sf).collect().map(_.toString).toSeq
     val batch = graft.operators.TextAnalysis.driftReport(
