@@ -252,6 +252,11 @@ object SparkEntry {
       Dedup.ngramJaccardCappedAdaptive(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_embed" -> ((s, dir) => Dedup.embedCosine(Tables.documents(s, dir), threshold = 0.95)),
+    // corpus-relative bucket width (bits ~ log2(n/occupancy), in-plan
+    // integer log): bounded bucket occupancy as the corpus grows — the
+    // sf1 lesson applied to the embedding-bucket family
+    "q_dedup_embed_adaptive" -> ((s, dir) =>
+      Dedup.embedCosineAdaptive(Tables.documents(s, dir), threshold = 0.95)),
     // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup over
     // the embeddings table — quadratic test confined within IVF clusters
     "q_dedup_semantic" -> ((s, dir) =>
@@ -755,6 +760,7 @@ object SparkEntry {
     "q_dedup_incremental" -> Dedup.duckMinhashIncrementalSql("documents", 0.5),
     "q_dedup_simhash" -> Dedup.duckSimhashSql("documents", 0.5),
     "q_dedup_embed"   -> Dedup.duckEmbedCosine("documents", 0.95),
+    "q_dedup_embed_adaptive" -> Dedup.duckEmbedCosineAdaptive("documents", 0.95),
     "q_dedup_semantic" -> Dedup.duckSemDedup("embeddings", 16, 0.4),
     "q_curation"      -> Curation.duckCurate("documents", 0.45, 0.8),
     "q_lang_id"       -> TextAnalysis.duckLangId("documents"),

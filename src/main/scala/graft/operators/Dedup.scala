@@ -527,6 +527,66 @@ object Dedup {
       .orderBy(asc("d1"), asc("d2"))
   }
 
+  /** Corpus-relative bucket width for [[embedCosine]] — the simJoin/embed
+    * member of the sf1 lesson (fixed 2^bits buckets go quadratic when the
+    * corpus outgrows them; the one-decade-up gate measured the 2^8 bucket
+    * self-join materializing ~4.9M candidate pairs at 50k docs): derive
+    * `bits = clamp(1, maxBits, floor(log2(n / targetOccupancy)))` IN-PLAN
+    * with the exact `length(bin(x)) - 1` integer-log trick, so expected
+    * bucket occupancy stays ~targetOccupancy as the corpus grows and the
+    * quadratic-within-bucket work stays bounded. The recall trade is the
+    * standard sign-LSH one — more bits lose more boundary pairs — and
+    * `maxBits` is the deployment's recall floor. Engine-exact: the count,
+    * the log, the clamp, and the truncated pattern are identical integer/
+    * string operations in both engines. */
+  def embedCosineAdaptive(documents: DataFrame, threshold: Double,
+                          targetOccupancy: Int = 32, maxBits: Int = 16): DataFrame = {
+    val e = Embedder.embed(documents)
+      .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
+      .withColumn("patf", signBucket(col("embedding"), maxBits))
+      .cache()
+    val nb = e.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(1), least(lit(maxBits),
+        length(bin(expr(s"n DIV $targetOccupancy"))) - 1)).as("bits"))
+    val withPat = e.crossJoin(broadcast(nb))
+      .withColumn("pat", expr("substring(patf, 1, bits)"))
+    val a = withPat.select(col("doc_id").as("d1"), col("embedding").as("e1"),
+      col("nrm").as("n1"), col("pat"))
+    val b = withPat.select(col("doc_id").as("d2"), col("embedding").as("e2"),
+      col("nrm").as("n2"), col("pat"))
+    val rawSim = dotc(col("e1"), col("e2")) / (col("n1") * col("n2"))
+    a.join(b, Seq("pat"))
+      .filter(col("d1") < col("d2") && rawSim >= threshold)
+      .select(col("d1"), col("d2"), round(rawSim, 6).as("sim"))
+      .orderBy(asc("d1"), asc("d2"))
+  }
+
+  /** DuckDB mirror of [[embedCosineAdaptive]] — same integer-log width
+    * derivation and truncated sign pattern. */
+  def duckEmbedCosineAdaptive(table: String, threshold: Double,
+                              targetOccupancy: Int = 32, maxBits: Int = 16): String = {
+    val pat = (0 until maxBits).map(i =>
+      s"CASE WHEN max(CASE WHEN bucket = $i AND cnt > 0 THEN 1 ELSE 0 END) = 1 THEN '1' ELSE '0' END")
+      .mkString(", ")
+    s"""WITH h AS MATERIALIZED (${Embedder.duckBucketHistogram(table)}),
+       |nrm AS MATERIALIZED (SELECT doc_id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS n FROM h GROUP BY doc_id),
+       |patf AS MATERIALIZED (SELECT doc_id, concat($pat) AS patf FROM h GROUP BY doc_id),
+       |nb AS (SELECT greatest(1, least($maxBits,
+       |               length(bin(count(*) // $targetOccupancy)) - 1)) AS bits
+       |       FROM patf),
+       |pat AS MATERIALIZED (SELECT doc_id, substr(patf, 1, bits::INT) AS pat FROM patf, nb),
+       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM pat a JOIN pat b ON a.pat = b.pat AND a.doc_id < b.doc_id),
+       |dots AS (SELECT c.d1, c.d2, CAST(sum(x.cnt * y.cnt) AS DOUBLE) AS dot
+       |         FROM cand c JOIN h x ON x.doc_id = c.d1
+       |         JOIN h y ON y.doc_id = c.d2 AND y.bucket = x.bucket
+       |         GROUP BY c.d1, c.d2),
+       |s AS (SELECT d.d1, d.d2, d.dot / (n1.n * n2.n) AS sim_raw
+       |      FROM dots d JOIN nrm n1 ON n1.doc_id = d.d1 JOIN nrm n2 ON n2.doc_id = d.d2)
+       |SELECT d1, d2, round(sim_raw, 6) AS sim
+       |FROM s WHERE sim_raw >= $threshold ORDER BY d1, d2""".stripMargin
+  }
+
   def duckEmbedCosine(table: String, threshold: Double, bits: Int = 8): String = {
     val pat = (0 until bits).map(i =>
       s"CASE WHEN max(CASE WHEN bucket = $i AND cnt > 0 THEN 1 ELSE 0 END) = 1 THEN '1' ELSE '0' END")

@@ -1223,6 +1223,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(cl.size == 14 + 4 + 2)
   }
 
+  test("adaptive embed-bucket width == fixed width at the derived bits") {
+    val n = docs.count()
+    val derived = math.max(1, math.min(16,
+      java.lang.Long.toBinaryString(n / 32).length - 1))
+    val adaptive = Dedup.embedCosineAdaptive(docs, threshold = 0.95)
+      .collect().map(_.toString).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val fixed = Dedup.embedCosine(docs, threshold = 0.95, bits = derived)
+      .collect().map(_.toString).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    assert(adaptive == fixed && adaptive.nonEmpty)
+    // the width rule itself: one decade more corpus adds ~log2(10) bits
+    def bitsFor(count: Long) = math.max(1, math.min(16,
+      java.lang.Long.toBinaryString(count / 32).length - 1))
+    assert(bitsFor(500) == 3 && bitsFor(5000) == 7 && bitsFor(50000) == 10)
+  }
+
   test("adaptive df cap survives a corpus the absolute cap collapses on") {
     import spark.implicits._
     // every shingle appears in all 25 docs: the absolute cap of 20 drops
