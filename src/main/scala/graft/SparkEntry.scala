@@ -104,9 +104,13 @@ object SparkEntry {
     // Distributed Lloyd k-means (3 rounds, spherical): the trainer the
     // IVF/PQ scaladocs point at — per-cell report over the TRAINED layout.
     // Engine-exact via decimal-sum centroid updates (KMeans scaladoc).
+    // RETRAINS + persists every execution (CentroidLayout.rebuildTrain):
+    // this is the entry that PRICES training, which the trained-path
+    // queries below read from the artifact for free (round-7 verdict #5).
     "q_kmeans" -> ((s, dir) => {
       val e = emb(s, dir)
-      graft.operators.KMeans.stats(e, graft.operators.KMeans.train(e, k = 16, iters = 3))
+      graft.operators.KMeans.stats(e,
+        graft.sources.CentroidLayout.rebuildTrain(s, e, dir, k = 16, iters = 3))
     }),
 
     // Choose-k sweep: objective + fill spread per k (4..32) — the elbow
@@ -127,7 +131,8 @@ object SparkEntry {
     // untrained layout is measured in q_knn_recall's ivf_trained row.
     "q_knn_ivf_trained" -> ((s, dir) => {
       val e = emb(s, dir)
-      Knn.topKIvfWith(e, graft.operators.KMeans.train(e, k = 16, iters = 3),
+      Knn.topKIvfWith(e,
+        graft.sources.CentroidLayout.ensureTrain(s, e, dir, k = 16, iters = 3),
         qvec(s, dir), k = 10, nprobe = 4, excludeId = Some(0L))
     }),
 
@@ -171,7 +176,8 @@ object SparkEntry {
     // (KMeans.trainPq), same ADC/pivot ranking — the "train offline and
     // swap the codebook" path, recall shift measured in q_knn_recall.
     "q_knn_pq_trained" -> ((s, dir) =>
-      Knn.topKPqTrained(emb(s, dir), qvec(s, dir), k = 10, excludeId = Some(0L))),
+      Knn.topKPqTrained(emb(s, dir), qvec(s, dir), k = 10, excludeId = Some(0L),
+        centOpt = Some(graft.sources.CentroidLayout.ensurePq(s, emb(s, dir), dir)))),
 
     // Random projection (JL): 64→16 dims via deterministic ±1 signs baked
     // into the plan as literals; projected-space rank, exact re-rank.
@@ -190,7 +196,9 @@ object SparkEntry {
     // 16×4-bit bands as q_knn_lsh_banded).
     "q_knn_recall" -> ((s, dir) =>
       graft.operators.KnnRecall.annRecall(emb(s, dir), k = 10, nQueries = 16,
-        bits = 4, numCentroids = 16, nprobe = 4, bandBits = 4, bandTables = 16)),
+        bits = 4, numCentroids = 16, nprobe = 4, bandBits = 4, bandTables = 16,
+        centTOpt = Some(graft.sources.CentroidLayout.ensureTrain(s, emb(s, dir), dir)),
+        centPqTOpt = Some(graft.sources.CentroidLayout.ensurePq(s, emb(s, dir), dir)))),
 
     // Margin-based cross-label pair mining (bitext-mining scorer):
     // hubness-corrected margin = cos / mean of both endpoints' k-NN cos,
@@ -225,6 +233,23 @@ object SparkEntry {
     "q_pairs_artifact" -> ((s, dir) =>
       graft.sources.PairsLayout.rebuild(s, Tables.documents(s, dir), dir, 0.8)
         .orderBy(asc("d1"), asc("d2"))),
+    // Incremental artifact maintenance gate: build the pair artifact on a
+    // 90% corpus slice, UPSERT the held-out 10% as an ingest batch
+    // (new×old band probe + batch-internal pairs appended — never
+    // old×old), read the artifact back. The oracle runs the FULL-corpus
+    // pair pipeline: incremental ≡ full rebuild is the checked invariant
+    // (pair membership is per-pair, so the decomposition is exact).
+    // Rebuilds both steps every execution — the entry prices the
+    // maintenance op itself (the q_knn_ivf_upsert pattern).
+    "q_pairs_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val d = "out/artifacts/pairs_incr"
+      val old = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      graft.sources.PairsLayout.write(s, old, d, 0.8)
+      graft.sources.PairsLayout.upsert(s, d, batch, old, 0.8)
+      graft.sources.PairsLayout.read(s, d).orderBy(asc("d1"), asc("d2"))
+    }),
     // dup-graph degree histogram over the persisted pair artifact: the
     // report measures ITS OWN aggregation, not the shared pair pipeline
     "q_dup_degree" -> ((s, dir) => Dedup.degreeOfPairs(
@@ -251,12 +276,23 @@ object SparkEntry {
     "q_dedup_ngram_adaptive" -> ((s, dir) =>
       Dedup.ngramJaccardCappedAdaptive(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir), threshold = 0.5)),
-    "q_dedup_embed" -> ((s, dir) => Dedup.embedCosine(Tables.documents(s, dir), threshold = 0.95)),
+    // The persisted per-doc embedding artifact itself: full tokenize+hash
+    // pipeline + write + dense read-back, REBUILT every execution — the
+    // entry that PRICES the embed pass the cosine/outlier family below
+    // reads for free (the PairsLayout pattern applied to embeddings,
+    // round-7 verdict #1; the reference stores embeddings at index time).
+    "q_embed_artifact" -> ((s, dir) =>
+      graft.sources.EmbedLayout.rebuild(s, Tables.documents(s, dir), dir)
+        .orderBy("doc_id")),
+    "q_dedup_embed" -> ((s, dir) => Dedup.embedCosineOf(
+      graft.sources.EmbedLayout.ensureEmb(s, Tables.documents(s, dir), dir),
+      threshold = 0.95)),
     // corpus-relative bucket width (bits ~ log2(n/occupancy), in-plan
     // integer log): bounded bucket occupancy as the corpus grows — the
     // sf1 lesson applied to the embedding-bucket family
-    "q_dedup_embed_adaptive" -> ((s, dir) =>
-      Dedup.embedCosineAdaptive(Tables.documents(s, dir), threshold = 0.95)),
+    "q_dedup_embed_adaptive" -> ((s, dir) => Dedup.embedCosineAdaptiveOf(
+      graft.sources.EmbedLayout.ensureEmb(s, Tables.documents(s, dir), dir),
+      threshold = 0.95)),
     // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup over
     // the embeddings table — quadratic test confined within IVF clusters
     "q_dedup_semantic" -> ((s, dir) =>
@@ -352,8 +388,10 @@ object SparkEntry {
     "q_mix_weights" -> ((s, dir) => CorpusOps.mixtureWeights(Tables.documents(s, dir), budgetFrac = 0.5)),
     // deterministic hash-stratified sample accounting under those rates
     "q_sample_stratified" -> ((s, dir) => CorpusOps.stratifiedSample(Tables.documents(s, dir), budgetFrac = 0.5)),
-    // centroid-distance outliers: least-typical docs per language domain
-    "q_embed_outliers" -> ((s, dir) => CorpusOps.embeddingOutliers(Tables.documents(s, dir), k = 5)),
+    // centroid-distance outliers: least-typical docs per language domain,
+    // read from the persisted sparse-histogram artifact (no re-embed)
+    "q_embed_outliers" -> ((s, dir) => CorpusOps.embeddingOutliersOf(
+      graft.sources.EmbedLayout.ensureHist(s, Tables.documents(s, dir), dir), k = 5)),
     // sequence packing via distributed two-phase prefix sum
     "q_pack_sequences" -> ((s, dir) => CorpusOps.packSequences(Tables.documents(s, dir), seqLen = 512)),
     // temperature (τ=2) mixture: sqrt-share re-balancing, fixed-order sums
@@ -503,19 +541,26 @@ object SparkEntry {
     "q_frames" -> ((s, dir) => Multimodal.frameSamples(Tables.documents(s, dir))),
     // per-modality fixed-capacity decode batches (two-phase prefix sum)
     "q_mm_batches" -> ((s, dir) => Multimodal.decodeBatches(Tables.documents(s, dir))),
+    // The persisted perceptual-signature artifact: linear char-row
+    // blockhash build + write + read-back, REBUILT every execution — the
+    // pricing twin of q_embed_artifact for the phash family.
+    "q_phash_artifact" -> ((s, dir) =>
+      graft.sources.PhashLayout.rebuild(s, Tables.documents(s, dir), dir)
+        .orderBy("doc_id")),
     // perceptual near-dup over the binary payload: 64-bit blockhash
-    // signatures, 8x8 hamming bands (tuned to the measured near-dup
-    // hamming profile), full-signature verify — the image dedup member of
+    // signatures read from the persisted artifact, corpus-relative band
+    // width, full-signature hamming verify — the image dedup member of
     // the dedup family (signature over decoded pixels in a real pipeline;
     // byte blocks are the container's decode stand-in)
-    "q_phash_dedup" -> ((s, dir) =>
-      Multimodal.phashDedup(Tables.documents(s, dir), maxHamming = 13)),
+    "q_phash_dedup" -> ((s, dir) => Multimodal.phashDedupOf(
+      graft.sources.PhashLayout.ensure(s, Tables.documents(s, dir), dir),
+      maxHamming = 13)),
     "q_embed_hist" -> ((s, dir) =>
       Embedder.bucketHistogram(Tables.documents(s, dir))
         .filter(col("doc_id") < 100).orderBy("doc_id", "bucket")),
     "q_index_knn" -> ((s, dir) => {
-      // embedder subtree feeds both the query row and the index side — cache
-      val embDf = Embedder.embed(Tables.documents(s, dir)).cache()
+      // both the query row and the index side read the persisted artifact
+      val embDf = graft.sources.EmbedLayout.ensureEmb(s, Tables.documents(s, dir), dir)
       val q = embDf.filter(col("doc_id") === 0)
         .select(col("embedding").as("qe"))
         .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
@@ -746,6 +791,8 @@ object SparkEntry {
     "q_dedup_exact"   -> Dedup.duckExact("documents"),
     "q_dedup_minhash" -> Dedup.duckMinhashSql("documents", 0.8),
     "q_pairs_artifact" -> Dedup.duckPairsSql("documents", 0.8),
+    // full-corpus pipeline: the incremental upsert must land exactly here
+    "q_pairs_incremental" -> Dedup.duckPairsSql("documents", 0.8),
     "q_dup_degree"    -> Dedup.duckDupDegreeSql("documents", 0.8),
     "q_dup_triangles" -> Dedup.duckDupTrianglesSql("documents", 0.8),
     "q_dup_pagerank"  -> Dedup.duckDupPagerankSql("documents", 0.8),
@@ -856,6 +903,12 @@ object SparkEntry {
     "q_frames"          -> Multimodal.duckFrameSamples("documents"),
     "q_mm_batches"      -> Multimodal.duckDecodeBatches("documents"),
     "q_phash_dedup"     -> Multimodal.duckPhashDedup("documents", 13),
+    "q_phash_artifact" ->
+      s"""WITH ${Multimodal.duckPhashSigCtes("documents")}
+         |SELECT doc_id, phash, plen FROM sig ORDER BY doc_id""".stripMargin,
+    "q_embed_artifact" ->
+      s"""WITH ${Embedder.duckDenseEmbCtes("documents")}
+         |SELECT doc_id, e AS embedding FROM emb ORDER BY doc_id""".stripMargin,
     "q_embed_hist" ->
       s"""WITH h AS (${Embedder.duckBucketHistogram("documents")})
          |SELECT doc_id, bucket, cnt FROM h WHERE doc_id < 100

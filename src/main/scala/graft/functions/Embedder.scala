@@ -66,6 +66,22 @@ object Embedder {
        |GROUP BY $groupCols""".stripMargin
   }
 
+  /** Dense-embedding CTE chain for DuckDB mirrors: `h` (sparse histogram)
+    * → `emb(doc_id, e DOUBLE[])` → `nrm`. The dense list is the oracle
+    * twin of [[embed]]'s output and feeds `list_dot_product`-based
+    * verification (array-native — no per-candidate histogram joins, the
+    * restructure that made the sf1 embed-dedup oracle feasible). */
+  def duckDenseEmbCtes(table: String): String =
+    s"""h AS MATERIALIZED (${duckBucketHistogram(table)}),
+       |emb AS MATERIALIZED (
+       |  SELECT doc_id, list(CAST(coalesce(cnt, 0) AS DOUBLE) ORDER BY i) AS e
+       |  FROM (SELECT d.doc_id, r.i, h.cnt
+       |        FROM (SELECT DISTINCT doc_id FROM h) d
+       |        CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i) r
+       |        LEFT JOIN h ON h.doc_id = d.doc_id AND h.bucket = r.i)
+       |  GROUP BY doc_id),
+       |nrm AS MATERIALIZED (SELECT doc_id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS n FROM h GROUP BY doc_id)""".stripMargin
+
   /** Dense `array<double>` embeddings (unnormalized integer counts; exact).
     * Output: (doc_id, embedding). Cosine normalizes at distance time, so
     * the stored integers keep the oracle path exact.

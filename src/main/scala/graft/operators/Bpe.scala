@@ -97,7 +97,12 @@ object Bpe {
     // adjacent pairs). With the null row, `m` is false everywhere and
     // the round is a structural no-op — frozen-list replay degrades
     // safely. Contract unchanged otherwise: `best` carries ≤ 1 row.
-    val best1 = best.agg(min(col("b1")).as("b1"), min(col("b2")).as("b2"))
+    // min over ONE struct (not independent min(b1)/min(b2)): if the
+    // ≤ 1-row contract were ever violated, the independent form could
+    // fabricate a (b1, b2) pair that was never a merge — the struct min
+    // still yields a REAL pair (round-7 ADVICE).
+    val best1 = best.agg(min(struct(col("b1"), col("b2"))).as("b"))
+      .select(col("b.b1").as("b1"), col("b.b2").as("b2"))
     val flagged = paired.crossJoin(broadcast(best1))
       .withColumn("m", coalesce(col("nxt").isNotNull &&
         col("sym") === col("b1") && col("nxt") === col("b2"), lit(false)))

@@ -897,9 +897,19 @@ object CorpusOps {
     * The histogram relation is cached — the centroid and dot-product
     * branches both read it (harness clears caches per query).
     */
-  def embeddingOutliers(documents: DataFrame, k: Int): DataFrame = {
+  def embeddingOutliers(documents: DataFrame, k: Int): DataFrame =
+    embeddingOutliersOf(
+      graft.functions.Embedder.bucketHistogram(documents, carry = Seq("lang")).cache(), k)
+
+  /** [[embeddingOutliers]] core over a prebuilt (doc_id, lang, bucket, cnt)
+    * histogram relation — the pure-read path over the persisted
+    * [[graft.sources.EmbedLayout]] `hist` artifact. The in-query wrapper
+    * above caches its DERIVED histogram (centroid + dot branches would
+    * otherwise re-tokenize); an artifact-backed caller passes the parquet
+    * relation uncached — two columnar scans of a narrow integer table,
+    * with honest stats (the PairsLayout rule). */
+  def embeddingOutliersOf(h: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = graft.functions.Embedder.bucketHistogram(documents, carry = Seq("lang")).cache()
     val cent = h.groupBy("lang", "bucket").agg(sum("cnt").as("csum"))
     val cn = cent.groupBy("lang").agg(sqrt(sum(col("csum") * col("csum")).cast("double")).as("cn"))
     // dot AND the doc norm in ONE aggregation (round-4 review): the

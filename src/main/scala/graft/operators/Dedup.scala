@@ -385,8 +385,9 @@ object Dedup {
     * Recall vs the exact baseline is measurable by diffing against
     * [[ngramJaccard]]; at the oracle scales the outputs are identical.
     */
-  def ngramJaccardCapped(documents: DataFrame, threshold: Double, maxDf: Int): DataFrame =
-    cappedPairsOf(dfShingles(documents), lit(maxDf), threshold)
+  def ngramJaccardCapped(documents: DataFrame, threshold: Double, maxDf: Int,
+                         skewSafe: Boolean = true): DataFrame =
+    cappedPairsOf(dfShingles(documents, skewSafe), lit(maxDf), threshold)
 
   /** Corpus-RELATIVE df cap — the one-decade-up gate's finding made
     * operational: an ABSOLUTE cap silently collapses to zero recall when
@@ -401,8 +402,9 @@ object Dedup {
     * bounded df-histogram relation, two-phase via BoundedWindow), so the
     * cap is engine-exact. */
   def ngramJaccardCappedAdaptive(documents: DataFrame, threshold: Double,
-                                 keepPct: Int = 99): DataFrame = {
-    val shDf0 = dfShingles(documents)
+                                 keepPct: Int = 99,
+                                 skewSafe: Boolean = true): DataFrame = {
+    val shDf0 = dfShingles(documents, skewSafe)
     val hist = shDf0.select(col("s"), col("df")).distinct()
       .groupBy("df").agg(count(lit(1)).as("n"))
     val wH = graft.functions.BoundedWindow.boundedGlobal(lit("dfh"), asc("df"))
@@ -415,21 +417,48 @@ object Dedup {
   }
 
   /** Shared (doc_id, s, df) relation of the capped variants, cached (read
-    * by rare/freq filters and the size aggregate). df via `count OVER
-    * (PARTITION BY s)` — NOT groupBy + join-back: the join-back form plans
-    * the cached-relation-derived aggregate as a locked-in broadcast build
-    * side on BOTH self-join sides and computes it twice (the CLAUDE.md
-    * group-aggregate rule; measured 8.6 s at sf0.1). Skew caveat (round-4
-    * audit): a head shingle's occurrences all hit one window task (no
-    * partial agg / AQE for windows) — on boilerplate-heavy corpora,
-    * compute df by partial-agged groupBy + merge-pinned join-back instead,
-    * and eat the measured cost. */
-  private def dfShingles(documents: DataFrame): DataFrame = {
-    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
-    graft.functions.TextFns.shingleRowsOf(documents, 3).distinct()
-      .withColumn("df", count(lit(1)).over(wS))
-      .cache()
-  }
+    * by rare/freq filters and the size aggregate — 5 consumers).
+    *
+    * Two forms, selected by `skewSafe` (round-7 verdict #3):
+    *
+    *   - skewSafe = true (DEFAULT): df by partial-agged `groupBy(s)` +
+    *     join-back on s. Head-shingle mass is partial-agged on the map
+    *     side, and the join-back — itself s-keyed — is SMJ under AQE's
+    *     skew-join splitting, so NO corpus-cardinality key ever funnels
+    *     through one task. This is the form the operator exists for: a
+    *     boilerplate-heavy 100 TB corpus has shingles with billions of
+    *     occurrences. The df aggregate is a cached-relation-derived build
+    *     side → merge-pinned (the CLAUDE.md group-aggregate rule); the
+    *     shingle rows are cached because the one join plan reads them on
+    *     both sides.
+    *
+    *   - skewSafe = false: df via `count OVER (PARTITION BY s)` — one
+    *     shuffle, no join, no second cache, but every occurrence of a head
+    *     shingle lands in ONE window task (windows get no partial agg and
+    *     no AQE skew handling — the round-4 hapax lesson). Retained for
+    *     low-skew corpora where the single-shuffle form measures faster.
+    *
+    *   Measured A/B at sf0.1 (TimeQ warm reps, same session, host load
+    *   1.8-9.5 — treat as ±1 s): q_dedup_ngram_capped window 5.7-7.8 s →
+    *   grouped 8.5-9.3 s (~+2.8 s: the second cache materialization + the
+    *   join-back); q_dedup_ngram_adaptive window 9.7-10.9 s → grouped
+    *   9.4-10.7 s (a wash — the cap-derivation passes dominate). The
+    *   capped form's ~3 s at test scale is the accepted insurance price;
+    *   it buys the only version of this operator that survives the corpus
+    *   it exists for. */
+  private def dfShingles(documents: DataFrame,
+                         skewSafe: Boolean = true): DataFrame =
+    if (skewSafe) {
+      val rows = graft.functions.TextFns.shingleRowsOf(documents, 3)
+        .distinct().cache()
+      val dfr = rows.groupBy("s").agg(count(lit(1)).as("df"))
+      rows.join(dfr.hint("merge"), "s").cache()
+    } else {
+      val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+      graft.functions.TextFns.shingleRowsOf(documents, 3).distinct()
+        .withColumn("df", count(lit(1)).over(wS))
+        .cache()
+    }
 
   private def cappedPairsOf(shDf: DataFrame, cap: Column,
                             threshold: Double): DataFrame = {
@@ -498,15 +527,28 @@ object Dedup {
     * comparison becomes a shuffle-equijoin on the pattern key (the same
     * 100 TB shape as [[Knn.simJoinLsh]], but over DERIVED embeddings: this
     * is the full chunk→embed→near-dup pipeline as one declarative plan). */
-  def embedCosine(documents: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
+  def embedCosine(documents: DataFrame, threshold: Double, bits: Int = 8): DataFrame =
     // cached: the derived-embedding subtree (tokenize → md5 → histogram agg)
     // is referenced by BOTH sides of the pattern self-join and is the
     // expensive half of the query — without the cache it executes twice.
     // Same materialize-once rule as q_index_knn; harness clears per query.
-    val e = Embedder.embed(documents)
+    embedCosineOf(Embedder.embed(documents), threshold, bits, cache = true)
+
+  /** [[embedCosine]] core over a prebuilt (doc_id, embedding) relation —
+    * the pure-read path over the persisted [[graft.sources.EmbedLayout]]
+    * artifact. Default UNcached: a parquet-backed embedding relation keeps
+    * honest scan stats (the PairsLayout rule), and re-scanning it on the
+    * second self-join side is a columnar read plus a map-side nrm/pat
+    * projection — cheaper than the broadcast-lock-in exposure a cache
+    * creates. `cache = true` is for callers handing in a DERIVED subtree
+    * (the in-query [[embedCosine]] path), where recomputing means
+    * re-tokenizing the corpus. */
+  def embedCosineOf(emb: DataFrame, threshold: Double, bits: Int = 8,
+                    cache: Boolean = false): DataFrame = {
+    val e0 = emb
       .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
       .withColumn("pat", signBucket(col("embedding"), bits))
-      .cache()
+    val e = if (cache) e0.cache() else e0
     val a = e.select(col("doc_id").as("d1"), col("embedding").as("e1"), col("nrm").as("n1"), col("pat"))
     val b = e.select(col("doc_id").as("d2"), col("embedding").as("e2"), col("nrm").as("n2"), col("pat"))
     val rawSim = dotc(col("e1"), col("e2")) / (col("n1") * col("n2"))
@@ -540,11 +582,19 @@ object Dedup {
     * the log, the clamp, and the truncated pattern are identical integer/
     * string operations in both engines. */
   def embedCosineAdaptive(documents: DataFrame, threshold: Double,
-                          targetOccupancy: Int = 32, maxBits: Int = 16): DataFrame = {
-    val e = Embedder.embed(documents)
+                          targetOccupancy: Int = 32, maxBits: Int = 16): DataFrame =
+    embedCosineAdaptiveOf(Embedder.embed(documents), threshold,
+      targetOccupancy, maxBits, cache = true)
+
+  /** [[embedCosineAdaptive]] core over a prebuilt (doc_id, embedding)
+    * relation — caching contract as in [[embedCosineOf]]. */
+  def embedCosineAdaptiveOf(emb: DataFrame, threshold: Double,
+                            targetOccupancy: Int = 32, maxBits: Int = 16,
+                            cache: Boolean = false): DataFrame = {
+    val e0 = emb
       .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
       .withColumn("patf", signBucket(col("embedding"), maxBits))
-      .cache()
+    val e = if (cache) e0.cache() else e0
     val nb = e.agg(count(lit(1)).as("n"))
       .select(greatest(lit(1), least(lit(maxBits),
         length(bin(expr(s"n DIV $targetOccupancy"))) - 1)).as("bits"))
@@ -561,6 +611,22 @@ object Dedup {
       .orderBy(asc("d1"), asc("d2"))
   }
 
+  /** Per-candidate dot product over [[Embedder.duckDenseEmbCtes]]'s dense
+    * lists — ARRAY-NATIVE `list_dot_product`. The round-7 sf1 gate killed
+    * the previous per-candidate sparse histogram join (two 384-bucket
+    * probes per pair) on single-node temp/time budgets at 4.9M candidates,
+    * while the list kernel is one vectorized pass per pair. Exactness is
+    * unchanged: counts are integers, so the dot is an exact integer-valued
+    * double whatever the summation order. */
+  private def duckCosineTail(threshold: Double): String =
+    s"""dots AS (SELECT c.d1, c.d2, list_dot_product(x.e, y.e) AS dot
+       |         FROM cand c JOIN emb x ON x.doc_id = c.d1
+       |         JOIN emb y ON y.doc_id = c.d2),
+       |s AS (SELECT d.d1, d.d2, d.dot / (n1.n * n2.n) AS sim_raw
+       |      FROM dots d JOIN nrm n1 ON n1.doc_id = d.d1 JOIN nrm n2 ON n2.doc_id = d.d2)
+       |SELECT d1, d2, round(sim_raw, 6) AS sim
+       |FROM s WHERE sim_raw >= $threshold ORDER BY d1, d2""".stripMargin
+
   /** DuckDB mirror of [[embedCosineAdaptive]] — same integer-log width
     * derivation and truncated sign pattern. */
   def duckEmbedCosineAdaptive(table: String, threshold: Double,
@@ -568,8 +634,7 @@ object Dedup {
     val pat = (0 until maxBits).map(i =>
       s"CASE WHEN max(CASE WHEN bucket = $i AND cnt > 0 THEN 1 ELSE 0 END) = 1 THEN '1' ELSE '0' END")
       .mkString(", ")
-    s"""WITH h AS MATERIALIZED (${Embedder.duckBucketHistogram(table)}),
-       |nrm AS MATERIALIZED (SELECT doc_id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS n FROM h GROUP BY doc_id),
+    s"""WITH ${Embedder.duckDenseEmbCtes(table)},
        |patf AS MATERIALIZED (SELECT doc_id, concat($pat) AS patf FROM h GROUP BY doc_id),
        |nb AS (SELECT greatest(1, least($maxBits,
        |               length(bin(count(*) // $targetOccupancy)) - 1)) AS bits
@@ -577,33 +642,18 @@ object Dedup {
        |pat AS MATERIALIZED (SELECT doc_id, substr(patf, 1, bits::INT) AS pat FROM patf, nb),
        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
        |         FROM pat a JOIN pat b ON a.pat = b.pat AND a.doc_id < b.doc_id),
-       |dots AS (SELECT c.d1, c.d2, CAST(sum(x.cnt * y.cnt) AS DOUBLE) AS dot
-       |         FROM cand c JOIN h x ON x.doc_id = c.d1
-       |         JOIN h y ON y.doc_id = c.d2 AND y.bucket = x.bucket
-       |         GROUP BY c.d1, c.d2),
-       |s AS (SELECT d.d1, d.d2, d.dot / (n1.n * n2.n) AS sim_raw
-       |      FROM dots d JOIN nrm n1 ON n1.doc_id = d.d1 JOIN nrm n2 ON n2.doc_id = d.d2)
-       |SELECT d1, d2, round(sim_raw, 6) AS sim
-       |FROM s WHERE sim_raw >= $threshold ORDER BY d1, d2""".stripMargin
+       |${duckCosineTail(threshold)}""".stripMargin
   }
 
   def duckEmbedCosine(table: String, threshold: Double, bits: Int = 8): String = {
     val pat = (0 until bits).map(i =>
       s"CASE WHEN max(CASE WHEN bucket = $i AND cnt > 0 THEN 1 ELSE 0 END) = 1 THEN '1' ELSE '0' END")
       .mkString(", ")
-    s"""WITH h AS (${Embedder.duckBucketHistogram(table)}),
-       |nrm AS (SELECT doc_id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS n FROM h GROUP BY doc_id),
+    s"""WITH ${Embedder.duckDenseEmbCtes(table)},
        |pat AS (SELECT doc_id, concat($pat) AS pat FROM h GROUP BY doc_id),
        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
        |         FROM pat a JOIN pat b ON a.pat = b.pat AND a.doc_id < b.doc_id),
-       |dots AS (SELECT c.d1, c.d2, CAST(sum(x.cnt * y.cnt) AS DOUBLE) AS dot
-       |         FROM cand c JOIN h x ON x.doc_id = c.d1
-       |         JOIN h y ON y.doc_id = c.d2 AND y.bucket = x.bucket
-       |         GROUP BY c.d1, c.d2),
-       |s AS (SELECT d.d1, d.d2, d.dot / (n1.n * n2.n) AS sim_raw
-       |      FROM dots d JOIN nrm n1 ON n1.doc_id = d.d1 JOIN nrm n2 ON n2.doc_id = d.d2)
-       |SELECT d1, d2, round(sim_raw, 6) AS sim
-       |FROM s WHERE sim_raw >= $threshold ORDER BY d1, d2""".stripMargin
+       |${duckCosineTail(threshold)}""".stripMargin
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup via

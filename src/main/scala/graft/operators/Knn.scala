@@ -720,9 +720,13 @@ object Knn {
     * "train offline and swap the codebook" promise calls for. */
   def topKPqTrained(index: DataFrame, queryVec: DataFrame, k: Int,
                     m: Int = 8, dsub: Int = 8, ncent: Int = 16, iters: Int = 3,
-                    candMultiple: Int = 4, excludeId: Option[Long] = None): DataFrame = {
+                    candMultiple: Int = 4, excludeId: Option[Long] = None,
+                    centOpt: Option[DataFrame] = None): DataFrame = {
     val e0 = excludeId.map(id => index.filter(col("vec_id") =!= id)).getOrElse(index)
-    val cent = KMeans.trainPq(index, m, dsub, ncent, iters)
+    // centOpt: a persisted trained codebook (CentroidLayout.ensurePq) —
+    // the production "train offline, swap the codebook" path; None
+    // retrains in-query (the self-contained gate form)
+    val cent = centOpt.getOrElse(KMeans.trainPq(index, m, dsub, ncent, iters))
     val parts = KMeans.pqParts(index, m, dsub)
     val codes0 = KMeans.pqAssignWith(parts, cent, dsub)
       .select(col("vec_id"), col("sub"), col("cid"))

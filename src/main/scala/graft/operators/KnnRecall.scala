@@ -57,7 +57,9 @@ object KnnRecall {
                 bits: Int, numCentroids: Int, nprobe: Int,
                 bandBits: Int = 4, bandTables: Int = 16,
                 sqCandMultiple: Int = 4,
-                pqM: Int = 8, pqDsub: Int = 8, pqNcent: Int = 16): DataFrame = {
+                pqM: Int = 8, pqDsub: Int = 8, pqNcent: Int = 16,
+                centTOpt: Option[DataFrame] = None,
+                centPqTOpt: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorFns.signBucketAt
     val q = index.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
@@ -109,7 +111,10 @@ object KnnRecall {
     // identical probe/assign construction as the untrained ivf row, only
     // the centroid relation differs — the controlled comparison that
     // measures what training buys at the same (numCentroids, nprobe).
-    val centT = KMeans.train(index, numCentroids, iters = 3)
+    // persisted trained centroids when provided (CentroidLayout.ensure*) —
+    // stored ≡ in-memory training bit-exactly, so the measured recall rows
+    // are unchanged; None retrains in-query
+    val centT = centTOpt.getOrElse(KMeans.train(index, numCentroids, iters = 3))
     val assignedT = Knn.ivfAssignWith(index, centT)
     val iprobesT = centT.crossJoin(broadcast(q.select(col("qid"), col("qe"), col("qn"))))
       .withColumn("qsim", sim(col("ce"), col("cn"), col("qe"), col("qn")))
@@ -221,7 +226,7 @@ object KnnRecall {
     // only the codebook differs: the controlled comparison measuring the
     // recall the trained codebook buys ("the curve shifts left" claim in
     // SCALE.md, now a gated number).
-    val centPqT = KMeans.trainPq(index, pqM, pqDsub, pqNcent, iters = 3)
+    val centPqT = centPqTOpt.getOrElse(KMeans.trainPq(index, pqM, pqDsub, pqNcent, iters = 3))
     val partsPq = KMeans.pqParts(index, pqM, pqDsub)
     val codesT = KMeans.pqAssignWith(partsPq, centPqT, pqDsub)
       .select(col("vec_id"), col("sub"), col("cid"))

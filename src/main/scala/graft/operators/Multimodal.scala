@@ -161,17 +161,29 @@ object Multimodal {
     * Scale shape: char rows are a map-side explode (no shuffle), blocks
     * and totals are two partial-agged aggregations keyed by doc, and the
     * output is one 64-char string per doc — the artifact a deployment
-    * persists beside the asset table. */
+    * persists beside the asset table ([[graft.sources.PhashLayout]]).
+    *
+    * Char rows are the LINEAR `posexplode(split(text, ''))` form — the
+    * generator walks the string once and hands each char to its row. The
+    * first cut used `explode(sequence(1, len))` + `substring(text, pos, 1)`,
+    * which re-seeks the string per generated row: O(len) per row, O(len²)
+    * per document — measured as the dominant cost of the whole phash
+    * pipeline one decade up (minutes per execution at sf1; the same
+    * array-HOF-shaped trap the TextFns shingle row form exists to avoid).
+    * Block index arithmetic is forced to BIGINT before the multiply so a
+    * multi-GB payload cannot overflow the 32-bit position counter. */
   def phashSignatures(documents: DataFrame): DataFrame = {
     val charRows = documents
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
-      .select(col("doc_id"), col("text"), col("len"),
-        explode(sequence(lit(1), col("len").cast("int"))).as("pos"))
-      .select(col("doc_id"), col("len"), col("pos"),
-        ascii(expr("substring(text, pos, 1)")).cast("long").as("code"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        posexplode(split(col("text"), "")).as(Seq("pos0", "ch")))
+      // Spark's split keeps a trailing "" element (Java split, limit -1);
+      // DuckDB's range-based mirror never generates it — drop it here.
+      .filter(col("ch") =!= "")
+      .select(col("doc_id"), col("len"),
+        expr("(CAST(pos0 AS BIGINT) * 64) DIV len").as("blk"),
+        ascii(col("ch")).cast("long").as("code"))
     val blocks = charRows
-      .withColumn("blk", expr("((pos - 1) * 64) DIV len"))
       .groupBy("doc_id", "blk")
       .agg(sum("code").as("bsum"), count(lit(1)).as("blen"))
     val totals = blocks.groupBy("doc_id")
@@ -196,32 +208,49 @@ object Multimodal {
     * self-join reads it on both sides (the simhash precedent; harness
     * clears per query).
     *
-    * Band geometry is tuned to the MEASURED hamming profile of this
-    * corpus's byte-level signatures: true near-dups land at h = 10-13
-    * while random pairs center near 32, so 8 bands × 8 bits (clean-band
-    * probability ≈ 0.8 at h = 13) is the recall-bearing split — the
-    * simhash default of 4×16 bands needs h ≲ 6 and measured ZERO recall
-    * here. Candidate loss is the only approximation: hamming is verified
-    * exactly, so false positives cannot occur. */
-  def phashDedup(documents: DataFrame, maxHamming: Int = 13): DataFrame = {
+    * Band geometry is CORPUS-RELATIVE (the embedCosineAdaptive lesson,
+    * applied unchanged): a fixed 8-bit band key has only 256 values, so
+    * bucket occupancy grows linearly with the corpus and the self-join
+    * quadratically — the sf1 gate measured ~39M candidate pairs at 50k
+    * docs before any mitigation. Band bits derive IN-PLAN as
+    * `clamp(minBits, maxBits, floor(log2(n / targetOccupancy)))` with the
+    * exact `length(bin(x)) - 1` integer log (engine-identical), and the
+    * band count is `64 DIV bits` — at the gate scales the clamp floor
+    * keeps the measured recall-bearing split (8 bands × 8 bits: true
+    * near-dups land at h = 10-13, random pairs center near 32, clean-band
+    * probability ≈ 0.8 at h = 13), while a 100× corpus widens bands and
+    * prunes harder (the standard LSH recall-for-occupancy trade; `maxBits`
+    * is the deployment's recall floor). The second key component is the
+    * payload-length bucket (width 64 bytes; each doc emits its own bucket
+    * AND the next one, so any pair within |len diff| < 64 still meets —
+    * symmetric double emission). Pairs further apart in length than one
+    * bucket are dropped BY CONTRACT — payloads differing by 64+ bytes
+    * are not perceptual near-dups at these payload sizes. Candidate loss
+    * is the only approximation: hamming is verified exactly, so false
+    * positives cannot occur. */
+  def phashDedup(documents: DataFrame, maxHamming: Int = 13): DataFrame =
+    phashDedupOf(phashSignatures(documents), maxHamming)
+
+  /** [[phashDedup]] core over a prebuilt (doc_id, phash, plen) signature
+    * relation — the pure-read path over the persisted
+    * [[graft.sources.PhashLayout]] artifact. Deliberately uncached: a
+    * parquet-backed signature relation keeps honest scan stats (the
+    * PairsLayout rule), and the two band-join sides re-scan a one-row-per-
+    * doc, 64-char-string relation — re-reading it is cheaper than the
+    * broadcast-lock-in exposure a cache would create. */
+  def phashDedupOf(sig: DataFrame, maxHamming: Int = 13,
+                   targetOccupancy: Int = 64, minBits: Int = 8,
+                   maxBits: Int = 16): DataFrame = {
     import graft.functions.TextFns.hammingDist
-    val sig = phashSignatures(documents).cache()
-    // band key = (band, 8 signature bits, payload-length bucket): an
-    // 8-bit band alone has only 256 values, so at corpus scale every
-    // bucket's occupancy grows linearly and the self-join quadratically —
-    // the sf1 gate measured ~39M candidate pairs at 50k docs. Length
-    // bucketing (width 64 bytes) splits that by the corpus' length
-    // spread; each doc emits its own bucket AND the next one, so any
-    // pair within |len diff| < 64 still meets (symmetric double emission,
-    // one extra row per band row). Pairs further apart in length than one
-    // bucket are dropped BY CONTRACT — payloads differing by 64+ bytes
-    // are not perceptual near-dups of one another at these payload sizes.
-    val bands = sig.select(col("doc_id"), col("phash"), explode(array(
-      (for (b <- 0 until 8; probe <- 0 to 1) yield struct(
-        lit(b).as("band"),
-        substring(col("phash"), b * 8 + 1, 8).as("bkey"),
-        (expr("plen DIV 64") + lit(probe)).as("lb"))): _*)).as("bb"))
-      .select(col("doc_id"), col("phash"), col("bb.band"), col("bb.bkey"), col("bb.lb"))
+    val nb = sig.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(minBits), least(lit(maxBits),
+        length(bin(expr(s"n DIV $targetOccupancy"))) - 1)).cast("int").as("bits"))
+    val bands = sig.crossJoin(broadcast(nb))
+      .select(col("doc_id"), col("phash"), col("bits"), expr("plen DIV 64").as("lb0"),
+        explode(expr("sequence(0, 64 DIV bits - 1)")).as("band"))
+      .select(col("doc_id"), col("phash"), col("band"),
+        expr("substring(phash, band * bits + 1, bits)").as("bkey"),
+        explode(expr("array(lb0, lb0 + CAST(1 AS BIGINT))")).as("lb"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.lb") === col("y.lb") &&
@@ -234,17 +263,13 @@ object Multimodal {
       .orderBy(asc("d1"), asc("d2"))
   }
 
-  /** DuckDB mirror of [[phashDedup]] — same integer block bits, 64-term
-    * pivot signature, band candidates, hamming verify. */
-  def duckPhashDedup(table: String, maxHamming: Int = 13): String = {
-    import graft.functions.TextFns.duckHamming
+  /** Shared signature CTE chain of the DuckDB mirrors — ends in
+    * `sig(doc_id, phash, plen)`, matching [[phashSignatures]] bit for bit. */
+  def duckPhashSigCtes(table: String): String = {
     val pivot = (0 until 64).map(k =>
       s"coalesce(max(CASE WHEN blk = $k THEN bit END), '0')")
       .mkString("concat(", ", ", ")")
-    val bandRows = (for (b <- 0 until 8; probe <- 0 to 1) yield
-      s"SELECT doc_id, phash, $b AS band, substr(phash, ${b * 8 + 1}, 8) AS bkey, plen // 64 + $probe AS lb FROM sig")
-      .mkString("\n       UNION ALL ")
-    s"""WITH ch AS (SELECT doc_id, len(text)::BIGINT AS l,
+    s"""ch AS (SELECT doc_id, len(text)::BIGINT AS l,
        |                   unnest(range(1, len(text) + 1)) AS pos, text
        |            FROM $table WHERE len(text) > 0),
        |cr AS (SELECT doc_id, l, ((pos - 1) * 64) // l AS blk,
@@ -259,9 +284,27 @@ object Multimodal {
        |                CASE WHEN b.bsum * t.len > t.tsum * b.blen
        |                     THEN '1' ELSE '0' END AS bit
        |         FROM blocks b JOIN tot t USING (doc_id)),
-       |sig AS (SELECT b.doc_id, $pivot AS phash, max(t.len) AS plen
-       |        FROM bits b JOIN tot t USING (doc_id) GROUP BY b.doc_id),
-       |bands AS ($bandRows),
+       |sig AS MATERIALIZED (SELECT b.doc_id, $pivot AS phash, max(t.len) AS plen
+       |        FROM bits b JOIN tot t USING (doc_id) GROUP BY b.doc_id)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[phashDedup]] — same integer block bits, 64-term
+    * pivot signature, corpus-relative band derivation, hamming verify. */
+  def duckPhashDedup(table: String, maxHamming: Int = 13,
+                     targetOccupancy: Int = 64, minBits: Int = 8,
+                     maxBits: Int = 16): String = {
+    import graft.functions.TextFns.duckHamming
+    s"""WITH ${duckPhashSigCtes(table)},
+       |nb AS (SELECT CAST(greatest($minBits, least($maxBits,
+       |               length(bin(count(*) // $targetOccupancy)) - 1)) AS INT) AS bits
+       |       FROM sig),
+       |br AS (SELECT s.doc_id, s.phash, s.plen, nb.bits,
+       |              unnest(range(0, 64 // nb.bits)) AS band
+       |       FROM sig s, nb),
+       |bands AS (SELECT doc_id, phash, band,
+       |                 substr(phash, (band * bits + 1)::INT, bits) AS bkey,
+       |                 plen // 64 + probe AS lb
+       |          FROM br, (SELECT unnest([0, 1]) AS probe)),
        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
        |                x.phash AS p1, y.phash AS p2
        |         FROM bands x JOIN bands y

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Embedder
+
+/** Persisted per-document EMBEDDING artifact — the PairsLayout move applied
+  * to the embed-dedup/outlier family (round-7 verdict #1): the corpus is
+  * tokenized + hashed ONCE per snapshot and lands as two parquet relations,
+  *
+  *   - `hist`: (doc_id, lang, bucket, cnt) — the sparse integer histogram
+  *     ([[Embedder.bucketHistogram]] with lang carried), read by the
+  *     centroid/outlier family;
+  *   - `emb`:  (doc_id, embedding) — the dense `array<double>` form, read
+  *     by the cosine near-dup family and any ANN consumer.
+  *
+  * This is the shape the reference itself uses — embeddings are computed at
+  * index time and stored beside the documents
+  * (/root/reference/coding_agent/tools/indexing_agent.py:353-361), never
+  * re-encoded per query. At 100 TB the embed pass is the single most
+  * expensive map-side computation in the engine; running it inside every
+  * dedup/outlier query re-prices it per report, while the artifact prices
+  * it once at ingest (the bench entry `q_embed_artifact` keeps that price
+  * visible).
+  *
+  * The dense relation is derived FROM the persisted sparse relation (read
+  * back, grouped, densified) — one tokenize pass total, and the two
+  * artifacts can never diverge.
+  *
+  * Freshness and caching contracts are [[PairsLayout]]'s verbatim: rebuild
+  * on first touch per JVM (the harness regenerates testdata between
+  * rounds); reads deliberately uncached so parquet stats keep join
+  * planning honest at every scale.
+  */
+object EmbedLayout {
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def dirFor(sfDir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|embed|${Embedder.Dim}".getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    s"out/artifacts/embed-$h"
+  }
+
+  /** One tokenize pass → both relations.
+    *
+    * Both writes are REPARTITIONED to the session's parallelism first: at
+    * test scale AQE coalesces the small aggregation output to ONE file,
+    * and a one-file artifact makes every downstream self-join read one
+    * partition — the whole pair-verify then runs single-threaded (measured
+    * 12×: q_dedup_embed 1.4 s cached → 16.6 s over the coalesced
+    * artifact). A production artifact is many files naturally; writing at
+    * session parallelism mirrors that layout instead of silently
+    * serializing the readers. */
+  def write(spark: SparkSession, documents: DataFrame, dir: String): Unit = {
+    val n = spark.sparkContext.defaultParallelism
+    Embedder.bucketHistogram(documents, carry = Seq("lang"))
+      .repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/hist")
+    spark.read.parquet(s"$dir/hist")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("bucket"), col("cnt"))).as("bc"))
+      .select(col("doc_id"),
+        graft.functions.VecExprs.sparseToDense(col("bc"), Embedder.Dim).as("embedding"))
+      .repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/emb")
+  }
+
+  def readHist(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/hist")
+
+  def readEmb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/emb")
+
+  private def ensured(spark: SparkSession, documents: DataFrame, sfDir: String): String = {
+    val dir = dirFor(sfDir)
+    built.synchronized {
+      if (!built.contains(dir)) {
+        write(spark, documents, dir)
+        built.add(dir)
+      }
+    }
+    dir
+  }
+
+  /** Build-once-per-run + sparse read — the outlier-family entry point. */
+  def ensureHist(spark: SparkSession, documents: DataFrame, sfDir: String): DataFrame =
+    readHist(spark, ensured(spark, documents, sfDir))
+
+  /** Build-once-per-run + dense read — the cosine-family entry point. */
+  def ensureEmb(spark: SparkSession, documents: DataFrame, sfDir: String): DataFrame =
+    readEmb(spark, ensured(spark, documents, sfDir))
+
+  /** Unconditional rebuild + dense read-back — the bench entry that PRICES
+    * the embed pass (q_embed_artifact), so the fast read-side consumers
+    * never hide the ingest cost. */
+  def rebuild(spark: SparkSession, documents: DataFrame, sfDir: String): DataFrame = {
+    val dir = dirFor(sfDir)
+    built.synchronized {
+      write(spark, documents, dir)
+      built.add(dir)
+    }
+    readEmb(spark, dir)
+  }
+}

@@ -499,9 +499,16 @@ object IndexBuild {
     * against the STORED centroids, rewrite only the affected cluster
     * partitions (dynamic partition overwrite, scoped conf), delete a
     * partition emptied by a cluster move. Last-writer-wins per element id.
-    * No-op when no layout exists (callers need not probe first). */
+    * No-op when no layout exists (callers need not probe first).
+    *
+    * `touchedFiles`: the file_path set the re-index batch TOUCHED, when it
+    * is wider than `fresh`'s own paths — a re-indexed file that now yields
+    * ZERO elements is absent from `fresh`, and deriving the displacement
+    * set from element rows would leave its stale cells lingering (round-7
+    * ADVICE). None = derive from `fresh`, the plain contract. */
   def upsertSearchLayout(spark: SparkSession, indexDir: String,
-                         fresh: DataFrame): Unit = {
+                         fresh: DataFrame,
+                         touchedFiles: Option[DataFrame] = None): Unit = {
     import graft.functions.VecExprs.{bestCentroid, dotc}
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$indexDir/vector_layout/centroids"))) return
@@ -520,15 +527,20 @@ object IndexBuild {
     // FILE-granular displacement (the upsertIndex delete-insert contract):
     // every stored cell of a touched file goes, so an element deleted from
     // a re-indexed file cannot linger in the layout as a stale row
-    val paths = fresh.select("file_path").distinct()
+    val paths = touchedFiles.getOrElse(fresh).select("file_path").distinct()
     val affected = assigned.select("cluster").distinct()
       .union(stored.join(paths, Seq("file_path"), "left_semi")
         .select("cluster").distinct())
       .distinct()
+    // materialized before the overwrite replaces the very partition dirs
+    // this plan scans (the VectorLayout.upsert contract, round-7 ADVICE):
+    // after the checkpoint the write reads executor blocks, and the two
+    // driver collects below cost no extra executions of the merge
     val rewritten = stored
       .join(affected, Seq("cluster"), "left_semi")
       .join(paths, Seq("file_path"), "left_anti")
       .unionByName(assigned.select(stored.columns.map(col).toIndexedSeq: _*))
+      .localCheckpoint(true)
     val affectedIds = affected.collect().map(_.getLong(0)).toSet
     val writtenIds = rewritten.select("cluster").distinct()
       .collect().map(_.getLong(0)).toSet

@@ -74,6 +74,41 @@ object PairsLayout {
     read(spark, dir)
   }
 
+  /** Incremental maintenance (round-7 verdict #6): fold a NEW ingest batch
+    * into a persisted pair artifact WITHOUT re-signing the corpus. Pair
+    * membership is a per-pair property — band keys and Jaccard depend only
+    * on the two docs — so the unioned corpus' pair set decomposes exactly:
+    *
+    *   pairs(corpus ∪ batch) = pairs(corpus)            [the artifact]
+    *                         ∪ pairs(batch × corpus)    [[Dedup.minhashAgainst]]
+    *                         ∪ pairs(batch × batch)     [[Dedup.minhash]]
+    *
+    * The first term is already on disk; the second is the new×old band
+    * probe (never old×old — the whole point); the third is the
+    * batch-internal quadratic, bounded by the ingest batch size. The
+    * appended rows therefore make the artifact EQUAL to a full rebuild on
+    * the unioned corpus — not approximately: the q_pairs_incremental gate
+    * checks the incrementally-built artifact against the full-corpus
+    * oracle, and PairsLayoutSpec pins it against [[write]] on the union.
+    * Cross pairs are least/greatest-normalized to the artifact's d1 < d2
+    * contract; batch and corpus doc_ids must be disjoint (the ingest
+    * contract — a re-ingested id goes through delete-then-upsert
+    * upstream). Scratch shingle caches released by handle (the `-With`
+    * lifecycle). */
+  def upsert(spark: SparkSession, dir: String, batch: DataFrame,
+             corpus: DataFrame, threshold: Double,
+             seeds: Int = 8, rowsPerBand: Int = 2): Unit = {
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    val (cross, hc) = Dedup.minhashAgainstWith(batch, corpus, threshold, seeds, rowsPerBand)
+    val (within, hw) = Dedup.minhashWith(batch, threshold, seeds, rowsPerBand)
+    try cross.select(
+        least(col("batch_doc"), col("corpus_doc")).as("d1"),
+        greatest(col("batch_doc"), col("corpus_doc")).as("d2"))
+      .unionByName(within.select(col("d1"), col("d2")))
+      .write.mode(SaveMode.Append).parquet(s"$dir/pairs")
+    finally (hc ++ hw).foreach(_.unpersist())
+  }
+
   /** Unconditional rebuild + read-back — the bench entry that PRICES the
     * artifact build (q_pairs_artifact), so the fast read-side report
     * entries never hide the pipeline cost. */

@@ -115,11 +115,19 @@ object VectorLayout {
     // survivors of affected partitions + the freshly assigned batch;
     // affected is cluster-cardinality (tiny) — broadcast semi-join is the
     // correct shape, no pin needed
+    // MATERIALIZE the rewrite before touching the directory it reads from
+    // (round-7 ADVICE): the plan below scans $dir/cells, and the dynamic
+    // overwrite replaces those very partition dirs — without the eager
+    // checkpoint the uncheckpointed plan would re-execute over a
+    // half-replaced directory (and run 3×: writtenIds collect + the write
+    // + the assignment). After the checkpoint, the write reads executor
+    // blocks, never the directory being overwritten.
     val rewritten = stored
       .join(affected, Seq("cluster"), "left_semi")
       .join(ids, Seq("vec_id"), "left_anti")
       .select("vec_id", "label", "ed", "nrm", "cluster")
       .unionByName(assigned.select("vec_id", "label", "ed", "nrm", "cluster"))
+      .localCheckpoint(true)
     val affectedIds = affected.collect().map(_.getLong(0)).toSet
     val writtenIds = rewritten.select("cluster").distinct()
       .collect().map(_.getLong(0)).toSet

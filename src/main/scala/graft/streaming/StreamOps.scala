@@ -557,13 +557,20 @@ object StreamOps {
         try {
           if (!files.isEmpty) {
             val fresh = IndexBuild.buildElements(files)
-            IndexBuild.upsertIndex(spark, indexDir, fresh)
+            // refreshFiles = the batch's path set (same zero-element
+            // displacement contract as the layout upsert below)
+            IndexBuild.upsertIndex(spark, indexDir, fresh,
+              refreshFiles = Some(files.toDF("file_path", "content")))
             // keep the trained search layout current too (no-op when no
             // layout exists): same fresh elements, assigned against the
-            // STORED centroids, partition-confined rewrite
+            // STORED centroids, partition-confined rewrite. touchedFiles is
+            // the BATCH's path set, not the element rows' — a watched file
+            // rewritten to yield zero elements must still displace its
+            // stale cells (round-7 ADVICE)
             IndexBuild.upsertSearchLayout(spark, indexDir,
               spark.read.parquet(s"$indexDir/code_elements")
-                .join(fresh.select("file_path").distinct(), Seq("file_path"), "left_semi"))
+                .join(fresh.select("file_path").distinct(), Seq("file_path"), "left_semi"),
+              touchedFiles = Some(files.toDF("file_path", "content")))
           }
         } finally { files.unpersist(); () }
         ()

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CorpusOps, Dedup, Multimodal}
+import graft.sources.{EmbedLayout, PhashLayout}
+
+/** The persisted per-doc embedding / perceptual-signature artifacts must be
+  * indistinguishable from the in-query recompute pipelines (round-7
+  * verdict #1's equivalence requirement — the PairsLayoutSpec contract
+  * applied to the round-8 artifacts). */
+class ArtifactSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def docs = Tables.documents(spark, TestSpark.sf)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("embed artifact: dense relation == in-memory Embedder.embed") {
+    val art = rows(EmbedLayout.ensureEmb(spark, docs, TestSpark.sf).orderBy("doc_id"))
+    val mem = rows(graft.functions.Embedder.embed(docs).orderBy("doc_id"))
+    spark.sharedState.cacheManager.clearCache()
+    assert(art.nonEmpty && art == mem)
+  }
+
+  test("cosine dedup over the artifact == recompute facade") {
+    val a = rows(Dedup.embedCosineOf(
+      EmbedLayout.ensureEmb(spark, docs, TestSpark.sf), threshold = 0.8))
+    val b = rows(Dedup.embedCosine(docs, threshold = 0.8))
+    spark.sharedState.cacheManager.clearCache()
+    assert(a == b)
+    val aa = rows(Dedup.embedCosineAdaptiveOf(
+      EmbedLayout.ensureEmb(spark, docs, TestSpark.sf), threshold = 0.8))
+    val bb = rows(Dedup.embedCosineAdaptive(docs, threshold = 0.8))
+    spark.sharedState.cacheManager.clearCache()
+    assert(aa == bb)
+  }
+
+  test("outlier report over the hist artifact == recompute facade") {
+    val a = rows(CorpusOps.embeddingOutliersOf(
+      EmbedLayout.ensureHist(spark, docs, TestSpark.sf), k = 5))
+    val b = rows(CorpusOps.embeddingOutliers(docs, k = 5))
+    spark.sharedState.cacheManager.clearCache()
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("phash artifact: signature relation == in-memory phashSignatures; dedup over it == facade") {
+    val art = rows(PhashLayout.ensure(spark, docs, TestSpark.sf).orderBy("doc_id"))
+    val mem = rows(Multimodal.phashSignatures(docs).orderBy("doc_id"))
+    assert(art.nonEmpty && art == mem)
+    val a = rows(Multimodal.phashDedupOf(PhashLayout.ensure(spark, docs, TestSpark.sf)))
+    val b = rows(Multimodal.phashDedup(docs))
+    spark.sharedState.cacheManager.clearCache()
+    assert(a == b)
+  }
+}

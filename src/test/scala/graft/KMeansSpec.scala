@@ -36,6 +36,27 @@ class KMeansSpec extends AnyFunSuite {
     assert(cent.forall(_.getAs[scala.collection.Seq[Double]]("ce").length == 64))
   }
 
+  test("CentroidLayout stored artifacts ≡ in-memory training, bit-exactly (k-means AND PQ)") {
+    // decimal-sum → double means round-trip parquet exactly, so the
+    // persisted trained layout is indistinguishable from retraining —
+    // the invariant that lets every trained-path query read the artifact
+    val e = emb
+    def keyed(rows: Array[org.apache.spark.sql.Row], key: org.apache.spark.sql.Row => String) =
+      rows.map(r => key(r) -> r.toString).sortBy(_._1).toSeq
+    val memT = keyed(KMeans.train(e, k = 16, iters = 3).collect(),
+      _.getAs[Long]("cid").toString)
+    val artT = keyed(graft.sources.CentroidLayout
+      .ensureTrain(spark, e, TestSpark.sf, k = 16, iters = 3).collect(),
+      _.getAs[Long]("cid").toString)
+    assert(artT == memT)
+    val memP = keyed(KMeans.trainPq(e, m = 8, dsub = 8, k = 16, iters = 3).collect(),
+      r => s"${r.getAs[Int]("sub")}|${r.getAs[Long]("cid")}")
+    val artP = keyed(graft.sources.CentroidLayout
+      .ensurePq(spark, e, TestSpark.sf, m = 8, dsub = 8, k = 16, iters = 3).collect(),
+      r => s"${r.getAs[Int]("sub")}|${r.getAs[Long]("cid")}")
+    assert(artP == memP)
+  }
+
   test("trained PQ codebook keeps the (sub, cid, ce) contract: m·k rows of dsub-length entries") {
     val cent = KMeans.trainPq(emb, m = 8, dsub = 8, k = 8, iters = 2).collect()
     assert(cent.length == 8 * 8)

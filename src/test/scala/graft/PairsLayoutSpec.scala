@@ -65,6 +65,34 @@ class PairsLayoutSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("incremental upsert ≡ full rebuild on the unioned corpus") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairs_incr").toString
+    try {
+      val old = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      PairsLayout.write(spark, old, dir, threshold)
+      PairsLayout.upsert(spark, dir, batch, old, threshold)
+      spark.sharedState.cacheManager.clearCache()
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("d1", "d2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val incr = pairs(PairsLayout.read(spark, dir))
+      val full = pairs(Dedup.nearDupPairs(docs, threshold))
+      spark.sharedState.cacheManager.clearCache()
+      // vacuity guard: the fixture must have pairs touching the batch
+      // slice, or the test proves only the base build
+      assert(full.exists(p => p._1 % 10 == 7 || p._2 % 10 == 7),
+        "fixture vacuous: no near-dup pair touches the batch slice")
+      assert(incr == full)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("-With facades return every cache they create (library lifecycle)") {
     for ((label, mk) <- Seq[(String, () => (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]))](
         ("dupDegreeWith", () => Dedup.dupDegreeWith(docs, threshold)),

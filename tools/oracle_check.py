@@ -37,9 +37,17 @@ def main(sf_dir, out_dir, only=()):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    if only:  # subset gate (e.g. the sf1 heavy-tail run): check just these
-        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
+    if only:  # subset gate (e.g. the sf1 heavy-tail run): check just these
+        # a mistyped name must FAIL loudly — both intersection filters would
+        # otherwise drop it silently and the gate could print a green
+        # "0 fail" total having checked nothing (round-7 ADVICE)
+        all_dumped = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
+                      if os.path.isdir(d)}
+        for name in sorted(set(only) - (set(oracle) | all_dumped)):
+            print(f"FAIL {name}: name in subset matches no oracle entry and no dumped result")
+            n_fail += 1
+        oracle = {k: v for k, v in oracle.items() if k in only}
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
