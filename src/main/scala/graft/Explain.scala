@@ -26,9 +26,13 @@ object Explain {
         s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
       spark.stop(); sys.exit(2)
     }
+    // SPARK_GRAFT_EXPLAIN_MODE=simple prints the starred codegen-stage ids
+    // (`*(N) Op`) that match jstack's GeneratedIteratorForCodegenStageN —
+    // the profiling loop formatted mode cannot serve
+    val mode = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_MODE", "formatted")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      SparkEntry.queries(n)(spark, sfDir).explain(mode)
     }
     spark.stop()
   }

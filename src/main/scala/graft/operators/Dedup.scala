@@ -519,105 +519,207 @@ object Dedup {
        |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin
 
   /** Embedding-cosine near-dup: hashing-embedder vectors (integer bucket
-    * counts → exact arithmetic), sign-presence LSH prune on the first `bits`
-    * dimensions, exact cosine ≥ threshold on surviving candidates.
+    * counts → exact arithmetic), BANDED signed-hyperplane LSH prune
+    * (Charikar sign-LSH: bit j = sign of Σ_d s(j,d)·v_d, the deterministic
+    * ±1 md5 signs of [[Knn.rpSigns]] evaluated by the codegen'd
+    * [[graft.functions.RpProject]] kernel), exact cosine ≥ threshold on
+    * surviving candidates.
     *
-    * The prune key is the presence bitstring of the leading dims — docs with
-    * different token-bucket footprints can never collide, so the all-pairs
-    * comparison becomes a shuffle-equijoin on the pattern key (the same
-    * 100 TB shape as [[Knn.simJoinLsh]], but over DERIVED embeddings: this
-    * is the full chunk→embed→near-dup pipeline as one declarative plan). */
-  def embedCosine(documents: DataFrame, threshold: Double, bits: Int = 8): DataFrame =
+    * ROUND-8 REDESIGN, forced by the one-decade-up gate: the previous key
+    * was the PRESENCE bitstring of the leading dims, and presence bits of
+    * a nonnegative count histogram are degenerate — this round's sf1
+    * corpus collapsed to TWO patterns at 50k docs (~755M candidate pairs,
+    * measured), and the adaptive variant's extra presence bits were just
+    * as empty, so "corpus-relative width" bought nothing. A signed
+    * hyperplane splits nonnegative vectors ~evenly (the ±1 projection is
+    * ~symmetric about 0), so 2^bits buckets really hold ~n/2^bits docs
+    * and the within-bucket quadratic is the one the occupancy math
+    * promises. Sign bits are exact cross-engine: each projection is a sum
+    * of ±integer counts — an exact integer-valued double in Spark and a
+    * BIGINT sparse sum in the oracle.
+    *
+    * Geometry: `tables` independent bands of `bits` hyperplanes (band t
+    * reads bits [t·16, t·16+bits) of the 16-bit-per-band `patf` layout —
+    * fixed and adaptive variants share the layout, so adaptive ≡ fixed at
+    * the derived width, spec-pinned); a pair is a candidate if ANY band
+    * agrees: P(detect | cos s) = 1−(1−(1−acos(s)/π)^bits)^tables ≈ 0.99
+    * at s = 0.95 with 8×8. Candidate loss is the only approximation.
+    *
+    * Verify is candidate-first (the CLAUDE.md rule): DISTINCT (d1,d2)
+    * from the NARROW band equijoin (doc_id, t, bkey rows — embeddings
+    * never ride the band shuffle), then one exact-dot join back to the
+    * embedding relation, so the 384-wide dot runs once per pair, never
+    * once per colliding band. */
+  def embedCosine(documents: DataFrame, threshold: Double, bits: Int = 8,
+                  tables: Int = 8): DataFrame =
     // cached: the derived-embedding subtree (tokenize → md5 → histogram agg)
-    // is referenced by BOTH sides of the pattern self-join and is the
-    // expensive half of the query — without the cache it executes twice.
-    // Same materialize-once rule as q_index_knn; harness clears per query.
-    embedCosineOf(Embedder.embed(documents), threshold, bits, cache = true)
+    // is referenced by both band sides AND the verify join — without the
+    // cache it executes four times. Harness clears per query.
+    embedCosineOf(Embedder.embed(documents), threshold, bits, tables, cache = true)
 
-  /** [[embedCosine]] core over a prebuilt (doc_id, embedding) relation —
-    * the pure-read path over the persisted [[graft.sources.EmbedLayout]]
-    * artifact. Default UNcached: a parquet-backed embedding relation keeps
-    * honest scan stats (the PairsLayout rule), and re-scanning it on the
-    * second self-join side is a columnar read plus a map-side nrm/pat
-    * projection — cheaper than the broadcast-lock-in exposure a cache
-    * creates. `cache = true` is for callers handing in a DERIVED subtree
-    * (the in-query [[embedCosine]] path), where recomputing means
-    * re-tokenizing the corpus. */
-  def embedCosineOf(emb: DataFrame, threshold: Double, bits: Int = 8,
-                    cache: Boolean = false): DataFrame = {
-    val e0 = emb
-      .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
-      .withColumn("pat", signBucket(col("embedding"), bits))
-    val e = if (cache) e0.cache() else e0
-    val a = e.select(col("doc_id").as("d1"), col("embedding").as("e1"), col("nrm").as("n1"), col("pat"))
-    val b = e.select(col("doc_id").as("d2"), col("embedding").as("e2"), col("nrm").as("n2"), col("pat"))
+  /** Bits reserved per band in the `patf` bit string — the shared layout
+    * that makes the adaptive variant a per-band prefix truncation of the
+    * fixed one (same hyperplanes at every width). */
+  private val EmbedBandBlock = 16
+
+  /** Quantization scale for the normalized projections — a power of two,
+    * so the scaling is IEEE-exact (exponent shift, no rounding) and
+    * floor() yields the identical integer in both engines. */
+  private val EmbedQScale = 1024
+
+  /** Attach the tables×16 MEDIAN-BALANCED hyperplane bit string to an
+    * (doc_id, embedding, nrm) relation.
+    *
+    * Raw sign bits (`proj_j > 0`) are degenerate on this embedder: every
+    * doc is a bag from ONE token distribution, so proj_j ≈ len·μ_j +
+    * noise and nearly all docs agree with sign(μ_j) — measured at sf1:
+    * 91-98% of the corpus on one side of each raw hyperplane, bits
+    * near-constant, buckets quadratic. Two fixes compose:
+    *   1. normalize by the stored L2 norm (removes the length scaling:
+    *      r_j = proj_j / nrm — a single IEEE division of exact values,
+    *      bit-identical cross-engine);
+    *   2. threshold each bit at the corpus MEDIAN of r_j (the spectral-
+    *      hashing balancing step): bit = [qr_j > t_j] with qr = floor(r·
+    *      1024) and t_j = the smallest qr with 2·cum ≥ n over the
+    *      (j, qr) histogram — an all-integer rank threshold computed
+    *      two-phase (partial-agged groupBy + prefix over the BOUNDED
+    *      histogram relation; never a corpus-wide sort per j).
+    * Measured at sf1 (50k docs): 24972/25028 balance per bit; band
+    * occupancy max 461 at 10 bits vs 8,757 raw — the within-bucket
+    * quadratic the occupancy math promises. Thresholds are corpus
+    * statistics recomputed per query (linear, map-side dominated); a
+    * deployment would persist them beside the embedding artifact. */
+  private def withBalancedPatf(e: DataFrame, tables: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBits = tables * EmbedBandBlock
+    val e1 = e.withColumn("proj", graft.functions.VecExprs.rpProject(
+      col("embedding"), Knn.rpSigns(nBits, Embedder.Dim)))
+    val qr = e1.select(col("nrm"), posexplode(col("proj")).as(Seq("j", "p")))
+      .select(col("j"), floor(col("p") / col("nrm") * EmbedQScale).as("q"))
+    val hist = qr.groupBy("j", "q").agg(count(lit(1)).as("c"))
+    val tot = e1.agg(count(lit(1)).as("n"))
+    val wJ = Window.partitionBy("j").orderBy("q")
+    val th = hist.withColumn("cum", sum("c").over(wJ))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy("j").agg(min("q").as("t"))
+    // nBits-row relation → broadcast array (bounded-HOF exemption).
+    // Eagerly checkpointed (1 row — the KMeans k-row discipline): the
+    // patf relation is read by both band sides AND the verify join, and
+    // without the checkpoint each reader would re-run the corpus-scale
+    // histogram aggregation behind the thresholds. After it, a reader
+    // re-executes only the map-side projection.
+    val thArr = th.agg(sort_array(collect_list(struct(col("j"), col("t")))).as("jt"))
+      .select(transform(col("jt"), x => x.getField("t")).as("th"))
+      .localCheckpoint(true)
+    // The bit string is built with ONE reference to `proj` (zip_with over
+    // the projection and threshold arrays, then array_join). The first
+    // cut used nBits separate `element_at(proj, j)` branches, and
+    // CollapseProject inlined the RpProject expression into EVERY branch —
+    // 128 re-evaluations of a 128×384 projection per row, 3×10^11 mults
+    // at sf1 (measured: the 260 s that dominated the whole query; the
+    // single-reference form runs the candidate stage in ~1.5 s). The
+    // lambda is interpreted, but over a bounded 128-element array per doc
+    // — the sq8Scales bounded-HOF exemption, not the per-token ban.
+    e1.crossJoin(broadcast(thArr))
+      .withColumn("patf", array_join(
+        zip_with(col("proj"), col("th"), (p, t) =>
+          when(floor(p / col("nrm") * EmbedQScale) > t, lit("1"))
+            .otherwise(lit("0"))), ""))
+      .drop("proj", "th")
+  }
+
+  /** Band equijoin over the patf relation `e` + candidate-first exact
+    * verify against the RAW (doc_id, embedding, nrm) relation `v`.
+    *
+    * `v` must be the PLAIN relation, not the patf-attached one: the patf
+    * lineage (threshold crossJoins + the bit-string projection) destroys
+    * the size estimate, planning the verify joins as SMJ — which
+    * shuffles and sorts one 3 KB embedding row per candidate per side
+    * (~50 GB of sort I/O at sf1's 18M candidates). The plain relation
+    * keeps honest parquet stats: broadcast verify at test scales
+    * (plan-verified), a doc-id shuffle join at corpus scale — the
+    * correct shape at each. (The first cut's 255 s at sf1 had a second,
+    * larger cause — the patf inlining blowup fixed in
+    * [[withBalancedPatf]]; with both fixes the full adaptive query runs
+    * 7.5 s warm at sf1.) */
+  private def embedBandsTail(e: DataFrame, v: DataFrame, tables: Int,
+                             threshold: Double): DataFrame = {
+    val bands = e.select(col("doc_id"), col("patf"), col("bits"),
+        explode(expr(s"sequence(0, ${tables - 1})")).as("t"))
+      .select(col("doc_id"), col("t"),
+        expr(s"substring(patf, t * $EmbedBandBlock + 1, bits)").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.t") === col("y.t") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
     val rawSim = dotc(col("e1"), col("e2")) / (col("n1") * col("n2"))
-    // Deliberately NOT merge-pinned (measured negative result, round 4):
-    // e is a cached corpus-cardinality relation, the usual lock-in-hazard
-    // class — but hint("merge") here cost 4.7× at sf0.1 (1.9 s → 8.9 s):
-    // SMJ on the 2^bits-cardinality pattern key buffers wide embedding
-    // rows through large sort groups, while the hash self-join streams
-    // them. The pat key's group structure also caps the broadcast side's
-    // useful life: a deployment that scales this operator raises `bits`
-    // (shrinking groups) and the estimate-driven planner flips to SMJ on
-    // its own once e's materialized size crosses the threshold — caches
-    // report ACTUAL size after materialization, so the lock-in window is
-    // only the first planning.
-    a.join(b, Seq("pat"))
-      .filter(col("d1") < col("d2") && rawSim >= threshold)
+    cand
+      .join(v.select(col("doc_id").as("d1"), col("embedding").as("e1"),
+        col("nrm").as("n1")), "d1")
+      .join(v.select(col("doc_id").as("d2"), col("embedding").as("e2"),
+        col("nrm").as("n2")), "d2")
+      .filter(rawSim >= threshold)
       .select(col("d1"), col("d2"), round(rawSim, 6).as("sim"))
       .orderBy(asc("d1"), asc("d2"))
   }
 
-  /** Corpus-relative bucket width for [[embedCosine]] — the simJoin/embed
-    * member of the sf1 lesson (fixed 2^bits buckets go quadratic when the
-    * corpus outgrows them; the one-decade-up gate measured the 2^8 bucket
-    * self-join materializing ~4.9M candidate pairs at 50k docs): derive
+  /** [[embedCosine]] core over a prebuilt (doc_id, embedding) relation —
+    * the pure-read path over the persisted [[graft.sources.EmbedLayout]]
+    * artifact. Default UNcached: a parquet-backed embedding relation keeps
+    * honest scan stats (the PairsLayout rule), and re-scanning it per
+    * consumer is a columnar read plus a map-side projection — cheaper than
+    * the broadcast-lock-in exposure a cache creates. `cache = true` is for
+    * callers handing in a DERIVED subtree (the in-query [[embedCosine]]
+    * path), where recomputing means re-tokenizing the corpus. */
+  def embedCosineOf(emb: DataFrame, threshold: Double, bits: Int = 8,
+                    tables: Int = 8, cache: Boolean = false): DataFrame = {
+    require(bits <= EmbedBandBlock, s"bits $bits exceeds band block $EmbedBandBlock")
+    val e0 = emb.withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
+    val e0c = if (cache) e0.cache() else e0
+    embedBandsTail(withBalancedPatf(e0c, tables).withColumn("bits", lit(bits)),
+      e0c, tables, threshold)
+  }
+
+  /** Corpus-relative band width for [[embedCosine]]: derive
     * `bits = clamp(1, maxBits, floor(log2(n / targetOccupancy)))` IN-PLAN
     * with the exact `length(bin(x)) - 1` integer-log trick, so expected
-    * bucket occupancy stays ~targetOccupancy as the corpus grows and the
-    * quadratic-within-bucket work stays bounded. The recall trade is the
-    * standard sign-LSH one — more bits lose more boundary pairs — and
-    * `maxBits` is the deployment's recall floor. Engine-exact: the count,
-    * the log, the clamp, and the truncated pattern are identical integer/
-    * string operations in both engines. */
+    * band-bucket occupancy stays ~targetOccupancy as the corpus grows and
+    * the within-bucket quadratic stays bounded — meaningful now that the
+    * hyperplane buckets are balanced (under the old presence key the
+    * derived width was provably useless on a degenerate corpus; see the
+    * [[embedCosine]] scaladoc). The recall trade is the standard sign-LSH
+    * one — wider bands lose more boundary pairs, `tables` is the recall
+    * lever, `maxBits` the deployment's floor. */
   def embedCosineAdaptive(documents: DataFrame, threshold: Double,
-                          targetOccupancy: Int = 32, maxBits: Int = 16): DataFrame =
+                          targetOccupancy: Int = 32, maxBits: Int = 16,
+                          tables: Int = 8): DataFrame =
     embedCosineAdaptiveOf(Embedder.embed(documents), threshold,
-      targetOccupancy, maxBits, cache = true)
+      targetOccupancy, maxBits, tables, cache = true)
 
   /** [[embedCosineAdaptive]] core over a prebuilt (doc_id, embedding)
     * relation — caching contract as in [[embedCosineOf]]. */
   def embedCosineAdaptiveOf(emb: DataFrame, threshold: Double,
                             targetOccupancy: Int = 32, maxBits: Int = 16,
-                            cache: Boolean = false): DataFrame = {
-    val e0 = emb
-      .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
-      .withColumn("patf", signBucket(col("embedding"), maxBits))
-    val e = if (cache) e0.cache() else e0
-    val nb = e.agg(count(lit(1)).as("n"))
+                            tables: Int = 8, cache: Boolean = false): DataFrame = {
+    require(maxBits <= EmbedBandBlock, s"maxBits $maxBits exceeds band block $EmbedBandBlock")
+    val e0 = emb.withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
+    val e0c = if (cache) e0.cache() else e0
+    val e = withBalancedPatf(e0c, tables)
+    val nb = e0c.agg(count(lit(1)).as("n"))
       .select(greatest(lit(1), least(lit(maxBits),
         length(bin(expr(s"n DIV $targetOccupancy"))) - 1)).as("bits"))
-    val withPat = e.crossJoin(broadcast(nb))
-      .withColumn("pat", expr("substring(patf, 1, bits)"))
-    val a = withPat.select(col("doc_id").as("d1"), col("embedding").as("e1"),
-      col("nrm").as("n1"), col("pat"))
-    val b = withPat.select(col("doc_id").as("d2"), col("embedding").as("e2"),
-      col("nrm").as("n2"), col("pat"))
-    val rawSim = dotc(col("e1"), col("e2")) / (col("n1") * col("n2"))
-    a.join(b, Seq("pat"))
-      .filter(col("d1") < col("d2") && rawSim >= threshold)
-      .select(col("d1"), col("d2"), round(rawSim, 6).as("sim"))
-      .orderBy(asc("d1"), asc("d2"))
+    embedBandsTail(e.crossJoin(broadcast(nb)), e0c, tables, threshold)
   }
 
   /** Per-candidate dot product over [[Embedder.duckDenseEmbCtes]]'s dense
     * lists — ARRAY-NATIVE `list_dot_product`. The round-7 sf1 gate killed
     * the previous per-candidate sparse histogram join (two 384-bucket
-    * probes per pair) on single-node temp/time budgets at 4.9M candidates,
-    * while the list kernel is one vectorized pass per pair. Exactness is
-    * unchanged: counts are integers, so the dot is an exact integer-valued
-    * double whatever the summation order. */
+    * probes per pair) on single-node temp/time budgets, while the list
+    * kernel is one vectorized pass per pair. Exactness is unchanged:
+    * counts are integers, so the dot is an exact integer-valued double
+    * whatever the summation order. */
   private def duckCosineTail(threshold: Double): String =
     s"""dots AS (SELECT c.d1, c.d2, list_dot_product(x.e, y.e) AS dot
        |         FROM cand c JOIN emb x ON x.doc_id = c.d1
@@ -627,34 +729,61 @@ object Dedup {
        |SELECT d1, d2, round(sim_raw, 6) AS sim
        |FROM s WHERE sim_raw >= $threshold ORDER BY d1, d2""".stripMargin
 
+  /** Hyperplane CTEs of the cosine mirrors: the SAME md5-parity ±1 signs
+    * as [[Knn.rpSigns]] recomputed in SQL (tables×16 × Dim rows —
+    * bounded), projections as SPARSE integer sums over the histogram
+    * (exact ≡ the dense RpProject sums: absent buckets contribute 0),
+    * then the identical norm-normalize → floor-quantize → median-rank
+    * threshold chain as [[withBalancedPatf]] — p/n is one IEEE division
+    * of exact values, ×1024 an exponent shift, floor() the same integer
+    * in both engines. */
+  private def duckBandCtes(tables: Int): String =
+    s"""signs AS MATERIALIZED (
+       |  SELECT j, d, CASE WHEN ('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 1))::INT % 2 = 0
+       |               THEN 1 ELSE -1 END AS sgn
+       |  FROM range(0, ${tables * EmbedBandBlock}) t(j), range(0, ${Embedder.Dim}) u(d)),
+       |qr AS MATERIALIZED (
+       |  SELECT pr.doc_id, pr.j, CAST(floor(pr.p / nr.n * $EmbedQScale) AS BIGINT) AS q
+       |  FROM (SELECT h.doc_id, s.j, CAST(sum(h.cnt * s.sgn) AS BIGINT) AS p
+       |        FROM h JOIN signs s ON s.d = h.bucket GROUP BY 1, 2) pr
+       |  JOIN nrm nr ON nr.doc_id = pr.doc_id),
+       |qth AS (SELECT j, min(q) AS t FROM
+       |          (SELECT j, q, sum(c) OVER (PARTITION BY j ORDER BY q) AS cum
+       |           FROM (SELECT j, q, count(*)::BIGINT AS c FROM qr GROUP BY 1, 2)),
+       |          (SELECT count(*)::BIGINT AS n FROM emb)
+       |        WHERE cum * 2 >= n GROUP BY j),
+       |patf AS MATERIALIZED (
+       |  SELECT qr.doc_id, string_agg(CASE WHEN qr.q > qth.t THEN '1' ELSE '0' END, '' ORDER BY qr.j) AS patf
+       |  FROM qr JOIN qth USING (j) GROUP BY qr.doc_id),
+       |tt AS (SELECT unnest(range(0, $tables)) AS t)""".stripMargin
+
   /** DuckDB mirror of [[embedCosineAdaptive]] — same integer-log width
-    * derivation and truncated sign pattern. */
+    * derivation, same banded hyperplane keys. */
   def duckEmbedCosineAdaptive(table: String, threshold: Double,
-                              targetOccupancy: Int = 32, maxBits: Int = 16): String = {
-    val pat = (0 until maxBits).map(i =>
-      s"CASE WHEN max(CASE WHEN bucket = $i AND cnt > 0 THEN 1 ELSE 0 END) = 1 THEN '1' ELSE '0' END")
-      .mkString(", ")
+                              targetOccupancy: Int = 32, maxBits: Int = 16,
+                              tables: Int = 8): String =
     s"""WITH ${Embedder.duckDenseEmbCtes(table)},
-       |patf AS MATERIALIZED (SELECT doc_id, concat($pat) AS patf FROM h GROUP BY doc_id),
+       |${duckBandCtes(tables)},
        |nb AS (SELECT greatest(1, least($maxBits,
        |               length(bin(count(*) // $targetOccupancy)) - 1)) AS bits
        |       FROM patf),
-       |pat AS MATERIALIZED (SELECT doc_id, substr(patf, 1, bits::INT) AS pat FROM patf, nb),
-       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
-       |         FROM pat a JOIN pat b ON a.pat = b.pat AND a.doc_id < b.doc_id),
+       |bands AS (SELECT doc_id, t, substr(patf, (t * $EmbedBandBlock + 1)::INT, nb.bits::INT) AS bkey
+       |          FROM patf, tt, nb),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |         FROM bands x JOIN bands y
+       |         ON x.t = y.t AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
        |${duckCosineTail(threshold)}""".stripMargin
-  }
 
-  def duckEmbedCosine(table: String, threshold: Double, bits: Int = 8): String = {
-    val pat = (0 until bits).map(i =>
-      s"CASE WHEN max(CASE WHEN bucket = $i AND cnt > 0 THEN 1 ELSE 0 END) = 1 THEN '1' ELSE '0' END")
-      .mkString(", ")
+  def duckEmbedCosine(table: String, threshold: Double, bits: Int = 8,
+                      tables: Int = 8): String =
     s"""WITH ${Embedder.duckDenseEmbCtes(table)},
-       |pat AS (SELECT doc_id, concat($pat) AS pat FROM h GROUP BY doc_id),
-       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
-       |         FROM pat a JOIN pat b ON a.pat = b.pat AND a.doc_id < b.doc_id),
+       |${duckBandCtes(tables)},
+       |bands AS (SELECT doc_id, t, substr(patf, (t * $EmbedBandBlock + 1)::INT, $bits) AS bkey
+       |          FROM patf, tt),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |         FROM bands x JOIN bands y
+       |         ON x.t = y.t AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
        |${duckCosineTail(threshold)}""".stripMargin
-  }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup via
     * cluster-then-prune over an embedding table: assign every vector to

@@ -30,12 +30,20 @@ def type_key(arrow_type):
     surfaces here first (queries cast to the canonical type explicitly)."""
     return str(arrow_type)
 
-def main(sf_dir, out_dir, only=()):
+def fresh_con(sf_dir):
+    """One connection per query: a big oracle that OOMs must not poison the
+    allocator for every query after it (observed at sf1 — the first OOM
+    turned the rest of the run into 'failed to allocate 8 bytes' noise),
+    and per-query connections also release each query's peak memory."""
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duck_oracle_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+def main(sf_dir, out_dir, only=()):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     if only:  # subset gate (e.g. the sf1 heavy-tail run): check just these
@@ -53,8 +61,10 @@ def main(sf_dir, out_dir, only=()):
         if not files:
             print(f"FAIL {name}: no spark result written"); n_fail += 1; continue
         try:
+            con = fresh_con(sf_dir)
             got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table()
             want = con.execute(oracle[name]).fetch_arrow_table()
+            con.close()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         gcols, wcols = sorted(got.column_names), sorted(want.column_names)
