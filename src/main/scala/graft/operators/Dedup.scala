@@ -1852,12 +1852,17 @@ object Dedup {
     // (Verify/Bench clear the cache after every query.)
     val sig = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"), simhashFromSums((0 until 64).map(i => col(s"b$i"))).as("simhash"))
+      // two 32-bit halves for the verify: hamming is then xor+popcount per
+      // collision instead of 64 substring compares (the phashDedup
+      // precedent — 128 single-char allocations per candidate gone)
+      .withColumn("h1", conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("simhash"), 33, 32), 2, 10).cast("long"))
       .cache()
-    val bands = sig.select(col("doc_id"), col("simhash"), explode(array(
+    val bands = sig.select(col("doc_id"), col("h1"), col("h2"), explode(array(
       (0 until 4).map(b => struct(
         lit(b).as("band"),
         substring(col("simhash"), b * 16 + 1, 16).as("bkey"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bkey"))
+      .select(col("doc_id"), col("h1"), col("h2"), col("bb.band"), col("bb.bkey"))
     // self-join on (band, bkey): both sides are the identical subtree, so
     // the physical plan reuses one shuffle exchange (no cache needed).
     // hamming is computed and filtered BEFORE the distinct: collisions drop
@@ -1867,7 +1872,8 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        hammingDist(col("x.simhash"), col("y.simhash"), 64).as("hamming"))
+        (bit_count(col("x.h1").bitwiseXOR(col("y.h1"))) +
+          bit_count(col("x.h2").bitwiseXOR(col("y.h2")))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
     // candidate-first exact-Jaccard verify (hamming rides the groupBy key);
