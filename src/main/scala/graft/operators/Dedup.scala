@@ -135,6 +135,22 @@ object Dedup {
     * plan-equality rebuild (round-5 advice #1). */
   def minhashWith(documents: DataFrame, threshold: Double,
                   seeds: Int = 8, rowsPerBand: Int = 2): (DataFrame, Seq[DataFrame]) = {
+    val a = minhashArtifactsWith(documents, threshold, seeds, rowsPerBand)
+    (a.pairs, a.handles)
+  }
+
+  /** Everything one MinHash build pass produces, exposed so a persisting
+    * caller ([[graft.sources.PairsLayout.writeIndexed]]) can land the
+    * signature index BESIDE the pairs without a second shingle pass:
+    * verified pairs, the LSH band rows (doc_id, band, bkey), the distinct
+    * shingle rows (doc_id, s), and the cache handles to release. */
+  final case class MinhashArtifacts(pairs: DataFrame, bands: DataFrame,
+                                    shingles: DataFrame, handles: Seq[DataFrame])
+
+  /** One shingle pass → pairs + the persistable signature relations.
+    * [[minhashWith]] is the pairs-only view of this. */
+  def minhashArtifactsWith(documents: DataFrame, threshold: Double,
+                           seeds: Int = 8, rowsPerBand: Int = 2): MinhashArtifacts = {
     val sh = shingleRows(documents, 3)
     val bands = bandRowsOf(sh, seeds, rowsPerBand)
     val cand = bands.as("x").join(bands.as("y"),
@@ -142,7 +158,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    (jaccardOf(sh, cand, threshold), Seq(sh))
+    MinhashArtifacts(jaccardOf(sh, cand, threshold), bands, sh, Seq(sh))
   }
 
   /** Duplicate-cluster canonicalization: connected components over the
@@ -387,7 +403,19 @@ object Dedup {
     */
   def ngramJaccardCapped(documents: DataFrame, threshold: Double, maxDf: Int,
                          skewSafe: Boolean = true): DataFrame =
-    cappedPairsOf(dfShingles(documents, skewSafe), lit(maxDf), threshold)
+    ngramJaccardCappedWith(documents, threshold, maxDf, skewSafe)._1
+
+  /** [[ngramJaccardCapped]] plus handles on every cache the pipeline
+    * creates (the skew-safe form makes TWO corpus-scale caches — the
+    * distinct shingle rows and the df-joined relation — plus the shared
+    * rare-intersection scratch; round-8 ADVICE #4): the harness clears
+    * caches per query, a library caller releases these itself. */
+  def ngramJaccardCappedWith(documents: DataFrame, threshold: Double, maxDf: Int,
+                             skewSafe: Boolean = true): (DataFrame, Seq[DataFrame]) = {
+    val (shDf, h) = dfShinglesWith(documents, skewSafe)
+    val (out, h2) = cappedPairsOfWith(shDf, lit(maxDf), threshold)
+    (out, h ++ h2)
+  }
 
   /** Corpus-RELATIVE df cap — the one-decade-up gate's finding made
     * operational: an ABSOLUTE cap silently collapses to zero recall when
@@ -403,8 +431,15 @@ object Dedup {
     * cap is engine-exact. */
   def ngramJaccardCappedAdaptive(documents: DataFrame, threshold: Double,
                                  keepPct: Int = 99,
-                                 skewSafe: Boolean = true): DataFrame = {
-    val shDf0 = dfShingles(documents, skewSafe)
+                                 skewSafe: Boolean = true): DataFrame =
+    ngramJaccardCappedAdaptiveWith(documents, threshold, keepPct, skewSafe)._1
+
+  /** [[ngramJaccardCappedAdaptive]] with cache handles — the
+    * [[ngramJaccardCappedWith]] lifecycle. */
+  def ngramJaccardCappedAdaptiveWith(documents: DataFrame, threshold: Double,
+                                     keepPct: Int = 99,
+                                     skewSafe: Boolean = true): (DataFrame, Seq[DataFrame]) = {
+    val (shDf0, h) = dfShinglesWith(documents, skewSafe)
     val hist = shDf0.select(col("s"), col("df")).distinct()
       .groupBy("df").agg(count(lit(1)).as("n"))
     val wH = graft.functions.BoundedWindow.boundedGlobal(lit("dfh"), asc("df"))
@@ -413,7 +448,8 @@ object Dedup {
     val cap = cum.crossJoin(broadcast(tot))
       .filter(col("cum") * 100 >= lit(keepPct) * col("t"))
       .agg(min("df").as("cap"))
-    cappedPairsOf(shDf0.crossJoin(broadcast(cap)), col("cap"), threshold)
+    val (out, h2) = cappedPairsOfWith(shDf0.crossJoin(broadcast(cap)), col("cap"), threshold)
+    (out, h ++ h2)
   }
 
   /** Shared (doc_id, s, df) relation of the capped variants, cached (read
@@ -446,22 +482,24 @@ object Dedup {
     *   capped form's ~3 s at test scale is the accepted insurance price;
     *   it buys the only version of this operator that survives the corpus
     *   it exists for. */
-  private def dfShingles(documents: DataFrame,
-                         skewSafe: Boolean = true): DataFrame =
+  private def dfShinglesWith(documents: DataFrame,
+                             skewSafe: Boolean = true): (DataFrame, Seq[DataFrame]) =
     if (skewSafe) {
       val rows = graft.functions.TextFns.shingleRowsOf(documents, 3)
         .distinct().cache()
       val dfr = rows.groupBy("s").agg(count(lit(1)).as("df"))
-      rows.join(dfr.hint("merge"), "s").cache()
+      val joined = rows.join(dfr.hint("merge"), "s").cache()
+      (joined, Seq(rows, joined))
     } else {
       val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
-      graft.functions.TextFns.shingleRowsOf(documents, 3).distinct()
+      val j = graft.functions.TextFns.shingleRowsOf(documents, 3).distinct()
         .withColumn("df", count(lit(1)).over(wS))
         .cache()
+      (j, Seq(j))
     }
 
-  private def cappedPairsOf(shDf: DataFrame, cap: Column,
-                            threshold: Double): DataFrame = {
+  private def cappedPairsOfWith(shDf: DataFrame, cap: Column,
+                                threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val rare = shDf.filter(col("df") <= cap)
     val freq = shDf.filter(col("df") > cap)
     // Pass 1 — the bounded quadratic: self-join the RARE partition on s and
@@ -491,7 +529,7 @@ object Dedup {
       .select(col("d1"), col("d2"),
         (col("i_r") + coalesce(col("i_f"), lit(0L))).as("i"))
     val sizes = shDf.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    jaccardTail(inter, sizes, threshold)
+    (jaccardTail(inter, sizes, threshold), Seq(iRare))
   }
 
   def duckNgramCappedSql(table: String, threshold: Double, maxDf: Int): String =
@@ -567,6 +605,30 @@ object Dedup {
     * floor() yields the identical integer in both engines. */
   private val EmbedQScale = 1024
 
+  /** Per-bit corpus-MEDIAN thresholds of the balanced sign-LSH key —
+    * (j, t) over j ∈ [0, nBits): t_j = the smallest quantized normalized
+    * projection qr with 2·cum ≥ n (an all-integer rank threshold,
+    * two-phase: partial-agged (j, q) histogram + prefix over the bounded
+    * histogram relation — never a corpus-wide sort per j). Input relation
+    * must carry (embedding, nrm). Public to the package so
+    * [[graft.sources.EmbedLayout]] persists these beside the embedding
+    * artifact (round-8 verdict #3) — a corpus statistic computed once per
+    * snapshot, not per query. */
+  private[graft] def balancedThresholds(e: DataFrame, nBits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e1 = e.withColumn("proj", graft.functions.VecExprs.rpProject(
+      col("embedding"), Knn.rpSigns(nBits, Embedder.Dim)))
+    val qr = e1.select(col("nrm"), posexplode(col("proj")).as(Seq("j", "p")))
+      .select(col("j"), floor(col("p") / col("nrm") * EmbedQScale).as("q"))
+    val hist = qr.groupBy("j", "q").agg(count(lit(1)).as("c"))
+    val tot = e1.agg(count(lit(1)).as("n"))
+    val wJ = Window.partitionBy("j").orderBy("q")
+    hist.withColumn("cum", sum("c").over(wJ))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy("j").agg(min("q").as("t"))
+  }
+
   /** Attach the tables×16 MEDIAN-BALANCED hyperplane bit string to an
     * (doc_id, embedding, nrm) relation.
     *
@@ -587,22 +649,18 @@ object Dedup {
     * Measured at sf1 (50k docs): 24972/25028 balance per bit; band
     * occupancy max 461 at 10 bits vs 8,757 raw — the within-bucket
     * quadratic the occupancy math promises. Thresholds are corpus
-    * statistics recomputed per query (linear, map-side dominated); a
-    * deployment would persist them beside the embedding artifact. */
-  private def withBalancedPatf(e: DataFrame, tables: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * statistics: the artifact-backed paths read them PERSISTED beside the
+    * embedding artifact ([[graft.sources.EmbedLayout.ensureThresholds]],
+    * round-8 verdict #3 — the per-query recompute was a full posexplode
+    * histogram pass over n×nBits projections); the in-query facades still
+    * recompute (`thresholds = None`), their corpus is a derived relation
+    * with no artifact to sit beside. */
+  private def withBalancedPatf(e: DataFrame, tables: Int,
+                               thresholds: Option[DataFrame] = None): DataFrame = {
     val nBits = tables * EmbedBandBlock
     val e1 = e.withColumn("proj", graft.functions.VecExprs.rpProject(
       col("embedding"), Knn.rpSigns(nBits, Embedder.Dim)))
-    val qr = e1.select(col("nrm"), posexplode(col("proj")).as(Seq("j", "p")))
-      .select(col("j"), floor(col("p") / col("nrm") * EmbedQScale).as("q"))
-    val hist = qr.groupBy("j", "q").agg(count(lit(1)).as("c"))
-    val tot = e1.agg(count(lit(1)).as("n"))
-    val wJ = Window.partitionBy("j").orderBy("q")
-    val th = hist.withColumn("cum", sum("c").over(wJ))
-      .crossJoin(broadcast(tot))
-      .filter(col("cum") * 2 >= col("n"))
-      .groupBy("j").agg(min("q").as("t"))
+    val th = thresholds.getOrElse(balancedThresholds(e, nBits))
     // nBits-row relation → broadcast array (bounded-HOF exemption).
     // Eagerly checkpointed (1 row — the KMeans k-row discipline): the
     // patf relation is read by both band sides AND the verify join, and
@@ -674,11 +732,13 @@ object Dedup {
     * callers handing in a DERIVED subtree (the in-query [[embedCosine]]
     * path), where recomputing means re-tokenizing the corpus. */
   def embedCosineOf(emb: DataFrame, threshold: Double, bits: Int = 8,
-                    tables: Int = 8, cache: Boolean = false): DataFrame = {
+                    tables: Int = 8, cache: Boolean = false,
+                    thresholds: Option[DataFrame] = None): DataFrame = {
     require(bits <= EmbedBandBlock, s"bits $bits exceeds band block $EmbedBandBlock")
     val e0 = emb.withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
     val e0c = if (cache) e0.cache() else e0
-    embedBandsTail(withBalancedPatf(e0c, tables).withColumn("bits", lit(bits)),
+    embedBandsTail(
+      withBalancedPatf(e0c, tables, thresholds).withColumn("bits", lit(bits)),
       e0c, tables, threshold)
   }
 
@@ -702,11 +762,12 @@ object Dedup {
     * relation — caching contract as in [[embedCosineOf]]. */
   def embedCosineAdaptiveOf(emb: DataFrame, threshold: Double,
                             targetOccupancy: Int = 32, maxBits: Int = 16,
-                            tables: Int = 8, cache: Boolean = false): DataFrame = {
+                            tables: Int = 8, cache: Boolean = false,
+                            thresholds: Option[DataFrame] = None): DataFrame = {
     require(maxBits <= EmbedBandBlock, s"maxBits $maxBits exceeds band block $EmbedBandBlock")
     val e0 = emb.withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
     val e0c = if (cache) e0.cache() else e0
-    val e = withBalancedPatf(e0c, tables)
+    val e = withBalancedPatf(e0c, tables, thresholds)
     val nb = e0c.agg(count(lit(1)).as("n"))
       .select(greatest(lit(1), least(lit(maxBits),
         length(bin(expr(s"n DIV $targetOccupancy"))) - 1)).as("bits"))
@@ -1424,6 +1485,68 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy(asc("batch_doc"), asc("corpus_doc"))
     (out, Seq(shB, shC))
+  }
+
+  /** The PERSISTED-INDEX form of [[minhashAgainst]] (round-8 verdict #2):
+    * the corpus side arrives as the three stored signature relations a
+    * [[graft.sources.SignatureLayout]] holds — band rows (doc_id, band,
+    * bkey), distinct shingle rows (doc_id, s), per-doc shingle sizes
+    * (doc_id, n) — instead of raw text. Per-batch work is then O(batch
+    * shingle pass + band probe + candidate-first verify): the corpus is
+    * never re-tokenized, re-shingled, or re-signed, which is the entire
+    * point of incremental maintenance (the previous shape redid the
+    * corpus signature pipeline per ingest batch — a daily full-corpus
+    * pass at 100 TB).
+    *
+    * Broadcast discipline differs from [[minhashAgainstWith]] on purpose:
+    * the corpus relations here are UNCACHED parquet reads, so their size
+    * estimates are actual file stats — small index → broadcast is correct,
+    * 100 TB index → shuffle join, no lock-in hazard (the round-4 curation
+    * lesson). Only the CACHED batch-side relations (shB and its
+    * doc-cardinality sizes aggregate) carry the merge pins. Production
+    * layout note: bucketing the stored shingles by doc_id and the band
+    * rows by bkey ([[graft.sources.IndexBuild.writeBucketed]] precedent)
+    * makes the probe and verify co-located and shuffle-free on the corpus
+    * side; the plain-parquet layout written here costs one corpus-side
+    * shuffle in the verify join — already ≪ the re-sign it replaces.
+    *
+    * Spec contract (PairsLayoutSpec): probing a written index ≡
+    * [[minhashAgainst]] on the same (batch, corpus) relations, row-exact. */
+  def minhashProbeIndexWith(batch: DataFrame, corpusBands: DataFrame,
+                            corpusShingles: DataFrame, corpusSizes: DataFrame,
+                            threshold: Double, seeds: Int = 8,
+                            rowsPerBand: Int = 2): (DataFrame, Seq[DataFrame]) = {
+    val shB = shingleRows(batch, 3)
+    val bandsB = bandRowsOf(shB, seeds, rowsPerBand)
+    (probeIndex(shB, bandsB, corpusBands, corpusShingles, corpusSizes, threshold), Seq(shB))
+  }
+
+  /** Probe core over PRECOMPUTED batch relations — shared by
+    * [[minhashProbeIndexWith]] and [[graft.sources.PairsLayout.upsert]]
+    * (which reuses the batch shingles/bands it is about to append, one
+    * shingle pass per ingest). */
+  private[graft] def probeIndex(shB: DataFrame, bandsB: DataFrame,
+                                corpusBands: DataFrame, corpusShingles: DataFrame,
+                                corpusSizes: DataFrame, threshold: Double): DataFrame = {
+    val cand = bandsB.as("x")
+      .join(corpusBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val inter = cand
+      .join(shB.select(col("doc_id").as("d1"), col("s")).hint("merge"), "d1")
+      .join(corpusShingles.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizesB.select(col("doc_id").as("d1"), col("n").as("n1")).hint("merge"), "d1")
+      .join(corpusSizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1").as("batch_doc"), col("d2").as("corpus_doc"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(asc("batch_doc"), asc("corpus_doc"))
   }
 
   /** DuckDB mirror of [[minhashIncremental]]. The verify CTEs are the

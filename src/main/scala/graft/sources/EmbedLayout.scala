@@ -92,6 +92,32 @@ object EmbedLayout {
   def ensureEmb(spark: SparkSession, documents: DataFrame, sfDir: String): DataFrame =
     readEmb(spark, ensured(spark, documents, sfDir))
 
+  /** Persisted balanced sign-LSH bit thresholds (j, t) for an `nBits`
+    * hyperplane layout — the corpus statistic
+    * [[graft.operators.Dedup.balancedThresholds]] derives, stored BESIDE
+    * the embedding artifact (round-8 verdict #3: recomputing them per
+    * query was a full posexplode histogram pass over n×nBits
+    * projections). Built on demand per (artifact, nBits), once per JVM;
+    * single file on purpose — nBits rows that feed a broadcast array, not
+    * a parallel reader. */
+  def ensureThresholds(spark: SparkSession, documents: DataFrame,
+                       sfDir: String, nBits: Int): DataFrame = {
+    val dir = ensured(spark, documents, sfDir)
+    val p = s"$dir/lshth$nBits"
+    built.synchronized {
+      if (!built.contains(p)) {
+        import graft.functions.VecExprs.dotc
+        val e = readEmb(spark, dir)
+          .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
+        graft.operators.Dedup.balancedThresholds(e, nBits)
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(p)
+        built.add(p)
+      }
+    }
+    spark.read.parquet(p)
+  }
+
   /** Unconditional rebuild + dense read-back — the bench entry that PRICES
     * the embed pass (q_embed_artifact), so the fast read-side consumers
     * never hide the ingest cost. */
@@ -102,5 +128,23 @@ object EmbedLayout {
       built.add(dir)
     }
     readEmb(spark, dir)
+  }
+
+  /** Unconditional rebuild + per-doc INTEGER digest of the sparse relation
+    * (nnz, token total, first/second moments over (bucket, cnt)) — the
+    * driver-gate form of [[rebuild]]: the external comparator is
+    * scalar-only (it cannot hash array cells), so the gated entry prices
+    * the identical build but projects an exact integer witness instead of
+    * the raw `array<double>` column. */
+  def rebuildDigest(spark: SparkSession, documents: DataFrame, sfDir: String): DataFrame = {
+    rebuild(spark, documents, sfDir)
+    readHist(spark, dirFor(sfDir))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("nnz"),
+        sum("cnt").as("total_cnt"),
+        sum(col("bucket") * col("cnt")).as("dot_digest"),
+        sum(col("cnt") * col("cnt")).as("sq_digest"))
+      .orderBy("doc_id")
   }
 }

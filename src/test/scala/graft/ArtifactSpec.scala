@@ -36,6 +36,27 @@ class ArtifactSpec extends AnyFunSuite {
     assert(aa == bb)
   }
 
+  test("stored LSH thresholds == per-query recompute; dedup over them == recompute path") {
+    import graft.functions.VecExprs.dotc
+    val stored = EmbedLayout.ensureThresholds(spark, docs, TestSpark.sf, nBits = 128)
+      .orderBy("j")
+    val e = EmbedLayout.ensureEmb(spark, docs, TestSpark.sf)
+      .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
+    val fresh = Dedup.balancedThresholds(e, nBits = 128).orderBy("j")
+    val a = rows(stored)
+    val b = rows(fresh)
+    spark.sharedState.cacheManager.clearCache()
+    assert(a.size == 128, s"expected 128 thresholds, got ${a.size}")
+    assert(a == b)
+    // and the full dedup queries agree whether thresholds are stored or derived
+    val emb = EmbedLayout.ensureEmb(spark, docs, TestSpark.sf)
+    val thr = EmbedLayout.ensureThresholds(spark, docs, TestSpark.sf, nBits = 128)
+    val withStored = rows(Dedup.embedCosineOf(emb, threshold = 0.8, thresholds = Some(thr)))
+    val withFresh = rows(Dedup.embedCosineOf(emb, threshold = 0.8))
+    spark.sharedState.cacheManager.clearCache()
+    assert(withStored == withFresh)
+  }
+
   test("outlier report over the hist artifact == recompute facade") {
     val a = rows(CorpusOps.embeddingOutliersOf(
       EmbedLayout.ensureHist(spark, docs, TestSpark.sf), k = 5))

@@ -65,14 +65,20 @@ class PairsLayoutSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("incremental upsert ≡ full rebuild on the unioned corpus") {
+  test("two-batch incremental upsert chain ≡ full rebuild on the unioned corpus") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_pairs_incr").toString
     try {
-      val old = docs.filter(col("doc_id") % 10 =!= 7)
-      val batch = docs.filter(col("doc_id") % 10 === 7)
-      PairsLayout.write(spark, old, dir, threshold)
-      PairsLayout.upsert(spark, dir, batch, old, threshold)
+      // two successive ingest batches: the SECOND probes an index that
+      // must already contain the first batch's appended signatures —
+      // pinning the up-to-date-index half of the upsert contract, not
+      // just the single-batch decomposition
+      val base = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3)
+      val batch1 = docs.filter(col("doc_id") % 10 === 7)
+      val batch2 = docs.filter(col("doc_id") % 10 === 3)
+      PairsLayout.writeIndexed(spark, base, dir, threshold)
+      PairsLayout.upsert(spark, dir, batch1, threshold)
+      PairsLayout.upsert(spark, dir, batch2, threshold)
       spark.sharedState.cacheManager.clearCache()
       def pairs(df: org.apache.spark.sql.DataFrame) =
         df.orderBy("d1", "d2").collect()
@@ -80,11 +86,40 @@ class PairsLayoutSpec extends AnyFunSuite {
       val incr = pairs(PairsLayout.read(spark, dir))
       val full = pairs(Dedup.nearDupPairs(docs, threshold))
       spark.sharedState.cacheManager.clearCache()
-      // vacuity guard: the fixture must have pairs touching the batch
-      // slice, or the test proves only the base build
+      // vacuity guards: pairs must touch BOTH batch slices, and at least
+      // one must be batch2×batch1 territory-adjacent (cross-batch pairs
+      // only exist if batch2's probe saw batch1's appended signatures)
       assert(full.exists(p => p._1 % 10 == 7 || p._2 % 10 == 7),
-        "fixture vacuous: no near-dup pair touches the batch slice")
+        "fixture vacuous: no near-dup pair touches batch1")
+      assert(full.exists(p => p._1 % 10 == 3 || p._2 % 10 == 3),
+        "fixture vacuous: no near-dup pair touches batch2")
       assert(incr == full)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("stored-index probe ≡ live two-relation minhashAgainst") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_probe").toString
+    try {
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      PairsLayout.writeIndexed(spark, corpus, dir, threshold)
+      spark.sharedState.cacheManager.clearCache()
+      val (probed, handles) = Dedup.minhashProbeIndexWith(batch,
+        graft.sources.SignatureLayout.readBands(spark, dir),
+        graft.sources.SignatureLayout.readShingles(spark, dir),
+        graft.sources.SignatureLayout.readSizes(spark, dir), threshold)
+      val a = rows(probed)
+      handles.foreach(_.unpersist(blocking = true))
+      val b = rows(Dedup.minhashAgainst(batch, corpus, threshold))
+      spark.sharedState.cacheManager.clearCache()
+      assert(a.nonEmpty, "fixture vacuous: probe found no cross pairs")
+      assert(a == b)
     } finally {
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
@@ -98,7 +133,9 @@ class PairsLayoutSpec extends AnyFunSuite {
         ("dupDegreeWith", () => Dedup.dupDegreeWith(docs, threshold)),
         ("dupTrianglesWith", () => Dedup.dupTrianglesWith(docs, threshold)),
         ("dupPagerankWith", () => Dedup.dupPagerankWith(docs, threshold)),
-        ("leakageSplitWith", () => Dedup.leakageSplitWith(docs, threshold)))) {
+        ("leakageSplitWith", () => Dedup.leakageSplitWith(docs, threshold)),
+        ("ngramJaccardCappedWith", () => Dedup.ngramJaccardCappedWith(docs, threshold, 20)),
+        ("ngramJaccardCappedAdaptiveWith", () => Dedup.ngramJaccardCappedAdaptiveWith(docs, threshold)))) {
       spark.sharedState.cacheManager.clearCache()
       val (out, handles) = mk()
       out.collect()

@@ -278,4 +278,42 @@ class StreamStateSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(streamed == batch, "micro-batch partial counts must reproduce the one-shot report")
   }
+
+  test("streamed pair-artifact maintenance across forced micro-batches equals full-corpus pipeline") {
+    val threshold = 0.5 // sf0.001 has few 0.8-pairs; match PairsLayoutSpec's fixture
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val srcDir = Files.createTempDirectory("graft_stream_pairs_src").toFile
+    srcDir.deleteOnExit()
+    val artDir = Files.createTempDirectory("graft_stream_pairs_art").toString
+    try {
+      // two ingest slices as separate files + maxFilesPerTrigger=1: the
+      // SECOND micro-batch must probe an index containing the first's
+      // appended signatures — the cross-micro-batch half of the contract
+      docs.filter(col("doc_id") % 10 === 7).coalesce(1)
+        .write.parquet(s"${srcDir.getAbsolutePath}/b1.parquet")
+      docs.filter(col("doc_id") % 10 === 3).coalesce(1)
+        .write.parquet(s"${srcDir.getAbsolutePath}/b2.parquet")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir.getAbsolutePath)
+      val base = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3)
+      val got = StreamOps.streamedPairsMaintenanceOf(spark, base, stream, artDir, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = graft.operators.Dedup.nearDupPairs(docs, threshold)
+        .orderBy("d1", "d2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      spark.catalog.clearCache()
+      assert(want.exists(p => p._1 % 10 == 7 || p._2 % 10 == 7),
+        "fixture vacuous: no near-dup pair touches micro-batch 1")
+      assert(want.exists(p => p._1 % 10 == 3 || p._2 % 10 == 3),
+        "fixture vacuous: no near-dup pair touches micro-batch 2")
+      assert(got == want)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(artDir)); rm(srcDir)
+    }
+  }
 }

@@ -62,9 +62,11 @@ def main(sf_dir, out_dir, only=()):
             print(f"FAIL {name}: no spark result written"); n_fail += 1; continue
         try:
             con = fresh_con(sf_dir)
-            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table()
-            want = con.execute(oracle[name]).fetch_arrow_table()
-            con.close()
+            try:
+                got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table()
+                want = con.execute(oracle[name]).fetch_arrow_table()
+            finally:
+                con.close()  # close on the failure path too (round-8 ADVICE)
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         gcols, wcols = sorted(got.column_names), sorted(want.column_names)
