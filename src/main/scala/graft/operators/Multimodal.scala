@@ -240,14 +240,15 @@ object Multimodal {
     * broadcast-lock-in exposure a cache would create. */
   def phashDedupOf(sig: DataFrame, maxHamming: Int = 13,
                    targetOccupancy: Int = 64, minBits: Int = 8,
-                   maxBits: Int = 16): DataFrame = {
+                   maxBits: Int = 16, lenBucket: Int = 64): DataFrame = {
     val nb = sig.agg(count(lit(1)).as("n"))
       .select(greatest(lit(minBits), least(lit(maxBits),
         length(bin(expr(s"n DIV $targetOccupancy"))) - 1)).cast("int").as("bits"))
     // narrow band rows: the signature string does NOT ride the band
     // shuffle — the verify join-back below re-reads it from the artifact
     val bands = sig.crossJoin(broadcast(nb))
-      .select(col("doc_id"), col("phash"), col("bits"), expr("plen DIV 64").as("lb0"),
+      .select(col("doc_id"), col("phash"), col("bits"),
+        expr(s"plen DIV $lenBucket").as("lb0"),
         explode(expr("sequence(0, 64 DIV bits - 1)")).as("band"))
       .select(col("doc_id"), col("band"),
         expr("substring(phash, band * bits + 1, bits)").as("bkey"),
