@@ -58,12 +58,60 @@ object CodeChunker {
 
   private def indentOf(l: String): Int = l.takeWhile(c => c == ' ' || c == '\t').length
 
-  /** Block span: from `start` until the last nonblank line whose indent is
-    * greater than the header's (python-style suite), inclusive. */
+  /** Net bracket balance of one Python line with string/comment content
+    * excluded — the line-local scrubber the multi-line-header and
+    * decorator walks need: a paren inside a default-arg string
+    * (`def f(x="(")`) or after `#` must not count. Triple-quoted spans are
+    * the caller's job ([[tripleStringMask]]); this handles the line-local
+    * states. */
+  private def pyBracketNet(l: String): Int = {
+    var net = 0
+    var pos = 0
+    var inS = false
+    var inD = false
+    var done = false
+    while (pos < l.length && !done) {
+      val c = l.charAt(pos)
+      if (inS) { if (c == '\\') pos += 1 else if (c == '\'') inS = false }
+      else if (inD) { if (c == '\\') pos += 1 else if (c == '"') inD = false }
+      else c match {
+        case '#' => done = true
+        case '\'' => inS = true
+        case '"' => inD = true
+        case '(' | '[' | '{' => net += 1
+        case ')' | ']' | '}' => net -= 1
+        case _ =>
+      }
+      pos += 1
+    }
+    net
+  }
+
+  /** Last line of a possibly MULTI-LINE header: from `start`, advance while
+    * the cumulative bracket balance stays open — `def f(\n  a,\n) -> int:`
+    * closes on the `)` line (black's house style). Without this, the
+    * suite scan below would treat the closing line's SHALLOW indent as the
+    * end of the block and cut the whole body off — tree-sitter spans the
+    * full definition. */
+  private def headerEnd(lines: Array[String], start: Int): Int = {
+    var bal = pyBracketNet(lines(start))
+    var i = start
+    while (bal > 0 && i + 1 < lines.length) {
+      i += 1
+      bal += pyBracketNet(lines(i))
+    }
+    i
+  }
+
+  /** Block span: from `start` (a possibly multi-line header) until the last
+    * nonblank line whose indent is greater than the HEADER LINE's
+    * (python-style suite), inclusive. The suite scan begins after the line
+    * that closes the header's bracket group ([[headerEnd]]). */
   private def blockEnd(lines: Array[String], start: Int): Int = {
     val indent = indentOf(lines(start))
-    var end = start
-    var i = start + 1
+    val h = headerEnd(lines, start)
+    var end = h
+    var i = h + 1
     while (i < lines.length &&
       (lines(i).trim.isEmpty || indentOf(lines(i)) > indent)) {
       if (lines(i).trim.nonEmpty) end = i
@@ -161,15 +209,32 @@ object CodeChunker {
   /** Span start of a decorated definition: tree-sitter wraps decorators
     * and the def/class in ONE `decorated_definition` node whose text
     * begins at the first decorator (the reference chunks that node,
-    * indexing_agent.py:158-172), so the element must include contiguous
-    * same-indent `@decorator` lines directly above the header. Multi-line
-    * decorator argument lists remain a declared deviation (SURVEY §2.2). */
+    * indexing_agent.py:158-172), so the element must include `@decorator`
+    * lines directly above the header — INCLUDING multi-line decorator
+    * argument lists (`@app.route(\n  "/x",\n)`): walking upward, a
+    * negative cumulative bracket balance means we are inside an argument
+    * group that opens further up, and a same-indent `@` line that brings
+    * the balance back to zero is that decorator's start. (This closes the
+    * round-8 declared deviation.) */
   private def decoratedStart(lines: Array[String], inStr: Array[Boolean],
                              header: Int): Int = {
     val indent = indentOf(lines(header))
     var s = header
-    while (s > 0 && !inStr(s - 1) && lines(s - 1).trim.startsWith("@") &&
-      indentOf(lines(s - 1)) == indent) s -= 1
+    var j = header - 1
+    var bal = 0
+    var stop = false
+    while (j >= 0 && !stop) {
+      if (inStr(j)) stop = true
+      else {
+        val t = lines(j).trim
+        bal += pyBracketNet(lines(j))
+        if (t.startsWith("@") && indentOf(lines(j)) == indent && bal == 0) {
+          s = j; j -= 1 // decorator complete; look for one more above
+        } else if (bal < 0) {
+          j -= 1 // inside a decorator's argument group, keep walking up
+        } else stop = true
+      }
+    }
     s
   }
 
@@ -199,8 +264,15 @@ object CodeChunker {
             lines.slice(start, end + 1).mkString("\n"), pyDocstring(lines, i, end))
           i += 1
         case _ if isPyImport(l) =>
-          out += CodeElement.make("import", "import", path, i + 1, i + 1, l, "")
-          i += 1
+          // multi-line import spans: `from x import (\n a,\n b)` closes on
+          // bracket balance; `import a, \` continues by backslash — the
+          // tree-sitter node spans all of it
+          var end = headerEnd(lines, i)
+          while (end + 1 < lines.length &&
+            lines(end).split("#", 2)(0).trim.endsWith("\\")) end += 1
+          out += CodeElement.make("import", "import", path, i + 1, end + 1,
+            lines.slice(i, end + 1).mkString("\n"), "")
+          i = end + 1
         case _ => i += 1
       }
     }
@@ -354,8 +426,18 @@ object CodeChunker {
             lines.slice(i, end + 1).mkString("\n"))
           i += 1
         case _ if isJsImport(m(i)) =>
-          out += CodeElement.make("import", "import", path, i + 1, i + 1, lines(i), "")
-          i += 1
+          // multi-line named-import lists: `import {\n a,\n} from 'x'` —
+          // the import_statement node closes with the brace group (scan
+          // the MASKED lines so braces in strings/comments never count)
+          var end = i
+          var bal = m(i).count(_ == '{') - m(i).count(_ == '}')
+          while (bal > 0 && end + 1 < lines.length) {
+            end += 1
+            bal += m(end).count(_ == '{') - m(end).count(_ == '}')
+          }
+          out += CodeElement.make("import", "import", path, i + 1, end + 1,
+            lines.slice(i, end + 1).mkString("\n"), "")
+          i = end + 1
         case _ => i += 1
       }
     }

@@ -166,6 +166,64 @@ class CodeChunkerSpec extends AnyFunSuite {
     assert(tls.find(_.name == "Plain").get.content.startsWith("class Plain"))
   }
 
+  test("multi-line headers, decorators, and imports span like tree-sitter nodes (round-9 fidelity)") {
+    // black-style multi-line signature: the closing `) -> int:` sits at the
+    // def's own indent — the suite must still be included
+    val py =
+      """def f(
+        |    a,
+        |    b,
+        |) -> int:
+        |    '''Adds.'''
+        |    return a + b
+        |
+        |@app.route(
+        |    "/path",
+        |    methods=["GET", "POST"],
+        |)
+        |@cached
+        |def handler(req):
+        |    return req
+        |
+        |from pkg import (
+        |    alpha,
+        |    beta,
+        |)
+        |import os, \
+        |    sys
+        |""".stripMargin
+    val els = CodeChunker.chunkFile("ml.py", py)
+    val f = els.find(_.name == "f").get
+    assert(f.start_line == 1 && f.end_line == 6, s"got ${f.start_line}..${f.end_line}")
+    assert(f.content.endsWith("return a + b"))
+    assert(f.docstring == "Adds.")
+    val handler = els.find(_.name == "handler").get
+    assert(handler.start_line == 8, s"multi-line decorator must attach: got ${handler.start_line}")
+    assert(handler.content.startsWith("@app.route("))
+    val imports = els.filter(_.element_type == "import")
+    assert(imports.exists(e => e.content.contains("alpha") && e.content.contains("beta")
+      && e.end_line - e.start_line == 3), "paren-group from-import must span all lines")
+    assert(imports.exists(e => e.content.contains("os") && e.content.contains("sys")
+      && e.end_line - e.start_line == 1), "backslash-continued import must span both lines")
+    // a paren inside a default-arg STRING must not extend the header
+    val tricky = "def g(x=\"(\"):\n    return x\ndef h():\n    pass\n"
+    val tEls = CodeChunker.chunkFile("t.py", tricky)
+    assert(tEls.find(_.name == "g").get.end_line == 2)
+    assert(tEls.exists(_.name == "h"))
+    // JS multi-line named-import list
+    val ts =
+      """import {
+        |  alpha,
+        |  beta,
+        |} from './mod';
+        |function go() { return alpha + beta; }
+        |""".stripMargin
+    val tls = CodeChunker.chunkFile("m.ts", ts)
+    val imp = tls.find(_.element_type == "import").get
+    assert(imp.start_line == 1 && imp.end_line == 4)
+    assert(tls.exists(_.name == "go"))
+  }
+
   test("content hash is stable and md5-shaped (C7)") {
     val a = CodeChunker.chunkFile("sample.py", read("sample.py"))
     val b = CodeChunker.chunkFile("sample.py", read("sample.py"))
