@@ -37,6 +37,10 @@ def fresh_con(sf_dir):
     and per-query connections also release each query's peak memory."""
     con = duckdb.connect()
     con.execute("SET temp_directory='/tmp/duck_oracle_spill'")
+    # hard cap well under RAM so a big oracle SPILLS to temp instead of
+    # being OOM-killed (observed at sf10: the default 80%-of-RAM limit +
+    # a concurrent JVM = kernel OOM kill at 102 GB RSS)
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
