@@ -28,6 +28,7 @@ object Verify {
       if (children != null) children.foreach(deleteRecursively)
       f.delete(); ()
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {
         // stale-dump guard (round-4 review, and a real incident this
@@ -39,6 +40,7 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[verify] $name failed: $e")
           e.getStackTrace.take(4).foreach(f => System.err.println(s"[verify]   at $f"))
         }
@@ -64,5 +66,15 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Fail LOUDLY (round-9 verdict #3): the per-query catch above is right
+    // for the driver's full-gate sweep (the checker reports each missing
+    // dir), but a targeted `only` run — the sf10 campaign shape — used to
+    // exit 0 after an ENOSPC'd query and its runbook log read as a pass.
+    // Any failure now prints a final FAILED line; a NAMED run also exits
+    // nonzero so shell runbooks (`&& echo ok`) cannot misrecord it.
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] FAILED: ${failed.mkString(",")}")
+      if (only.nonEmpty) sys.exit(1)
+    }
   }
 }

@@ -61,6 +61,16 @@ object PairsLayout {
                    threshold: Double, seeds: Int = 8, rowsPerBand: Int = 2): Unit = {
     val a = Dedup.minhashArtifactsWith(documents, threshold, seeds, rowsPerBand)
     try {
+      // a rewritten snapshot invalidates all per-batch maintenance state:
+      // batch commit markers (an old marker would make [[upsert]] skip a
+      // batch the NEW snapshot never saw) and any streaming checkpoint
+      // keyed to the previous base
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq("_batches", "_checkpoint").foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$d")
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) { fs.delete(p, true); () }
+      }
       SignatureLayout.write(spark, dir, a.bands, a.shingles)
       a.pairs.select("d1", "d2").write.mode(SaveMode.Overwrite).parquet(s"$dir/pairs")
     } finally a.handles.foreach(_.unpersist())
@@ -117,18 +127,69 @@ object PairsLayout {
     * doc_ids must be disjoint (the ingest contract — a re-ingested id
     * goes through delete-then-upsert upstream). Scratch caches released
     * by handle. Commit order: stage everything (Spark jobs), then rename
-    * signatures, then pairs LAST — see [[SignatureLayout]]'s append
-    * protocol for the crash-window analysis (round-8 ADVICE #3). */
+    * signatures, then pairs, then the batch's commit MARKER last.
+    *
+    * Idempotence / recovery contract (round-9 ADVICE #1 — the previous
+    * scaladoc claimed a benign crash window it did not have):
+    *   - A batch whose marker `_batches/<key>` exists is SKIPPED outright —
+    *     at-least-once redelivery (a streaming replay after restart, a
+    *     retried ingest job) costs nothing and appends nothing. `batchId`
+    *     should be the caller's durable batch key (foreachBatch batchId);
+    *     the default derives an order-independent content digest of the
+    *     batch's doc_ids (one tiny aggregate job).
+    *   - A RE-RUN of a batch whose previous attempt crashed MID-COMMIT
+    *     (marker absent, some renames done) REPLACES, never duplicates:
+    *     every delta file is committed under the batch's md5-keyed name
+    *     prefix and [[SignatureLayout.moveInto]] deletes that prefix's
+    *     live files before renaming — so re-running any half-committed
+    *     relation converges to exactly one copy of the delta. The probe
+    *     additionally anti-joins the batch's own doc_ids OFF the stored
+    *     corpus side (broadcast anti — map-side, a no-op on the clean
+    *     path), so half-appended signatures never self-pair or inflate an
+    *     intersection count while the delta is being recomputed.
+    *   - Only after ALL four relations commit does the marker appear; a
+    *     deployment that wants a stronger contract (concurrent writers,
+    *     readers isolated from mid-commit states) puts a table format
+    *     with atomic commit under this seam (the [[IndexBuild]] swap
+    *     note); the commit ORDER and marker-last rule survive that swap. */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
-             threshold: Double, seeds: Int = 8, rowsPerBand: Int = 2): Unit = {
-    import org.apache.spark.sql.functions.{col, greatest, least}
-    val n = spark.sparkContext.defaultParallelism
+             threshold: Double, seeds: Int = 8, rowsPerBand: Int = 2,
+             batchId: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, expr, greatest, least, lit}
+    // file-count discipline (round-9 ADVICE #4): batch deltas are sized to
+    // the BATCH, not session parallelism — a long-running ingest appending
+    // 32 files × 4 relations per micro-batch degrades probe read planning;
+    // periodic compaction (rewrite via [[writeIndexed]]) is the production
+    // answer for multi-year ingest histories
+    val n = math.max(1, spark.sparkContext.defaultParallelism / 4)
+    val id = batchId.getOrElse {
+      // bit_xor: order-independent AND overflow-free (sum of hashes trips
+      // ANSI long-overflow on real batches); count disambiguates rare
+      // xor-cancelling id sets
+      val r = batch.agg(expr("bit_xor(xxhash64(doc_id))").as("h"),
+        count(lit(1)).as("c")).head()
+      if (r.isNullAt(0)) s"empty-0" else f"${r.getLong(0)}%016x-${r.getLong(1)}"
+    }
+    // md5-keyed prefix: collision-free across distinct batch ids, stable
+    // across re-runs of the SAME id, and free of filesystem-hostile chars
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val prefix = s"b$key"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_batches/$key")
+    val mfs = marker.getFileSystem(conf)
+    if (mfs.exists(marker)) return // batch fully committed — replay no-op
     val a = Dedup.minhashArtifactsWith(batch, threshold, seeds, rowsPerBand)
     try {
+      // crash-rerun probe guard: batch docs excluded from the corpus side
+      // (broadcast anti — map-side filter, no-op on the clean path)
+      val ids = batch.select(col("doc_id"))
+      def noBatch(df: DataFrame): DataFrame =
+        df.join(broadcast(ids), Seq("doc_id"), "left_anti")
       val cross = Dedup.probeIndex(a.shingles, a.bands,
-        SignatureLayout.readBands(spark, dir),
-        SignatureLayout.readShingles(spark, dir),
-        SignatureLayout.readSizes(spark, dir), threshold)
+        noBatch(SignatureLayout.readBands(spark, dir)),
+        noBatch(SignatureLayout.readShingles(spark, dir)),
+        noBatch(SignatureLayout.readSizes(spark, dir)), threshold)
       // stage the failure-prone Spark writes first...
       cross.select(
           least(col("batch_doc"), col("corpus_doc")).as("d1"),
@@ -136,10 +197,16 @@ object PairsLayout {
         .unionByName(a.pairs.select(col("d1"), col("d2")))
         .repartition(n)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/stage_pairs")
+      // signature deltas stage BUCKETED (bucket-aligned files are the
+      // price of the exchange-free probe; a batch touches only its
+      // non-empty buckets, and compaction-by-rewrite bounds the history)
       SignatureLayout.stageAppend(spark, dir, a.bands, a.shingles)
-      // ...then commit by rename: signatures before pairs
-      SignatureLayout.commitAppend(spark, dir)
-      SignatureLayout.moveInto(spark, s"$dir/stage_pairs", s"$dir/pairs")
+      // ...then commit by batch-keyed rename: signatures, pairs, marker
+      // LAST (replace-on-rerun semantics — see the recovery contract)
+      SignatureLayout.commitAppend(spark, dir, prefix)
+      SignatureLayout.moveInto(spark, s"$dir/stage_pairs", s"$dir/pairs", prefix)
+      mfs.mkdirs(marker.getParent)
+      mfs.create(marker, true).close()
     } finally a.handles.foreach(_.unpersist())
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Persisted MinHash SIGNATURE index — the corpus-side state that makes
   * incremental near-dup maintenance O(batch), round-8 verdict #2. Three
-  * parquet relations under a pair-artifact dir:
+  * relations under a pair-artifact dir:
   *
   *   - `bands`    (doc_id, band, bkey) — the LSH band index the ingest
   *     probe equijoins (new × old candidates);
@@ -19,89 +19,207 @@ import org.apache.spark.sql.functions.{col, count, lit}
   * re-signed the WHOLE corpus on every ingest batch — the one operator
   * that runs most often did O(corpus) work per call. With it, a batch
   * costs one batch-side shingle pass plus joins whose corpus sides are
-  * pure parquet reads.
+  * pure reads.
   *
-  * All three relations are written REPARTITIONED to session parallelism
-  * (the one-file-artifact lesson, [[EmbedLayout.write]]: a coalesced
-  * single-file artifact serializes every downstream reader — measured
-  * 12×) and read back UNCACHED so parquet stats keep join planning honest
-  * at every scale (the round-4 curation lesson). Production layout note:
-  * bucketing `shingles` by doc_id and `bands` by bkey
-  * ([[IndexBuild.writeBucketed]] precedent) makes probe + verify
-  * co-located and corpus-shuffle-free; the plain layout here costs one
-  * corpus-side shuffle in the verify join — still ≪ the re-sign it
-  * replaces.
+  * BUCKETED layout (round-9 verdict #3): all three relations are Hive-
+  * style bucketed tables — `bands` CLUSTERED BY (bkey), `shingles` and
+  * `sizes` CLUSTERED BY (doc_id) — so every corpus-side join in the probe
+  * arrives PRE-PARTITIONED on (a subset of) its join keys and plans with
+  * NO corpus-side Exchange: the candidate equijoin keys on (band, bkey),
+  * the verify intersection on (d2, s), the denominator join on d2, and
+  * Spark's subset rule lets HashPartitioning(bkey) / (doc_id) satisfy
+  * each ClusteredDistribution. The shuffle this deletes was the measured
+  * ~4×/decade growth term in the probe (SCALE.md round-9 table) — the
+  * batch side still exchanges, but it is O(batch). Bucket-local sorts
+  * remain (append batches mean multiple files per bucket); the Exchange
+  * write+read of the corpus relation is the term that mattered. Tables
+  * are EXTERNAL (explicit LOCATION): [[ensureTable]] re-registers the
+  * DDL in a fresh JVM's in-memory catalog from the layout's own metadata
+  * file, so the on-disk artifact — not the catalog — is the durable
+  * state. At 100 TB the bucket count scales with the corpus (a layout
+  * parameter, default 32 to match local[32]); a deployment re-buckets at
+  * the same cadence it compacts.
   *
   * Append protocol ([[stageAppend]]/[[commitAppend]]): batch deltas are
-  * staged to `stage_*` temp dirs by Spark jobs FIRST (the failure-prone
-  * part), then committed by cheap per-file renames — so a failed Spark
-  * job never leaves a half-appended live relation. The caller
-  * ([[PairsLayout.upsert]]) commits pairs LAST: a crash inside the
-  * rename window can leave signatures ahead of pairs (a re-run of the
-  * batch then re-probes against its own signatures and self-pairs are
-  * dropped by the probe's `d1 =!= d2`), never pairs ahead of signatures.
-  * A real deployment puts a table format with atomic commit under this
-  * seam ([[IndexBuild]] swap scaladoc); the ORDER here is the part that
-  * must survive that swap.
+  * staged by Spark jobs FIRST (the failure-prone part) as bucketed files
+  * in `stage_*` dirs, then committed by cheap per-file renames that KEEP
+  * the `_NNNNN` bucket suffix Spark parses from bucketed file names (the
+  * staged bucket assignment stays valid — same hash, same count) and
+  * adopt the caller's batch-keyed prefix, so a crashed re-run REPLACES
+  * its own delta instead of duplicating it. The caller
+  * ([[PairsLayout.upsert]]) commits in the order signatures → pairs →
+  * per-batch marker and owns the recovery contract — see its idempotence
+  * scaladoc (round-9 ADVICE #1; the earlier claim that `d1 =!= d2` alone
+  * made re-runs benign was wrong: it drops only identical-doc self-pairs,
+  * not duplicate appends). A real deployment puts a table format with
+  * atomic commit under this seam ([[IndexBuild]] swap scaladoc); the
+  * commit ORDER and marker-last rule are the parts that must survive
+  * that swap.
   */
 object SignatureLayout {
 
-  private val Rels = Seq("bands", "shingles", "sizes")
+  /** (relation, bucket column) — bands co-locate on the band-key probe,
+    * shingles/sizes on the per-doc verify joins. */
+  private val Rels = Seq("bands" -> "bkey", "shingles" -> "doc_id", "sizes" -> "doc_id")
+
+  /** Bucket count for a NEW layout. Matches local[32]; a deployment sizes
+    * this to the corpus (buckets ≈ corpus / healthy-partition-size). */
+  private val DefaultBuckets = 32
+
+  private def tableName(dir: String, rel: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    s"graft_sig_${h}_$rel"
+  }
+
+  private def absPath(dir: String, rel: String): String =
+    new java.io.File(s"$dir/$rel").getAbsolutePath
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Buckets of an existing layout, from its `_graft_buckets` sidecar
+    * (underscore prefix — invisible to parquet scans). Absent for
+    * pre-bucketing layouts → 0 → plain-parquet fallback reads. */
+  private def storedBuckets(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(absPath(dir, "_graft_buckets"))
+    val f = fs(spark, p)
+    if (!f.exists(p)) 0
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+    }
+  }
 
   /** Overwrite the signature index from a build pass' band + shingle
     * relations (sizes derived here — one aggregate over the cached
     * shingle relation the caller already holds). */
   def write(spark: SparkSession, dir: String,
-            bands: DataFrame, shingles: DataFrame): Unit = {
-    val n = spark.sparkContext.defaultParallelism
-    bands.repartition(n).write.mode(SaveMode.Overwrite).parquet(s"$dir/bands")
-    shingles.repartition(n).write.mode(SaveMode.Overwrite).parquet(s"$dir/shingles")
-    shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/sizes")
+            bands: DataFrame, shingles: DataFrame,
+            buckets: Int = DefaultBuckets): Unit = {
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfs = Map("bands" -> bands, "shingles" -> shingles, "sizes" -> sizes)
+    Rels.foreach { case (rel, bcol) =>
+      val t = tableName(dir, rel)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val live = new org.apache.hadoop.fs.Path(absPath(dir, rel))
+      val f = fs(spark, live)
+      if (f.exists(live)) { f.delete(live, true); () }
+      // repartition by the bucket column with numPartitions == buckets:
+      // HashPartitioning and the bucket-id function are the same murmur3
+      // pmod, so each task holds exactly one bucket — one file per bucket
+      // per snapshot, not tasks × buckets
+      dfs(rel).repartition(buckets, col(bcol))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .option("path", absPath(dir, rel))
+        .bucketBy(buckets, bcol).sortBy(bcol)
+        .saveAsTable(t)
+    }
+    val meta = new org.apache.hadoop.fs.Path(absPath(dir, "_graft_buckets"))
+    val out = fs(spark, meta).create(meta, true)
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  def readBands(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/bands")
-  def readShingles(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/shingles")
-  def readSizes(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/sizes")
+  /** Register the external bucketed table in THIS JVM's catalog if absent
+    * (the artifact on disk is the durable state; the in-memory catalog is
+    * per-process), and return it. Falls back to a plain parquet read when
+    * the dir predates the bucketed layout. */
+  private def readRel(spark: SparkSession, dir: String, rel: String): DataFrame = {
+    val b = storedBuckets(spark, dir)
+    if (b == 0) spark.read.parquet(s"$dir/$rel")
+    else {
+      val t = tableName(dir, rel)
+      if (!spark.catalog.tableExists(t)) {
+        val bcol = Rels.toMap.apply(rel)
+        val schema = spark.read.parquet(s"$dir/$rel").schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $t ($schema) USING parquet
+             |CLUSTERED BY ($bcol) SORTED BY ($bcol) INTO $b BUCKETS
+             |LOCATION '${absPath(dir, rel)}'""".stripMargin)
+      }
+      spark.table(t)
+    }
+  }
 
-  /** Stage a batch's signature deltas to `stage_*` temp dirs (runs the
-    * Spark jobs; commits nothing live). Batch doc_ids must be disjoint
-    * from the stored corpus' — the [[PairsLayout.upsert]] ingest
-    * contract. */
+  def readBands(spark: SparkSession, dir: String): DataFrame = readRel(spark, dir, "bands")
+  def readShingles(spark: SparkSession, dir: String): DataFrame = readRel(spark, dir, "shingles")
+  def readSizes(spark: SparkSession, dir: String): DataFrame = readRel(spark, dir, "sizes")
+
+  /** Stage a batch's signature deltas as BUCKETED files under `stage_*`
+    * (runs the Spark jobs; commits nothing live). Bucket count mirrors the
+    * live layout, so the staged files' bucket ids stay valid after the
+    * rename-commit. Batch doc_ids must be disjoint from the stored
+    * corpus' — the [[PairsLayout.upsert]] ingest contract. */
   def stageAppend(spark: SparkSession, dir: String,
                   bands: DataFrame, shingles: DataFrame): Unit = {
-    val n = spark.sparkContext.defaultParallelism
-    bands.repartition(n).write.mode(SaveMode.Overwrite).parquet(s"$dir/stage_bands")
-    shingles.repartition(n).write.mode(SaveMode.Overwrite).parquet(s"$dir/stage_shingles")
-    shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/stage_sizes")
+    val b = math.max(1, storedBuckets(spark, dir))
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfs = Map("bands" -> bands, "shingles" -> shingles, "sizes" -> sizes)
+    Rels.foreach { case (rel, bcol) =>
+      val st = tableName(dir, s"stage_$rel")
+      spark.sql(s"DROP TABLE IF EXISTS $st")
+      val stagePath = new org.apache.hadoop.fs.Path(absPath(dir, s"stage_$rel"))
+      val f = fs(spark, stagePath)
+      if (f.exists(stagePath)) { f.delete(stagePath, true); () }
+      dfs(rel).repartition(b, col(bcol))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .option("path", absPath(dir, s"stage_$rel"))
+        .bucketBy(b, bcol).sortBy(bcol)
+        .saveAsTable(st)
+      // external table: dropping frees the name, files stay staged
+      spark.sql(s"DROP TABLE $st")
+    }
   }
 
-  /** Commit previously staged deltas into the live relations — per-file
-    * renames only, no Spark jobs. */
-  def commitAppend(spark: SparkSession, dir: String): Unit =
-    Rels.foreach(r => moveInto(spark, s"$dir/stage_$r", s"$dir/$r"))
+  /** Commit previously staged deltas into the live relations under the
+    * batch's file-name prefix — per-file renames only, no Spark jobs. */
+  def commitAppend(spark: SparkSession, dir: String, prefix: String): Unit =
+    Rels.foreach { case (rel, _) =>
+      moveInto(spark, s"$dir/stage_$rel", s"$dir/$rel", prefix)
+      val t = tableName(dir, rel)
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
 
-  /** Move every data file of a staged parquet dir into the live dir and
-    * drop the stage. File names carry per-job UUIDs so cross-job
-    * collisions cannot occur; rename failure is reported by RETURN VALUE
-    * (round-4 review lesson), so each one is checked. */
-  private[sources] def moveInto(spark: SparkSession, stage: String, live: String): Unit = {
+  /** Bucket-id suffix of a staged bucketed file name
+    * (`part-00000-<uuid>_00012.c000.snappy.parquet` → `_00012`), empty
+    * for non-bucketed files (the pairs relation). The suffix must survive
+    * the rename: Spark parses a file's bucket id from the trailing
+    * `_NNNNN` group. */
+  private val BucketSuffix = "_(\\d+)\\.".r
+
+  /** Move every data file of a staged parquet dir into the live dir under
+    * batch-keyed names `<prefix>-<i>[_<bucket>].parquet` and drop the
+    * stage.
+    *
+    * The rename TARGET names are what make a batch commit IDEMPOTENT
+    * (round-9 ADVICE #1): any live files already carrying this batch's
+    * prefix — a previous attempt that crashed between commit and marker —
+    * are deleted first, so a re-run REPLACES its batch's delta instead of
+    * appending it twice. Prefixes are md5-derived by the caller
+    * ([[PairsLayout.upsert]]), so distinct batches can never collide and
+    * no glob metacharacters reach the filesystem. Rename failure is
+    * reported by RETURN VALUE (round-4 review lesson), so each one is
+    * checked. */
+  private[sources] def moveInto(spark: SparkSession, stage: String, live: String,
+                                prefix: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(stage)
     val dst = new org.apache.hadoop.fs.Path(live)
-    val fs = src.getFileSystem(conf)
-    if (!fs.exists(dst)) fs.mkdirs(dst)
-    fs.listStatus(src).filter(_.getPath.getName.startsWith("part-")).foreach { f =>
-      val to = new org.apache.hadoop.fs.Path(dst, f.getPath.getName)
-      if (!fs.rename(f.getPath, to))
-        throw new java.io.IOException(s"append commit: rename ${f.getPath} -> $to failed")
+    val f = src.getFileSystem(conf)
+    if (!f.exists(dst)) f.mkdirs(dst)
+    f.listStatus(dst).filter(_.getPath.getName.startsWith(s"$prefix-")).foreach { s =>
+      if (!f.delete(s.getPath, false))
+        throw new java.io.IOException(s"append commit: replace-delete ${s.getPath} failed")
     }
-    fs.delete(src, true)
+    f.listStatus(src).filter(_.getPath.getName.startsWith("part-")).zipWithIndex
+      .foreach { case (s, i) =>
+        val bucket = BucketSuffix.findFirstMatchIn(s.getPath.getName)
+          .map(m => s"_${m.group(1)}").getOrElse("")
+        val to = new org.apache.hadoop.fs.Path(dst, s"$prefix-$i$bucket.parquet")
+        if (!f.rename(s.getPath, to))
+          throw new java.io.IOException(s"append commit: rename ${s.getPath} -> $to failed")
+      }
+    f.delete(src, true)
   }
 }

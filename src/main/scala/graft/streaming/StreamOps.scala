@@ -549,7 +549,14 @@ object StreamOps {
     * Sink shape: foreachBatch → [[graft.sources.PairsLayout.upsert]] (an
     * eager, self-contained maintenance op — the conf-scoping pattern this
     * file uses everywhere); upsert releases its own scratch caches by
-    * handle per batch, so a long-running ingest leaks nothing. */
+    * handle per batch, so a long-running ingest leaks nothing.
+    *
+    * Exactly-once (round-9 ADVICE #2): the query checkpoints under the
+    * artifact dir AND keys each upsert on the foreachBatch `batchId`, so
+    * Structured Streaming's at-least-once batch replay after a restart
+    * hits upsert's commit marker and appends nothing twice. The
+    * checkpoint (and the markers) are invalidated together with the base
+    * snapshot by [[graft.sources.PairsLayout.writeIndexed]]. */
   def streamedPairsMaintenance(spark: SparkSession, sfDir: String,
                                threshold: Double = 0.8,
                                batchMod: Int = 10, batchRem: Int = 7): DataFrame = {
@@ -573,8 +580,10 @@ object StreamOps {
     PairsLayout.writeIndexed(spark, base, dir, threshold)
     withShufflePartitions(spark, 4) {
       val q = stream.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          PairsLayout.upsert(spark, dir, batch, threshold)
+        .option("checkpointLocation", s"$dir/_checkpoint")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          PairsLayout.upsert(spark, dir, batch, threshold,
+            batchId = Some(s"mb-$bid"))
           ()
         }
         .start()

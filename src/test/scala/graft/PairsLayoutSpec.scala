@@ -102,6 +102,48 @@ class PairsLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert is idempotent: replay skipped by marker, crash re-run appends nothing twice") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairs_idem").toString
+    try {
+      val base = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      PairsLayout.writeIndexed(spark, base, dir, threshold)
+      PairsLayout.upsert(spark, dir, batch, threshold)
+      spark.sharedState.cacheManager.clearCache()
+      def snap(rel: String) = spark.read.parquet(s"$dir/$rel")
+        .collect().map(_.toString).sorted.toSeq
+      val (p0, s0, z0) = (snap("pairs"), snap("shingles"), snap("sizes"))
+      // 1. replay with the marker present (at-least-once redelivery):
+      //    must be a pure no-op for all relations
+      PairsLayout.upsert(spark, dir, batch, threshold)
+      spark.sharedState.cacheManager.clearCache()
+      assert(snap("pairs") == p0 && snap("shingles") == s0 && snap("sizes") == z0,
+        "marker replay changed the artifact")
+      // 2. crash-window re-run: marker LOST (simulating a crash after the
+      //    signature+pairs renames, before the marker create). The batch's
+      //    delta is recomputed — with its own half-committed signatures
+      //    excluded from the probe's corpus side — and the batch-keyed
+      //    commit REPLACES its live files, so every relation must converge
+      //    to exactly the single-append content.
+      def rmDir(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmDir); f.delete(); ()
+      }
+      rmDir(new java.io.File(s"$dir/_batches"))
+      PairsLayout.upsert(spark, dir, batch, threshold)
+      spark.sharedState.cacheManager.clearCache()
+      assert(snap("shingles") == s0 && snap("sizes") == z0,
+        "crash re-run double-appended signatures")
+      assert(snap("pairs").distinct == p0.distinct && snap("pairs") == p0,
+        "crash re-run corrupted the pair relation")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("stored-index probe ≡ live two-relation minhashAgainst") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_sig_probe").toString
@@ -121,6 +163,46 @@ class PairsLayoutSpec extends AnyFunSuite {
       assert(a.nonEmpty, "fixture vacuous: probe found no cross pairs")
       assert(a == b)
     } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("bucketed signature relations join co-located: NO exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_bucket").toString
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      PairsLayout.writeIndexed(spark, docs, dir, threshold)
+      spark.sharedState.cacheManager.clearCache()
+      // force the join shape a corpus-scale relation would get (no
+      // broadcast): shingles ⋈ sizes on doc_id — both CLUSTERED BY
+      // (doc_id), so the SMJ needs no repartitioning at all
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import graft.sources.SignatureLayout
+      def joined = SignatureLayout.readShingles(spark, dir)
+        .join(SignatureLayout.readSizes(spark, dir), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed signature join still shuffles:\n$plan")
+      // content parity with the raw files
+      val viaTable = joined.count()
+      val viaFiles = spark.read.parquet(s"$dir/shingles")
+        .join(spark.read.parquet(s"$dir/sizes"), "doc_id").count()
+      assert(viaTable == viaFiles && viaTable > 0)
+      // fresh-JVM path: drop the catalog entries — readRel must
+      // re-register the external tables from the on-disk layout alone
+      spark.sessionState.catalog.listTables("default")
+        .filter(_.table.startsWith("graft_sig_"))
+        .foreach(t => spark.sql(s"DROP TABLE ${t.table}"))
+      val replan = joined.queryExecution.executedPlan.toString
+      assert(!replan.contains("Exchange hashpartitioning"),
+        "re-registered table lost its bucketing")
+      assert(joined.count() == viaFiles)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
       }
