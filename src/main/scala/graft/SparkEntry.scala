@@ -570,6 +570,15 @@ object SparkEntry {
     "q_phash_dedup" -> ((s, dir) => Multimodal.phashDedupOf(
       graft.sources.PhashLayout.ensure(s, Tables.documents(s, dir), dir),
       maxHamming = 13)),
+    // blockhash-128: the 64-bit signature's structural ceiling is band
+    // discrimination (4×16 bits — past ~4M docs per length bucket,
+    // occupancy grows linearly; SCALE.md round-9). Doubling the block
+    // rows over the SAME payload doubles the band budget; maxHamming
+    // scales with width (26/128 ≡ 13/64 as a psim threshold). Width is
+    // an artifact parameter — both signature widths coexist addressably.
+    "q_phash_dedup_wide" -> ((s, dir) => Multimodal.phashDedupOf(
+      graft.sources.PhashLayout.ensure(s, Tables.documents(s, dir), dir, width = 128),
+      maxHamming = 26, width = 128)),
     "q_embed_hist" -> ((s, dir) =>
       Embedder.bucketHistogram(Tables.documents(s, dir))
         .filter(col("doc_id") < 100).orderBy("doc_id", "bucket")),
@@ -923,6 +932,7 @@ object SparkEntry {
     "q_frames"          -> Multimodal.duckFrameSamples("documents"),
     "q_mm_batches"      -> Multimodal.duckDecodeBatches("documents"),
     "q_phash_dedup"     -> Multimodal.duckPhashDedup("documents", 13),
+    "q_phash_dedup_wide" -> Multimodal.duckPhashDedup("documents", 26, width = 128),
     "q_phash_artifact" ->
       s"""WITH ${Multimodal.duckPhashSigCtes("documents")}
          |SELECT doc_id, phash, plen FROM sig ORDER BY doc_id""".stripMargin,

@@ -126,8 +126,14 @@ object TextFns {
       when(substring(s1, i + 1, 1) =!= substring(s2, i + 1, 1), 1).otherwise(0))
       .reduce(_ + _).cast("long")
 
+  /** DuckDB mirror of [[hammingDist]]. Past 64 terms the positional CASE
+    * chain trips DuckDB's binder recursion limit (128 nested binary adds),
+    * so wide signatures use the native `hamming()` string distance —
+    * identical integer semantics (count of differing positions). The ≤64
+    * chain is kept as-is: it is the long-gated form. */
   def duckHamming(s1: String, s2: String, bits: Int): String =
-    (0 until bits).map(i =>
+    if (bits > 64) s"hamming($s1, $s2)"
+    else (0 until bits).map(i =>
       s"(CASE WHEN substr($s1, ${i + 1}, 1) <> substr($s2, ${i + 1}, 1) THEN 1 ELSE 0 END)")
       .mkString(" + ")
 }

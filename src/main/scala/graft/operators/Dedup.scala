@@ -670,6 +670,14 @@ object Dedup {
     val thArr = th.agg(sort_array(collect_list(struct(col("j"), col("t")))).as("jt"))
       .select(transform(col("jt"), x => x.getField("t")).as("th"))
       .localCheckpoint(true)
+    // stored-thresholds drift guard (round-9 ADVICE #3): a caller-supplied
+    // relation that doesn't cover nBits = tables × 16 would silently band
+    // with missing per-bit thresholds (zip_with pads with null → every
+    // wide bit "0"), degrading the LSH key instead of failing. The
+    // checkpoint above is already eager and 1 row, so the check is free.
+    val got = thArr.head().getSeq[Any](0).size
+    require(got == nBits,
+      s"balanced-LSH thresholds cover $got bits, need $nBits (tables=$tables × $EmbedBandBlock)")
     // The bit string is built with ONE reference to `proj` (zip_with over
     // the projection and threshold arrays, then array_join). The first
     // cut used nBits separate `element_at(proj, j)` branches, and
@@ -730,16 +738,32 @@ object Dedup {
     * consumer is a columnar read plus a map-side projection — cheaper than
     * the broadcast-lock-in exposure a cache creates. `cache = true` is for
     * callers handing in a DERIVED subtree (the in-query [[embedCosine]]
-    * path), where recomputing means re-tokenizing the corpus. */
+    * path), where recomputing means re-tokenizing the corpus.
+    *
+    * `bits` is a FLOOR, not an absolute width (round-9 verdict #2): the
+    * effective band width is `clamp(bits, 16, floor(log2(n / targetOcc)))`,
+    * derived IN-PLAN with the exact `length(bin(x)) - 1` integer log —
+    * at a truly fixed width, bucket occupancy grows linearly with corpus
+    * size and within-bucket candidate pairs quadratically (measured: the
+    * 10-bit-band verify shuffle exceeded ~70 GB of spill disk at 500k
+    * docs, twice, while the occupancy-derived sibling completed). Below
+    * n = targetOcc·2^bits docs the derivation is inert and `bits` behaves
+    * exactly as before; past it the width grows ~log2(10) bits per decade
+    * and occupancy stays ~targetOcc. [[embedCosineAdaptiveOf]] remains
+    * the fully-adaptive variant (floor 1 — narrower bands on SMALL
+    * corpora, where 8 fixed bits over-prune recall). */
   def embedCosineOf(emb: DataFrame, threshold: Double, bits: Int = 8,
                     tables: Int = 8, cache: Boolean = false,
-                    thresholds: Option[DataFrame] = None): DataFrame = {
+                    thresholds: Option[DataFrame] = None,
+                    targetOccupancy: Int = 32): DataFrame = {
     require(bits <= EmbedBandBlock, s"bits $bits exceeds band block $EmbedBandBlock")
     val e0 = emb.withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
     val e0c = if (cache) e0.cache() else e0
-    embedBandsTail(
-      withBalancedPatf(e0c, tables, thresholds).withColumn("bits", lit(bits)),
-      e0c, tables, threshold)
+    val e = withBalancedPatf(e0c, tables, thresholds)
+    val nb = e0c.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(bits), least(lit(EmbedBandBlock),
+        length(bin(expr(s"n DIV $targetOccupancy"))) - 1)).as("bits"))
+    embedBandsTail(e.crossJoin(broadcast(nb)), e0c, tables, threshold)
   }
 
   /** Corpus-relative band width for [[embedCosine]]: derive
@@ -835,12 +859,16 @@ object Dedup {
        |         ON x.t = y.t AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
        |${duckCosineTail(threshold)}""".stripMargin
 
+  /** DuckDB mirror of [[embedCosineOf]] — same floor-width derivation. */
   def duckEmbedCosine(table: String, threshold: Double, bits: Int = 8,
-                      tables: Int = 8): String =
+                      tables: Int = 8, targetOccupancy: Int = 32): String =
     s"""WITH ${Embedder.duckDenseEmbCtes(table)},
        |${duckBandCtes(tables)},
-       |bands AS (SELECT doc_id, t, substr(patf, (t * $EmbedBandBlock + 1)::INT, $bits) AS bkey
-       |          FROM patf, tt),
+       |nb AS (SELECT greatest($bits, least($EmbedBandBlock,
+       |               length(bin(count(*) // $targetOccupancy)) - 1)) AS bits
+       |       FROM patf),
+       |bands AS (SELECT doc_id, t, substr(patf, (t * $EmbedBandBlock + 1)::INT, nb.bits::INT) AS bkey
+       |          FROM patf, tt, nb),
        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |         FROM bands x JOIN bands y
        |         ON x.t = y.t AND x.bkey = y.bkey AND x.doc_id < y.doc_id),

@@ -172,7 +172,14 @@ object Multimodal {
     * array-HOF-shaped trap the TextFns shingle row form exists to avoid).
     * Block index arithmetic is forced to BIGINT before the multiply so a
     * multi-GB payload cannot overflow the 32-bit position counter. */
-  def phashSignatures(documents: DataFrame): DataFrame = {
+  def phashSignatures(documents: DataFrame, width: Int = 64): DataFrame = {
+    // width = number of block rows over the SAME payload (blockhash-128/
+    // 256 style, round-9 verdict #5): a 64-bit signature caps band
+    // discrimination at 4×16 bits, so past ~4M docs per length bucket
+    // occupancy grows linearly again — the scale path is a LONGER
+    // signature, not band arithmetic. Multiple of 32 so the hamming
+    // verify's integer-half conversion stays chunk-aligned.
+    require(width > 0 && width % 32 == 0, s"signature width $width must be a positive multiple of 32")
     val charRows = documents
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), length(col("text")).cast("long").as("len"),
@@ -181,7 +188,7 @@ object Multimodal {
       // DuckDB's range-based mirror never generates it — drop it here.
       .filter(col("ch") =!= "")
       .select(col("doc_id"), col("len"),
-        expr("(CAST(pos0 AS BIGINT) * 64) DIV len").as("blk"),
+        expr(s"(CAST(pos0 AS BIGINT) * $width) DIV len").as("blk"),
         ascii(col("ch")).cast("long").as("code"))
     val blocks = charRows
       .groupBy("doc_id", "blk")
@@ -193,7 +200,7 @@ object Multimodal {
         when(col("bsum") * col("len") > col("tsum") * col("blen"), lit("1"))
           .otherwise(lit("0")))
     bits.groupBy("doc_id")
-      .agg(concat((0 until 64).map(k =>
+      .agg(concat((0 until width).map(k =>
         coalesce(max(when(col("blk") === k, col("bit"))), lit("0"))): _*).as("phash"),
         max("len").as("plen"))
   }
@@ -228,8 +235,9 @@ object Multimodal {
     * are not perceptual near-dups at these payload sizes. Candidate loss
     * is the only approximation: hamming is verified exactly, so false
     * positives cannot occur. */
-  def phashDedup(documents: DataFrame, maxHamming: Int = 13): DataFrame =
-    phashDedupOf(phashSignatures(documents), maxHamming)
+  def phashDedup(documents: DataFrame, maxHamming: Int = 13,
+                 width: Int = 64): DataFrame =
+    phashDedupOf(phashSignatures(documents, width), maxHamming, width = width)
 
   /** [[phashDedup]] core over a prebuilt (doc_id, phash, plen) signature
     * relation — the pure-read path over the persisted
@@ -240,16 +248,22 @@ object Multimodal {
     * broadcast-lock-in exposure a cache would create. */
   def phashDedupOf(sig: DataFrame, maxHamming: Int = 13,
                    targetOccupancy: Int = 64, minBits: Int = 8,
-                   maxBits: Int = 16, lenBucket: Int = 64): DataFrame = {
+                   maxBits: Int = 16, lenBucket: Int = 64,
+                   width: Int = 64): DataFrame = {
+    require(width > 0 && width % 32 == 0, s"signature width $width must be a positive multiple of 32")
     val nb = sig.agg(count(lit(1)).as("n"))
       .select(greatest(lit(minBits), least(lit(maxBits),
         length(bin(expr(s"n DIV $targetOccupancy"))) - 1)).cast("int").as("bits"))
     // narrow band rows: the signature string does NOT ride the band
-    // shuffle — the verify join-back below re-reads it from the artifact
+    // shuffle — the verify join-back below re-reads it from the artifact.
+    // Band count = width DIV bits: doubling the signature width doubles
+    // the band count at equal bits — the recall knob a longer signature
+    // buys — or doubles the bit budget at equal band count (the
+    // occupancy knob); both derive from `width` here.
     val bands = sig.crossJoin(broadcast(nb))
       .select(col("doc_id"), col("phash"), col("bits"),
         expr(s"plen DIV $lenBucket").as("lb0"),
-        explode(expr("sequence(0, 64 DIV bits - 1)")).as("band"))
+        explode(expr(s"sequence(0, $width DIV bits - 1)")).as("band"))
       .select(col("doc_id"), col("band"),
         expr("substring(phash, band * bits + 1, bits)").as("bkey"),
         explode(expr("array(lb0, lb0 + CAST(1 AS BIGINT))")).as("lb"))
@@ -273,30 +287,33 @@ object Multimodal {
     // strings per candidate and measured ~2× the whole query at sf1's
     // ~14M pairs. Values are identical integers, so the oracle keeps the
     // positional-compare mirror unchanged.
-    val s = sig.select(col("doc_id"),
-      conv(substring(col("phash"), 1, 32), 2, 10).cast("long").as("h1"),
-      conv(substring(col("phash"), 33, 32), 2, 10).cast("long").as("h2"))
+    val chunks = width / 32
+    val s = sig.select(col("doc_id") +: (0 until chunks).map(i =>
+      conv(substring(col("phash"), i * 32 + 1, 32), 2, 10).cast("long").as(s"h$i")): _*)
+    val ham = (0 until chunks).map(i =>
+        bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))))
+      .reduce(_ + _).cast("long")
     cand
-      .join(s.select(col("doc_id").as("d1"), col("h1").as("a1"), col("h2").as("a2")), "d1")
-      .join(s.select(col("doc_id").as("d2"), col("h1").as("b1"), col("h2").as("b2")), "d2")
-      .select(col("d1"), col("d2"),
-        (bit_count(col("a1").bitwiseXOR(col("b1"))) +
-          bit_count(col("a2").bitwiseXOR(col("b2")))).cast("long").as("hamming"))
+      .join(s.select(col("doc_id").as("d1") +:
+        (0 until chunks).map(i => col(s"h$i").as(s"a$i")): _*), "d1")
+      .join(s.select(col("doc_id").as("d2") +:
+        (0 until chunks).map(i => col(s"h$i").as(s"b$i")): _*), "d2")
+      .select(col("d1"), col("d2"), ham.as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .withColumn("psim", round(lit(1.0) - col("hamming") / lit(64.0), 6))
+      .withColumn("psim", round(lit(1.0) - col("hamming") / lit(width.toDouble), 6))
       .orderBy(asc("d1"), asc("d2"))
   }
 
   /** Shared signature CTE chain of the DuckDB mirrors — ends in
     * `sig(doc_id, phash, plen)`, matching [[phashSignatures]] bit for bit. */
-  def duckPhashSigCtes(table: String): String = {
-    val pivot = (0 until 64).map(k =>
+  def duckPhashSigCtes(table: String, width: Int = 64): String = {
+    val pivot = (0 until width).map(k =>
       s"coalesce(max(CASE WHEN blk = $k THEN bit END), '0')")
       .mkString("concat(", ", ", ")")
     s"""ch AS (SELECT doc_id, len(text)::BIGINT AS l,
        |                   unnest(range(1, len(text) + 1)) AS pos, text
        |            FROM $table WHERE len(text) > 0),
-       |cr AS (SELECT doc_id, l, ((pos - 1) * 64) // l AS blk,
+       |cr AS (SELECT doc_id, l, ((pos - 1) * $width) // l AS blk,
        |              ascii(substr(text, pos::INT, 1))::BIGINT AS code FROM ch),
        |blocks AS (SELECT doc_id, blk, CAST(sum(code) AS BIGINT) AS bsum,
        |                  count(*)::BIGINT AS blen
@@ -316,14 +333,14 @@ object Multimodal {
     * pivot signature, corpus-relative band derivation, hamming verify. */
   def duckPhashDedup(table: String, maxHamming: Int = 13,
                      targetOccupancy: Int = 64, minBits: Int = 8,
-                     maxBits: Int = 16): String = {
+                     maxBits: Int = 16, width: Int = 64): String = {
     import graft.functions.TextFns.duckHamming
-    s"""WITH ${duckPhashSigCtes(table)},
+    s"""WITH ${duckPhashSigCtes(table, width)},
        |nb AS (SELECT CAST(greatest($minBits, least($maxBits,
        |               length(bin(count(*) // $targetOccupancy)) - 1)) AS INT) AS bits
        |       FROM sig),
        |br AS (SELECT s.doc_id, s.phash, s.plen, nb.bits,
-       |              unnest(range(0, 64 // nb.bits)) AS band
+       |              unnest(range(0, $width // nb.bits)) AS band
        |       FROM sig s, nb),
        |bands AS (SELECT doc_id, phash, band,
        |                 substr(phash, (band * bits + 1)::INT, bits) AS bkey,
@@ -334,9 +351,9 @@ object Multimodal {
        |         FROM bands x JOIN bands y
        |         ON x.band = y.band AND x.bkey = y.bkey AND x.lb = y.lb
        |            AND x.doc_id < y.doc_id),
-       |h AS (SELECT d1, d2, (${duckHamming("p1", "p2", 64)})::BIGINT AS hamming
+       |h AS (SELECT d1, d2, (${duckHamming("p1", "p2", width)})::BIGINT AS hamming
        |      FROM cand)
-       |SELECT d1, d2, hamming, round(1.0 - hamming / 64.0, 6) AS psim
+       |SELECT d1, d2, hamming, round(1.0 - hamming / $width.0, 6) AS psim
        |FROM h WHERE hamming <= $maxHamming ORDER BY d1, d2""".stripMargin
   }
 

@@ -13,9 +13,13 @@ object PhashLayout {
 
   private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  def dirFor(sfDir: String): String = {
+  /** Width (block rows) is part of the artifact key: a deployment that
+    * re-signs at blockhash-128/256 when a length bucket approaches ~4M
+    * docs (the 64-bit occupancy ceiling, SCALE.md) keeps both artifacts
+    * addressable during the migration. */
+  def dirFor(sfDir: String, width: Int = 64): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|phash".getBytes("UTF-8"))
+      .digest(s"$sfDir|phash|$width".getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
     s"out/artifacts/phash-$h"
   }
@@ -23,19 +27,21 @@ object PhashLayout {
   /** Repartitioned to session parallelism before the write — a one-file
     * artifact serializes the downstream band self-join (the EmbedLayout
     * write contract; measured 3× on q_phash_dedup). */
-  def write(spark: SparkSession, documents: DataFrame, dir: String): Unit =
-    Multimodal.phashSignatures(documents)
+  def write(spark: SparkSession, documents: DataFrame, dir: String,
+            width: Int = 64): Unit =
+    Multimodal.phashSignatures(documents, width)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/sig")
 
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/sig")
 
-  def ensure(spark: SparkSession, documents: DataFrame, sfDir: String): DataFrame = {
-    val dir = dirFor(sfDir)
+  def ensure(spark: SparkSession, documents: DataFrame, sfDir: String,
+             width: Int = 64): DataFrame = {
+    val dir = dirFor(sfDir, width)
     built.synchronized {
       if (!built.contains(dir)) {
-        write(spark, documents, dir)
+        write(spark, documents, dir, width)
         built.add(dir)
       }
     }
@@ -44,10 +50,11 @@ object PhashLayout {
 
   /** Unconditional rebuild + read-back — the pricing entry
     * (q_phash_artifact). */
-  def rebuild(spark: SparkSession, documents: DataFrame, sfDir: String): DataFrame = {
-    val dir = dirFor(sfDir)
+  def rebuild(spark: SparkSession, documents: DataFrame, sfDir: String,
+              width: Int = 64): DataFrame = {
+    val dir = dirFor(sfDir, width)
     built.synchronized {
-      write(spark, documents, dir)
+      write(spark, documents, dir, width)
       built.add(dir)
     }
     read(spark, dir)

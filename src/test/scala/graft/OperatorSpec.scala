@@ -1240,6 +1240,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(bitsFor(500) == 3 && bitsFor(5000) == 7 && bitsFor(50000) == 10)
   }
 
+  test("fixed embed-band width is a FLOOR: derivation widens it past n = occ·2^bits") {
+    import spark.implicits._
+    // 300 docs > 32·2^1: a bits=1 floor must band at the derived width
+    // floor(log2(300/32)) = 3 — i.e. exactly what bits=3 produces, and
+    // exactly what the fully-adaptive variant (floor 1) produces. Below
+    // the kink the floor is inert (the sf0.001 facade tests cover that).
+    val docs300 = (0L until 300L)
+      .map(i => (i, s"token${i % 40} alpha beta gamma delta word${i % 7}"))
+      .toDF("doc_id", "text")
+    def run(f: => org.apache.spark.sql.DataFrame): Seq[String] = {
+      val r = f.collect().map(_.toString).toSeq
+      spark.sharedState.cacheManager.clearCache(); r
+    }
+    val floored = run(Dedup.embedCosine(docs300, threshold = 0.8, bits = 1))
+    val atThree = run(Dedup.embedCosine(docs300, threshold = 0.8, bits = 3))
+    val adaptive = run(Dedup.embedCosineAdaptive(docs300, threshold = 0.8))
+    assert(floored == atThree && floored == adaptive)
+    assert(floored.nonEmpty, "fixture vacuous: no 0.8-cosine pairs among the clones")
+  }
+
   test("adaptive df cap survives a corpus the absolute cap collapses on") {
     import spark.implicits._
     // every shingle appears in all 25 docs: the absolute cap of 20 drops
@@ -1509,6 +1529,28 @@ class OperatorSpec extends AnyFunSuite {
     } yield (ids(i), ids(j), h.toLong)
     assert(pairs.toSet.subsetOf(brute.toSet))
     assert(pairs.nonEmpty)
+  }
+
+  test("phash width parameter: 128-bit signatures band/verify like 64 at double resolution") {
+    val sigs128 = Multimodal.phashSignatures(docs, width = 128).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs128.values.forall(s => s.length == 128 && s.forall(c => c == '0' || c == '1')))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    // banded pairs ⊆ brute-force hamming cut at the scaled threshold
+    // (26/128 ≡ 13/64 as a psim cut), and no false positives by
+    // construction — the verify is exact whatever the width
+    val pairs = Multimodal.phashDedup(docs, maxHamming = 26, width = 128).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.sharedState.cacheManager.clearCache()
+    val ids = sigs128.keys.toSeq.sorted
+    val brute = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      h = ham(sigs128(ids(i)), sigs128(ids(j))) if h <= 26
+    } yield (ids(i), ids(j), h.toLong)
+    assert(pairs.toSet.subsetOf(brute.toSet))
+    assert(pairs.nonEmpty, "fixture vacuous at width 128")
+    // non-multiple-of-32 widths are rejected loudly
+    intercept[IllegalArgumentException](Multimodal.phashSignatures(docs, width = 100))
   }
 
   test("frame sampling caps frames per asset; resize stub shrinks dims and payload") {
