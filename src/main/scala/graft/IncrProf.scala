@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions._
   *   - resign: [[graft.operators.Dedup.minhashAgainstWith]] over the raw
   *     corpus text (the pre-round-9 upsert shape).
   *
-  * Usage: runMain graft.IncrProf <sfDir> [reps]
+  * Usage: runMain graft.IncrProf <sfDir> [reps] [batchMod]
+  *
+  * batchMod (default 10) sets the batch slice doc_id % batchMod == 7 —
+  * mod 10 prices the "batch grows with the corpus" decade series; a
+  * LARGER mod at a larger sf holds the ABSOLUTE batch size fixed and
+  * isolates the corpus-side scaling term alone (round-10: mod 100 at
+  * sf10 ≙ the same ~5k-doc batch as mod 10 at sf1).
   */
 object IncrProf {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val batchMod = args.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,9 +40,9 @@ object IncrProf {
 
     val threshold = 0.8
     val docs = Tables.documents(spark, sfDir)
-    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
-    val batch = docs.filter(col("doc_id") % 10 === 7)
-    val dir = PairsLayout.dirFor(s"$sfDir#incrprof", threshold)
+    val corpus = docs.filter(col("doc_id") % batchMod =!= 7)
+    val batch = docs.filter(col("doc_id") % batchMod === 7)
+    val dir = PairsLayout.dirFor(s"$sfDir#incrprof$batchMod", threshold)
 
     var t0 = System.nanoTime()
     PairsLayout.writeIndexed(spark, corpus, dir, threshold)

@@ -22,23 +22,27 @@ import org.apache.spark.sql.functions.{col, count, lit}
   * pure reads.
   *
   * BUCKETED layout (round-9 verdict #3): all three relations are Hive-
-  * style bucketed tables — `bands` CLUSTERED BY (bkey), `shingles` and
-  * `sizes` CLUSTERED BY (doc_id) — so every corpus-side join in the probe
-  * arrives PRE-PARTITIONED on (a subset of) its join keys and plans with
-  * NO corpus-side Exchange: the candidate equijoin keys on (band, bkey),
-  * the verify intersection on (d2, s), the denominator join on d2, and
-  * Spark's subset rule lets HashPartitioning(bkey) / (doc_id) satisfy
-  * each ClusteredDistribution. The shuffle this deletes was the measured
-  * ~4×/decade growth term in the probe (SCALE.md round-9 table) — the
-  * batch side still exchanges, but it is O(batch). Bucket-local sorts
-  * remain (append batches mean multiple files per bucket); the Exchange
-  * write+read of the corpus relation is the term that mattered. Tables
-  * are EXTERNAL (explicit LOCATION): [[ensureTable]] re-registers the
-  * DDL in a fresh JVM's in-memory catalog from the layout's own metadata
-  * file, so the on-disk artifact — not the catalog — is the durable
-  * state. At 100 TB the bucket count scales with the corpus (a layout
-  * parameter, default 32 to match local[32]); a deployment re-buckets at
-  * the same cadence it compacts.
+  * style bucketed tables, CLUSTERED BY their probe join keys EXACTLY —
+  * `bands` by (band, bkey), `shingles` by (doc_id, s), `sizes` by
+  * (doc_id) — so every corpus-side join in the probe arrives
+  * PRE-PARTITIONED and plans with NO corpus-side Exchange: the candidate
+  * equijoin on (band, bkey), the verify intersection on (d2, s), the
+  * denominator join on d2. Exact keys, not a subset, deliberately:
+  * `spark.sql.requireAllClusterKeysForCoPartition` defaults true, so a
+  * subset-key bucketing (bkey alone, doc_id alone) is IGNORED for join
+  * co-partitioning and the Exchange comes back — plan-verified the hard
+  * way (exchanges=14 with subset keys, corpus scans exchange-free with
+  * exact keys; the PairsLayoutSpec plan test pins this). The shuffle
+  * this deletes was the measured ~4×/decade growth term in the probe
+  * (SCALE.md round-9 table) — the batch side still exchanges, but it is
+  * O(batch). Bucket-local sorts remain (append batches mean multiple
+  * files per bucket); the Exchange write+read of the corpus relation is
+  * the term that mattered. Tables are EXTERNAL (explicit LOCATION):
+  * [[readRel]] re-registers the DDL in a fresh JVM's in-memory catalog
+  * from the layout's own metadata file, so the on-disk artifact — not
+  * the catalog — is the durable state. At 100 TB the bucket count scales
+  * with the corpus (a layout parameter, default 32 to match local[32]);
+  * a deployment re-buckets at the same cadence it compacts.
   *
   * Append protocol ([[stageAppend]]/[[commitAppend]]): batch deltas are
   * staged by Spark jobs FIRST (the failure-prone part) as bucketed files
@@ -58,9 +62,13 @@ import org.apache.spark.sql.functions.{col, count, lit}
   */
 object SignatureLayout {
 
-  /** (relation, bucket column) — bands co-locate on the band-key probe,
-    * shingles/sizes on the per-doc verify joins. */
-  private val Rels = Seq("bands" -> "bkey", "shingles" -> "doc_id", "sizes" -> "doc_id")
+  /** (relation, bucket columns) — each relation clusters on EXACTLY the
+    * join keys its probe-side consumer uses (see the co-partitioning
+    * note above). */
+  private val Rels = Seq(
+    "bands" -> Seq("band", "bkey"),
+    "shingles" -> Seq("doc_id", "s"),
+    "sizes" -> Seq("doc_id"))
 
   /** Bucket count for a NEW layout. Matches local[32]; a deployment sizes
     * this to the corpus (buckets ≈ corpus / healthy-partition-size). */
@@ -79,16 +87,31 @@ object SignatureLayout {
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Serialized bucket spec — count AND columns, so a layout written
+    * under a different column spec can never be re-declared wrongly (a
+    * mis-declared CLUSTERED BY silently mis-joins: rows land in buckets
+    * by the WRITER's hash, the reader assumes its own). */
+  private def specString(buckets: Int): String =
+    buckets + ";" + Rels.map { case (r, cs) => s"$r:${cs.mkString(",")}" }.mkString(";")
+
   /** Buckets of an existing layout, from its `_graft_buckets` sidecar
     * (underscore prefix — invisible to parquet scans). Absent for
-    * pre-bucketing layouts → 0 → plain-parquet fallback reads. */
+    * pre-bucketing layouts → 0 → plain-parquet fallback reads. Loudly
+    * rejects a layout whose recorded bucket COLUMNS differ from this
+    * build's [[Rels]] — the fix is a rewrite via [[write]], never a
+    * reinterpretation. */
   private def storedBuckets(spark: SparkSession, dir: String): Int = {
     val p = new org.apache.hadoop.fs.Path(absPath(dir, "_graft_buckets"))
     val f = fs(spark, p)
     if (!f.exists(p)) 0
     else {
       val in = f.open(p)
-      try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+      val raw = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      val b = raw.takeWhile(_ != ';').toInt
+      require(raw == specString(b),
+        s"signature layout at $dir was bucketed as '$raw', this build expects " +
+          s"'${specString(b)}' — rewrite the layout (SignatureLayout.write)")
+      b
     }
   }
 
@@ -100,25 +123,25 @@ object SignatureLayout {
             buckets: Int = DefaultBuckets): Unit = {
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfs = Map("bands" -> bands, "shingles" -> shingles, "sizes" -> sizes)
-    Rels.foreach { case (rel, bcol) =>
+    Rels.foreach { case (rel, bcols) =>
       val t = tableName(dir, rel)
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val live = new org.apache.hadoop.fs.Path(absPath(dir, rel))
       val f = fs(spark, live)
       if (f.exists(live)) { f.delete(live, true); () }
-      // repartition by the bucket column with numPartitions == buckets:
+      // repartition by the bucket columns with numPartitions == buckets:
       // HashPartitioning and the bucket-id function are the same murmur3
       // pmod, so each task holds exactly one bucket — one file per bucket
       // per snapshot, not tasks × buckets
-      dfs(rel).repartition(buckets, col(bcol))
+      dfs(rel).repartition(buckets, bcols.map(col): _*)
         .write.mode(SaveMode.Overwrite).format("parquet")
         .option("path", absPath(dir, rel))
-        .bucketBy(buckets, bcol).sortBy(bcol)
+        .bucketBy(buckets, bcols.head, bcols.tail: _*).sortBy(bcols.head, bcols.tail: _*)
         .saveAsTable(t)
     }
     val meta = new org.apache.hadoop.fs.Path(absPath(dir, "_graft_buckets"))
     val out = fs(spark, meta).create(meta, true)
-    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(specString(buckets).getBytes("UTF-8")) finally out.close()
   }
 
   /** Register the external bucketed table in THIS JVM's catalog if absent
@@ -131,11 +154,11 @@ object SignatureLayout {
     else {
       val t = tableName(dir, rel)
       if (!spark.catalog.tableExists(t)) {
-        val bcol = Rels.toMap.apply(rel)
+        val bcols = Rels.toMap.apply(rel).mkString(", ")
         val schema = spark.read.parquet(s"$dir/$rel").schema.toDDL
         spark.sql(
           s"""CREATE TABLE $t ($schema) USING parquet
-             |CLUSTERED BY ($bcol) SORTED BY ($bcol) INTO $b BUCKETS
+             |CLUSTERED BY ($bcols) SORTED BY ($bcols) INTO $b BUCKETS
              |LOCATION '${absPath(dir, rel)}'""".stripMargin)
       }
       spark.table(t)
@@ -156,16 +179,16 @@ object SignatureLayout {
     val b = math.max(1, storedBuckets(spark, dir))
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfs = Map("bands" -> bands, "shingles" -> shingles, "sizes" -> sizes)
-    Rels.foreach { case (rel, bcol) =>
+    Rels.foreach { case (rel, bcols) =>
       val st = tableName(dir, s"stage_$rel")
       spark.sql(s"DROP TABLE IF EXISTS $st")
       val stagePath = new org.apache.hadoop.fs.Path(absPath(dir, s"stage_$rel"))
       val f = fs(spark, stagePath)
       if (f.exists(stagePath)) { f.delete(stagePath, true); () }
-      dfs(rel).repartition(b, col(bcol))
+      dfs(rel).repartition(b, bcols.map(col): _*)
         .write.mode(SaveMode.Overwrite).format("parquet")
         .option("path", absPath(dir, s"stage_$rel"))
-        .bucketBy(b, bcol).sortBy(bcol)
+        .bucketBy(b, bcols.head, bcols.tail: _*).sortBy(bcols.head, bcols.tail: _*)
         .saveAsTable(st)
       // external table: dropping frees the name, files stay staged
       spark.sql(s"DROP TABLE $st")

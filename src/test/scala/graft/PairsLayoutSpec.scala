@@ -178,15 +178,28 @@ class PairsLayoutSpec extends AnyFunSuite {
       PairsLayout.writeIndexed(spark, docs, dir, threshold)
       spark.sharedState.cacheManager.clearCache()
       // force the join shape a corpus-scale relation would get (no
-      // broadcast): shingles ⋈ sizes on doc_id — both CLUSTERED BY
-      // (doc_id), so the SMJ needs no repartitioning at all
+      // broadcast). Each relation is CLUSTERED BY exactly its probe join
+      // keys (requireAllClusterKeysForCoPartition defaults true — subset
+      // bucketing does NOT co-partition), so a self-join on those keys
+      // must plan with ZERO exchanges.
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       import graft.sources.SignatureLayout
+      def noShuffle(df: => org.apache.spark.sql.DataFrame, label: String): Unit = {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed $label join still shuffles:\n$plan")
+      }
+      noShuffle(SignatureLayout.readShingles(spark, dir).as("a")
+        .join(SignatureLayout.readShingles(spark, dir).as("b"), Seq("doc_id", "s")),
+        "shingles(doc_id,s)")
+      noShuffle(SignatureLayout.readBands(spark, dir).as("a")
+        .join(SignatureLayout.readBands(spark, dir).as("b"), Seq("band", "bkey")),
+        "bands(band,bkey)")
+      noShuffle(SignatureLayout.readSizes(spark, dir).as("a")
+        .join(SignatureLayout.readSizes(spark, dir).as("b"), Seq("doc_id")),
+        "sizes(doc_id)")
       def joined = SignatureLayout.readShingles(spark, dir)
         .join(SignatureLayout.readSizes(spark, dir), "doc_id")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange hashpartitioning"),
-        s"bucketed signature join still shuffles:\n$plan")
       // content parity with the raw files
       val viaTable = joined.count()
       val viaFiles = spark.read.parquet(s"$dir/shingles")
@@ -197,9 +210,9 @@ class PairsLayoutSpec extends AnyFunSuite {
       spark.sessionState.catalog.listTables("default")
         .filter(_.table.startsWith("graft_sig_"))
         .foreach(t => spark.sql(s"DROP TABLE ${t.table}"))
-      val replan = joined.queryExecution.executedPlan.toString
-      assert(!replan.contains("Exchange hashpartitioning"),
-        "re-registered table lost its bucketing")
+      noShuffle(SignatureLayout.readShingles(spark, dir).as("a")
+        .join(SignatureLayout.readShingles(spark, dir).as("b"), Seq("doc_id", "s")),
+        "re-registered shingles")
       assert(joined.count() == viaFiles)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
