@@ -33,11 +33,20 @@ free_gb() { df -BG --output=avail / | tail -1 | tr -dc '0-9'; }
 mkdir -p "$OUT"
 : > "$OUT/campaign.log"
 for q in "${QUERIES[@]}"; do
-  sweep
-  g=$(free_gb)
-  if [ "$g" -lt 40 ]; then
-    echo "$q SKIP disk=${g}G<40G" | tee -a "$OUT/campaign.log"; continue
-  fi
+  # low disk is often TRANSIENT (a concurrent DuckDB oracle's spill file
+  # lives only for the duration of one query — observed eating 40 GB then
+  # vanishing): WAIT for space to return, up to 30 min, before skipping
+  waited=0
+  while :; do
+    sweep
+    g=$(free_gb)
+    [ "$g" -ge 40 ] && break
+    if [ "$waited" -ge 1800 ]; then
+      echo "$q SKIP disk=${g}G<40G after ${waited}s wait" \
+        | tee -a "$OUT/campaign.log"; continue 2
+    fi
+    sleep 60; waited=$((waited + 60))
+  done
   t0=$(date +%s)
   SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
     sbt -batch "runMain graft.Verify $SF $OUT $q" \
