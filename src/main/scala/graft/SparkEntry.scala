@@ -280,6 +280,11 @@ object SparkEntry {
     "q_dedup_ngram_adaptive" -> ((s, dir) =>
       Dedup.ngramJaccardCappedAdaptive(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir), threshold = 0.5)),
+    // width-parameterized scale path: 128-bit signature, band bits derived
+    // in-plan from corpus size (clamped 16..32) — the geometry the 64-bit
+    // signature structurally caps at 4×16 (round-10 sf10 adjudication)
+    "q_dedup_simhash_wide" -> ((s, dir) =>
+      Dedup.simhashWide(Tables.documents(s, dir), threshold = 0.5)),
     // The persisted per-doc embedding artifact itself: full tokenize+hash
     // pipeline + write + dense read-back, REBUILT every execution — the
     // entry that PRICES the embed pass the cosine/outlier family below
@@ -835,6 +840,7 @@ object SparkEntry {
     "q_dedup_recall"  -> Dedup.duckDedupRecall("documents"),
     "q_dedup_incremental" -> Dedup.duckMinhashIncrementalSql("documents", 0.5),
     "q_dedup_simhash" -> Dedup.duckSimhashSql("documents", 0.5),
+    "q_dedup_simhash_wide" -> Dedup.duckSimhashWideSql("documents", 0.5),
     "q_dedup_embed"   -> Dedup.duckEmbedCosine("documents", 0.95),
     "q_dedup_embed_adaptive" -> Dedup.duckEmbedCosineAdaptive("documents", 0.95),
     "q_dedup_semantic" -> Dedup.duckSemDedup("embeddings", 16, 0.4),

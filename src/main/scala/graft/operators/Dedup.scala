@@ -2046,4 +2046,154 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(asc("d1"), asc("d2"))
   }
+
+  /** Width-parameterized SimHash signature relation `(doc_id, simhash)` —
+    * `width` signature bits (multiple of 32) from ⌈width/128⌉ md5 blocks
+    * per token occurrence: block 0 is `md5(t)` (so the first 64 bits of
+    * ANY width reproduce [[simhash]]'s signature exactly — spec-pinned),
+    * block b ≥ 1 is `md5(t || "#b")`. Chunk c reads hex chars of block
+    * c DIV 8 (the [[graft.functions.TextFns.md5Chunk16]] integer form);
+    * repeated md5 references collapse into one Project and whole-stage
+    * CSE evaluates each block once per token. */
+  def simhashSignatures(documents: DataFrame, width: Int): DataFrame = {
+    require(width > 0 && width % 32 == 0,
+      s"signature width $width must be a positive multiple of 32")
+    val nChunks = width / 16
+    val nBlocks = (nChunks + 7) / 8
+    val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id") +: (0 until nBlocks).map(b =>
+        (if (b == 0) md5(col("t"))
+         else md5(concat(col("t"), lit(s"#$b")))).as(s"m$b")): _*)
+      .select(col("doc_id") +: (0 until nChunks).map(c =>
+        md5Chunk16(col(s"m${c / 8}"), c % 8).as(s"c$c")): _*)
+    val bitCols = (0 until width).map(i =>
+      sum(simhashBitFromChunk(col(s"c${i / 16}"), i % 16)).as(s"b$i"))
+    tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        simhashFromSums((0 until width).map(i => col(s"b$i"))).as("simhash"))
+  }
+
+  /** Width-parameterized banded SimHash near-dup — the [[simhash]]
+    * family's scale path. The round-10 sf10 campaign adjudicated the
+    * 64-bit entry budget-bound at 500k docs with a STRUCTURAL ceiling
+    * behind it (SCALE.md "two decades up"): a 64-bit signature caps band
+    * discrimination at 4×16 bits — band keys can never exceed 16 bits
+    * without dropping below 4 bands, so bucket occupancy grows linearly
+    * with the corpus past n ≈ 2^16·occupancy and candidates quadratically.
+    * The fix is the [[graft.operators.Multimodal.phashDedupOf]] geometry
+    * applied to tokens: signature width is a parameter
+    * ([[simhashSignatures]]) and band bits derive IN-PLAN from corpus
+    * size — `bits = clamp(minBits, maxBits, floor(log2(n /
+    * targetOccupancy)))` with the exact `length(bin(x)) − 1` integer log
+    * (engine-identical), band count `width DIV bits`. At the gate scales
+    * the clamp floor keeps 16-bit keys and width 128 doubles the band
+    * count over the 64-bit entry (8×16 — the recall knob); past
+    * n ≈ 2^22 docs per corpus the bits grow toward 32 and width 128
+    * still keeps 4 bands at 32-bit keys (the occupancy knob the 64-bit
+    * signature structurally cannot reach — 64 DIV 32 = 2 bands is a
+    * recall collapse). Candidates are DISTINCT (d1, d2) BEFORE the
+    * hamming compare (a pair can collide in up to width/bits bands — the
+    * phash candidate-first lesson: hamming per collision measured ~2× a
+    * whole query at sf1), hamming runs word-wise (xor + popcount over
+    * width/32 conv'd 32-bit halves of the cached signature), and the
+    * exact shingle-Jaccard verify is candidate-first with merge-pinned
+    * inverted-index sides ([[jaccardOf]] semantics — broadcast there is
+    * the measured 680 s → 9 s hazard). `maxHamming` scales with width:
+    * the 64-bit entry's 8-of-64 fraction is 16-of-128. False positives
+    * cannot occur (hamming and Jaccard are verified exactly); band
+    * candidate loss is the only approximation, standard LSH. */
+  def simhashWide(documents: DataFrame, threshold: Double, width: Int = 128,
+                  maxHamming: Int = 16, targetOccupancy: Int = 64,
+                  minBits: Int = 16, maxBits: Int = 32): DataFrame = {
+    // cached: band self-join reads it twice, the hamming join-back twice
+    // more (the simhash cache note; harness clears per query)
+    val sig = simhashSignatures(documents, width).cache()
+    val nb = sig.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(minBits), least(lit(maxBits),
+        length(bin(expr(s"n DIV $targetOccupancy"))) - 1)).cast("int").as("bits"))
+    // narrow band rows: the width-char signature string does NOT ride the
+    // band shuffle — the hamming compare re-reads it from the cached sig
+    val bands = sig.crossJoin(broadcast(nb))
+      .select(col("doc_id"), col("bits"), col("simhash"),
+        explode(expr(s"sequence(0, $width DIV bits - 1)")).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr("substring(simhash, band * bits + 1, bits)").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val words = width / 32
+    val sw = sig.select(col("doc_id") +: (0 until words).map(i =>
+      conv(substring(col("simhash"), i * 32 + 1, 32), 2, 10).cast("long").as(s"h$i")): _*)
+    val ham = (0 until words).map(i =>
+        bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))))
+      .reduce(_ + _).cast("long")
+    val candH = cand
+      .join(sw.select(col("doc_id").as("d1") +:
+        (0 until words).map(i => col(s"h$i").as(s"a$i")): _*), "d1")
+      .join(sw.select(col("doc_id").as("d2") +:
+        (0 until words).map(i => col(s"h$i").as(s"b$i")): _*), "d2")
+      .select(col("d1"), col("d2"), ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val sh = shingleRows(documents, 3)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = candH
+      .join(sh.select(col("doc_id").as("d1"), col("s")).hint("merge"), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s")).hint("merge"), Seq("d2", "s"))
+      .groupBy("d1", "d2", "hamming").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")).hint("merge"), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")).hint("merge"), "d2")
+      .withColumn("jaccard", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("hamming"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(asc("d1"), asc("d2"))
+  }
+
+  /** DuckDB mirror of [[simhashWide]] — same salted md5 blocks, integer
+    * chunk bits, corpus-relative band derivation (`length(bin(n //
+    * occ)) - 1` — the engine-identical floor-log2), native `hamming()`
+    * past 64 bits ([[graft.functions.TextFns.duckHamming]]), exact-Jaccard
+    * verify. */
+  def duckSimhashWideSql(table: String, threshold: Double, width: Int = 128,
+                         maxHamming: Int = 16, targetOccupancy: Int = 64,
+                         minBits: Int = 16, maxBits: Int = 32): String = {
+    require(width > 0 && width % 32 == 0,
+      s"signature width $width must be a positive multiple of 32")
+    val nChunks = width / 16
+    val nBlocks = (nChunks + 7) / 8
+    val md5Cols = (0 until nBlocks).map(b =>
+      if (b == 0) "md5(t3.tt) AS m0" else s"md5(t3.tt || '#$b') AS m$b").mkString(", ")
+    val chunkCols = (0 until nChunks).map(c =>
+      s"${duckMd5Chunk16(s"m${c / 8}", c % 8)} AS c$c").mkString(", ")
+    val sums = (0 until width).map(i =>
+      s"sum(${duckSimhashBitFromChunk(s"c${i / 16}", i % 16)})")
+    s"""WITH ${duckSh(table)},
+       |tokm AS (SELECT doc_id, $md5Cols
+       |         FROM (SELECT doc_id, unnest(t) AS tt FROM tk) t3),
+       |tok AS (SELECT doc_id, $chunkCols FROM tokm),
+       |sig AS (SELECT doc_id, ${duckSimhashFromSums(sums)} AS simhash
+       |        FROM tok GROUP BY doc_id),
+       |nb AS (SELECT CAST(greatest($minBits, least($maxBits,
+       |               length(bin(count(*) // $targetOccupancy)) - 1)) AS INT) AS bits
+       |       FROM sig),
+       |br AS (SELECT s.doc_id, s.simhash, nb.bits,
+       |              unnest(range(0, $width // nb.bits)) AS band
+       |       FROM sig s, nb),
+       |bk AS (SELECT doc_id, simhash, band,
+       |              substr(simhash, (band * bits + 1)::INT, bits) AS bkey
+       |       FROM br),
+       |cand0 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+       |                 x.simhash AS s1, y.simhash AS s2
+       |          FROM bk x JOIN bk y
+       |          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |cand AS (SELECT d1, d2, hamming FROM
+       |           (SELECT d1, d2, CAST(${duckHamming("s1", "s2", width)} AS BIGINT) AS hamming
+       |            FROM cand0) h
+       |         WHERE hamming <= $maxHamming),
+       |${duckJaccard("cand", s"jac >= $threshold",
+                      "d1, d2, c2.hamming, round(jac, 6) AS jaccard",
+                      "JOIN cand c2 USING (d1, d2)")}""".stripMargin
+  }
 }

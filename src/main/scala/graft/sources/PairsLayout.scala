@@ -80,8 +80,12 @@ object PairsLayout {
     * relation keeps its natural parquet-stat size estimate (small at test
     * scale → broadcast where correct, big at 100 TB → shuffle join), the
     * round-4 curation lesson. */
-  def read(spark: SparkSession, dir: String): DataFrame =
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    // self-heal a compaction swap that crashed between its two renames
+    SignatureLayout.recoverPath(spark,
+      new java.io.File(s"$dir/pairs").getAbsolutePath)
     spark.read.parquet(s"$dir/pairs")
+  }
 
   /** Build-once-per-run + read: the form the report queries use. */
   def ensure(spark: SparkSession, documents: DataFrame, sfDir: String,
@@ -208,6 +212,31 @@ object PairsLayout {
       mfs.mkdirs(marker.getParent)
       mfs.create(marker, true).close()
     } finally a.handles.foreach(_.unpersist())
+  }
+
+  /** Compact the artifact: bound the file counts a long-running ingest
+    * accumulates — every [[upsert]] appends a batch-keyed delta to `pairs`
+    * and to each signature bucket, and nothing before this call ever
+    * removed one. Rewrites `pairs` to a bounded file count via the same
+    * set-aside/swap-in protocol as the signature relations (content-
+    * preserving, so a crash between relations is benign — see
+    * [[SignatureLayout.compact]], which this delegates to for
+    * bands/shingles/sizes and their optional re-bucketing; pass
+    * `buckets > 0` to re-bucket in the same pass). Batch markers are
+    * preserved: a replayed batch after compaction still no-ops.
+    * Pairs-only artifacts ([[write]] consumers, no signature index) get
+    * just the pairs rewrite. */
+  def compact(spark: SparkSession, dir: String, buckets: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    val shp = new org.apache.hadoop.fs.Path(
+      new java.io.File(s"$dir/shingles").getAbsolutePath)
+    val f = shp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(shp)) SignatureLayout.compact(spark, dir, buckets)
+    val n = math.max(1, spark.sparkContext.defaultParallelism / 4)
+    spark.read.parquet(s"$dir/pairs")
+      .repartition(n, col("d1"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/compact_pairs")
+    SignatureLayout.swapIn(spark, s"$dir/pairs", s"$dir/compact_pairs")
   }
 
   /** Unconditional rebuild + read-back — the bench entry that PRICES the

@@ -149,6 +149,7 @@ object SignatureLayout {
     * per-process), and return it. Falls back to a plain parquet read when
     * the dir predates the bucketed layout. */
   private def readRel(spark: SparkSession, dir: String, rel: String): DataFrame = {
+    recoverRel(spark, dir, rel) // self-heal a crashed compaction swap
     val b = storedBuckets(spark, dir)
     if (b == 0) spark.read.parquet(s"$dir/$rel")
     else {
@@ -203,6 +204,102 @@ object SignatureLayout {
       val t = tableName(dir, rel)
       if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
     }
+
+  /** Compact the three signature relations — the maintenance pass the
+    * append protocol's scaladoc promises (round-9 ADVICE #4): every
+    * [[stageAppend]] adds per-batch delta files to each bucket, so a
+    * long-running ingest grows the per-bucket file count without bound,
+    * degrading probe read planning and widening the bucket-local sorts.
+    * Compaction rewrites each relation to ONE file per bucket and —
+    * because "a deployment re-buckets at the same cadence it compacts"
+    * (layout scaladoc) — optionally re-buckets: pass `buckets > 0` to
+    * change the bucket count as part of the same rewrite.
+    *
+    * Content-preserving by construction (rows in == rows out, spec-pinned
+    * probe ≡ pre-compaction), which makes the crash contract simple:
+    * each relation swaps independently (stage → rename live aside →
+    * rename stage in → drop old), and ANY mix of compacted and
+    * uncompacted relations is still correct. The only unsafe window is
+    * between the two renames of one relation — the live dir is absent —
+    * and [[recoverRel]] (run on entry here AND by every [[readRel]])
+    * restores the set-aside dir, so a crashed compaction self-heals on
+    * the next touch. Re-bucketing additionally drops the `_graft_buckets`
+    * sidecar FIRST and rewrites it LAST: between the two, readers fall
+    * back to plain parquet scans — correct, just exchange-paying — so a
+    * crash mid-re-bucket can never mis-declare bucket ids (a wrong
+    * CLUSTERED BY silently mis-joins; a missing one only costs a
+    * shuffle). Batch markers under `_batches` are untouched: compaction
+    * changes FILES, not batch history — a replayed batch still no-ops on
+    * its marker. Single concurrent writer, as everywhere in this layout;
+    * a table format with atomic commit subsumes all of this (the
+    * [[IndexBuild]] swap note). */
+  def compact(spark: SparkSession, dir: String, buckets: Int = 0): Unit = {
+    Rels.foreach { case (rel, _) => recoverRel(spark, dir, rel) }
+    val stored = storedBuckets(spark, dir)
+    val b = if (buckets > 0) buckets else math.max(stored, DefaultBuckets)
+    val rebucket = b != stored
+    val metaP = new org.apache.hadoop.fs.Path(absPath(dir, "_graft_buckets"))
+    if (rebucket && fs(spark, metaP).exists(metaP)) {
+      // plain-read fallback window opens; also retire this JVM's table
+      // registrations (they carry the OLD bucket declaration)
+      fs(spark, metaP).delete(metaP, false)
+      Rels.foreach { case (rel, _) =>
+        spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, rel)}") }
+    }
+    Rels.foreach { case (rel, bcols) =>
+      val src = spark.read.parquet(s"$dir/$rel")
+      val st = tableName(dir, s"compact_$rel")
+      spark.sql(s"DROP TABLE IF EXISTS $st")
+      val stagePath = new org.apache.hadoop.fs.Path(absPath(dir, s"compact_$rel"))
+      val f = fs(spark, stagePath)
+      if (f.exists(stagePath)) { f.delete(stagePath, true); () }
+      src.repartition(b, bcols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .option("path", absPath(dir, s"compact_$rel"))
+        .bucketBy(b, bcols.head, bcols.tail: _*).sortBy(bcols.head, bcols.tail: _*)
+        .saveAsTable(st)
+      spark.sql(s"DROP TABLE $st")
+      swapIn(spark, s"$dir/$rel", s"$dir/compact_$rel")
+      val t = tableName(dir, rel)
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
+    if (rebucket) {
+      val out = fs(spark, metaP).create(metaP, true)
+      try out.write(specString(b).getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Restore a relation whose compaction crashed between its two renames
+    * (live dir absent, `_old` set-aside present). Idempotent no-op
+    * otherwise. */
+  private def recoverRel(spark: SparkSession, dir: String, rel: String): Unit =
+    recoverPath(spark, absPath(dir, rel))
+
+  private[sources] def recoverPath(spark: SparkSession, livePath: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(livePath)
+    val old = new org.apache.hadoop.fs.Path(livePath + "_old")
+    val f = fs(spark, live)
+    if (!f.exists(live) && f.exists(old)) {
+      if (!f.rename(old, live))
+        throw new java.io.IOException(s"compaction recovery: rename $old -> $live failed")
+    }
+  }
+
+  /** Replace `live` with `stage` by two renames; the set-aside old dir is
+    * dropped only after the new one is in place. */
+  private[sources] def swapIn(spark: SparkSession, live: String, stage: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val livep = new org.apache.hadoop.fs.Path(live)
+    val stagep = new org.apache.hadoop.fs.Path(stage)
+    val oldp = new org.apache.hadoop.fs.Path(live + "_old")
+    val f = livep.getFileSystem(conf)
+    if (f.exists(oldp)) { f.delete(oldp, true); () }
+    if (f.exists(livep) && !f.rename(livep, oldp))
+      throw new java.io.IOException(s"compaction: set-aside $livep -> $oldp failed")
+    if (!f.rename(stagep, livep))
+      throw new java.io.IOException(s"compaction: swap-in $stagep -> $livep failed")
+    f.delete(oldp, true)
+  }
 
   /** Bucket-id suffix of a staged bucketed file name
     * (`part-00000-<uuid>_00012.c000.snappy.parquet` → `_00012`), empty

@@ -569,6 +569,35 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashWide: 64-bit prefix reproduces simhash blocks; planted near-dup found") {
+    // block-0 consistency: the first 64 bits of any width come from the
+    // same unsalted md5 chunks, so the 128-wide signature's prefix must
+    // equal the 64-wide signature verbatim (the contract that makes width
+    // a pure extension, never a re-hash)
+    val s64 = Dedup.simhashSignatures(docs, 64)
+      .select(col("doc_id"), col("simhash").as("s64"))
+    val s128 = Dedup.simhashSignatures(docs, 128)
+      .select(col("doc_id"), substring(col("simhash"), 1, 64).as("p64"))
+    assert(s64.join(s128, "doc_id").filter(col("s64") =!= col("p64")).count() == 0)
+    // planted near-dup: one token edited out of a long shared text —
+    // signatures nearly identical, Jaccard high; the unrelated doc absent
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val synth = Seq(
+      (1L, base), (2L, base.replace("tok30", "zzz")),
+      (3L, (1 to 60).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashWide(synth, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val p = pairs.head
+    assert(p.getAs[Long]("hamming") <= 16 && p.getAs[Double]("jaccard") >= 0.5)
+    // hamming in the result equals the direct signature compare
+    val sw = Dedup.simhashSignatures(synth, 128).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = sw(1L).zip(sw(2L)).count { case (a, b) => a != b }
+    assert(p.getAs[Long]("hamming") == direct.toLong)
+  }
+
   test("collocations: quantized PMI recomputes from the row's own counts") {
     def lb(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
     val nTok = docs.select(explode(graft.functions.TextFns.tokens(col("text"))).as("t")).count()

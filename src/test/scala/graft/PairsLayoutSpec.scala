@@ -144,6 +144,67 @@ class PairsLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction: content-preserving, file counts bounded, re-bucket honored, probe chain intact, crashed swap self-heals") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairs_compact").toString
+    try {
+      val base = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 5)
+      val batch1 = docs.filter(col("doc_id") % 10 === 7)
+      val batch2 = docs.filter(col("doc_id") % 10 === 3)
+      val batch3 = docs.filter(col("doc_id") % 10 === 5)
+      PairsLayout.writeIndexed(spark, base, dir, threshold)
+      PairsLayout.upsert(spark, dir, batch1, threshold)
+      PairsLayout.upsert(spark, dir, batch2, threshold)
+      spark.sharedState.cacheManager.clearCache()
+      def snap(rel: String) = spark.read.parquet(s"$dir/$rel")
+        .collect().map(_.toString).sorted.toSeq
+      def files(rel: String) = new java.io.File(s"$dir/$rel").listFiles
+        .count(_.getName.endsWith(".parquet"))
+      val (p0, s0, z0, b0) = (snap("pairs"), snap("shingles"), snap("sizes"), snap("bands"))
+      val filesBefore = files("shingles")
+      PairsLayout.compact(spark, dir)
+      spark.sharedState.cacheManager.clearCache()
+      assert(snap("pairs") == p0 && snap("shingles") == s0 &&
+        snap("sizes") == z0 && snap("bands") == b0,
+        "compaction changed relation content")
+      // base write = 1 file/bucket, each upsert appends up to 1 more per
+      // bucket: compaction must strictly shrink back to ≤ bucket count
+      assert(files("shingles") < filesBefore && files("shingles") <= 32)
+      // re-bucket in the same pass: sidecar updated, content identical
+      PairsLayout.compact(spark, dir, buckets = 8)
+      spark.sharedState.cacheManager.clearCache()
+      assert(snap("shingles") == s0 && snap("bands") == b0 && snap("sizes") == z0)
+      assert(files("shingles") <= 8 && files("bands") <= 8)
+      // the compacted + re-bucketed index still serves the incremental
+      // contract: one more upsert chains to the full-corpus pair set
+      PairsLayout.upsert(spark, dir, batch3, threshold)
+      spark.sharedState.cacheManager.clearCache()
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val incr = pairSet(PairsLayout.read(spark, dir))
+      val full = pairSet(Dedup.nearDupPairs(docs, threshold))
+      spark.sharedState.cacheManager.clearCache()
+      assert(full.exists(p => p._1 % 10 == 5 || p._2 % 10 == 5),
+        "fixture vacuous: no near-dup pair touches batch3")
+      assert(incr == full)
+      // crashed swap (live renamed aside, swap-in never happened): the
+      // next read self-heals by restoring the set-aside dir
+      val z1 = snap("sizes")
+      val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(f.rename(new org.apache.hadoop.fs.Path(s"$dir/sizes"),
+        new org.apache.hadoop.fs.Path(s"$dir/sizes_old")))
+      val healed = graft.sources.SignatureLayout.readSizes(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(healed == z1, "crashed-swap recovery lost rows")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("stored-index probe ≡ live two-relation minhashAgainst") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_sig_probe").toString
