@@ -572,10 +572,24 @@ object StreamOps {
   }
 
   /** Core over an explicit (base, stream) pair — spec-testable with a
-    * forced multi-file micro-batch split (maxFilesPerTrigger). */
+    * forced multi-file micro-batch split (maxFilesPerTrigger).
+    *
+    * `compactEvery > 0` runs [[graft.sources.PairsLayout.compact]] after
+    * every Nth micro-batch — the periodic maintenance the append
+    * protocol's file-count note calls for on a long-running ingest
+    * (without it every relation's file count grows by one delta per
+    * bucket per batch forever; CompactProf measures 544 → 32 files and a
+    * 1.3–1.5× probe win after 8–16 batches). Compaction is
+    * content-preserving and keeps batch markers, so it composes with the
+    * replay contract: a restarted query re-delivering a compacted batch
+    * still no-ops on its marker. Running it inside foreachBatch is
+    * correct because the sink is the ONLY writer (single-writer layout
+    * contract) and each upsert is eager and complete before the hook
+    * returns. */
   private[graft] def streamedPairsMaintenanceOf(spark: SparkSession, base: DataFrame,
                                                 stream: DataFrame, dir: String,
-                                                threshold: Double): DataFrame = {
+                                                threshold: Double,
+                                                compactEvery: Int = 0): DataFrame = {
     import graft.sources.PairsLayout
     PairsLayout.writeIndexed(spark, base, dir, threshold)
     withShufflePartitions(spark, 4) {
@@ -584,6 +598,8 @@ object StreamOps {
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           PairsLayout.upsert(spark, dir, batch, threshold,
             batchId = Some(s"mb-$bid"))
+          if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
+            PairsLayout.compact(spark, dir)
           ()
         }
         .start()

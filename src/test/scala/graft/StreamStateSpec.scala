@@ -309,6 +309,26 @@ class StreamStateSpec extends AnyFunSuite {
       assert(want.exists(p => p._1 % 10 == 3 || p._2 % 10 == 3),
         "fixture vacuous: no near-dup pair touches micro-batch 2")
       assert(got == want)
+      // periodic in-stream compaction (compactEvery=1: compact after EVERY
+      // micro-batch — the most adversarial cadence: batch 2 probes an
+      // index batch 1 just compacted) must not change the artifact
+      val artDir2 = Files.createTempDirectory("graft_stream_pairs_cpt").toString
+      try {
+        val stream2 = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir.getAbsolutePath)
+        val got2 = StreamOps.streamedPairsMaintenanceOf(spark, base, stream2,
+            artDir2, threshold, compactEvery = 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        spark.catalog.clearCache()
+        assert(got2 == want, "in-stream compaction changed the artifact")
+      } finally {
+        def rm2(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm2); f.delete(); ()
+        }
+        rm2(new java.io.File(artDir2))
+      }
     } finally {
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
