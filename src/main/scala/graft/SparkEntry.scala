@@ -254,6 +254,21 @@ object SparkEntry {
       graft.sources.PairsLayout.upsert(s, d, batch, 0.8)
       graft.sources.PairsLayout.read(s, d).orderBy(asc("d1"), asc("d2"))
     }),
+    // incremental maintenance + COMPACTION priced and gated: same chain
+    // as q_pairs_incremental, then PairsLayout.compact (one file per
+    // bucket, swap-in protocol) before the read — the oracle is the
+    // full-corpus pipeline, so content-preservation is hash-gated, not
+    // just spec-pinned
+    "q_pairs_compact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val d = graft.sources.PairsLayout.dirFor(s"$dir#compactq", 0.8)
+      val old = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      graft.sources.PairsLayout.writeIndexed(s, old, d, 0.8)
+      graft.sources.PairsLayout.upsert(s, d, batch, 0.8)
+      graft.sources.PairsLayout.compact(s, d)
+      graft.sources.PairsLayout.read(s, d).orderBy(asc("d1"), asc("d2"))
+    }),
     // dup-graph degree histogram over the persisted pair artifact: the
     // report measures ITS OWN aggregation, not the shared pair pipeline
     "q_dup_degree" -> ((s, dir) => Dedup.degreeOfPairs(
@@ -279,10 +294,19 @@ object SparkEntry {
     // absolute cap collapses to zero recall when the corpus outgrows it
     "q_dedup_ngram_adaptive" -> ((s, dir) =>
       Dedup.ngramJaccardCappedAdaptive(Tables.documents(s, dir), threshold = 0.5)),
+    // candidate-BUDGET df cap: largest df whose cumulative predicted join
+    // volume (Σ df·(df−1)/2 over the histogram) fits 256 rows/doc —
+    // O(budget·n) candidate generation at ANY corpus shape; the answer to
+    // the sf10 saturated-vocabulary adjudication (NgramProf: percentile
+    // caps move a 9e9-row volume by 11%, a budget bounds it outright)
+    "q_dedup_ngram_budget" -> ((s, dir) =>
+      Dedup.ngramJaccardBudget(Tables.documents(s, dir), threshold = 0.5)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir), threshold = 0.5)),
-    // width-parameterized scale path: 128-bit signature, band bits derived
-    // in-plan from corpus size (clamped 16..32) — the geometry the 64-bit
-    // signature structurally caps at 4×16 (round-10 sf10 adjudication)
+    // width-parameterized scale path: 128-bit signature, band bits chosen
+    // in-plan by CANDIDATE BUDGET over a fixed ladder (16..32) — the
+    // geometry the 64-bit signature structurally caps at 4×16, and the
+    // measured answer to its sf10 ENOSPC (SimhashProf: 1.43e9 candidates
+    // at 4×16 vs 2.77e7 at 4×32 over 500k docs)
     "q_dedup_simhash_wide" -> ((s, dir) =>
       Dedup.simhashWide(Tables.documents(s, dir), threshold = 0.5)),
     // The persisted per-doc embedding artifact itself: full tokenize+hash
@@ -827,6 +851,7 @@ object SparkEntry {
     "q_pairs_artifact" -> Dedup.duckPairsSql("documents", 0.8),
     // full-corpus pipeline: the incremental upsert must land exactly here
     "q_pairs_incremental" -> Dedup.duckPairsSql("documents", 0.8),
+    "q_pairs_compact" -> Dedup.duckPairsSql("documents", 0.8),
     "q_dup_degree"    -> Dedup.duckDupDegreeSql("documents", 0.8),
     "q_dup_triangles" -> Dedup.duckDupTrianglesSql("documents", 0.8),
     "q_dup_pagerank"  -> Dedup.duckDupPagerankSql("documents", 0.8),
@@ -835,6 +860,7 @@ object SparkEntry {
     "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),
     "q_dedup_ngram_capped" -> Dedup.duckNgramCappedSql("documents", 0.5, 20),
     "q_dedup_ngram_adaptive" -> Dedup.duckNgramCappedAdaptiveSql("documents", 0.5),
+    "q_dedup_ngram_budget" -> Dedup.duckNgramBudgetSql("documents", 0.5),
     "q_span_dedup"    -> Dedup.duckSpanSql("documents", 5),
     "q_span_removed"  -> Dedup.duckSpanRemovedSql("documents", 5),
     "q_dedup_recall"  -> Dedup.duckDedupRecall("documents"),

@@ -452,6 +452,55 @@ object Dedup {
     (out, h ++ h2)
   }
 
+  /** Candidate-BUDGET df cap — the third cap derivation, for the corpus
+    * class where the percentile form structurally fails. `graft.NgramProf`
+    * refuted the round-9 spill-hygiene theory at sf10: on a
+    * vocabulary-SATURATED corpus (29.8k distinct 3-gram shingles over
+    * 500k docs, mean df ≈ 780) df grows ∝ n, the inverted-index join
+    * emits Σ df·(df−1)/2 ≈ 9e9 candidate rows, and keepPct 90 → 99 moves
+    * that volume by only 11% — percentile caps adapt to histogram SHAPE,
+    * not corpus SIZE ([[ngramJaccardCappedAdaptive]]'s honesty note made
+    * operational). Here the cap derives from the WORK the join would do:
+    * cumulative predicted candidates over the df histogram (the exact
+    * same Σ df·(df−1)/2 NgramProf computes) ordered by df, and the cap is
+    * the LARGEST df whose cumulative volume fits `candidateBudget` rows
+    * per doc — candidate generation is O(budget·n) BY CONSTRUCTION at
+    * any corpus shape, Zipf or saturated. On corpora where the full
+    * volume already fits (the gate scales), the cap lands at max df and
+    * output == [[ngramJaccard]] exactly (spec-pinned). Same verify as
+    * every capped variant: candidate-first exact UNCAPPED Jaccard, so
+    * precision is never approximate — the budget only bounds which pairs
+    * can be FOUND, dropping shared-only-frequent-shingle pairs first
+    * (boilerplate co-occurrence, the wanted drop). All-integer two-phase
+    * prefix sum over the bounded df-histogram relation, engine-exact.
+    * The same discipline as [[simhashWide]]'s banding budget: measure
+    * the quadratic before paying for it. */
+  def ngramJaccardBudget(documents: DataFrame, threshold: Double,
+                         candidateBudget: Int = 256,
+                         skewSafe: Boolean = true): DataFrame =
+    ngramJaccardBudgetWith(documents, threshold, candidateBudget, skewSafe)._1
+
+  /** [[ngramJaccardBudget]] with cache handles — the
+    * [[ngramJaccardCappedWith]] lifecycle. */
+  def ngramJaccardBudgetWith(documents: DataFrame, threshold: Double,
+                             candidateBudget: Int = 256,
+                             skewSafe: Boolean = true): (DataFrame, Seq[DataFrame]) = {
+    val (shDf0, h) = dfShinglesWith(documents, skewSafe)
+    val hist = shDf0.select(col("s"), col("df")).distinct()
+      .groupBy("df").agg(count(lit(1)).as("n"))
+    val wH = graft.functions.BoundedWindow.boundedGlobal(lit("dfh"), asc("df"))
+    val cum = hist.withColumn("cc",
+      sum(expr("n * (df * (df - 1) DIV 2)")).over(wH))
+    val nd = documents.agg(count(lit(1)).as("ndocs"))
+    // largest df whose cumulative candidate volume fits the budget;
+    // df = 1 (zero candidates) if even the rarest rung exceeds it
+    val cap = cum.crossJoin(broadcast(nd))
+      .filter(col("cc") <= col("ndocs") * candidateBudget)
+      .agg(coalesce(max("df"), lit(1L)).as("cap"))
+    val (out, h2) = cappedPairsOfWith(shDf0.crossJoin(broadcast(cap)), col("cap"), threshold)
+    (out, h ++ h2)
+  }
+
   /** Shared (doc_id, s, df) relation of the capped variants, cached (read
     * by rare/freq filters and the size aggregate — 5 consumers).
     *
@@ -550,6 +599,24 @@ object Dedup {
        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM hist),
        |cum AS (SELECT df, CAST(sum(n) OVER (ORDER BY df) AS BIGINT) AS c FROM hist),
        |cap AS (SELECT min(df) AS cap FROM cum, tot WHERE c * 100 >= $keepPct * t),
+       |rare AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh
+       |         JOIN dfr USING (s), cap WHERE dfr.df <= cap.cap),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin
+
+  /** DuckDB mirror of [[ngramJaccardBudget]] — same cumulative
+    * candidate-volume cap over the df histogram. */
+  def duckNgramBudgetSql(table: String, threshold: Double,
+                         candidateBudget: Int = 256): String =
+    s"""WITH ${duckSh(table)},
+       |dfr AS MATERIALIZED (SELECT s, count(*)::BIGINT AS df FROM sh GROUP BY s),
+       |hist AS (SELECT df, count(*)::BIGINT AS n FROM dfr GROUP BY df),
+       |nd AS (SELECT count(*)::BIGINT AS ndocs FROM $table),
+       |cum AS (SELECT df, CAST(sum(n * (df * (df - 1) // 2)) OVER (ORDER BY df)
+       |               AS BIGINT) AS cc FROM hist),
+       |cap AS (SELECT coalesce(max(df), 1) AS cap FROM cum, nd
+       |        WHERE cc <= nd.ndocs * $candidateBudget),
        |rare AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh
        |         JOIN dfr USING (s), cap WHERE dfr.df <= cap.cap),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -2073,44 +2140,81 @@ object Dedup {
         simhashFromSums((0 until width).map(i => col(s"b$i"))).as("simhash"))
   }
 
+  /** Band-bits ladder for [[simhashWide]]'s candidate-budget derivation —
+    * a FIXED literal list (the BM25 fixed-order pivot pattern), so both
+    * engines evaluate the identical rungs. */
+  private val SimhashBitsLadder = Seq(16, 20, 24, 28, 32)
+
   /** Width-parameterized banded SimHash near-dup — the [[simhash]]
     * family's scale path. The round-10 sf10 campaign adjudicated the
     * 64-bit entry budget-bound at 500k docs with a STRUCTURAL ceiling
     * behind it (SCALE.md "two decades up"): a 64-bit signature caps band
     * discrimination at 4×16 bits — band keys can never exceed 16 bits
-    * without dropping below 4 bands, so bucket occupancy grows linearly
-    * with the corpus past n ≈ 2^16·occupancy and candidates quadratically.
-    * The fix is the [[graft.operators.Multimodal.phashDedupOf]] geometry
-    * applied to tokens: signature width is a parameter
-    * ([[simhashSignatures]]) and band bits derive IN-PLAN from corpus
-    * size — `bits = clamp(minBits, maxBits, floor(log2(n /
-    * targetOccupancy)))` with the exact `length(bin(x)) − 1` integer log
-    * (engine-identical), band count `width DIV bits`. At the gate scales
-    * the clamp floor keeps 16-bit keys and width 128 doubles the band
-    * count over the 64-bit entry (8×16 — the recall knob); past
-    * n ≈ 2^22 docs per corpus the bits grow toward 32 and width 128
-    * still keeps 4 bands at 32-bit keys (the occupancy knob the 64-bit
-    * signature structurally cannot reach — 64 DIV 32 = 2 bands is a
-    * recall collapse). Candidates are DISTINCT (d1, d2) BEFORE the
+    * without dropping below 4 bands. `SimhashProf` quantified the cost
+    * at sf10: the 4×16 geometry emits 1.43e9 candidate rows (max bucket
+    * 18,749 of 500k docs), while 32-bit keys over a 128-bit signature
+    * emit 2.77e7 — 51× fewer with 4 bands intact.
+    *
+    * Band bits derive IN-PLAN by CANDIDATE BUDGET, not the occupancy
+    * model the phash/embed variants use: simhash band keys are not
+    * md5-uniform — bits follow the corpus' token distribution, so
+    * near-dup clusters and boilerplate pile entire sub-corpora into few
+    * buckets, and the measured sf10 volume exceeds the uniform
+    * n²·bands/2^(bits+1) estimate ~370×. A size-only formula
+    * (`log2(n/occ)`) therefore under-widens exactly when it matters.
+    * Instead the operator MEASURES: for each rung of a fixed bits ladder
+    * (16/20/24/28/32) it computes the exact candidate volume the band
+    * self-join would emit — Σ c·(c−1)/2 over the (band, bkey) occupancy
+    * histogram, one cheap aggregate per rung over the cached signature
+    * relation, no join paid (the [[ngramJaccardCappedAdaptive]]
+    * df-histogram discipline applied to banding) — and picks the
+    * SMALLEST bits whose predicted volume fits `candidateBudget` rows
+    * per doc (ladder max as fallback). All-integer, engine-identical;
+    * smallest-first keeps maximum recall inside the budget: at the gate
+    * scales 16 bits win (8×16 bands — strict-superset recall vs the
+    * 64-bit entry, measured +23 real pairs at sf0.1), at sf10 the budget
+    * pushes to 32-bit keys and the query completes where the 64-bit
+    * entry ENOSPC'd. Candidates are DISTINCT (d1, d2) BEFORE the
     * hamming compare (a pair can collide in up to width/bits bands — the
-    * phash candidate-first lesson: hamming per collision measured ~2× a
-    * whole query at sf1), hamming runs word-wise (xor + popcount over
-    * width/32 conv'd 32-bit halves of the cached signature), and the
-    * exact shingle-Jaccard verify is candidate-first with merge-pinned
-    * inverted-index sides ([[jaccardOf]] semantics — broadcast there is
-    * the measured 680 s → 9 s hazard). `maxHamming` scales with width:
-    * the 64-bit entry's 8-of-64 fraction is 16-of-128. False positives
-    * cannot occur (hamming and Jaccard are verified exactly); band
-    * candidate loss is the only approximation, standard LSH. */
+    * phash candidate-first lesson), hamming runs word-wise (xor +
+    * popcount over width/32 conv'd 32-bit halves of the cached
+    * signature), and the exact shingle-Jaccard verify is candidate-first
+    * with merge-pinned inverted-index sides ([[jaccardOf]] semantics —
+    * broadcast there is the measured 680 s → 9 s hazard). `maxHamming`
+    * scales with width: the 64-bit entry's 8-of-64 fraction is
+    * 16-of-128. False positives cannot occur (hamming and Jaccard are
+    * verified exactly); band candidate loss is the only approximation,
+    * standard LSH — the budget is the recall-for-volume knob and its
+    * effect is measurable per corpus via `SimhashProf` before running
+    * anything quadratic. */
   def simhashWide(documents: DataFrame, threshold: Double, width: Int = 128,
-                  maxHamming: Int = 16, targetOccupancy: Int = 64,
-                  minBits: Int = 16, maxBits: Int = 32): DataFrame = {
+                  maxHamming: Int = 16, candidateBudget: Int = 256): DataFrame = {
     // cached: band self-join reads it twice, the hamming join-back twice
-    // more (the simhash cache note; harness clears per query)
+    // more, and every ladder rung aggregates it (the simhash cache note;
+    // harness clears per query)
     val sig = simhashSignatures(documents, width).cache()
-    val nb = sig.agg(count(lit(1)).as("n"))
-      .select(greatest(lit(minBits), least(lit(maxBits),
-        length(bin(expr(s"n DIV $targetOccupancy"))) - 1)).cast("int").as("bits"))
+    val ladder = SimhashBitsLadder.filter(_ <= width)
+    // all rungs in ONE shuffle: explode each doc to its (kbits, band,
+    // bkey) rows across the whole ladder (~27 narrow rows/doc at width
+    // 128) and aggregate once — five separate per-rung jobs measured
+    // ~2–4 s of pure job overhead at sf0.1. Values are identical to the
+    // per-rung form (same integer counts, same Σ c·(c−1)/2), so the
+    // oracle keeps its per-rung CTEs.
+    val preds = sig.select(col("simhash"), explode(array(ladder.flatMap(k =>
+        (0 until width / k).map(b => struct(lit(k).as("kbits"),
+          substring(col("simhash"), b * k + 1, k).as("bkey"),
+          lit(b).as("band")))): _*)).as("r"))
+      .select(col("r.kbits"), col("r.band"), col("r.bkey"))
+      .groupBy("kbits", "band", "bkey").agg(count(lit(1)).as("c"))
+      .groupBy("kbits")
+      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("pred"))
+    // 1-row relation, eagerly checkpointed (the KMeans k-row discipline):
+    // both band sides AND nothing else re-run the ladder aggregates
+    val nb = preds.crossJoin(broadcast(sig.agg(count(lit(1)).as("n"))))
+      .agg(coalesce(
+        min(when(col("pred") <= col("n") * candidateBudget, col("kbits"))),
+        lit(ladder.max)).cast("int").as("bits"))
+      .localCheckpoint(true)
     // narrow band rows: the width-char signature string does NOT ride the
     // band shuffle — the hamming compare re-reads it from the cached sig
     val bands = sig.crossJoin(broadcast(nb))
@@ -2152,13 +2256,12 @@ object Dedup {
   }
 
   /** DuckDB mirror of [[simhashWide]] — same salted md5 blocks, integer
-    * chunk bits, corpus-relative band derivation (`length(bin(n //
-    * occ)) - 1` — the engine-identical floor-log2), native `hamming()`
-    * past 64 bits ([[graft.functions.TextFns.duckHamming]]), exact-Jaccard
-    * verify. */
+    * chunk bits, candidate-budget band derivation (one occupancy-
+    * histogram aggregate per ladder rung, smallest fitting bits wins),
+    * native `hamming()` past 64 bits
+    * ([[graft.functions.TextFns.duckHamming]]), exact-Jaccard verify. */
   def duckSimhashWideSql(table: String, threshold: Double, width: Int = 128,
-                         maxHamming: Int = 16, targetOccupancy: Int = 64,
-                         minBits: Int = 16, maxBits: Int = 32): String = {
+                         maxHamming: Int = 16, candidateBudget: Int = 256): String = {
     require(width > 0 && width % 32 == 0,
       s"signature width $width must be a positive multiple of 32")
     val nChunks = width / 16
@@ -2169,15 +2272,28 @@ object Dedup {
       s"${duckMd5Chunk16(s"m${c / 8}", c % 8)} AS c$c").mkString(", ")
     val sums = (0 until width).map(i =>
       s"sum(${duckSimhashBitFromChunk(s"c${i / 16}", i % 16)})")
+    val ladder = SimhashBitsLadder.filter(_ <= width)
+    val predCtes = ladder.map { k =>
+      s"""p$k AS (SELECT $k AS kbits, coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS pred
+         |        FROM (SELECT count(*) AS c
+         |              FROM (SELECT band, substr(simhash, (band * $k + 1)::INT, $k) AS bkey
+         |                    FROM (SELECT simhash, unnest(range(0, ${width / k})) AS band
+         |                          FROM sig) b$k)
+         |              GROUP BY band, bkey) o$k)""".stripMargin
+    }.mkString(",\n")
+    val predUnion = ladder.map(k => s"SELECT * FROM p$k").mkString(" UNION ALL ")
     s"""WITH ${duckSh(table)},
        |tokm AS (SELECT doc_id, $md5Cols
        |         FROM (SELECT doc_id, unnest(t) AS tt FROM tk) t3),
        |tok AS (SELECT doc_id, $chunkCols FROM tokm),
-       |sig AS (SELECT doc_id, ${duckSimhashFromSums(sums)} AS simhash
+       |sig AS MATERIALIZED (SELECT doc_id, ${duckSimhashFromSums(sums)} AS simhash
        |        FROM tok GROUP BY doc_id),
-       |nb AS (SELECT CAST(greatest($minBits, least($maxBits,
-       |               length(bin(count(*) // $targetOccupancy)) - 1)) AS INT) AS bits
-       |       FROM sig),
+       |$predCtes,
+       |nn AS (SELECT count(*) AS n FROM sig),
+       |nb AS (SELECT CAST(coalesce(
+       |               min(CASE WHEN p.pred <= nn.n * $candidateBudget THEN p.kbits END),
+       |               ${ladder.max}) AS INT) AS bits
+       |       FROM ($predUnion) p, nn),
        |br AS (SELECT s.doc_id, s.simhash, nb.bits,
        |              unnest(range(0, $width // nb.bits)) AS band
        |       FROM sig s, nb),

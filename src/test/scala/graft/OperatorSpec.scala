@@ -569,6 +569,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram budget cap: equals the full-recall baseline when the volume fits the budget") {
+    // at sf0.001 the total predicted candidate volume is far under
+    // 256 rows/doc, so the derived cap must land at max df and the
+    // output must equal ngramJaccard exactly — the budget only ever
+    // REMOVES work, never changes surviving pairs' Jaccard
+    val a = Dedup.ngramJaccardBudget(docs, threshold = 0.5).collect().map(_.toString).toSeq
+    val b = Dedup.ngramJaccard(docs, threshold = 0.5).collect().map(_.toString).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    assert(a.nonEmpty && a == b)
+    // a budget of 0 forces cap = 1 (zero-candidate refusal), never a crash
+    val none = Dedup.ngramJaccardBudget(docs, threshold = 0.5, candidateBudget = 0)
+      .collect()
+    spark.sharedState.cacheManager.clearCache()
+    assert(none.isEmpty)
+  }
+
   test("simhashWide: 64-bit prefix reproduces simhash blocks; planted near-dup found") {
     // block-0 consistency: the first 64 bits of any width come from the
     // same unsalted md5 chunks, so the 128-wide signature's prefix must
