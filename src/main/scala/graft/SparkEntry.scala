@@ -360,6 +360,7 @@ object SparkEntry {
 
     // --- text analysis over documents ---
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    "q_nb_classify" -> ((s, dir) => TextAnalysis.nbClassify(Tables.documents(s, dir))),
     // token-distribution drift: batch-vs-corpus quantized log share
     // ratio, add-one smoothed so OOV tokens need no special case
     "q_drift_report" -> ((s, dir) => TextAnalysis.driftReport(Tables.documents(s, dir))),
@@ -872,6 +873,7 @@ object SparkEntry {
     "q_dedup_semantic" -> Dedup.duckSemDedup("embeddings", 16, 0.4),
     "q_curation"      -> Curation.duckCurate("documents", 0.45, 0.8),
     "q_lang_id"       -> TextAnalysis.duckLangId("documents"),
+    "q_nb_classify"   -> TextAnalysis.duckNbClassify("documents"),
     "q_drift_report"  -> TextAnalysis.duckDriftReport("documents"),
     "q_text_quality"  -> TextAnalysis.duckQuality("documents"),
     "q_token_counts"  -> TextAnalysis.duckTokenCounts("documents"),

@@ -1811,4 +1811,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "optimizer folded boundedGlobal's partition key back to the empty spec")
   }
+
+  test("nbClassify: exactly the tokenizable test split, trained classes only, argmax consistent") {
+    val out = TextAnalysis.nbClassify(docs).collect()
+    // membership: every doc_id % 5 == 0 with >= 1 token appears exactly once
+    val expected = docs
+      .select(col("doc_id"), size(graft.functions.TextFns.tokens(col("text"))).as("nt"))
+      .filter(col("doc_id") % 5 === 0 && col("nt") > 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == expected && out.length == expected.size)
+    // predictions come from classes observed in the TRAIN split
+    val trained = docs.filter(col("doc_id") % 5 =!= 0)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(2)).toSet.subsetOf(trained))
+    // `correct` is exactly the label equality, rows ordered by doc_id
+    assert(out.forall(r => r.getBoolean(3) == (r.getString(2) == r.getString(1))))
+    assert(out.map(_.getLong(0)).toSeq == out.map(_.getLong(0)).toSeq.sorted)
+    // deterministic: a re-run is bit-identical (integer scores, fixed ties)
+    val again = TextAnalysis.nbClassify(docs).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
