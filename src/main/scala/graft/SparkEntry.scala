@@ -361,6 +361,16 @@ object SparkEntry {
     // --- text analysis over documents ---
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_nb_classify" -> ((s, dir) => TextAnalysis.nbClassify(Tables.documents(s, dir))),
+    // prices ensure-once (train pass → stored sufficient statistics) +
+    // the probe that never re-touches the train corpus — the artifact
+    // pricing pattern of q_embed_hist / q_knn_ivf
+    "q_nb_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (st, cl) = graft.sources.NbLayout.ensureModel(s, docs, dir, 5, 1024)
+      TextAnalysis.nbScore(
+        TextAnalysis.nbFeatRows(docs.filter(col("doc_id") % 5 === 0), 1024),
+        st, cl, 1024)
+    }),
     // token-distribution drift: batch-vs-corpus quantized log share
     // ratio, add-one smoothed so OOV tokens need no special case
     "q_drift_report" -> ((s, dir) => TextAnalysis.driftReport(Tables.documents(s, dir))),
@@ -659,6 +669,7 @@ object SparkEntry {
     // frozen-vocabulary BPE tokenization per micro-batch through the
     // foreachBatch sink — profile identical to the batch apply path
     "q_stream_bpe" -> ((s, dir) => StreamOps.streamedBpeApply(s, dir)),
+    "q_stream_nb" -> ((s, dir) => StreamOps.streamedNbClassify(s, dir)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -874,6 +885,10 @@ object SparkEntry {
     "q_curation"      -> Curation.duckCurate("documents", 0.45, 0.8),
     "q_lang_id"       -> TextAnalysis.duckLangId("documents"),
     "q_nb_classify"   -> TextAnalysis.duckNbClassify("documents"),
+    // stored-model probe and streaming frozen-model apply are row-equal
+    // to the batch classifier by construction — same oracle
+    "q_nb_stored"     -> TextAnalysis.duckNbClassify("documents"),
+    "q_stream_nb"     -> TextAnalysis.duckNbClassify("documents"),
     "q_drift_report"  -> TextAnalysis.duckDriftReport("documents"),
     "q_text_quality"  -> TextAnalysis.duckQuality("documents"),
     "q_token_counts"  -> TextAnalysis.duckTokenCounts("documents"),

@@ -1245,37 +1245,71 @@ object TextAnalysis {
   def nbClassify(documents: DataFrame, testMod: Int = 5,
                  buckets: Int = 1024): DataFrame = {
     require(testMod >= 2, s"testMod $testMod leaves no train split")
-    def lb(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val feats = nbFeatRows(documents, buckets)
+      .withColumn("is_test", col("doc_id") % testMod === 0)
+      .cache()
+    val (st, classes) = nbModel(
+      feats.filter(!col("is_test")),
+      documents.filter(col("doc_id") % testMod =!= 0))
+    nbScore(feats.filter(col("is_test")), st, classes, buckets)
+  }
+
+  private def nbLb(c: Column): Column = (length(bin(c)) - 1).cast("long")
+
+  /** (doc_id, lang, b) hashed-unigram feature rows — the shared front of
+    * the batch, stored-model, and streaming NB paths. */
+  private[graft] def nbFeatRows(documents: DataFrame, buckets: Int): DataFrame = {
     val b = conv(substring(md5(concat(lit("nb:"), col("t0"))), 1, 8), 16, 10)
       .cast("long") % buckets
-    val feats = documents
+    documents
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t0"))
-      .select(col("doc_id"), col("lang"), b.as("b"),
-        (col("doc_id") % testMod === 0).as("is_test"))
-      .cache()
-    // model: observed (class, bucket) counts — ≤ C·B rows after the
-    // partial-agged shuffle; totals/priors derive from the bounded
-    // relation + a cheap documents re-scan (docs with zero tokens still
-    // count toward the prior, mirrored in SQL)
-    val cnt = feats.filter(!col("is_test"))
-      .groupBy(col("lang").as("cls"), col("b"))
+      .select(col("doc_id"), col("lang"), b.as("b"))
+  }
+
+  /** Sufficient statistics of the NB model from TRAIN-side feature rows:
+    * (cls, b, c) observed bucket counts — ≤ C·B rows after the
+    * partial-agged shuffle — and (cls, ndc) doc priors from a cheap
+    * documents re-scan (docs with zero tokens still count toward the
+    * prior, mirrored in SQL). Raw counts, not log scores, are the model:
+    * they merge under addition, so an incremental re-train is a count
+    * merge, and the derived score table is arithmetic over bounded rows. */
+  private[graft] def nbCounts(trainFeats: DataFrame,
+                              trainDocs: DataFrame): (DataFrame, DataFrame) = {
+    val cnt = trainFeats.groupBy(col("lang").as("cls"), col("b"))
       .agg(count(lit(1)).as("c"))
-    val st = cnt.select(col("cls"), col("b"), lb(col("c") + 1).as("s1b"))
-    val classes = cnt.groupBy("cls").agg(sum("c").as("tc"))
-      .join(documents.filter(col("doc_id") % testMod =!= 0)
-        .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("ndc")), "cls")
-    val te = feats.filter(col("is_test"))
-    val nt = te.groupBy(col("doc_id"), col("lang").as("actual_lang"))
+    val nd = trainDocs.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("ndc"))
+    (cnt, nd)
+  }
+
+  /** Derived model relations (score table + class totals) from the
+    * sufficient statistics — bounded arithmetic, no corpus access. */
+  private[graft] def nbModelOf(cnt: DataFrame, nd: DataFrame): (DataFrame, DataFrame) = {
+    val st = cnt.select(col("cls"), col("b"), nbLb(col("c") + 1).as("s1b"))
+    val classes = cnt.groupBy("cls").agg(sum("c").as("tc")).join(nd, "cls")
+    (st, classes)
+  }
+
+  private[graft] def nbModel(trainFeats: DataFrame,
+                             trainDocs: DataFrame): (DataFrame, DataFrame) = {
+    val (cnt, nd) = nbCounts(trainFeats, trainDocs)
+    nbModelOf(cnt, nd)
+  }
+
+  /** Score + argmax of TEST-side feature rows against a frozen model —
+    * the shared back of the batch, stored-model, and streaming paths. */
+  private[graft] def nbScore(teFeats: DataFrame, st: DataFrame,
+                             classes: DataFrame, buckets: Int): DataFrame = {
+    val nt = teFeats.groupBy(col("doc_id"), col("lang").as("actual_lang"))
       .agg(count(lit(1)).as("ntoks"))
-    val sums = te.join(broadcast(st), "b")
+    val sums = teFeats.join(broadcast(st), "b")
       .groupBy(col("doc_id"), col("cls"))
       .agg(sum("s1b").as("hits"))
     val scored = nt.crossJoin(broadcast(classes))
       .join(sums.hint("merge"), Seq("doc_id", "cls"), "left")
       .select(col("doc_id"), col("actual_lang"), col("cls"), col("ntoks"),
         (coalesce(col("hits"), lit(0L))
-          - col("ntoks") * lb(col("tc") + buckets)
-          + lb(col("ndc"))).cast("long").as("score"))
+          - col("ntoks") * nbLb(col("tc") + buckets)
+          + nbLb(col("ndc"))).cast("long").as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("cls").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

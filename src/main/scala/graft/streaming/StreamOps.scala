@@ -532,6 +532,58 @@ object StreamOps {
     } finally deleteRecursively(new java.io.File(outDir))
   }
 
+  /** Streaming frozen-model Naive-Bayes scoring — the trained-classifier
+    * counterpart of [[streamedBpeApply]]'s frozen vocabulary: the model is
+    * trained once from the persisted sufficient statistics
+    * ([[graft.sources.NbLayout.ensureModel]] — at 100 TB the ingest-time
+    * artifact, never retrained per query), eagerly checkpointed (two
+    * bounded relations: ≤ C·B score rows, C class rows), then every
+    * arriving micro-batch of held-out documents is scored and argmax'd
+    * through the production foreachBatch→parquet sink. Classification is
+    * per-doc and a file-stream never splits a document row, so the final
+    * relation is row-equal to the batch classifier under ANY micro-batch
+    * partitioning — the q_stream_nb gate checks that against
+    * [[graft.operators.TextAnalysis.duckNbClassify]], and StreamStateSpec
+    * pins a forced two-batch split against the batch path. */
+  def streamedNbClassify(spark: SparkSession, sfDir: String,
+                         testMod: Int = 5, buckets: Int = 1024): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (st, classes) =
+      graft.sources.NbLayout.ensureModel(spark, docs, sfDir, testMod, buckets)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % testMod === 0)
+    streamedNbClassifyOf(stream,
+      st.localCheckpoint(true), classes.localCheckpoint(true), buckets)
+  }
+
+  /** The sink core of [[streamedNbClassify]] over an arbitrary document
+    * stream and frozen model relations. */
+  private[graft] def streamedNbClassifyOf(stream: DataFrame, st: DataFrame,
+                                          classes: DataFrame,
+                                          buckets: Int): DataFrame = {
+    import graft.operators.TextAnalysis
+    val spark = stream.sparkSession
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_nb").toString
+    try {
+      withShufflePartitions(spark, 4) {
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            TextAnalysis.nbScore(TextAnalysis.nbFeatRows(b, buckets),
+              st, classes, buckets)
+              .write.mode("append").parquet(outDir)
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      spark.read.schema("doc_id BIGINT, actual_lang STRING, pred_lang STRING, correct BOOLEAN, nb_score BIGINT, ntoks BIGINT")
+        .parquet(outDir)
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(outDir))
+  }
+
   /** Streaming near-dup ARTIFACT maintenance — the continuous-ingest form
     * of [[graft.sources.PairsLayout.upsert]] (round-8 verdict #6): the
     * base corpus is indexed once ([[graft.sources.PairsLayout

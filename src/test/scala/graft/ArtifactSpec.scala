@@ -74,4 +74,42 @@ class ArtifactSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
     assert(a == b)
   }
+
+  test("NB model artifact: stored sufficient statistics == in-plan model; scoring over it == batch classifier") {
+    import graft.operators.TextAnalysis
+    import graft.sources.NbLayout
+    val (stA, clA) = NbLayout.ensureModel(spark, docs, TestSpark.sf, testMod = 5, buckets = 1024)
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val (stB, clB) = TextAnalysis.nbModel(
+      TextAnalysis.nbFeatRows(train, 1024), train)
+    assert(rows(stA.orderBy("cls", "b")) == rows(stB.orderBy("cls", "b")))
+    assert(rows(clA.orderBy("cls")) == rows(clB.orderBy("cls")))
+    val viaStore = rows(TextAnalysis.nbScore(
+      TextAnalysis.nbFeatRows(docs.filter(col("doc_id") % 5 === 0), 1024),
+      stA, clA, 1024))
+    val batch = rows(TextAnalysis.nbClassify(docs))
+    spark.sharedState.cacheManager.clearCache()
+    assert(viaStore.nonEmpty && viaStore == batch)
+  }
+
+  test("NB upsert: count merge == full retrain; batch replay merges nothing twice") {
+    import graft.sources.NbLayout
+    import java.nio.file.{Files => JF}
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val base = train.filter(col("doc_id") % 3 =!= 1)
+    val delta = train.filter(col("doc_id") % 3 === 1)
+    val incDir = JF.createTempDirectory("graft_nb_inc").toString
+    val fullDir = JF.createTempDirectory("graft_nb_full").toString
+    // write()'s internal testMod filter is a no-op on already-train-side rows
+    NbLayout.write(spark, base, incDir, testMod = 5, buckets = 1024)
+    NbLayout.upsert(spark, delta, incDir, buckets = 1024, batchId = "b1")
+    NbLayout.write(spark, train, fullDir, testMod = 5, buckets = 1024)
+    def cnt(d: String) = rows(NbLayout.readCounts(spark, d).orderBy("cls", "b"))
+    def nds(d: String) = rows(NbLayout.readDocs(spark, d).orderBy("cls"))
+    assert(cnt(incDir).nonEmpty && cnt(incDir) == cnt(fullDir))
+    assert(nds(incDir) == nds(fullDir))
+    // at-least-once replay: the marker short-circuits the second merge
+    NbLayout.upsert(spark, delta, incDir, buckets = 1024, batchId = "b1")
+    assert(cnt(incDir) == cnt(fullDir) && nds(incDir) == nds(fullDir))
+  }
 }

@@ -271,6 +271,32 @@ class StreamStateSpec extends AnyFunSuite {
       "per-batch partials through the sink must reproduce the one-shot profile")
   }
 
+  test("streaming frozen-model NB scoring across forced micro-batches equals the batch classifier") {
+    import java.nio.file.{Files => JF}
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val batch = TextAnalysis.nbClassify(docs).collect().map(_.toString).toSeq
+    spark.catalog.clearCache()
+    val (st, classes) = graft.sources.NbLayout
+      .ensureModel(spark, docs, TestSpark.sf, testMod = 5, buckets = 1024)
+    // two parquet files + maxFilesPerTrigger=1: two genuine micro-batches;
+    // per-doc classification must be invariant to the split
+    val te = docs.filter(col("doc_id") % 5 === 0)
+    val srcDir = JF.createTempDirectory("graft_nb_split").toString
+    te.filter(col("doc_id") % 2 === 0).write.parquet(s"$srcDir/p1")
+    te.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$srcDir/p2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+    val streamed = graft.streaming.StreamOps
+      .streamedNbClassifyOf(stream,
+        st.localCheckpoint(true), classes.localCheckpoint(true), buckets = 1024)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch,
+      "per-batch scoring against the frozen model must reproduce the batch classifier")
+  }
+
   test("streaming drift report equals the batch drift report row for row") {
     val streamed = StreamOps.streamedDrift(spark, TestSpark.sf).collect().map(_.toString).toSeq
     val batch = graft.operators.TextAnalysis.driftReport(
