@@ -281,13 +281,18 @@ object CodeChunker {
   }
 
   private val jsFunction = """^\s*(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r.unanchored
-  private val jsClass = """^\s*(?:export\s+)?(?:default\s+)?class\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r.unanchored
-  // word boundary after "import": `importantConfig.load()` is not an import
+  // declare/abstract: tree-sitter-typescript still types these
+  // class_declaration (ambient/abstract classes are the same node kind)
+  private val jsClass = """^\s*(?:export\s+)?(?:default\s+)?(?:declare\s+)?(?:abstract\s+)?class\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r.unanchored
+  // word boundary after "import": `importantConfig.load()` is not an
+  // import; neither is a DYNAMIC import `import('./mod')` — tree-sitter
+  // parses that as a call_expression (the `import` token as callee), not
+  // an import_statement, so the reference's node list never emits it
   private def isJsImport(l: String): Boolean = {
     val t = l.trim
     t.startsWith("import") && (t.length == 6 || {
       val c = t.charAt(6)
-      !Character.isLetterOrDigit(c) && c != '_' && c != '$'
+      !Character.isLetterOrDigit(c) && c != '_' && c != '$' && c != '('
     })
   }
 
@@ -373,14 +378,75 @@ object CodeChunker {
     out
   }
 
-  /** method_definition recognizer (indexing_agent.py:165): `name(args) {`
-    * with optional static/async/get/set modifiers. Control-flow keywords are
-    * excluded so `if (...) {` never reads as a method. */
-  private val jsMethod =
-    """^\s*(?:static\s+)?(?:async\s+)?(?:(?:get|set)\s+)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\([^)]*\)\s*\{""".r.unanchored
+  /** method_definition HEAD recognizer (indexing_agent.py:165): modifier
+    * run (any order — TS allows `public static async *`), optional
+    * generator `*`, name, optional type-parameter list, opening paren.
+    * Control-flow keywords are excluded so `if (...) {` never reads as a
+    * method; a method NAMED like a modifier (`get(key) {`) still matches
+    * because the modifier group requires trailing whitespace. */
+  private val jsMethodHead =
+    """^\s*(?:(?:public|private|protected|override|readonly|static|async|get|set)\s+)*(?:\*\s*)?([A-Za-z_$][A-Za-z0-9_$]*)\s*(?:<[^>]*>)?\s*\(""".r.unanchored
   private val jsKeywords =
     Set("if", "for", "while", "switch", "catch", "function", "return", "else",
       "do", "try", "new", "typeof", "await", "yield")
+
+  /** Full method_definition recognizer at line `i` of the MASKED text:
+    * match the head, walk the (possibly multi-line) parameter list to its
+    * closing paren, then — allowing a TS return-type annotation between —
+    * require a body `{` before any `;`. A `;` first means a TS
+    * `method_signature` (abstract/interface/declare member), which
+    * tree-sitter types differently and the reference's node list does NOT
+    * emit. Returns (name, bodyOpenLine). Known corner: a return type whose
+    * FIRST token group is a brace-balanced object type (`(): { a: X } {`)
+    * reads the type literal as the body open — rare enough to document
+    * rather than parse. */
+  private def jsMethodAt(m: Array[String], i: Int): Option[(String, Int)] =
+    m(i) match {
+      case jsMethodHead(name) if !jsKeywords(name) =>
+        var j = i
+        var pos = m(i).indexOf('(')
+        var bal = 0
+        // walk to the param list's closing paren across lines
+        while (j < m.length && { // scan current line from pos
+          var closed = -1
+          var p = pos
+          while (p < m(j).length && closed < 0) {
+            m(j).charAt(p) match {
+              case '(' => bal += 1
+              case ')' => bal -= 1; if (bal == 0) closed = p
+              case _ =>
+            }
+            p += 1
+          }
+          if (closed >= 0) { pos = closed + 1; false }
+          else { j += 1; pos = 0; j < m.length }
+        }) ()
+        if (j >= m.length) None
+        else {
+          // body `{` before `;`, scanning from just after the close paren
+          var k = j
+          var q = pos
+          var res: Option[(String, Int)] = None
+          var done = false
+          while (k < m.length && !done) {
+            val rest = m(k).substring(q)
+            val ib = rest.indexOf('{')
+            val isc = rest.indexOf(';')
+            if (ib >= 0 && (isc < 0 || ib < isc)) { res = Some((name, k)); done = true }
+            else if (isc >= 0) done = true // method_signature: not emitted
+            else {
+              k += 1; q = 0
+              // a NEW member head before any `{` means the previous member
+              // was an ASI-terminated signature (no `;`) — still a
+              // method_signature, still not emitted
+              if (k < m.length && jsMethodHead.findFirstIn(m(k)).isDefined)
+                done = true
+            }
+          }
+          res
+        }
+      case _ => None
+    }
 
   def chunkJs(path: String, content: String): Seq[CodeElement] = {
     val lines = content.split("\n", -1)
@@ -420,8 +486,9 @@ object CodeChunker {
           out += CodeElement.make(name, "class", path, start + 1, end + 1,
             lines.slice(start, end + 1).mkString("\n"))
           i += 1
-        case jsMethod(name) if inClassBody(i) && !jsKeywords(name) =>
-          val end = braceEnd(m, i)
+        case _ if inClassBody(i) && jsMethodAt(m, i).isDefined =>
+          val (name, open) = jsMethodAt(m, i).get
+          val end = braceEnd(m, open)
           out += CodeElement.make(name, "function", path, i + 1, end + 1,
             lines.slice(i, end + 1).mkString("\n"))
           i += 1

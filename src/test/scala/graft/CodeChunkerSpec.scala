@@ -58,6 +58,34 @@ class CodeChunkerSpec extends AnyFunSuite {
     assert(load.content.contains("return fetch(url);"))
   }
 
+  test("ts method fidelity: return types, modifiers, generators, generics, multi-line sigs; signatures not emitted") {
+    val els = CodeChunker.chunkFile("pkg/service.ts", read("pkg/service.ts"))
+    // abstract class is still a class_declaration node
+    assert(els.exists(e => e.element_type == "class" && e.name == "Service"))
+    val fns = els.filter(_.element_type == "function")
+    // return-type annotation (lookup), accessibility modifier (private/
+    // protected override), static with type params (of), generator
+    // (entries), async generator with MULTI-LINE params (stream),
+    // multi-line params with Allman-adjacent body (reload)
+    assert(fns.map(_.name).toSet == Set("lookup", "of", "entries", "stream", "reload"))
+    // overload signature (ASI, no `;`) rejected: exactly ONE lookup element,
+    // the implementation (its span starts at the impl line, not the sig)
+    val lookups = fns.filter(_.name == "lookup")
+    assert(lookups.size == 1 && lookups.head.content.contains("return this.cache.get(key);"))
+    assert(!lookups.head.content.linesIterator.next().trim.endsWith("undefined"))
+    // method_signature members (abstract, `;`- or ASI-terminated) never emit
+    assert(!fns.exists(e => e.name == "describe" || e.name == "touch"))
+    // class FIELDS are not methods
+    assert(!fns.exists(_.name == "cache"))
+    // multi-line signature spans run from the header to the body close
+    val stream = fns.find(_.name == "stream").get
+    assert(stream.content.contains("limit: number,") &&
+      stream.content.contains("yield prefix + limit;"))
+    // dynamic import is a call_expression, not an import_statement
+    val imports = els.filter(_.element_type == "import")
+    assert(imports.size == 1 && imports.head.content.contains("import type"))
+  }
+
   test("markdown chunker: Introduction for leading prose, empty sections dropped") {
     val els = CodeChunker.chunkFile("README.md", read("README.md"))
     val names = els.map(_.name)

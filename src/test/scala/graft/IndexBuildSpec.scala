@@ -15,7 +15,7 @@ class IndexBuildSpec extends AnyFunSuite {
 
   test("full build indexes the sample project") {
     val report = IndexBuild.run(spark, projectDir, indexDir).collect()(0)
-    assert(report.getAs[Long]("files_indexed") == 5) // 2 py, 2 ts, md (txt not in ext set)
+    assert(report.getAs[Long]("files_indexed") == 6) // 2 py, 3 ts, md (txt not in ext set)
     assert(report.getAs[Long]("elements_indexed") > 5)
     val idx = spark.read.parquet(s"$indexDir/code_elements")
     assert(idx.columns.toSet.contains("embedding"))
