@@ -403,6 +403,15 @@ object SparkEntry {
     // BM25 ranking over token stats (fixed query bag, fixed-order float sum)
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), Seq("spark", "table", "stream"), k = 10)),
+    // hybrid retrieval: BM25 ∪ embedder-cosine heads, reciprocal-rank fused
+    // (one shared tokenize pass feeds both branches)
+    "q_hybrid_rrf" -> ((s, dir) =>
+      graft.operators.Retrieval.hybridRrf(Tables.documents(s, dir),
+        Seq("spark", "table", "stream"))),
+    // MMR diversity rerank of the cosine top-30 (greedy k-step selection
+    // over eagerly-checkpointed tiny state; pool build is the corpus part)
+    "q_mmr_rerank" -> ((s, dir) =>
+      graft.operators.Retrieval.mmrRerank(emb(s, dir), qvec(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
     // per-doc TF-IDF keyword tags (join-back df, never a head-term window)
     "q_keywords" -> ((s, dir) => TextAnalysis.keywords(Tables.documents(s, dir), k = 5)),
@@ -901,6 +910,9 @@ object SparkEntry {
       "(SELECT * FROM documents WHERE doc_id % 2 = 0) tr",
       "(SELECT * FROM documents WHERE doc_id % 2 <> 0) ho", iters = 8),
     "q_bm25"          -> TextAnalysis.duckBm25("documents", Seq("spark", "table", "stream"), k = 10),
+    "q_hybrid_rrf"    -> graft.operators.Retrieval.duckHybridRrf(
+                           "documents", Seq("spark", "table", "stream")),
+    "q_mmr_rerank"    -> graft.operators.Retrieval.duckMmrRerank("embeddings"),
     "q_fingerprint"   -> TextAnalysis.duckFingerprint("documents"),
     "q_keywords"      -> TextAnalysis.duckKeywordsSql("documents", k = 5),
     "q_quality_cut"   -> TextAnalysis.duckQualityCut("documents", 0.1),

@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Embedder
+import graft.functions.TextFns.{duckTokens, tokens}
+import graft.functions.VectorFns.{duckCosine, duckDot}
+import graft.functions.VecExprs.dotc
+
+/** Retrieval-surface operators the reference's vector-search tool implies
+  * but does not ship: hybrid lexical+vector fusion and diversity reranking.
+  *
+  * Reference anchor: `semantic_search`
+  * (/root/reference/coding_agent/tools/vector_search_tool.py:33-79) is a
+  * pure vector ranking; production retrieval over the same index pairs it
+  * with a lexical scorer (BM25) and fuses by reciprocal rank — the standard
+  * upgrade every vector-DB user makes first — and then diversifies the head
+  * of the list (MMR, Carbonell & Goldstein 1998) so near-duplicate chunks
+  * don't crowd out coverage. Both are expressed here as declarative plans
+  * over the SAME statistics the rest of the engine already derives, and
+  * both are oracle-gated end to end.
+  */
+object Retrieval {
+
+  // ------------------------------------------------------------ hybrid RRF
+
+  /** Hybrid retrieval: BM25 top-`poolN` ∪ hashing-embedder cosine
+    * top-`poolN`, fused by reciprocal-rank fusion
+    * `rrf = Σ_lists 1/(60 + rank)` (Cormack et al. 2009's k0=60), top-`k`
+    * of the fused list.
+    *
+    * One tokenize pass feeds BOTH branches (the cached token relation —
+    * the bm25 cache discipline, now shared): the lexical branch aggregates
+    * tf/dl/df from it, the vector branch folds the same rows into the
+    * hashing-embedder bucket histogram. The query embeds through the
+    * IDENTICAL path at query time (E1's index-time ≡ query-time contract).
+    *
+    * 100 TB shape: both branches are keyed aggregations plus a broadcast
+    * of the tiny query side; each ranking is `orderBy+limit`
+    * (TakeOrderedAndProject — per-partition k, driver merges k·p rows,
+    * never a global sort); the per-doc norm attaches via a window over the
+    * doc-keyed histogram (≤ Dim rows per group — skew-free by
+    * construction) instead of a groupBy+join-back, so no corpus-cardinality
+    * aggregate ever becomes a join build side. The fusion join touches
+    * 2·poolN rows.
+    *
+    * Float discipline: the vector dot product and both norms accumulate
+    * INTEGER counts (sum of cnt·qcnt / cnt² as BIGINT) — one double
+    * division and one sqrt at the end, so cosine is bit-identical to the
+    * oracle by construction, not by summation-order luck. RRF adds two
+    * fixed-order double terms. Ranks are ints; ties break on doc_id.
+    */
+  def hybridRrf(documents: DataFrame, terms: Seq[String],
+                poolN: Int = 20, k: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t")).cache()
+
+    // lexical branch: raw BM25 scores, rank the top poolN
+    val lex = rankHead(TextAnalysis.bm25Scored(toks, terms),
+      "score_raw", poolN, "lex_rn")
+
+    // vector branch: histogram cosine against the embedded query text
+    val dh = toks
+      .select(col("doc_id"), Embedder.bucket(col("t")).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    // per-doc norm via window (one shuffle, no join-back, groups ≤ Dim)
+    val dn = sqrt(sum(col("cnt") * col("cnt"))
+      .over(Window.partitionBy("doc_id")).cast("double"))
+    val qtoks = spark.range(1)
+      .select(explode(tokens(lit(terms.mkString(" ")))).as("t"))
+    val qh = qtoks.select(Embedder.bucket(col("t")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("qcnt"))
+    val qn = qh.agg(sqrt(sum(col("qcnt") * col("qcnt")).cast("double")).as("qn"))
+    val vs = dh.withColumn("dn", dn)
+      .join(broadcast(qh), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("qcnt")).as("dt"), max("dn").as("dn"))
+      .crossJoin(broadcast(qn))
+      .select(col("doc_id"), (col("dt") / (col("dn") * col("qn"))).as("sim_raw"))
+    val vec = rankHead(vs, "sim_raw", poolN, "vec_rn")
+
+    // reciprocal-rank fusion over the two poolN-row heads
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_raw",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rn")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("vec_rn")), lit(0.0)))
+      .orderBy(desc("rrf_raw"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"),
+        coalesce(col("lex_rn"), lit(0L)).as("lex_rn"),
+        coalesce(col("vec_rn"), lit(0L)).as("vec_rn"),
+        round(col("rrf_raw"), 6).as("rrf"))
+  }
+
+  /** Top-`n` of `scored` by (`scoreCol` desc, doc_id) with a 1-based rank
+    * column. The limit runs FIRST (TakeOrderedAndProject); the row_number
+    * window then orders only the n survivors — never the corpus. */
+  private def rankHead(scored: DataFrame, scoreCol: String, n: Int,
+                       rankName: String): DataFrame =
+    scored.orderBy(desc(scoreCol), asc("doc_id")).limit(n)
+      .withColumn(rankName,
+        row_number().over(
+          Window.orderBy(desc(scoreCol), asc("doc_id"))).cast("long"))
+      .select("doc_id", rankName)
+
+  /** DuckDB mirror of [[hybridRrf]] — same statistics, same fixed-order
+    * float arithmetic, same k0=60 fusion. */
+  def duckHybridRrf(table: String, terms: Seq[String],
+                    poolN: Int = 20, k: Int = 10): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivot = terms.map(t =>
+      s"coalesce(max(CASE WHEN t = '$t' THEN contrib END), 0.0)").mkString("\n      + ")
+    val qlit = s"'${terms.mkString(" ")}'"
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM $table),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY doc_id),
+       |st AS (SELECT count(*)::BIGINT AS n_docs,
+       |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tk
+       |       WHERE t IN ($inList) GROUP BY 1, 2),
+       |df AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY t),
+       |c AS (SELECT tf.doc_id, tf.t,
+       |        ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |        (tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+       |      FROM tf JOIN df USING (t) CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id),
+       |lexs AS (SELECT doc_id, $pivot AS score_raw FROM c GROUP BY doc_id),
+       |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score_raw DESC, doc_id) AS lex_rn
+       |        FROM lexs ORDER BY score_raw DESC, doc_id LIMIT $poolN),
+       |dh AS (SELECT doc_id, ${Embedder.duckBucket("t")} AS bucket, count(*)::BIGINT AS cnt
+       |       FROM tk GROUP BY 1, 2),
+       |qh AS (SELECT ${Embedder.duckBucket("t")} AS bucket, count(*)::BIGINT AS qcnt
+       |       FROM (SELECT unnest(${duckTokens(qlit)}) AS t) GROUP BY 1),
+       |qn AS (SELECT sqrt(CAST(sum(qcnt*qcnt) AS DOUBLE)) AS qn FROM qh),
+       |dn AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS dn FROM dh GROUP BY doc_id),
+       |vs AS (SELECT dh.doc_id, sum(dh.cnt * qh.qcnt)::BIGINT / (max(dn.dn) * max(qn.qn)) AS sim_raw
+       |       FROM dh JOIN qh USING (bucket) JOIN dn USING (doc_id) CROSS JOIN qn
+       |       GROUP BY dh.doc_id),
+       |vec AS (SELECT doc_id, row_number() OVER (ORDER BY sim_raw DESC, doc_id) AS vec_rn
+       |        FROM vs ORDER BY sim_raw DESC, doc_id LIMIT $poolN),
+       |fused AS (
+       |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, lex.lex_rn, vec.vec_rn,
+       |         coalesce(1.0::DOUBLE / (60 + lex.lex_rn), 0.0) +
+       |         coalesce(1.0::DOUBLE / (60 + vec.vec_rn), 0.0) AS rrf_raw
+       |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+       |SELECT doc_id, coalesce(lex_rn, 0)::BIGINT AS lex_rn,
+       |       coalesce(vec_rn, 0)::BIGINT AS vec_rn, round(rrf_raw, 6) AS rrf
+       |FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ MMR
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    * greedy-select `k` of the cosine top-`poolN`, each step maximizing
+    * `lam·sim(q,c) − (1−lam)·max_{s∈S} sim(c,s)` (ties → lowest vec_id).
+    * Output: (step, vec_id, mmr) — the diversified head in pick order,
+    * `mmr` = the score at selection time (step 1 = plain query cosine).
+    *
+    * Shape: candidate generation is the DISTRIBUTED part (corpus scan +
+    * TakeOrderedAndProject top-poolN); selection is inherently sequential,
+    * so it runs as `k−1` tiny jobs over eagerly-checkpointed ≤poolN-row
+    * state (the k-means loop discipline — without the per-step
+    * localCheckpoint the t-th step would re-evaluate the whole prefix,
+    * O(2^k) corpus scans). Pairwise sims are poolN² rows computed once.
+    * At 100 TB only the pool build touches the corpus; everything after
+    * is O(poolN²) on the driver-adjacent partitions.
+    *
+    * Float discipline: `mu = 1.0 − lam` is computed ONCE here and embedded
+    * verbatim in the oracle ([[duckMmrRerank]] takes the same doubles and
+    * prints them with Double.toString round-trip exactness) — `1.0 − 0.7`
+    * is NOT the literal `0.3` in IEEE754, so the complement must never be
+    * re-derived on the SQL side.
+    */
+  def mmrRerank(index: DataFrame, queryVec: DataFrame,
+                poolN: Int = 30, k: Int = 8, lam: Double = 0.7,
+                excludeId: Option[Long] = Some(0L)): DataFrame = {
+    val mu = 1.0 - lam
+    val filtered = excludeId.map(id => index.filter(col("vec_id") =!= id))
+      .getOrElse(index)
+    val q = queryVec.select(col("qv").cast("array<double>").as("qe"))
+      .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
+    val pool = filtered
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+      .crossJoin(broadcast(q))
+      .withColumn("simq", Knn.sim(col("ed"), col("nrm"), col("qe"), col("qn")))
+      .orderBy(desc("simq"), asc("vec_id")).limit(poolN)
+      .select(col("vec_id"), col("ed"), col("nrm"), col("simq"))
+      .localCheckpoint(true)
+    val pw = pool.select(col("vec_id").as("ai"), col("ed").as("ae"), col("nrm").as("an"))
+      .join(pool.select(col("vec_id").as("bi"), col("ed").as("be"), col("nrm").as("bn")),
+        col("ai") =!= col("bi"))
+      .select(col("ai"), col("bi"),
+        Knn.sim(col("ae"), col("an"), col("be"), col("bn")).as("s"))
+      .localCheckpoint(true)
+    var sel = pool.orderBy(desc("simq"), asc("vec_id")).limit(1)
+      .select(lit(1L).as("step"), col("vec_id"), col("simq").as("score"))
+      .localCheckpoint(true)
+    for (t <- 2 to k) {
+      val picked = sel.select(col("vec_id").as("bi"))
+      val next = pool.join(picked.withColumnRenamed("bi", "vec_id"),
+          Seq("vec_id"), "left_anti")
+        .join(pw.join(picked, "bi").groupBy("ai").agg(max("s").as("mx")),
+          col("vec_id") === col("ai"))
+        .withColumn("sc", lit(lam) * col("simq") - lit(mu) * col("mx"))
+        .orderBy(desc("sc"), asc("vec_id")).limit(1)
+        .select(lit(t.toLong).as("step"), col("vec_id"), col("sc").as("score"))
+      sel = sel.union(next).localCheckpoint(true)
+    }
+    sel.select(col("step"), col("vec_id"), round(col("score"), 6).as("mmr"))
+      .orderBy("step")
+  }
+
+  /** DuckDB mirror of [[mmrRerank]]: the greedy loop as a recursive CTE.
+    * The recursive term is joins + GROUP BY + a rank window — NOT nested
+    * correlated scalar subqueries, which DuckDB mis-evaluates inside
+    * recursion (measured: picked a different row with a NaN score). */
+  def duckMmrRerank(table: String, poolN: Int = 30, k: Int = 8,
+                    lam: Double = 0.7, excludeId: Long = 0L): String = {
+    val mu = 1.0 - lam
+    val cos = duckCosine("e.embedding", "q.qv")
+    val cospp = s"(${duckDot("a.e", "b.e")} / (a.n * b.n))"
+    s"""WITH RECURSIVE
+       |q AS (SELECT embedding AS qv FROM $table WHERE vec_id = $excludeId),
+       |pool AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding AS e, sqrt(${duckDot("e.embedding", "e.embedding")}) AS n,
+       |         $cos AS simq
+       |  FROM $table e CROSS JOIN q WHERE e.vec_id <> $excludeId
+       |  ORDER BY simq DESC, e.vec_id LIMIT $poolN),
+       |pw AS MATERIALIZED (
+       |  SELECT a.vec_id AS ai, b.vec_id AS bi, $cospp AS s
+       |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+       |sel(step, ids, picked, score) AS (
+       |  SELECT 1, [p.vec_id], p.vec_id, p.simq
+       |  FROM (SELECT vec_id, simq FROM pool ORDER BY simq DESC, vec_id LIMIT 1) p
+       |  UNION ALL
+       |  SELECT step + 1, list_append(ids, vid), vid, sc
+       |  FROM (
+       |    SELECT step, ids, vid, sc,
+       |           row_number() OVER (ORDER BY sc DESC, vid) AS rn
+       |    FROM (
+       |      SELECT sel.step, sel.ids, p.vec_id AS vid,
+       |             ${lam}::DOUBLE * p.simq - ${mu}::DOUBLE * max(pw.s) AS sc
+       |      FROM sel
+       |      JOIN pool p ON NOT list_contains(sel.ids, p.vec_id)
+       |      JOIN pw ON pw.ai = p.vec_id AND list_contains(sel.ids, pw.bi)
+       |      WHERE sel.step < $k
+       |      GROUP BY sel.step, sel.ids, p.vec_id, p.simq))
+       |  WHERE rn = 1
+       |)
+       |SELECT step::BIGINT AS step, picked AS vec_id, round(score, 6) AS mmr
+       |FROM sel ORDER BY step""".stripMargin
+  }
+}

@@ -236,6 +236,17 @@ object TextAnalysis {
     // DIFFERENTLY over the same token rows — without the cache the corpus
     // tokenizes twice (ReuseExchange only dedupes identical subtrees)
     val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t")).cache()
+    bm25Scored(toks, terms)
+      .orderBy(desc("score_raw"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("score_raw"), 6).as("score"))
+  }
+
+  /** Raw BM25 scores (doc_id, score_raw) over an already-exploded token
+    * relation — the rankable form [[bm25]] truncates and
+    * [[Retrieval.hybridRrf]] fuses. `toks` should be cached by the caller:
+    * the doc-length and term-frequency branches aggregate it differently. */
+  private[operators] def bm25Scored(toks: DataFrame, terms: Seq[String]): DataFrame = {
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
@@ -257,11 +268,7 @@ object TextAnalysis {
     val scoreCol = terms.map(t =>
         coalesce(max(when(col("t") === t, col("contrib"))), lit(0.0)))
       .reduceLeft(_ + _)
-    contrib
-      .groupBy("doc_id").agg(scoreCol.as("score_raw"))
-      .orderBy(desc("score_raw"), asc("doc_id"))
-      .limit(k)
-      .select(col("doc_id"), round(col("score_raw"), 6).as("score"))
+    contrib.groupBy("doc_id").agg(scoreCol.as("score_raw"))
   }
 
   def duckBm25(table: String, terms: Seq[String], k: Int): String = {
