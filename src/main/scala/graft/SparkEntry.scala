@@ -412,6 +412,14 @@ object SparkEntry {
     // over eagerly-checkpointed tiny state; pool build is the corpus part)
     "q_mmr_rerank" -> ((s, dir) =>
       graft.operators.Retrieval.mmrRerank(emb(s, dir), qvec(s, dir))),
+    // best query-term window per top doc (candidate-first position explode)
+    "q_snippets" -> ((s, dir) =>
+      graft.operators.Retrieval.snippets(Tables.documents(s, dir),
+        Seq("spark", "table", "stream"))),
+    // pseudo-relevance-feedback expansion; integer-exact dynamic-bag re-rank
+    "q_prf_expand" -> ((s, dir) =>
+      graft.operators.Retrieval.prfExpand(Tables.documents(s, dir),
+        Seq("spark", "table", "stream"))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
     // per-doc TF-IDF keyword tags (join-back df, never a head-term window)
     "q_keywords" -> ((s, dir) => TextAnalysis.keywords(Tables.documents(s, dir), k = 5)),
@@ -913,6 +921,10 @@ object SparkEntry {
     "q_hybrid_rrf"    -> graft.operators.Retrieval.duckHybridRrf(
                            "documents", Seq("spark", "table", "stream")),
     "q_mmr_rerank"    -> graft.operators.Retrieval.duckMmrRerank("embeddings"),
+    "q_snippets"      -> graft.operators.Retrieval.duckSnippets(
+                           "documents", Seq("spark", "table", "stream")),
+    "q_prf_expand"    -> graft.operators.Retrieval.duckPrfExpand(
+                           "documents", Seq("spark", "table", "stream")),
     "q_fingerprint"   -> TextAnalysis.duckFingerprint("documents"),
     "q_keywords"      -> TextAnalysis.duckKeywordsSql("documents", k = 5),
     "q_quality_cut"   -> TextAnalysis.duckQualityCut("documents", 0.1),

@@ -211,6 +211,171 @@ object Retrieval {
       .orderBy("step")
   }
 
+  // ------------------------------------------------------------- snippets
+
+  /** Passage/snippet extraction: for the BM25 top-`topDocs` documents,
+    * the best window of ≤`window` tokens — the one containing the most
+    * query-term occurrences (ties → earliest window). The relational
+    * analog of the reference's result-content formatting
+    * (vector_search_tool.py truncates blindly at 200 chars; a retrieval
+    * surface should show the matching passage instead).
+    *
+    * Candidate-first: positions are exploded ONLY for the `topDocs`
+    * already-ranked documents (broadcast semi-join), never the corpus.
+    * The per-position hit count is a ROWS-frame running window — token
+    * positions are gap-free, so ROWS ≡ RANGE and both engines agree.
+    * All scoring is integer; text slicing happens once per winning row.
+    */
+  def snippets(documents: DataFrame, terms: Seq[String],
+               topDocs: Int = 5, window: Int = 15): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t")).cache()
+    val top = TextAnalysis.bm25Scored(toks, terms)
+      .orderBy(desc("score_raw"), asc("doc_id")).limit(topDocs)
+      .select("doc_id")
+    val pos = documents.join(broadcast(top), "doc_id")
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        posexplode(col("ts")).as(Seq("pos", "t")))
+    val hitW = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(window - 1), 0)
+    val ranked = pos
+      .withColumn("hits",
+        sum(when(col("t").isin(terms: _*), 1L).otherwise(0L)).over(hitW))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("hits"), asc("pos"))))
+      .filter(col("rn") === 1)
+    ranked.select(
+      col("doc_id"),
+      greatest(col("pos") - (window - 1), lit(0)).cast("long").as("start"),
+      col("hits"),
+      concat_ws(" ", slice(col("ts"),
+        greatest(col("pos") - (window - 1), lit(0)) + 1,
+        col("pos") - greatest(col("pos") - (window - 1), lit(0)) + 1)).as("snippet"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[snippets]] — parallel unnest zips token/position,
+    * same ROWS-frame window, 1-indexed inclusive list slice. */
+  def duckSnippets(table: String, terms: Seq[String],
+                   topDocs: Int = 5, window: Int = 15): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivot = terms.map(t =>
+      s"coalesce(max(CASE WHEN t = '$t' THEN contrib END), 0.0)").mkString("\n      + ")
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM $table),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY doc_id),
+       |st AS (SELECT count(*)::BIGINT AS n_docs,
+       |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tk
+       |       WHERE t IN ($inList) GROUP BY 1, 2),
+       |df AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY t),
+       |c AS (SELECT tf.doc_id, tf.t,
+       |        ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |        (tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+       |      FROM tf JOIN df USING (t) CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id),
+       |lexs AS (SELECT doc_id, $pivot AS score_raw FROM c GROUP BY doc_id),
+       |topd AS (SELECT doc_id FROM lexs ORDER BY score_raw DESC, doc_id LIMIT $topDocs),
+       |ts AS (SELECT d.doc_id, ${duckTokens("d.text")} AS ts FROM $table d JOIN topd USING (doc_id)),
+       |pos AS (SELECT doc_id, ts, unnest(ts) AS t,
+       |               generate_subscripts(ts, 1) - 1 AS pos FROM ts),
+       |h AS (SELECT doc_id, ts, pos,
+       |        sum(CASE WHEN t IN ($inList) THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW) AS hits
+       |      FROM pos),
+       |b AS (SELECT doc_id, ts, pos, hits,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, pos) AS rn
+       |      FROM h)
+       |SELECT doc_id, greatest(pos - ${window - 1}, 0)::BIGINT AS start,
+       |       hits::BIGINT AS hits,
+       |       array_to_string(ts[greatest(pos - ${window - 1}, 0) + 1 : pos + 1], ' ') AS snippet
+       |FROM b WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------- PRF query expansion
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio-style): take the
+    * BM25 top-`fbDocs` for the seed terms, mine the `expandN` most
+    * frequent non-seed terms of length ≥ 4 from them, then re-rank the
+    * corpus with the expanded bag under an INTEGER scoring function —
+    * `score(d) = Σ_t tf(t,d) · w(t)`, `w(t) = floor(log2(n_docs div
+    * df_t)) + 1` (the `length(bin(x))−1` exact-floor-log2 identity,
+    * +1 so ubiquitous terms still count matches).
+    *
+    * The expanded term set is DYNAMIC, which rules out the fixed-order
+    * float pivot bm25 uses — so the second pass is integer-exact instead:
+    * any summation order gives the same BIGINT, which is what makes a
+    * dynamic-bag scorer oracle-matchable at all.
+    *
+    * Shape: feedback mining touches `fbDocs` documents (semi-join), the
+    * re-rank is one broadcast of ≤ seeds+expandN terms against the token
+    * relation, one keyed aggregation, TakeOrderedAndProject.
+    */
+  def prfExpand(documents: DataFrame, seeds: Seq[String],
+                fbDocs: Int = 5, expandN: Int = 5, k: Int = 10): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t")).cache()
+    val nDocs = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .agg(count(lit(1)).as("n_docs"))
+    val top = TextAnalysis.bm25Scored(toks, seeds)
+      .orderBy(desc("score_raw"), asc("doc_id")).limit(fbDocs)
+      .select("doc_id")
+    val expansion = toks.join(broadcast(top), "doc_id")
+      .filter(!col("t").isin(seeds: _*) && length(col("t")) >= 4)
+      .groupBy("t").agg(count(lit(1)).as("ftf"))
+      .orderBy(desc("ftf"), asc("t")).limit(expandN)
+      .select("t")
+    val bag = expansion.select("t")
+      .union(toks.sparkSession.createDataset(seeds)(
+        org.apache.spark.sql.Encoders.STRING).toDF("t"))
+      .distinct()
+    val df = toks.join(broadcast(bag), "t")
+      .groupBy("t").agg(countDistinct("doc_id").as("df"))
+    val w = df.crossJoin(broadcast(nDocs))
+      .select(col("t"),
+        length(bin(expr("n_docs DIV df"))).cast("long").as("w"))
+    toks.join(broadcast(w), "t")
+      .groupBy("doc_id").agg(sum(col("w")).as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+  }
+
+  /** DuckDB mirror of [[prfExpand]] — `n_docs // df` then
+    * `length(bin(x))` keeps the weight integer-exact on both engines
+    * (Spark long `/` is double; `//` is DuckDB's integer division). */
+  def duckPrfExpand(table: String, seeds: Seq[String],
+                    fbDocs: Int = 5, expandN: Int = 5, k: Int = 10): String = {
+    val inList = seeds.map(t => s"'$t'").mkString(", ")
+    val pivot = seeds.map(t =>
+      s"coalesce(max(CASE WHEN t = '$t' THEN contrib END), 0.0)").mkString("\n      + ")
+    val seedRows = seeds.map(t => s"('$t')").mkString(", ")
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM $table),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY doc_id),
+       |nd AS (SELECT count(*)::BIGINT AS n_docs FROM dl),
+       |st AS (SELECT count(*)::BIGINT AS n_docs,
+       |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tk
+       |       WHERE t IN ($inList) GROUP BY 1, 2),
+       |sdf AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY t),
+       |c AS (SELECT tf.doc_id, tf.t,
+       |        ln((st.n_docs - sdf.df + 0.5) / (sdf.df + 0.5) + 1.0) *
+       |        (tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+       |      FROM tf JOIN sdf USING (t) CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id),
+       |lexs AS (SELECT doc_id, $pivot AS score_raw FROM c GROUP BY doc_id),
+       |topd AS (SELECT doc_id FROM lexs ORDER BY score_raw DESC, doc_id LIMIT $fbDocs),
+       |exp AS (SELECT t FROM tk JOIN topd USING (doc_id)
+       |        WHERE t NOT IN ($inList) AND length(t) >= 4
+       |        GROUP BY t ORDER BY count(*) DESC, t LIMIT $expandN),
+       |bag AS (SELECT DISTINCT t FROM (SELECT t FROM exp UNION ALL
+       |        SELECT t FROM (VALUES $seedRows) s(t))),
+       |bdf AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df
+       |        FROM tk JOIN bag USING (t) GROUP BY t),
+       |w AS (SELECT t, length(bin(n_docs // df))::BIGINT AS w
+       |      FROM bdf CROSS JOIN nd)
+       |SELECT tk.doc_id, sum(w.w)::BIGINT AS score
+       |FROM tk JOIN w USING (t)
+       |GROUP BY tk.doc_id ORDER BY score DESC, tk.doc_id LIMIT $k""".stripMargin
+  }
+
   /** DuckDB mirror of [[mmrRerank]]: the greedy loop as a recursive CTE.
     * The recursive term is joins + GROUP BY + a rank window — NOT nested
     * correlated scalar subqueries, which DuckDB mis-evaluates inside
