@@ -55,6 +55,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rrfs == rrfs.sorted.reverse)
   }
 
+  test("snippets: one row per top doc; hits equals the query-term count inside the snippet; window bound holds") {
+    val terms = Seq("spark", "table", "stream")
+    val rows = Retrieval.snippets(docs, terms, topDocs = 5, window = 15).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val snip = r.getAs[String]("snippet").split(" ").toSeq
+      assert(snip.length <= 15)
+      assert(r.getAs[Long]("start") >= 0)
+      assert(r.getAs[Long]("hits") == snip.count(terms.contains))
+      assert(r.getAs[Long]("hits") >= 1) // a BM25 top doc contains a term
+    }
+  }
+
+  test("prfExpand: integer scores, descending with doc_id tiebreak, exactly k rows") {
+    val out = Retrieval.prfExpand(docs, Seq("spark", "table", "stream"), k = 10).collect()
+    assert(out.length == 10)
+    val scores = out.map(_.getAs[Long]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(scores.forall(_ > 0))
+    val pairs = out.map(r => (r.getAs[Long]("score"), r.getAs[Long]("doc_id"))).toSeq
+    assert(pairs == pairs.sortBy(p => (-p._1, p._2)))
+  }
+
   test("hybrid RRF: a doc in both heads outranks the same-rank single-branch doc") {
     // structural: rrf(doc with lex_rn=r, vec_rn=r') > rrf(doc with only lex_rn=r)
     val rows = Retrieval.hybridRrf(docs, Seq("spark", "table", "stream")).collect()
