@@ -98,6 +98,11 @@ object SparkEntry {
       Knn.topKIvf(emb(s, dir), qvec(s, dir), k = 10,
         numCentroids = 16, nprobe = 4, excludeId = Some(0L))),
 
+    // Graph-based ANN: the k-NN graph by NN-descent (banded sign-LSH init
+    // with IN-PLAN adaptive band width, capped reverse neighborhoods,
+    // 2 refinement rounds of neighbor-of-neighbor join + exact top-k)
+    "q_knn_graph" -> ((s, dir) =>
+      graft.operators.NnDescent.knnGraph(emb(s, dir), k = 8)),
     // IVF layout health report: per-cell fill + coherence (tuning input)
     "q_ivf_stats" -> ((s, dir) => Knn.ivfStats(emb(s, dir), numCentroids = 16)),
 
@@ -792,6 +797,7 @@ object SparkEntry {
          |SELECT vec_id, label, cluster, round(sim_raw, 6) AS sim
          |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q_knn_graph" -> graft.operators.NnDescent.duckKnnGraph("embeddings", k = 8),
     "q_ivf_stats" -> Knn.duckIvfStatsSql("embeddings", 16),
 
     "q_kmeans" -> graft.operators.KMeans.duckStatsSql("embeddings", 16, 3),

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns.{duckSignBucketAt, signBucketAt}
+import graft.functions.VecExprs.dotc
+import graft.functions.VectorFns.duckDot
+
+/** Graph-based ANN construction: the k-NN graph by NN-descent
+  * (Dong, Moses & Li, WWW 2011), the build primitive behind the
+  * graph-ANN family (KGraph/NSG/HNSW-adjacent) — the one modern ANN
+  * family the engine's LSH/IVF/PQ variants didn't cover.
+  *
+  * Reference anchor: the vector-search surface
+  * (/root/reference/coding_agent/tools/vector_search_tool.py:33-79)
+  * delegates to ChromaDB's HNSW; an HNSW graph is built sequentially and
+  * cannot be expressed as a distributed plan, but its foundation — every
+  * node's k nearest neighbors — can: NN-descent is the standard
+  * shared-nothing formulation ("a neighbor of a neighbor is likely a
+  * neighbor"), and each refinement round is a self-join + top-k, which is
+  * exactly what Spark scales.
+  *
+  * Algorithm (deterministic variant, both engines identical):
+  *  1. init: banded sign-LSH candidates — `tables` disjoint dimension
+  *     blocks, band width derived IN-PLAN as
+  *     `clamp(2, Block, floor(log2(n DIV targetOcc)))` (the
+  *     embedCosineAdaptiveOf geometry: fixed widths make within-bucket
+  *     candidates quadratic in corpus size — the q_dedup_embed sf10
+  *     lesson), exact cosine, keep top-k per node.
+  *  2. round r: reverse edges capped at k per target (the NN-descent
+  *     reverse-sample bound — an uncapped hub of indegree d would emit d²
+  *     join rows), candidates = neighbors-of-neighbors over the capped
+  *     union ∪ current edges, DISTINCT FIRST (candidate-first: dedup
+  *     before the expensive rescore), exact cosine, top-k per node.
+  *     Per-node lists are monotone in quality: the candidate set always
+  *     contains the current list, so recall never regresses (spec-pinned).
+  *
+  * Scale shape: every step is a keyed equijoin or keyed top-k —
+  * partial-agg/AQE-skew friendly; the per-round join fan-out is bounded
+  * by 4k² per node by the reverse cap; rank-filter windows are
+  * WindowGroupLimit-pruned (and the heap rewrite applies). The graph
+  * state (n·k rows) is eagerly localCheckpoint-ed per round — the
+  * iterative-state discipline (without it round r re-evaluates the whole
+  * prefix; with T=2 rounds the loop costs exactly T passes).
+  *
+  * Float discipline: scoring joins the PLAIN (vec_id, ed, nrm) relation
+  * (honest stats — broadcast at test scale, shuffle join at corpus
+  * scale); `sim = dot/(n1·n2)` is the shared bit-exact kernel; all
+  * ranking on raw doubles, ties → neighbor id; round(6) display-only.
+  */
+object NnDescent {
+
+  /** Per-table dimension block: table t reads dims [t·Block, t·Block+bits). */
+  val Block = 16
+
+  def knnGraph(index: DataFrame, k: Int = 8, tables: Int = 4,
+               rounds: Int = 2, targetOcc: Int = 16): DataFrame = {
+    require(tables * Block <= 384, "sign blocks exceed embedding dims")
+    val v = index.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("ed"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(v.select(col("vec_id").as("a"), col("ed").as("ea"), col("nrm").as("na")), "a")
+      .join(v.select(col("vec_id").as("b"), col("ed").as("eb"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (dotc(col("ea"), col("eb")) / (col("na") * col("nb"))).as("s"))
+
+    def topPerA(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a").orderBy(desc("s"), asc("b"))).cast("long"))
+      .filter(col("rn") <= k)
+
+    // in-plan adaptive band width (1-row aggregate, broadcast)
+    val nb = v.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(2), least(lit(Block),
+        length(bin(expr(s"n DIV $targetOcc"))) - 1)).as("bits"))
+    val bands = index
+      .select(col("vec_id"),
+        signBucketAt(col("embedding"), 0, tables * Block).as("sgn"))
+      .crossJoin(broadcast(nb))
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${tables - 1})")).as("t"),
+        col("sgn"), col("bits"))
+      .select(col("vec_id"), col("t"),
+        expr(s"substring(sgn, t * $Block + 1, bits)").as("bkey"))
+    val init = bands.as("x").join(bands.as("y"),
+        col("x.t") === col("y.t") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+
+    var g = topPerA(score(init)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // reverse edges capped at k per target, then the general neighborhood
+      val rev = g
+        .withColumn("rrn", row_number().over(
+          Window.partitionBy("b").orderBy(desc("s"), asc("a"))))
+        .filter(col("rrn") <= k)
+        .select(col("b").as("a"), col("a").as("b"))
+      val u = g.select("a", "b").union(rev)
+      val cand = u.as("x")
+        .join(u.select(col("a").as("b"), col("b").as("c")).as("y"), "b")
+        .select(col("a"), col("c").as("b"))
+        .filter(col("a") =!= col("b"))
+        .union(g.select("a", "b"))
+        .distinct()
+      g = topPerA(score(cand)).localCheckpoint(true)
+    }
+    g.select(col("a").as("vec_id"), col("b").as("nbr"), col("rn"),
+        round(col("s"), 6).as("sim"))
+      .orderBy(asc("vec_id"), asc("rn"))
+  }
+
+  /** DuckDB mirror of [[knnGraph]] — the refinement loop unrolled into
+    * one CTE chain per round (deterministic round count makes recursion
+    * unnecessary, and unrolled CTEs sidestep DuckDB's recursive-term
+    * restrictions entirely). */
+  def duckKnnGraph(table: String, k: Int = 8, tables: Int = 4,
+                   rounds: Int = 2, targetOcc: Int = 16): String = {
+    val sgn = duckSignBucketAt("embedding", 0, tables * Block)
+    def topPerA(src: String): String =
+      s"""SELECT a, b, s, row_number() OVER (PARTITION BY a ORDER BY s DESC, b)::BIGINT AS rn
+         |      FROM $src""".stripMargin
+    def roundCtes(r: Int, prev: String): String =
+      s"""rev$r AS (SELECT b AS a, a AS b FROM (
+         |  SELECT a, b, row_number() OVER (PARTITION BY b ORDER BY s DESC, a) AS rrn
+         |  FROM $prev) WHERE rrn <= $k),
+         |u$r AS (SELECT a, b FROM $prev UNION ALL SELECT a, b FROM rev$r),
+         |sc$r AS (SELECT cand.a, cand.b,
+         |    ${duckDot("va.embedding", "vb.embedding")} / (va.n * vb.n) AS s
+         |  FROM (SELECT DISTINCT a, b FROM (
+         |          SELECT x.a AS a, y.c AS b
+         |          FROM u$r x JOIN (SELECT a AS b, b AS c FROM u$r) y USING (b)
+         |          WHERE x.a <> y.c
+         |          UNION ALL SELECT a, b FROM $prev)) cand
+         |  JOIN vn va ON va.vec_id = cand.a
+         |  JOIN vn vb ON vb.vec_id = cand.b),
+         |g$r AS (${topPerA(s"sc$r")})""".stripMargin
+    val chain = (1 to rounds).map(r =>
+      roundCtes(r, s"(SELECT * FROM g${r - 1} WHERE rn <= $k)")).mkString(",\n")
+    s"""WITH vn AS MATERIALIZED (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS n,
+       |         $sgn AS sgn
+       |  FROM $table),
+       |bb AS (SELECT greatest(2, least($Block, length(bin((count(*)::BIGINT) // $targetOcc)) - 1)) AS bits FROM vn),
+       |bands AS (
+       |  SELECT vec_id, t, substr(sgn, t * $Block + 1, bits) AS bkey
+       |  FROM vn CROSS JOIN bb CROSS JOIN (SELECT unnest(range(0, $tables)) AS t)),
+       |init AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM bands x JOIN bands y ON x.t = y.t AND x.bkey = y.bkey AND x.vec_id <> y.vec_id),
+       |sc0 AS (SELECT init.a, init.b,
+       |    ${duckDot("va.embedding", "vb.embedding")} / (va.n * vb.n) AS s
+       |  FROM init JOIN vn va ON va.vec_id = init.a JOIN vn vb ON vb.vec_id = init.b),
+       |g0 AS (${topPerA("sc0")}),
+       |$chain
+       |SELECT a AS vec_id, b AS nbr, rn, round(s, 6) AS sim
+       |FROM g$rounds WHERE rn <= $k ORDER BY vec_id, rn""".stripMargin
+  }
+}

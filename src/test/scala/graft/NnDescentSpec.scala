@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Knn, NnDescent}
+
+/** NN-descent k-NN-graph invariants on sf0.001; exact values are gated by
+  * the DuckDB oracle at sf0.01 (q_knn_graph). */
+class NnDescentSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def emb = Tables.embeddings(spark, TestSpark.sf)
+
+  private def recallOf(rounds: Int, k: Int): Double = {
+    val g = NnDescent.knnGraph(emb, k = k, rounds = rounds)
+      .select(col("vec_id").as("a"), col("nbr").as("b"))
+    val exact = Knn.multiTopK(emb,
+        emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), k)
+      .select(col("qid").as("a"), col("vec_id").as("b"))
+    g.join(exact, Seq("a", "b")).count().toDouble / exact.count()
+  }
+
+  test("graph shape: <=k neighbors per node, sequential ranks, no self-loops, sims descend") {
+    val rows = NnDescent.knnGraph(emb, k = 5, rounds = 1).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (id, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.length <= 5)
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == (1L to sorted.length))
+      assert(sorted.forall(_.getAs[Long]("nbr") != id))
+      val sims = sorted.map(_.getAs[Double]("sim")).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
+  test("refinement is monotone: recall never regresses with more rounds") {
+    val r0 = recallOf(0, 6)
+    val r2 = recallOf(2, 6)
+    assert(r2 >= r0)
+    assert(r2 > 0.5, s"2-round recall $r2 suspiciously low on a ${emb.count()}-vector corpus")
+  }
+}
