@@ -101,8 +101,17 @@ object SparkEntry {
     // Graph-based ANN: the k-NN graph by NN-descent (banded sign-LSH init
     // with IN-PLAN adaptive band width, capped reverse neighborhoods,
     // 2 refinement rounds of neighbor-of-neighbor join + exact top-k)
+    // PRICES the graph build: unconditional rebuild + persisted read-back
+    // (read-back loses sort order — the gate re-sorts deterministically)
     "q_knn_graph" -> ((s, dir) =>
-      graft.operators.NnDescent.knnGraph(emb(s, dir), k = 8)),
+      graft.sources.GraphLayout.rebuild(s, emb(s, dir), dir, k = 8)
+        .orderBy(asc("vec_id"), asc("rn"))),
+    // HNSW-analog query path: greedy beam walk over the persisted graph
+    // (ensure = amortized build; the walk itself is hops tiny jobs)
+    "q_graph_search" -> ((s, dir) =>
+      graft.operators.NnDescent.graphSearch(emb(s, dir),
+        graft.sources.GraphLayout.ensure(s, emb(s, dir), dir, k = 8),
+        qvec(s, dir))),
     // IVF layout health report: per-cell fill + coherence (tuning input)
     "q_ivf_stats" -> ((s, dir) => Knn.ivfStats(emb(s, dir), numCentroids = 16)),
 
@@ -798,6 +807,7 @@ object SparkEntry {
          |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_knn_graph" -> graft.operators.NnDescent.duckKnnGraph("embeddings", k = 8),
+    "q_graph_search" -> graft.operators.NnDescent.duckGraphSearch("embeddings"),
     "q_ivf_stats" -> Knn.duckIvfStatsSql("embeddings", 16),
 
     "q_kmeans" -> graft.operators.KMeans.duckStatsSql("embeddings", 16, 3),

@@ -54,6 +54,25 @@ object NnDescent {
   /** Per-table dimension block: table t reads dims [t·Block, t·Block+bits). */
   val Block = 16
 
+  /** (vec_id, t, bkey) banded sign-LSH keys with the band width derived
+    * IN-PLAN from the corpus count (clamp(2, Block, floor(log2(n DIV
+    * targetOcc)))) — shared by the graph build (all-pairs init within a
+    * bucket) and the graph search (the query's own buckets seed the
+    * walk). */
+  private def bandKeys(index: DataFrame, tables: Int, targetOcc: Int): DataFrame = {
+    val nb = index.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(2), least(lit(Block),
+        length(bin(expr(s"n DIV $targetOcc"))) - 1)).as("bits"))
+    index
+      .select(col("vec_id"),
+        signBucketAt(col("embedding"), 0, tables * Block).as("sgn"))
+      .crossJoin(broadcast(nb))
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${tables - 1})")).as("t"),
+        col("sgn"), col("bits"))
+      .select(col("vec_id"), col("t"),
+        expr(s"substring(sgn, t * $Block + 1, bits)").as("bkey"))
+  }
+
   def knnGraph(index: DataFrame, k: Int = 8, tables: Int = 4,
                rounds: Int = 2, targetOcc: Int = 16): DataFrame = {
     require(tables * Block <= 384, "sign blocks exceed embedding dims")
@@ -72,18 +91,7 @@ object NnDescent {
         Window.partitionBy("a").orderBy(desc("s"), asc("b"))).cast("long"))
       .filter(col("rn") <= k)
 
-    // in-plan adaptive band width (1-row aggregate, broadcast)
-    val nb = v.agg(count(lit(1)).as("n"))
-      .select(greatest(lit(2), least(lit(Block),
-        length(bin(expr(s"n DIV $targetOcc"))) - 1)).as("bits"))
-    val bands = index
-      .select(col("vec_id"),
-        signBucketAt(col("embedding"), 0, tables * Block).as("sgn"))
-      .crossJoin(broadcast(nb))
-      .select(col("vec_id"), explode(expr(s"sequence(0, ${tables - 1})")).as("t"),
-        col("sgn"), col("bits"))
-      .select(col("vec_id"), col("t"),
-        expr(s"substring(sgn, t * $Block + 1, bits)").as("bkey"))
+    val bands = bandKeys(index, tables, targetOcc)
     val init = bands.as("x").join(bands.as("y"),
         col("x.t") === col("y.t") && col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") =!= col("y.vec_id"))
@@ -110,6 +118,120 @@ object NnDescent {
     g.select(col("a").as("vec_id"), col("b").as("nbr"), col("rn"),
         round(col("s"), 6).as("sim"))
       .orderBy(asc("vec_id"), asc("rn"))
+  }
+
+  // --------------------------------------------------------- graph search
+
+  /** ANN query over a prebuilt k-NN graph: greedy best-first beam walk —
+    * the query-time half of the graph-ANN family (what ChromaDB's HNSW
+    * does on every `semantic_search`, minus the layer hierarchy). The
+    * entry set seeds from the query's OWN sign-LSH buckets (coarse probe
+    * → graph refine — a greedy walk on a plain k-NN graph from arbitrary
+    * entries stalls in local minima: measured exact-top-10 recall from
+    * lowest-id entries was 4/10 at sf0.001 vs 7/10 LSH-seeded, 9/10 at
+    * sf0.01), unioned with the `beam` lowest vec_ids so the seed set is
+    * never empty when the query's buckets are singletons.
+    *
+    * Per hop: expand the beam's stored out-edges (a tiny join against the
+    * [[graft.sources.GraphLayout]] artifact — broadcast-beam at any
+    * scale; at 100 TB the vector fetch is a point-lookup join against
+    * the bucketed vector layout), drop already-visited nodes, score the
+    * frontier exactly against the query, fold into the visited set, and
+    * re-cut the beam to the best `beam` visited. `hops` is fixed, so the
+    * walk is `hops` tiny jobs over eagerly-checkpointed ≤(beam·k·hops)-row
+    * state — the MMR loop discipline. Output: the best `k` visited.
+    *
+    * Every score is the shared bit-exact cosine kernel; ties → vec_id;
+    * round(6) display-only. The DuckDB mirror ([[duckGraphSearch]])
+    * rebuilds the graph in SQL ([[duckKnnGraph]]'s CTE chain) and unrolls
+    * the walk hop by hop.
+    */
+  def graphSearch(index: DataFrame, graph: DataFrame, queryVec: DataFrame,
+                  k: Int = 10, beam: Int = 8, hops: Int = 3,
+                  excludeId: Long = 0L, tables: Int = 4,
+                  targetOcc: Int = 16): DataFrame = {
+    val q = queryVec.select(col("qv").cast("array<double>").as("qe"))
+      .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
+    val v = index.filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+
+    def score(ids: DataFrame): DataFrame = ids
+      .join(v, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dotc(col("ed"), col("qe")) / (col("nrm") * col("qn"))).as("s"))
+
+    val edges = graph.select(col("vec_id"), col("nbr"))
+      .filter(col("nbr") =!= excludeId)
+    // seed set: the query's own band buckets (bits derived from the FULL
+    // index count — the same relation the graph build banded) + the beam
+    // lowest ids as the never-empty fallback
+    val bands = bandKeys(index, tables, targetOcc)
+    val qb = bands.filter(col("vec_id") === excludeId).select("t", "bkey")
+    val lshSeeds = bands.filter(col("vec_id") =!= excludeId)
+      .join(broadcast(qb), Seq("t", "bkey"))
+      .select("vec_id").distinct()
+    val seeds = lshSeeds
+      .union(v.select("vec_id").orderBy(asc("vec_id")).limit(beam))
+      .distinct()
+    var visited = score(seeds).localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val b = visited.orderBy(desc("s"), asc("vec_id")).limit(beam)
+        .select("vec_id")
+      val frontier = edges.join(b, "vec_id")
+        .select(col("nbr").as("vec_id")).distinct()
+        .join(visited.select("vec_id"), Seq("vec_id"), "left_anti")
+      visited = visited.union(score(frontier)).localCheckpoint(true)
+    }
+    visited.orderBy(desc("s"), asc("vec_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("s"), asc("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id"), round(col("s"), 6).as("sim"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB mirror of [[graphSearch]]: [[duckKnnGraph]]'s graph CTEs with
+    * the beam walk unrolled on top (hop CTEs v0/b1/f1/v1/…). */
+  def duckGraphSearch(table: String, k: Int = 10, beam: Int = 8,
+                      hops: Int = 3, excludeId: Long = 0L,
+                      gk: Int = 8, tables: Int = 4, rounds: Int = 2,
+                      targetOcc: Int = 16): String = {
+    val graphSql = duckKnnGraph(table, gk, tables, rounds, targetOcc)
+    // reuse the graph chain as CTEs: strip its WITH + final SELECT
+    val body = graphSql.stripPrefix("WITH ")
+    val gIdx = body.lastIndexOf("SELECT a AS vec_id")
+    val graphCtes = body.substring(0, gIdx).trim.stripSuffix("\n")
+    val qsim = s"(${duckDot("vv.embedding", "q.qv")} / (vv.n * q.qn))"
+    val hopCtes = (1 to hops).map { h =>
+      s"""b$h AS (SELECT vec_id FROM v${h - 1} ORDER BY s DESC, vec_id LIMIT $beam),
+         |f$h AS (SELECT DISTINCT e.b AS vec_id
+         |        FROM edges e JOIN b$h USING (vec_id)
+         |        WHERE e.b NOT IN (SELECT vec_id FROM v${h - 1})),
+         |v$h AS (SELECT * FROM v${h - 1} UNION ALL
+         |        SELECT vv.vec_id, $qsim AS s
+         |        FROM vv JOIN f$h USING (vec_id) CROSS JOIN q)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |edges AS (SELECT a AS vec_id, b FROM g$rounds
+       |          WHERE rn <= $gk AND b <> $excludeId),
+       |q AS (SELECT embedding AS qv, sqrt(${duckDot("embedding", "embedding")}) AS qn
+       |      FROM $table WHERE vec_id = $excludeId),
+       |vv AS (SELECT vec_id, embedding, n FROM vn WHERE vec_id <> $excludeId),
+       |seeds AS (
+       |  SELECT DISTINCT vec_id FROM (
+       |    SELECT x.vec_id FROM bands x
+       |    JOIN (SELECT t, bkey FROM bands WHERE vec_id = $excludeId) qy USING (t, bkey)
+       |    WHERE x.vec_id <> $excludeId
+       |    UNION ALL
+       |    SELECT vec_id FROM (SELECT vec_id FROM vv ORDER BY vec_id LIMIT $beam))),
+       |v0 AS (SELECT vv.vec_id, $qsim AS s
+       |       FROM seeds JOIN vv USING (vec_id) CROSS JOIN q),
+       |$hopCtes
+       |SELECT row_number() OVER (ORDER BY s DESC, vec_id)::BIGINT AS rank,
+       |       vec_id, round(s, 6) AS sim
+       |FROM (SELECT * FROM v$hops ORDER BY s DESC, vec_id LIMIT $k)
+       |ORDER BY rank""".stripMargin
   }
 
   /** DuckDB mirror of [[knnGraph]] — the refinement loop unrolled into

@@ -32,6 +32,20 @@ class NnDescentSpec extends AnyFunSuite {
     }
   }
 
+  test("graph search: sequential ranks, descending sims, finds most of the exact top-k") {
+    val g = graft.sources.GraphLayout.ensure(spark, emb, TestSpark.sf, k = 8)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val got = NnDescent.graphSearch(emb, g, q, k = 10).collect()
+    assert(got.map(_.getAs[Long]("rank")).toSeq == (1L to got.length))
+    val sims = got.map(_.getAs[Double]("sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+    assert(got.forall(_.getAs[Long]("vec_id") != 0L))
+    val exact = Knn.topK(emb, q, 10, excludeId = Some(0L))
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val hit = got.map(_.getAs[Long]("vec_id")).count(exact.contains)
+    assert(hit >= 5, s"graph search found only $hit/10 of the exact top-10")
+  }
+
   test("refinement is monotone: recall never regresses with more rounds") {
     val r0 = recallOf(0, 6)
     val r2 = recallOf(2, 6)
