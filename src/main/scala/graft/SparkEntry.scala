@@ -106,6 +106,14 @@ object SparkEntry {
     "q_knn_graph" -> ((s, dir) =>
       graft.sources.GraphLayout.rebuild(s, emb(s, dir), dir, k = 8)
         .orderBy(asc("vec_id"), asc("rn"))),
+    // incremental maintenance gate: build the graph on the 90% slice,
+    // batch-insert the held-out 10% (HNSW-insert analog — O(batch) work,
+    // old lists re-cut over stored ∪ reversed-new, monotone by design)
+    "q_graph_upsert" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.NnDescent.graphUpsert(
+        e.filter(col("vec_id") % 10 =!= 7), e.filter(col("vec_id") % 10 === 7))
+    }),
     // HNSW-analog query path: greedy beam walk over the persisted graph
     // (ensure = amortized build; the walk itself is hops tiny jobs)
     "q_graph_search" -> ((s, dir) =>
@@ -808,6 +816,8 @@ object SparkEntry {
 
     "q_knn_graph" -> graft.operators.NnDescent.duckKnnGraph("embeddings", k = 8),
     "q_graph_search" -> graft.operators.NnDescent.duckGraphSearch("embeddings"),
+    "q_graph_upsert" -> graft.operators.NnDescent.duckGraphUpsert(
+                          "embeddings", "vec_id % 10 <> 7", "vec_id % 10 = 7"),
     "q_ivf_stats" -> Knn.duckIvfStatsSql("embeddings", 16),
 
     "q_kmeans" -> graft.operators.KMeans.duckStatsSql("embeddings", 16, 3),

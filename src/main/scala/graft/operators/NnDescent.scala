@@ -120,6 +120,128 @@ object NnDescent {
       .orderBy(asc("vec_id"), asc("rn"))
   }
 
+  // --------------------------------------------------------- graph upsert
+
+  /** Incremental batch insertion into an existing k-NN graph — the HNSW
+    * insert analog, batch form: all new nodes are placed simultaneously
+    * (deterministic — no sequential insert order to mirror), the stored
+    * graph provides the refinement edges, and per-insert work is
+    * O(batch · bucket occupancy + batch · k²), never a corpus rebuild.
+    *
+    *  - new-node candidates: the batch's sign-LSH buckets over the FULL
+    *    post-insert relation (band bits re-derived in-plan from the
+    *    post-insert count — the width a full rebuild would use), plus one
+    *    refinement hop through the OLD graph's edges ("a neighbor of my
+    *    bucket-mate is likely my neighbor");
+    *  - new-node lists: exact-cosine top-k over those candidates;
+    *  - old-node lists: re-cut top-k over (stored edges ∪ reversed new
+    *    edges) — the candidate set contains the stored list, so every old
+    *    node's list quality is MONOTONE under upsert (rank-r similarity
+    *    never decreases; spec-pinned).
+    *
+    * Like the full build, an upsert is NOT promised to equal a fresh
+    * rebuild (candidate exposure differs — same contract as every
+    * NN-descent implementation); the oracle mirrors the upsert algorithm
+    * itself, so the gate pins the exact incremental semantics.
+    */
+  def graphUpsert(old: DataFrame, batch: DataFrame, k: Int = 8,
+                  tables: Int = 4, rounds: Int = 2,
+                  targetOcc: Int = 16): DataFrame = {
+    val full = old.unionByName(batch)
+    val v = full.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("ed"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(v.select(col("vec_id").as("a"), col("ed").as("ea"), col("nrm").as("na")), "a")
+      .join(v.select(col("vec_id").as("b"), col("ed").as("eb"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (dotc(col("ea"), col("eb")) / (col("na") * col("nb"))).as("s"))
+
+    def topPerA(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a").orderBy(desc("s"), asc("b"))).cast("long"))
+      .filter(col("rn") <= k)
+
+    val gOld = knnGraph(old, k, tables, rounds)
+      .select(col("vec_id").as("a"), col("nbr").as("b"))
+    val bids = batch.select(col("vec_id").as("a"))
+    val bands = bandKeys(full, tables, targetOcc)
+    val bucketCand = bands.as("x")
+      .join(bids.withColumnRenamed("a", "vec_id"), "vec_id")
+      .join(bands.as("y"),
+        col("x.t") === col("y.t") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    // one refinement hop through the stored graph: bucket-mate's neighbors
+    val hopCand = bucketCand
+      .join(gOld.select(col("a").as("b"), col("b").as("c")), "b")
+      .select(col("a"), col("c").as("b"))
+      .filter(col("a") =!= col("b"))
+    val newEdges = topPerA(score(
+      bucketCand.union(hopCand).distinct())).localCheckpoint(true)
+    // old nodes re-cut over stored edges ∪ reversed new edges
+    val oldCand = gOld
+      .union(newEdges.select(col("b").as("a"), col("a").as("b"))
+        .join(bids, Seq("a"), "left_anti")) // a batch-node a-side is newEdges' job
+      .distinct()
+    val oldEdges = topPerA(score(oldCand))
+    oldEdges.unionByName(newEdges)
+      .select(col("a").as("vec_id"), col("b").as("nbr"), col("rn"),
+        round(col("s"), 6).as("sim"))
+      .orderBy(asc("vec_id"), asc("rn"))
+  }
+
+  /** DuckDB mirror of [[graphUpsert]]: [[duckKnnGraph]] over the OLD
+    * slice as the stored graph, then the batch placement + old re-cut. */
+  def duckGraphUpsert(table: String, oldPred: String, batchPred: String,
+                      k: Int = 8, tables: Int = 4, rounds: Int = 2,
+                      targetOcc: Int = 16): String = {
+    val gOldSql = duckKnnGraph(s"(SELECT * FROM $table WHERE $oldPred) oldsrc",
+      k, tables, rounds, targetOcc)
+    val body = gOldSql.stripPrefix("WITH ")
+    val gIdx = body.lastIndexOf("SELECT a AS vec_id")
+    val graphCtes = body.substring(0, gIdx).trim.stripSuffix("\n")
+    val sgn = duckSignBucketAt("embedding", 0, tables * Block)
+    val sc = s"${duckDot("va.embedding", "vb.embedding")} / (va.n * vb.n)"
+    s"""WITH $graphCtes,
+       |gold AS (SELECT a, b FROM g$rounds WHERE rn <= $k),
+       |fvn AS MATERIALIZED (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS n,
+       |         $sgn AS sgn, ($batchPred) AS isb
+       |  FROM $table WHERE ($oldPred) OR ($batchPred)),
+       |fbb AS (SELECT greatest(2, least($Block, length(bin((count(*)::BIGINT) // $targetOcc)) - 1)) AS bits FROM fvn),
+       |fbands AS (
+       |  SELECT vec_id, isb, t, substr(sgn, t * $Block + 1, bits) AS bkey
+       |  FROM fvn CROSS JOIN fbb CROSS JOIN (SELECT unnest(range(0, $tables)) AS t)),
+       |bcand AS (SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM fbands x JOIN fbands y ON x.t = y.t AND x.bkey = y.bkey AND x.vec_id <> y.vec_id
+       |  WHERE x.isb),
+       |ncand AS (SELECT DISTINCT a, b FROM (
+       |  SELECT a, b FROM bcand
+       |  UNION ALL
+       |  SELECT bc.a, g.c AS b FROM bcand bc
+       |  JOIN (SELECT a AS bb, b AS c FROM gold) g ON bc.b = g.bb
+       |  WHERE bc.a <> g.c)),
+       |nsc AS (SELECT nc.a, nc.b, $sc AS s
+       |  FROM ncand nc JOIN fvn va ON va.vec_id = nc.a JOIN fvn vb ON vb.vec_id = nc.b),
+       |nedge AS (SELECT a, b, s, row_number() OVER (PARTITION BY a ORDER BY s DESC, b)::BIGINT AS rn
+       |  FROM nsc),
+       |ocand AS (SELECT DISTINCT a, b FROM (
+       |  SELECT a, b FROM gold
+       |  UNION ALL
+       |  SELECT ne.b AS a, ne.a AS b FROM nedge ne
+       |  WHERE ne.rn <= $k AND ne.b NOT IN (SELECT vec_id FROM fvn WHERE isb))),
+       |osc AS (SELECT oc.a, oc.b, $sc AS s
+       |  FROM ocand oc JOIN fvn va ON va.vec_id = oc.a JOIN fvn vb ON vb.vec_id = oc.b),
+       |oedge AS (SELECT a, b, s, row_number() OVER (PARTITION BY a ORDER BY s DESC, b)::BIGINT AS rn
+       |  FROM osc)
+       |SELECT a AS vec_id, b AS nbr, rn, round(s, 6) AS sim FROM (
+       |  SELECT * FROM oedge WHERE rn <= $k
+       |  UNION ALL SELECT * FROM nedge WHERE rn <= $k)
+       |ORDER BY vec_id, rn""".stripMargin
+  }
+
   // --------------------------------------------------------- graph search
 
   /** ANN query over a prebuilt k-NN graph: greedy best-first beam walk —

@@ -46,6 +46,27 @@ class NnDescentSpec extends AnyFunSuite {
     assert(hit >= 5, s"graph search found only $hit/10 of the exact top-10")
   }
 
+  test("graph upsert: covers all nodes; old-node lists are rank-monotone under insertion") {
+    val old = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+    val before = NnDescent.knnGraph(old, k = 8)
+      .select(col("vec_id"), col("rn"), col("sim")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rn")) -> r.getAs[Double]("sim"))
+      .toMap
+    val after = NnDescent.graphUpsert(old, batch, k = 8).collect()
+    val ids = after.map(_.getAs[Long]("vec_id")).toSet
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(batchIds.subsetOf(ids), "every inserted node has a neighbor list")
+    // rank-r similarity never decreases for old nodes (candidate superset)
+    after.filter(r => !batchIds.contains(r.getAs[Long]("vec_id"))).foreach { r =>
+      val key = (r.getAs[Long]("vec_id"), r.getAs[Long]("rn"))
+      before.get(key).foreach { prev =>
+        assert(r.getAs[Double]("sim") >= prev - 1e-9,
+          s"old node $key regressed: ${r.getAs[Double]("sim")} < $prev")
+      }
+    }
+  }
+
   test("refinement is monotone: recall never regresses with more rounds") {
     val r0 = recallOf(0, 6)
     val r2 = recallOf(2, 6)
