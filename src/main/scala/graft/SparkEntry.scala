@@ -114,6 +114,11 @@ object SparkEntry {
       graft.operators.NnDescent.graphUpsert(
         e.filter(col("vec_id") % 10 =!= 7), e.filter(col("vec_id") % 10 === 7))
     }),
+    // continuous-ingest graph maintenance: base graph once, per-micro-batch
+    // stored-graph upsert + atomic swap (single-file source → one batch,
+    // streamed ≡ batch upsert; multi-batch semantics spec-pinned)
+    "q_stream_graph" -> ((s, dir) =>
+      graft.streaming.StreamOps.streamedGraphMaintenance(s, dir)),
     // HNSW-analog query path: greedy beam walk over the persisted graph
     // (ensure = amortized build; the walk itself is hops tiny jobs)
     "q_graph_search" -> ((s, dir) =>
@@ -817,6 +822,10 @@ object SparkEntry {
     "q_knn_graph" -> graft.operators.NnDescent.duckKnnGraph("embeddings", k = 8),
     "q_graph_search" -> graft.operators.NnDescent.duckGraphSearch("embeddings"),
     "q_graph_upsert" -> graft.operators.NnDescent.duckGraphUpsert(
+                          "embeddings", "vec_id % 10 <> 7", "vec_id % 10 = 7"),
+    // single-file source = one micro-batch: streamed maintenance lands
+    // exactly on the batch upsert (same oracle; multi-batch spec-pinned)
+    "q_stream_graph" -> graft.operators.NnDescent.duckGraphUpsert(
                           "embeddings", "vec_id % 10 <> 7", "vec_id % 10 = 7"),
     "q_ivf_stats" -> Knn.duckIvfStatsSql("embeddings", 16),
 

@@ -146,7 +146,18 @@ object NnDescent {
     */
   def graphUpsert(old: DataFrame, batch: DataFrame, k: Int = 8,
                   tables: Int = 4, rounds: Int = 2,
-                  targetOcc: Int = 16): DataFrame = {
+                  targetOcc: Int = 16): DataFrame =
+    graphUpsertWith(old,
+      knnGraph(old, k, tables, rounds, targetOcc)
+        .select(col("vec_id").as("a"), col("nbr").as("b")),
+      batch, k, tables, targetOcc)
+
+  /** [[graphUpsert]] core over an ALREADY-BUILT edge relation (a, b) —
+    * the stored-artifact path [[graft.sources.GraphLayout.upsertStored]]
+    * maintains per micro-batch without ever rebuilding the base graph. */
+  def graphUpsertWith(old: DataFrame, gOldEdges: DataFrame, batch: DataFrame,
+                      k: Int = 8, tables: Int = 4,
+                      targetOcc: Int = 16): DataFrame = {
     val full = old.unionByName(batch)
     val v = full.select(col("vec_id"),
         col("embedding").cast("array<double>").as("ed"))
@@ -163,8 +174,7 @@ object NnDescent {
         Window.partitionBy("a").orderBy(desc("s"), asc("b"))).cast("long"))
       .filter(col("rn") <= k)
 
-    val gOld = knnGraph(old, k, tables, rounds)
-      .select(col("vec_id").as("a"), col("nbr").as("b"))
+    val gOld = gOldEdges
     val bids = batch.select(col("vec_id").as("a"))
     val bands = bandKeys(full, tables, targetOcc)
     val bucketCand = bands.as("x")

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Persisted k-NN-graph artifact ([[graft.operators.NnDescent.knnGraph]]
   * output (vec_id, nbr, rn, sim)) — the navigable-graph half of the
@@ -50,4 +51,52 @@ object GraphLayout {
     }
     spark.read.parquet(dir)
   }
+
+  // ------------------------------------------ streaming maintenance layout
+
+  /** Base snapshot for continuous maintenance: the graph AND the vectors
+    * it was built from, side by side — each [[upsertStored]] needs the
+    * accumulated old vectors to rescore re-cut lists. Deleting the dir
+    * first also invalidates any streaming checkpoint beneath it (the
+    * PairsLayout.writeIndexed convention). */
+  def writeBase(spark: SparkSession, old: DataFrame, dir: String,
+                k: Int = 8, tables: Int = 4, rounds: Int = 2): Unit = {
+    val p = new org.apache.hadoop.fs.Path(new java.io.File(dir).getAbsolutePath)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) { f.delete(p, true); () }
+    graft.operators.NnDescent.knnGraph(old, k, tables, rounds)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/graph")
+    old.select("vec_id", "embedding")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")
+  }
+
+  /** One micro-batch of graph maintenance against the STORED artifact:
+    * read graph + accumulated vectors, place the batch
+    * ([[graft.operators.NnDescent.graphUpsertWith]] — the base graph is
+    * never rebuilt), stage-write the updated graph and swap it in
+    * (crash-recovered by the [[SignatureLayout]] rename protocol), then
+    * append the batch's vectors under the batch's file prefix so the
+    * next micro-batch sees them. NOTE the graph relation is O(n·k) rows
+    * and is REWRITTEN per batch — unlike the append-only pairs artifact;
+    * honest cost of an artifact whose per-row content (every node's
+    * top-k) is corpus-dependent. */
+  def upsertStored(spark: SparkSession, dir: String, batch: DataFrame,
+                   batchId: String, k: Int = 8, tables: Int = 4,
+                   targetOcc: Int = 16): Unit = {
+    SignatureLayout.recoverPath(spark, s"$dir/graph")
+    val oldVecs = spark.read.parquet(s"$dir/vectors")
+    val g = spark.read.parquet(s"$dir/graph")
+      .select(col("vec_id").as("a"), col("nbr").as("b"))
+    graft.operators.NnDescent
+      .graphUpsertWith(oldVecs, g, batch.select("vec_id", "embedding"),
+        k, tables, targetOcc)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/graph_stage")
+    SignatureLayout.swapIn(spark, s"$dir/graph", s"$dir/graph_stage")
+    batch.select("vec_id", "embedding")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/vec_stage")
+    SignatureLayout.moveInto(spark, s"$dir/vec_stage", s"$dir/vectors", batchId)
+  }
+
+  def readGraph(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/graph")
 }

@@ -662,6 +662,60 @@ object StreamOps {
       .localCheckpoint()
   }
 
+  /** Streaming k-NN-GRAPH maintenance — the continuous-ingest form of
+    * [[graft.operators.NnDescent.graphUpsert]]: the base graph + vectors
+    * are written once ([[graft.sources.GraphLayout.writeBase]]), then
+    * each micro-batch of newly-arriving vectors is placed against the
+    * STORED graph ([[graft.sources.GraphLayout.upsertStored]] — the base
+    * is never rebuilt), the updated graph swaps in atomically, and the
+    * batch's vectors append so the next micro-batch sees them.
+    *
+    * Unlike pair membership, a node's top-k list depends on candidate
+    * EXPOSURE, so the result is batch-split DEPENDENT by construction
+    * (the standard NN-descent/HNSW contract — insert order matters there
+    * too). The gate runs the single-file source (one micro-batch), where
+    * streamed ≡ one [[graft.operators.NnDescent.graphUpsert]], checked
+    * against the same oracle; StreamStateSpec pins the forced TWO-batch
+    * split against sequentially applied `graphUpsertWith` — engine vs
+    * engine, the semantics the scaladoc promises. */
+  def streamedGraphMaintenance(spark: SparkSession, sfDir: String,
+                               k: Int = 8, batchMod: Int = 10,
+                               batchRem: Int = 7): DataFrame = {
+    import graft.sources.GraphLayout
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = GraphLayout.dirFor(s"$sfDir#stream", k, 4, 2)
+    val stream = spark.readStream.schema(e.schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .filter(col("vec_id") % batchMod === batchRem)
+    streamedGraphMaintenanceOf(spark,
+      e.filter(col("vec_id") % batchMod =!= batchRem), stream, dir, k)
+  }
+
+  /** Core over an explicit (base, stream) pair — spec-testable with a
+    * forced multi-file micro-batch split. */
+  private[graft] def streamedGraphMaintenanceOf(spark: SparkSession,
+                                                base: DataFrame,
+                                                stream: DataFrame,
+                                                dir: String,
+                                                k: Int): DataFrame = {
+    import graft.sources.GraphLayout
+    GraphLayout.writeBase(spark, base, dir, k)
+    withShufflePartitions(spark, 4) {
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/_checkpoint")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          GraphLayout.upsertStored(spark, dir, batch, s"mb-$bid", k)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    GraphLayout.readGraph(spark, dir)
+      .orderBy(asc("vec_id"), asc("rn"))
+      .localCheckpoint()
+  }
+
   def streamingReindex(spark: SparkSession, watchDir: String,
                        indexDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._

@@ -67,6 +67,41 @@ class NnDescentSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed graph maintenance across forced micro-batches equals sequential stored-graph upserts") {
+    import graft.streaming.StreamOps
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_graph_src").toFile
+    val artDir = java.nio.file.Files.createTempDirectory("graft_stream_graph_art").toString
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    try {
+      val b1 = emb.filter(col("vec_id") % 10 === 7)
+      val b2 = emb.filter(col("vec_id") % 10 === 3)
+      b1.coalesce(1).write.parquet(s"${srcDir.getAbsolutePath}/b1.parquet")
+      b2.coalesce(1).write.parquet(s"${srcDir.getAbsolutePath}/b2.parquet")
+      val base = emb.filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 10 =!= 3)
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir.getAbsolutePath)
+      val got = StreamOps.streamedGraphMaintenanceOf(spark, base, stream, artDir, k = 8)
+        .collect().map(_.toString).toSeq
+      // sequential expectation: upsert b1 against the base graph, then b2
+      // against the once-updated graph + accumulated vectors
+      val g0 = NnDescent.knnGraph(base, k = 8)
+        .select(col("vec_id").as("a"), col("nbr").as("b"))
+      val g1 = NnDescent.graphUpsertWith(base, g0, b1, k = 8)
+      val g2 = NnDescent.graphUpsertWith(
+        base.unionByName(b1),
+        g1.select(col("vec_id").as("a"), col("nbr").as("b")),
+        b2, k = 8)
+      val want = g2.collect().map(_.toString).toSeq
+      spark.catalog.clearCache()
+      assert(got == want,
+        "micro-batch maintenance must equal sequential stored-graph upserts")
+    } finally { rm(srcDir); rm(new java.io.File(artDir)) }
+  }
+
   test("refinement is monotone: recall never regresses with more rounds") {
     val r0 = recallOf(0, 6)
     val r2 = recallOf(2, 6)
