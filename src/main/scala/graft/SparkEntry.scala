@@ -114,6 +114,16 @@ object SparkEntry {
       graft.operators.NnDescent.graphUpsert(
         e.filter(col("vec_id") % 10 =!= 7), e.filter(col("vec_id") % 10 === 7))
     }),
+    // recall@k of the BATCHED graph walk (all queries walk simultaneously;
+    // hop count bounds jobs, not hops×queries) vs the exact top-k — the
+    // graph row beside q_knn_recall's LSH/IVF/SQ8/PQ variants
+    "q_graph_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.NnDescent.graphRecall(e,
+        graft.sources.GraphLayout.ensure(s, e, dir, k = 8),
+        e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    }),
     // continuous-ingest graph maintenance: base graph once, per-micro-batch
     // stored-graph upsert + atomic swap (single-file source → one batch,
     // streamed ≡ batch upsert; multi-batch semantics spec-pinned)
@@ -827,6 +837,8 @@ object SparkEntry {
     // exactly on the batch upsert (same oracle; multi-batch spec-pinned)
     "q_stream_graph" -> graft.operators.NnDescent.duckGraphUpsert(
                           "embeddings", "vec_id % 10 <> 7", "vec_id % 10 = 7"),
+    "q_graph_recall" -> graft.operators.NnDescent.duckGraphRecall(
+                          "embeddings", nQueries = 8),
     "q_ivf_stats" -> Knn.duckIvfStatsSql("embeddings", 16),
 
     "q_kmeans" -> graft.operators.KMeans.duckStatsSql("embeddings", 16, 3),

@@ -323,6 +323,139 @@ object NnDescent {
       .orderBy("rank")
   }
 
+  /** Batched multi-query [[graphSearch]]: every (qid, qv) row walks the
+    * graph SIMULTANEOUSLY — the walk state is keyed by qid, each hop is
+    * one join for ALL queries, and the per-query sequential structure
+    * costs `hops` jobs TOTAL, not `hops · |queries|`. This is where the
+    * relational formulation beats a pointer-chasing ANN service at
+    * scale: a re-rank workload pushing 10⁶ queries through the graph is
+    * the same plan with a bigger qid domain. Exclusion is per-query
+    * (vec_id ≠ qid), matching [[Knn.multiScored]]'s contract. */
+  def multiGraphSearch(index: DataFrame, graph: DataFrame, queries: DataFrame,
+                       k: Int = 10, beam: Int = 8, hops: Int = 3,
+                       tables: Int = 4, targetOcc: Int = 16): DataFrame = {
+    val q = queries.select(col("qid"), col("qv").cast("array<double>").as("qe"))
+      .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
+    val v = index.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("ed"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+
+    def score(ids: DataFrame): DataFrame = ids
+      .join(v, "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        (dotc(col("ed"), col("qe")) / (col("nrm") * col("qn"))).as("s"))
+
+    val qids = queries.select("qid")
+    val bands = bandKeys(index, tables, targetOcc)
+    val qb = bands.join(broadcast(qids), bands("vec_id") === qids("qid"))
+      .select(col("qid"), col("t"), col("bkey"))
+    val lshSeeds = bands.join(broadcast(qb), Seq("t", "bkey"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    val lowSeeds = v.select("vec_id").orderBy(asc("vec_id")).limit(beam)
+      .crossJoin(broadcast(qids))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    val edges = graph.select(col("vec_id"), col("nbr"))
+    var visited = score(lshSeeds.union(lowSeeds).distinct())
+      .localCheckpoint(true)
+    val wq = Window.partitionBy("qid").orderBy(desc("s"), asc("vec_id"))
+    for (_ <- 1 to hops) {
+      val b = visited.withColumn("brn", row_number().over(wq))
+        .filter(col("brn") <= beam).select("qid", "vec_id")
+      val frontier = edges.join(b, "vec_id")
+        .filter(col("nbr") =!= col("qid"))
+        .select(col("qid"), col("nbr").as("vec_id")).distinct()
+        .join(visited.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
+      visited = visited.union(score(frontier)).localCheckpoint(true)
+    }
+    visited.withColumn("rn", row_number().over(wq).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("rn"), round(col("s"), 6).as("sim"))
+      .orderBy(asc("qid"), asc("rn"))
+  }
+
+  /** recall@k of the batched graph walk vs the exact top-k over the same
+    * query set — the graph row beside q_knn_recall's LSH/IVF/SQ8/PQ
+    * variants (same report schema, same exact baseline construction). */
+  def graphRecall(index: DataFrame, graph: DataFrame, queries: DataFrame,
+                  k: Int = 10, beam: Int = 8, hops: Int = 3): DataFrame = {
+    val got = multiGraphSearch(index, graph, queries, k, beam, hops)
+      .select("qid", "vec_id")
+    val w = Window.partitionBy("qid").orderBy(desc("sim_raw"), asc("vec_id"))
+    val exact = Knn.multiScored(index, queries)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+      .cache() // intersection probe + expected-count agg
+    val nExpected = exact.agg(count(lit(1)).as("n_expected"))
+    got.join(exact.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(nExpected))
+      .select(lit("graph").as("variant"), col("n_returned"), col("n_hits"),
+        col("n_expected"),
+        round(col("n_hits").cast("double") / col("n_expected").cast("double"), 6)
+          .as("recall"))
+  }
+
+  /** DuckDB mirror of [[graphRecall]]: graph chain + the batched walk
+    * (hop state keyed by qid) + the exact baseline + the intersection. */
+  def duckGraphRecall(table: String, nQueries: Int, k: Int = 10,
+                      beam: Int = 8, hops: Int = 3, gk: Int = 8,
+                      tables: Int = 4, rounds: Int = 2,
+                      targetOcc: Int = 16): String = {
+    val graphSql = duckKnnGraph(table, gk, tables, rounds, targetOcc)
+    val body = graphSql.stripPrefix("WITH ")
+    val gIdx = body.lastIndexOf("SELECT a AS vec_id")
+    val graphCtes = body.substring(0, gIdx).trim.stripSuffix("\n")
+    val qsim = s"(${duckDot("vv.embedding", "q.qe")} / (vv.n * q.qn))"
+    val hopCtes = (1 to hops).map { h =>
+      s"""b$h AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS brn
+         |  FROM v${h - 1}) WHERE brn <= $beam),
+         |f$h AS (SELECT DISTINCT b.qid, e.b AS vec_id
+         |        FROM edges e JOIN b$h b USING (vec_id)
+         |        WHERE e.b <> b.qid AND NOT EXISTS (
+         |          SELECT 1 FROM v${h - 1} v WHERE v.qid = b.qid AND v.vec_id = e.b)),
+         |v$h AS (SELECT * FROM v${h - 1} UNION ALL
+         |        SELECT f.qid, f.vec_id, $qsim AS s
+         |        FROM f$h f JOIN vn vv ON vv.vec_id = f.vec_id
+         |        JOIN qs q ON q.qid = f.qid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |edges AS (SELECT a AS vec_id, b FROM g$rounds WHERE rn <= $gk),
+       |qs AS (SELECT vec_id AS qid, embedding AS qe, n AS qn FROM vn
+       |       WHERE vec_id < $nQueries),
+       |qb AS (SELECT vec_id AS qid, t, bkey FROM bands WHERE vec_id < $nQueries),
+       |lows AS (SELECT vec_id FROM vn ORDER BY vec_id LIMIT $beam),
+       |seeds AS (SELECT DISTINCT qid, vec_id FROM (
+       |  SELECT qb.qid, x.vec_id FROM bands x JOIN qb USING (t, bkey)
+       |  WHERE x.vec_id <> qb.qid
+       |  UNION ALL
+       |  SELECT q.qid, l.vec_id FROM qs q CROSS JOIN lows l WHERE l.vec_id <> q.qid)),
+       |v0 AS (SELECT s.qid, s.vec_id, $qsim AS s
+       |       FROM seeds s JOIN vn vv ON vv.vec_id = s.vec_id
+       |       JOIN qs q ON q.qid = s.qid),
+       |$hopCtes,
+       |got AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+       |  FROM v$hops) WHERE rn <= $k),
+       |ex AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, e.vec_id,
+       |         row_number() OVER (PARTITION BY q.qid
+       |           ORDER BY ${duckDot("e.embedding", "q.qe")} / (e.n * q.qn) DESC, e.vec_id) AS rn
+       |  FROM vn e CROSS JOIN qs q WHERE e.vec_id <> q.qid) WHERE rn <= $k)
+       |SELECT 'graph' AS variant,
+       |       count(*)::BIGINT AS n_returned,
+       |       sum(CASE WHEN ex.qid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+       |       (SELECT count(*)::BIGINT FROM ex) AS n_expected,
+       |       round(sum(CASE WHEN ex.qid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |             / (SELECT count(*) FROM ex), 6) AS recall
+       |FROM got LEFT JOIN ex ON got.qid = ex.qid AND got.vec_id = ex.vec_id""".stripMargin
+  }
+
   /** DuckDB mirror of [[graphSearch]]: [[duckKnnGraph]]'s graph CTEs with
     * the beam walk unrolled on top (hop CTEs v0/b1/f1/v1/…). */
   def duckGraphSearch(table: String, k: Int = 10, beam: Int = 8,

@@ -67,6 +67,18 @@ class NnDescentSpec extends AnyFunSuite {
     }
   }
 
+  test("batched walk is the single walk: multiGraphSearch({0}) equals graphSearch(excludeId=0)") {
+    val g = graft.sources.GraphLayout.ensure(spark, emb, TestSpark.sf, k = 8)
+    val q1 = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val single = NnDescent.graphSearch(emb, g, q1, k = 10)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    val qm = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val multi = NnDescent.multiGraphSearch(emb, g, qm, k = 10)
+      .collect().map(r => (r.getAs[Long]("rn"), r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(single == multi)
+  }
+
   test("streamed graph maintenance across forced micro-batches equals sequential stored-graph upserts") {
     import graft.streaming.StreamOps
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_graph_src").toFile
