@@ -103,8 +103,11 @@ object SparkEntry {
     // 2 refinement rounds of neighbor-of-neighbor join + exact top-k)
     // PRICES the graph build: unconditional rebuild + persisted read-back
     // (read-back loses sort order — the gate re-sorts deterministically)
+    // k = 16 edges: the GraphProf sweep (SCALE.md) measured degree as THE
+    // recall lever on this unclustered corpus (k=8 → 0.34 recall@10 at
+    // sf0.1, k=16 → 0.75, k=32 → 0.99 at beam 16-32)
     "q_knn_graph" -> ((s, dir) =>
-      graft.sources.GraphLayout.rebuild(s, emb(s, dir), dir, k = 8)
+      graft.sources.GraphLayout.rebuild(s, emb(s, dir), dir, k = 16)
         .orderBy(asc("vec_id"), asc("rn"))),
     // incremental maintenance gate: build the graph on the 90% slice,
     // batch-insert the held-out 10% (HNSW-insert analog — O(batch) work,
@@ -120,9 +123,10 @@ object SparkEntry {
     "q_graph_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       graft.operators.NnDescent.graphRecall(e,
-        graft.sources.GraphLayout.ensure(s, e, dir, k = 8),
+        graft.sources.GraphLayout.ensure(s, e, dir, k = 16),
         e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        beam = 16)
     }),
     // continuous-ingest graph maintenance: base graph once, per-micro-batch
     // stored-graph upsert + atomic swap (single-file source → one batch,
@@ -133,8 +137,8 @@ object SparkEntry {
     // (ensure = amortized build; the walk itself is hops tiny jobs)
     "q_graph_search" -> ((s, dir) =>
       graft.operators.NnDescent.graphSearch(emb(s, dir),
-        graft.sources.GraphLayout.ensure(s, emb(s, dir), dir, k = 8),
-        qvec(s, dir))),
+        graft.sources.GraphLayout.ensure(s, emb(s, dir), dir, k = 16),
+        qvec(s, dir), beam = 16)),
     // IVF layout health report: per-cell fill + coherence (tuning input)
     "q_ivf_stats" -> ((s, dir) => Knn.ivfStats(emb(s, dir), numCentroids = 16)),
 
@@ -829,8 +833,9 @@ object SparkEntry {
          |SELECT vec_id, label, cluster, round(sim_raw, 6) AS sim
          |FROM s ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin,
 
-    "q_knn_graph" -> graft.operators.NnDescent.duckKnnGraph("embeddings", k = 8),
-    "q_graph_search" -> graft.operators.NnDescent.duckGraphSearch("embeddings"),
+    "q_knn_graph" -> graft.operators.NnDescent.duckKnnGraph("embeddings", k = 16),
+    "q_graph_search" -> graft.operators.NnDescent.duckGraphSearch(
+                          "embeddings", beam = 16, gk = 16),
     "q_graph_upsert" -> graft.operators.NnDescent.duckGraphUpsert(
                           "embeddings", "vec_id % 10 <> 7", "vec_id % 10 = 7"),
     // single-file source = one micro-batch: streamed maintenance lands
@@ -838,7 +843,7 @@ object SparkEntry {
     "q_stream_graph" -> graft.operators.NnDescent.duckGraphUpsert(
                           "embeddings", "vec_id % 10 <> 7", "vec_id % 10 = 7"),
     "q_graph_recall" -> graft.operators.NnDescent.duckGraphRecall(
-                          "embeddings", nQueries = 8),
+                          "embeddings", nQueries = 8, beam = 16, gk = 16),
     "q_ivf_stats" -> Knn.duckIvfStatsSql("embeddings", 16),
 
     "q_kmeans" -> graft.operators.KMeans.duckStatsSql("embeddings", 16, 3),
