@@ -71,8 +71,17 @@ object PairsLayout {
         val fs = p.getFileSystem(conf)
         if (fs.exists(p)) { fs.delete(p, true); () }
       }
+      // pairs write concurrent with the three signature-relation writes
+      // (disjoint paths; shared cached subtrees are BlockManager-safe)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val pairsWrite = Future {
+        a.pairs.select("d1", "d2")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/pairs")
+      }
       SignatureLayout.write(spark, dir, a.bands, a.shingles)
-      a.pairs.select("d1", "d2").write.mode(SaveMode.Overwrite).parquet(s"$dir/pairs")
+      Await.result(pairsWrite, Duration.Inf)
     } finally a.handles.foreach(_.unpersist())
   }
 

@@ -123,7 +123,14 @@ object SignatureLayout {
             buckets: Int = DefaultBuckets): Unit = {
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfs = Map("bands" -> bands, "shingles" -> shingles, "sizes" -> sizes)
-    Rels.foreach { case (rel, bcols) =>
+    // concurrent like [[compact]]: independent writers on disjoint paths;
+    // the shared cached shingle subtree is safe under concurrent first
+    // touch (BlockManager's per-block locking — worst case a bounded
+    // duplicate partition compute on the first materialization)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Rels.map { case (rel, bcols) => Future {
       val t = tableName(dir, rel)
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val live = new org.apache.hadoop.fs.Path(absPath(dir, rel))
@@ -138,7 +145,8 @@ object SignatureLayout {
         .option("path", absPath(dir, rel))
         .bucketBy(buckets, bcols.head, bcols.tail: _*).sortBy(bcols.head, bcols.tail: _*)
         .saveAsTable(t)
-    }
+    }}
+    writes.foreach(Await.result(_, Duration.Inf))
     val meta = new org.apache.hadoop.fs.Path(absPath(dir, "_graft_buckets"))
     val out = fs(spark, meta).create(meta, true)
     try out.write(specString(buckets).getBytes("UTF-8")) finally out.close()
