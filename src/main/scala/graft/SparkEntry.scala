@@ -139,6 +139,13 @@ object SparkEntry {
       graft.operators.NnDescent.graphSearch(emb(s, dir),
         graft.sources.GraphLayout.ensure(s, emb(s, dir), dir, k = 16),
         qvec(s, dir), beam = 16)),
+    // the flagship Q1 filter on the GRAPH path: unfiltered walk (filtered
+    // walks sever connectivity), post-filter at selection, beam widened
+    // for selectivity (the HNSW post-filter/efSearch convention)
+    "q_graph_search_filtered" -> ((s, dir) =>
+      graft.operators.NnDescent.graphSearch(emb(s, dir),
+        graft.sources.GraphLayout.ensure(s, emb(s, dir), dir, k = 16),
+        qvec(s, dir), k = 5, beam = 32, pred = Some(col("label") === 3))),
     // IVF layout health report: per-cell fill + coherence (tuning input)
     "q_ivf_stats" -> ((s, dir) => Knn.ivfStats(emb(s, dir), numCentroids = 16)),
 
@@ -836,6 +843,9 @@ object SparkEntry {
     "q_knn_graph" -> graft.operators.NnDescent.duckKnnGraph("embeddings", k = 16),
     "q_graph_search" -> graft.operators.NnDescent.duckGraphSearch(
                           "embeddings", beam = 16, gk = 16),
+    "q_graph_search_filtered" -> graft.operators.NnDescent.duckGraphSearch(
+                          "embeddings", k = 5, beam = 32, gk = 16,
+                          predSql = Some("t.label = 3")),
     "q_graph_upsert" -> graft.operators.NnDescent.duckGraphUpsert(
                           "embeddings", "vec_id % 10 <> 7", "vec_id % 10 = 7"),
     // single-file source = one micro-batch: streamed maintenance lands

@@ -278,10 +278,18 @@ object NnDescent {
     * rebuilds the graph in SQL ([[duckKnnGraph]]'s CTE chain) and unrolls
     * the walk hop by hop.
     */
+  /** `pred`: metadata post-filter (the reference's Q1 `where=` on the
+    * graph path). The walk itself stays UNFILTERED — constraining the
+    * walk to matching nodes severs the graph's connectivity (the
+    * standard graph-ANN filtered-search result); the filter applies at
+    * final selection over the visited set, and the caller compensates
+    * selectivity with a wider `beam` (the HNSW post-filter/efSearch
+    * convention). */
   def graphSearch(index: DataFrame, graph: DataFrame, queryVec: DataFrame,
                   k: Int = 10, beam: Int = 8, hops: Int = 3,
                   excludeId: Long = 0L, tables: Int = 4,
-                  targetOcc: Int = 16): DataFrame = {
+                  targetOcc: Int = 16,
+                  pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val q = queryVec.select(col("qv").cast("array<double>").as("qe"))
       .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
     val v = index.filter(col("vec_id") =!= excludeId)
@@ -316,7 +324,12 @@ object NnDescent {
         .join(visited.select("vec_id"), Seq("vec_id"), "left_anti")
       visited = visited.union(score(frontier)).localCheckpoint(true)
     }
-    visited.orderBy(desc("s"), asc("vec_id")).limit(k)
+    val selected = pred match {
+      case Some(p) =>
+        visited.join(index.filter(p).select("vec_id"), "vec_id")
+      case None => visited
+    }
+    selected.orderBy(desc("s"), asc("vec_id")).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(desc("s"), asc("vec_id"))).cast("long"))
       .select(col("rank"), col("vec_id"), round(col("s"), 6).as("sim"))
@@ -461,7 +474,8 @@ object NnDescent {
   def duckGraphSearch(table: String, k: Int = 10, beam: Int = 8,
                       hops: Int = 3, excludeId: Long = 0L,
                       gk: Int = 8, tables: Int = 4, rounds: Int = 2,
-                      targetOcc: Int = 16): String = {
+                      targetOcc: Int = 16,
+                      predSql: Option[String] = None): String = {
     val graphSql = duckKnnGraph(table, gk, tables, rounds, targetOcc)
     // reuse the graph chain as CTEs: strip its WITH + final SELECT
     val body = graphSql.stripPrefix("WITH ")
@@ -495,7 +509,9 @@ object NnDescent {
        |$hopCtes
        |SELECT row_number() OVER (ORDER BY s DESC, vec_id)::BIGINT AS rank,
        |       vec_id, round(s, 6) AS sim
-       |FROM (SELECT * FROM v$hops ORDER BY s DESC, vec_id LIMIT $k)
+       |FROM (SELECT v.* FROM v$hops v${predSql.map(p =>
+               s" JOIN $table t ON t.vec_id = v.vec_id AND ($p)").getOrElse("")}
+       |      ORDER BY v.s DESC, v.vec_id LIMIT $k)
        |ORDER BY rank""".stripMargin
   }
 

@@ -67,6 +67,18 @@ class NnDescentSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered graph search: every hit satisfies the predicate and appears in the exact filtered ranking's label set") {
+    val g = graft.sources.GraphLayout.ensure(spark, emb, TestSpark.sf, k = 8)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val got = NnDescent.graphSearch(emb, g, q, k = 5, beam = 16,
+      pred = Some(col("label") === 3)).collect()
+    assert(got.nonEmpty)
+    val lab3 = emb.filter(col("label") === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => lab3.contains(r.getAs[Long]("vec_id"))))
+    assert(got.map(_.getAs[Long]("rank")).toSeq == (1L to got.length))
+  }
+
   test("batched walk is the single walk: multiGraphSearch({0}) equals graphSearch(excludeId=0)") {
     val g = graft.sources.GraphLayout.ensure(spark, emb, TestSpark.sf, k = 8)
     val q1 = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
