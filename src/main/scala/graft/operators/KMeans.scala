@@ -153,9 +153,17 @@ object KMeans {
     * corpus sample, read where the objective flattens. Cost: Σ trainings
     * — deliberately a sample-scale query, like q_dedup_recall. */
   def elbow(index: DataFrame, ks: Seq[Int] = Seq(4, 8, 16, 32),
-            iters: Int = 2): DataFrame =
-    ks.map { k =>
-      val cent = train(index, k, iters)
+            iters: Int = 2): DataFrame = {
+    // the per-k trainers are driver-side iterative loops (eager k-row
+    // checkpoints per Lloyd round), so a sequential sweep serializes
+    // 4 × iters small jobs — train the ks CONCURRENTLY (independent
+    // lineages, the concurrent-maintenance-writes scheduling note)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val trained = ks.map(k => k -> Future(train(index, k, iters)))
+      .map { case (k, f) => k -> Await.result(f, Duration.Inf) }
+    trained.map { case (k, cent) =>
       val assigned = Knn.ivfAssignWith(index, cent)
       assigned
         .join(broadcast(cent), col("cluster") === col("cid"))
@@ -175,6 +183,7 @@ object KMeans {
             .as("mean_csim"),
           col("min_cell"), col("max_cell"))
     }.reduce(_ unionByName _).orderBy("k")
+  }
 
   /** DuckDB mirror of [[elbow]] — one prefixed train chain per k. */
   def duckElbowSql(table: String, ks: Seq[Int] = Seq(4, 8, 16, 32),
