@@ -97,6 +97,11 @@ object GraphLayout {
     SignatureLayout.moveInto(spark, s"$dir/vec_stage", s"$dir/vectors", batchId)
   }
 
-  def readGraph(spark: SparkSession, dir: String): DataFrame =
+  def readGraph(spark: SparkSession, dir: String): DataFrame = {
+    // self-heal a swap that crashed between its two renames (live dir
+    // absent, `_old` set-aside present) — the PairsLayout.read contract
+    SignatureLayout.recoverPath(spark,
+      new java.io.File(s"$dir/graph").getAbsolutePath)
     spark.read.parquet(s"$dir/graph")
+  }
 }

@@ -126,6 +126,33 @@ class NnDescentSpec extends AnyFunSuite {
     } finally { rm(srcDir); rm(new java.io.File(artDir)) }
   }
 
+  test("graph artifact self-heals a swap crashed between its two renames") {
+    import java.nio.file.{Files, Paths}
+    val base = emb.filter(col("vec_id") % 10 =!= 7)
+    val dir = Files.createTempDirectory("graft_graph_crash").toString
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    try {
+      graft.sources.GraphLayout.writeBase(spark, base, dir, k = 5)
+      val before = graft.sources.GraphLayout.readGraph(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      // simulate the unsafe window: live renamed aside, stage lost
+      Files.move(Paths.get(s"$dir/graph"), Paths.get(s"$dir/graph_old"))
+      val after = graft.sources.GraphLayout.readGraph(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(after == before, "recovery must restore the set-aside graph")
+      // and the next upsert runs against the recovered artifact
+      Files.move(Paths.get(s"$dir/graph"), Paths.get(s"$dir/graph_old"))
+      graft.sources.GraphLayout.upsertStored(spark, dir,
+        emb.filter(col("vec_id") % 10 === 7).select("vec_id", "embedding"), "mb-x", k = 5)
+      val ids = graft.sources.GraphLayout.readGraph(spark, dir)
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(emb.filter(col("vec_id") % 10 === 7).select("vec_id")
+        .collect().map(_.getLong(0)).toSet.subsetOf(ids))
+    } finally rm(new java.io.File(dir))
+  }
+
   test("refinement is monotone: recall never regresses with more rounds") {
     val r0 = recallOf(0, 6)
     val r2 = recallOf(2, 6)
