@@ -491,6 +491,11 @@ object SparkEntry {
     // exact count + measured error carried as the honesty columns
     "q_hll_distinct" -> ((s, dir) =>
       graft.operators.Sketches.hllDistinctShingles(Tables.documents(s, dir))),
+    // HLL MERGEABILITY gate: per-source partial registers merged by
+    // register-max ≡ direct registers — the map-side-combine shape that
+    // makes the sketch a 100 TB operator, checked as an exact boolean
+    "q_hll_merge" -> ((s, dir) =>
+      graft.operators.Sketches.hllMergeShingles(Tables.documents(s, dir))),
     // benchmark decontamination: n-gram collision drop-list vs held-out slice
     "q_decontam" -> ((s, dir) => CorpusOps.decontaminate(Tables.documents(s, dir))),
     // constant-size decontam: Bloom filter of the benchmark shingles with
@@ -997,6 +1002,7 @@ object SparkEntry {
     "q_gopher_rules"  -> TextAnalysis.duckGopherRules("documents"),
     "q_collocations"  -> TextAnalysis.duckCollocations("documents"),
     "q_hll_distinct"  -> graft.operators.Sketches.duckHllDistinctShingles("documents"),
+    "q_hll_merge"     -> graft.operators.Sketches.duckHllMergeShingles("documents"),
     "q_decontam"      -> CorpusOps.duckDecontaminate("documents"),
     "q_bloom_decontam" -> graft.operators.Sketches.duckBloomDecontam("documents"),
     "q_cms_counts"    -> graft.operators.Sketches.duckCmsCounts("documents"),

@@ -391,4 +391,87 @@ object Sketches {
        |       round(abs(est_raw - CAST(ex.exact AS DOUBLE)) / CAST(ex.exact AS DOUBLE), 6) AS err_frac
        |FROM est JOIN ex ON ex.lang = est.lang ORDER BY est.lang""".stripMargin
   }
+
+  /** HLL MERGEABILITY demonstration — THE property that makes a sketch a
+    * 100 TB operator: per-(lang, source) partial registers (what each
+    * ingest shard would ship) merged by register-wise max must yield the
+    * IDENTICAL estimate as registers computed directly over the union.
+    * `max` over a union is the max of per-shard maxes, so the merged and
+    * direct register vectors are equal integers, the two estimate
+    * expressions are the same tree over the same inputs, and
+    * `merged_eq_direct` is an exact boolean — gate-checked per lang, not
+    * asserted in prose. At cluster scale this is the map-side-combine
+    * shape: shards never exchange shingles, only 16-int register vectors.
+    */
+  def hllMergeShingles(documents: DataFrame, n: Int = 3): DataFrame = {
+    val rows = graft.functions.TextFns.shingleRowsOfTokens(
+      documents.select(col("lang"), col("source"), col("doc_id"),
+        posexplode(graft.functions.TextFns.tokens(col("text"))).as(Seq("i", "t0"))),
+      n, carry = Seq("lang", "source")).cache()
+    val h = md5(col("s"))
+    val x = conv(substring(h, 2, 15), 16, 10).cast("long")
+    val rr = rows
+      .withColumn("b", conv(substring(h, 1, 1), 16, 10).cast("int"))
+      .withColumn("rho", greatest(lit(1), lit(61) - length(bin(x))))
+    val part = rr.groupBy("lang", "source", "b").agg(max("rho").as("m_j"))
+    val merged = part.groupBy("lang", "b").agg(max("m_j").as("m_j"))
+    val direct = rr.groupBy("lang", "b").agg(max("rho").as("m_j"))
+    def estOf(reg: DataFrame, name: String): DataFrame = {
+      val regCols = (0 until M).map(j =>
+        coalesce(max(when(col("b") === j, col("m_j"))), lit(0)).as(s"r$j"))
+      val p = reg.groupBy("lang").agg(regCols.head, regCols.tail: _*)
+      val harm: Column = (0 until M).map(j =>
+        pow(lit(2.0), -col(s"r$j"))).reduceLeft(_ + _)
+      val zeros: Column = (0 until M).map(j =>
+        when(col(s"r$j") === 0, 1).otherwise(0): Column).reduceLeft(_ + _)
+      val eRaw = lit(Alpha) * lit(M) * lit(M) / harm
+      val est = when(zeros > 0 && eRaw <= lit(2.5 * M),
+        lit(M.toDouble) * log(lit(M.toDouble) / zeros.cast("double"))).otherwise(eRaw)
+      p.select(col("lang"), est.as(name))
+    }
+    estOf(merged, "em").join(estOf(direct, "ed"), "lang")
+      .select(col("lang"), lit(M).cast("long").as("m"),
+        round(col("em"), 6).as("est_merged"),
+        round(col("ed"), 6).as("est_direct"),
+        (col("em") === col("ed")).as("merged_eq_direct"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[hllMergeShingles]]. */
+  def duckHllMergeShingles(table: String, n: Int = 3): String = {
+    def estCtes(src: String, p: String): String = {
+      val regCols = (0 until M).map(j =>
+        s"coalesce(max(CASE WHEN b = $j THEN m_j END), 0) AS r$j").mkString(",\n       |       ")
+      val harm = (0 until M).map(j => s"pow(2.0, -r$j)").mkString(" + ")
+      val zeros = (0 until M).map(j => s"(CASE WHEN r$j = 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""${p}pv AS (SELECT lang,
+         |       $regCols
+         |       FROM $src GROUP BY lang),
+         |${p}e AS (SELECT lang,
+         |             $Alpha::DOUBLE * $M * $M / ($harm) AS e_raw,
+         |             ($zeros) AS zeros
+         |      FROM ${p}pv),
+         |${p}est AS (SELECT lang,
+         |               CASE WHEN zeros > 0 AND e_raw <= ${2.5 * M}
+         |                    THEN ${M.toDouble} * ln(${M.toDouble} / CAST(zeros AS DOUBLE))
+         |                    ELSE e_raw END AS est_raw
+         |        FROM ${p}e)""".stripMargin
+    }
+    s"""WITH tk AS (SELECT lang, source, ${duckTokens("text")} AS t FROM $table),
+       |sh AS (SELECT lang, source, unnest(${duckShingles("t", n)}) AS s FROM tk),
+       |rr AS (SELECT lang, source,
+       |              ('0x' || substr(md5(s), 1, 1))::BIGINT AS b,
+       |              greatest(1, 61 - length(bin(('0x' || substr(md5(s), 2, 15))::BIGINT))) AS rho
+       |       FROM sh),
+       |part AS (SELECT lang, source, b, max(rho) AS m_j FROM rr GROUP BY 1, 2, 3),
+       |mrg AS (SELECT lang, b, max(m_j) AS m_j FROM part GROUP BY 1, 2),
+       |dct AS (SELECT lang, b, max(rho) AS m_j FROM rr GROUP BY 1, 2),
+       |${estCtes("mrg", "m")},
+       |${estCtes("dct", "d")}
+       |SELECT mest.lang, ${M}::BIGINT AS m,
+       |       round(mest.est_raw, 6) AS est_merged,
+       |       round(dest.est_raw, 6) AS est_direct,
+       |       (mest.est_raw = dest.est_raw) AS merged_eq_direct
+       |FROM mest JOIN dest ON dest.lang = mest.lang ORDER BY mest.lang""".stripMargin
+  }
 }
