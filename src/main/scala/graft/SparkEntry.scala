@@ -496,6 +496,10 @@ object SparkEntry {
     // makes the sketch a 100 TB operator, checked as an exact boolean
     "q_hll_merge" -> ((s, dir) =>
       graft.operators.Sketches.hllMergeShingles(Tables.documents(s, dir))),
+    // KMV mergeability: per-source bottom-k unions re-ranked ≡ direct
+    // bottom-k (shards ship ≤k hashes, never shingles)
+    "q_kmv_merge" -> ((s, dir) =>
+      graft.operators.Sketches.kmvMergeShingles(Tables.documents(s, dir))),
     // benchmark decontamination: n-gram collision drop-list vs held-out slice
     "q_decontam" -> ((s, dir) => CorpusOps.decontaminate(Tables.documents(s, dir))),
     // constant-size decontam: Bloom filter of the benchmark shingles with
@@ -1003,6 +1007,7 @@ object SparkEntry {
     "q_collocations"  -> TextAnalysis.duckCollocations("documents"),
     "q_hll_distinct"  -> graft.operators.Sketches.duckHllDistinctShingles("documents"),
     "q_hll_merge"     -> graft.operators.Sketches.duckHllMergeShingles("documents"),
+    "q_kmv_merge"     -> graft.operators.Sketches.duckKmvMergeShingles("documents"),
     "q_decontam"      -> CorpusOps.duckDecontaminate("documents"),
     "q_bloom_decontam" -> graft.operators.Sketches.duckBloomDecontam("documents"),
     "q_cms_counts"    -> graft.operators.Sketches.duckCmsCounts("documents"),

@@ -437,6 +437,71 @@ object Sketches {
       .orderBy("lang")
   }
 
+  /** KMV MERGEABILITY — the bottom-k companion to [[hllMergeShingles]]:
+    * per-(lang, source) bottom-k value sets unioned and re-ranked must
+    * yield the IDENTICAL k-th minimum (hence estimate) as the direct
+    * bottom-k over all distinct shingles. Sound because every globally
+    * bottom-k value is, within its own source, smaller than fewer than k
+    * values — so it survives that source's cut and reaches the merged
+    * pool. Shards ship ≤k (value, hash) rows each, never shingles. */
+  def kmvMergeShingles(documents: DataFrame, n: Int = 3, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = graft.functions.TextFns.shingleRowsOfTokens(
+      documents.select(col("lang"), col("source"), col("doc_id"),
+        posexplode(graft.functions.TextFns.tokens(col("text"))).as(Seq("i", "t0"))),
+      n, carry = Seq("lang", "source"))
+      .distinct().cache()
+      .withColumn("x", conv(substring(md5(col("s")), 2, 15), 16, 10).cast("long"))
+    val ws = Window.partitionBy("lang", "source").orderBy(asc("x"), asc("s"))
+    val partBk = sh.withColumn("prn", row_number().over(ws)).filter(col("prn") <= k)
+      .select("lang", "s", "x").distinct()
+    val direct = sh.select("lang", "s", "x").distinct()
+    def estOf(src: DataFrame, name: String): DataFrame = {
+      val w = Window.partitionBy("lang").orderBy(asc("x"), asc("s"))
+      src.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy("lang").agg(max(when(col("rn") === k, col("x"))).as("xk"),
+          count(lit(1)).as("n_kept"))
+        .select(col("lang"),
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double")
+              / col("xk").cast("double")).as(name))
+    }
+    estOf(partBk, "em").join(estOf(direct, "ed"), "lang")
+      .select(col("lang"), lit(k).cast("long").as("k"),
+        round(col("em"), 6).as("est_merged"),
+        round(col("ed"), 6).as("est_direct"),
+        (col("em") === col("ed")).as("merged_eq_direct"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[kmvMergeShingles]]. */
+  def duckKmvMergeShingles(table: String, n: Int = 3, k: Int = 64): String = {
+    def estCtes(src: String, p: String): String =
+      s"""${p}r AS (SELECT lang, x, row_number() OVER (PARTITION BY lang ORDER BY x, s) AS rn
+         |      FROM $src),
+         |${p}e AS (SELECT lang,
+         |      CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+         |           ELSE ${(k - 1).toDouble} * 1152921504606846976::DOUBLE
+         |                / CAST(max(CASE WHEN rn = $k THEN x END) AS DOUBLE) END AS est_raw
+         |      FROM ${p}r WHERE rn <= $k GROUP BY lang)""".stripMargin
+    s"""WITH tk AS (SELECT lang, source, ${duckTokens("text")} AS t FROM $table),
+       |sh AS (SELECT DISTINCT lang, source, s
+       |       FROM (SELECT lang, source, unnest(${duckShingles("t", n)}) AS s FROM tk)),
+       |hx AS (SELECT lang, source, s, ('0x' || substr(md5(s), 2, 15))::BIGINT AS x FROM sh),
+       |pr AS (SELECT lang, source, s, x,
+       |              row_number() OVER (PARTITION BY lang, source ORDER BY x, s) AS prn
+       |       FROM hx),
+       |pool AS (SELECT DISTINCT lang, s, x FROM pr WHERE prn <= $k),
+       |dct AS (SELECT DISTINCT lang, s, x FROM hx),
+       |${estCtes("pool", "m")},
+       |${estCtes("dct", "d")}
+       |SELECT me.lang, ${k}::BIGINT AS k,
+       |       round(me.est_raw, 6) AS est_merged,
+       |       round(de.est_raw, 6) AS est_direct,
+       |       (me.est_raw = de.est_raw) AS merged_eq_direct
+       |FROM me JOIN de ON de.lang = me.lang ORDER BY me.lang""".stripMargin
+  }
+
   /** DuckDB mirror of [[hllMergeShingles]]. */
   def duckHllMergeShingles(table: String, n: Int = 3): String = {
     def estCtes(src: String, p: String): String = {
