@@ -500,6 +500,11 @@ object SparkEntry {
     // bottom-k (shards ship ≤k hashes, never shingles)
     "q_kmv_merge" -> ((s, dir) =>
       graft.operators.Sketches.kmvMergeShingles(Tables.documents(s, dir))),
+    // streaming cardinality: micro-batches ship 16-int registers, final
+    // estimate max-merges base ∪ batches ≡ full-corpus sketch (the
+    // q_hll_merge property makes the stream batch-split invariant)
+    "q_stream_hll" -> ((s, dir) =>
+      graft.streaming.StreamOps.streamedHll(s, dir)),
     // benchmark decontamination: n-gram collision drop-list vs held-out slice
     "q_decontam" -> ((s, dir) => CorpusOps.decontaminate(Tables.documents(s, dir))),
     // constant-size decontam: Bloom filter of the benchmark shingles with
@@ -1008,6 +1013,7 @@ object SparkEntry {
     "q_hll_distinct"  -> graft.operators.Sketches.duckHllDistinctShingles("documents"),
     "q_hll_merge"     -> graft.operators.Sketches.duckHllMergeShingles("documents"),
     "q_kmv_merge"     -> graft.operators.Sketches.duckKmvMergeShingles("documents"),
+    "q_stream_hll"    -> graft.operators.Sketches.duckHllEstOnly("documents"),
     "q_decontam"      -> CorpusOps.duckDecontaminate("documents"),
     "q_bloom_decontam" -> graft.operators.Sketches.duckBloomDecontam("documents"),
     "q_cms_counts"    -> graft.operators.Sketches.duckCmsCounts("documents"),

@@ -437,6 +437,65 @@ object Sketches {
       .orderBy("lang")
   }
 
+  /** (lang, b, m_j) HLL registers over shingles — the mergeable partial
+    * state a shard (or micro-batch) ships; max-merge them and feed
+    * [[hllEstimateOf]]. */
+  private[graft] def hllRegisters(documents: DataFrame, n: Int = 3): DataFrame = {
+    val rows = langShingleRows(documents, n)
+    val h = md5(col("s"))
+    val x = conv(substring(h, 2, 15), 16, 10).cast("long")
+    rows
+      .withColumn("b", conv(substring(h, 1, 1), 16, 10).cast("int"))
+      .withColumn("rho", greatest(lit(1), lit(61) - length(bin(x))))
+      .groupBy("lang", "b").agg(max("rho").as("m_j"))
+  }
+
+  /** (lang, m, est) from a register relation — the estimate tail every
+    * HLL query shares (fixed-order pivot + harmonic sum + linear-counting
+    * correction). */
+  private[graft] def hllEstimateOf(reg: DataFrame): DataFrame = {
+    val regCols = (0 until M).map(j =>
+      coalesce(max(when(col("b") === j, col("m_j"))), lit(0)).as(s"r$j"))
+    val p = reg.groupBy("lang").agg(regCols.head, regCols.tail: _*)
+    val harm: Column = (0 until M).map(j =>
+      pow(lit(2.0), -col(s"r$j"))).reduceLeft(_ + _)
+    val zeros: Column = (0 until M).map(j =>
+      when(col(s"r$j") === 0, 1).otherwise(0): Column).reduceLeft(_ + _)
+    val eRaw = lit(Alpha) * lit(M) * lit(M) / harm
+    val est = when(zeros > 0 && eRaw <= lit(2.5 * M),
+      lit(M.toDouble) * log(lit(M.toDouble) / zeros.cast("double"))).otherwise(eRaw)
+    p.select(col("lang"), lit(M).cast("long").as("m"), round(est, 6).as("est"))
+  }
+
+  /** DuckDB mirror of register-build + estimate WITHOUT the exact-count
+    * honesty columns — the oracle for consumers whose whole point is
+    * never re-touching the corpus (q_stream_hll). */
+  def duckHllEstOnly(table: String, n: Int = 3): String = {
+    val harm = (0 until M).map(j => s"pow(2.0, -r$j)").mkString(" + ")
+    val zeros = (0 until M).map(j => s"(CASE WHEN r$j = 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val regCols = (0 until M).map(j =>
+      s"coalesce(max(CASE WHEN b = $j THEN m_j END), 0) AS r$j").mkString(",\n       |       ")
+    s"""WITH tk AS (SELECT lang, ${duckTokens("text")} AS t FROM $table),
+       |sh AS (SELECT lang, unnest(${duckShingles("t", n)}) AS s FROM tk),
+       |rr AS (SELECT lang,
+       |              ('0x' || substr(md5(s), 1, 1))::BIGINT AS b,
+       |              greatest(1, 61 - length(bin(('0x' || substr(md5(s), 2, 15))::BIGINT))) AS rho
+       |       FROM sh),
+       |reg AS (SELECT lang, b, max(rho) AS m_j FROM rr GROUP BY 1, 2),
+       |pv AS (SELECT lang,
+       |       $regCols
+       |       FROM reg GROUP BY lang),
+       |e AS (SELECT lang,
+       |             $Alpha::DOUBLE * $M * $M / ($harm) AS e_raw,
+       |             ($zeros) AS zeros
+       |      FROM pv)
+       |SELECT lang, ${M}::BIGINT AS m,
+       |       round(CASE WHEN zeros > 0 AND e_raw <= ${2.5 * M}
+       |                  THEN ${M.toDouble} * ln(${M.toDouble} / CAST(zeros AS DOUBLE))
+       |                  ELSE e_raw END, 6) AS est
+       |FROM e ORDER BY lang""".stripMargin
+  }
+
   /** KMV MERGEABILITY — the bottom-k companion to [[hllMergeShingles]]:
     * per-(lang, source) bottom-k value sets unioned and re-ranked must
     * yield the IDENTICAL k-th minimum (hence estimate) as the direct

@@ -716,6 +716,43 @@ object StreamOps {
       .localCheckpoint()
   }
 
+  /** Streaming distinct-cardinality maintenance: each micro-batch ships
+    * its partial HLL registers (16 ints per lang — never shingles); the
+    * final estimate max-merges base + batch registers. Correct under ANY
+    * batch split because register max-merge is associative, commutative
+    * and idempotent — exactly the property q_hll_merge gates as data —
+    * so the streamed estimate equals the full-corpus sketch bit-for-bit
+    * and the oracle is simply the full-corpus mirror
+    * ([[graft.operators.Sketches.duckHllEstOnly]]: no exact-count
+    * honesty columns, because never re-touching the corpus is the
+    * point of the streaming form). */
+  def streamedHll(spark: SparkSession, sfDir: String, n: Int = 3,
+                  batchMod: Int = 10, batchRem: Int = 7): DataFrame = {
+    import graft.operators.Sketches
+    val docs = Tables.documents(spark, sfDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_hll").toString
+    try {
+      withShufflePartitions(spark, 4) {
+        val stream = spark.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir)
+          .filter(col("doc_id") % batchMod === batchRem)
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            Sketches.hllRegisters(b, n).write.mode("append").parquet(outDir)
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val base = Sketches.hllRegisters(
+        docs.filter(col("doc_id") % batchMod =!= batchRem), n)
+      val merged = base.unionByName(
+          spark.read.schema("lang STRING, b INT, m_j INT").parquet(outDir))
+        .groupBy("lang", "b").agg(max("m_j").as("m_j"))
+      Sketches.hllEstimateOf(merged).orderBy("lang").localCheckpoint()
+    } finally deleteRecursively(new java.io.File(outDir))
+  }
+
   def streamingReindex(spark: SparkSession, watchDir: String,
                        indexDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._

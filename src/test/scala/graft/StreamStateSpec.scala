@@ -297,6 +297,44 @@ class StreamStateSpec extends AnyFunSuite {
       "per-batch scoring against the frozen model must reproduce the batch classifier")
   }
 
+  test("streamed HLL registers across forced micro-batches reproduce the full-corpus sketch") {
+    import graft.operators.Sketches
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val srcDir = Files.createTempDirectory("graft_stream_hll_src").toFile
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    try {
+      docs.filter(col("doc_id") % 10 === 7).coalesce(1)
+        .write.parquet(s"${srcDir.getAbsolutePath}/b1.parquet")
+      docs.filter(col("doc_id") % 10 === 3).coalesce(1)
+        .write.parquet(s"${srcDir.getAbsolutePath}/b2.parquet")
+      val outDir = Files.createTempDirectory("graft_stream_hll_out").toString
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir.getAbsolutePath)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Sketches.hllRegisters(b).write.mode("append").parquet(outDir)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val base = Sketches.hllRegisters(
+        docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3))
+      val merged = base.unionByName(
+          spark.read.schema("lang STRING, b INT, m_j INT").parquet(outDir))
+        .groupBy("lang", "b").agg(max("m_j").as("m_j"))
+      val streamed = Sketches.hllEstimateOf(merged).orderBy("lang")
+        .collect().map(_.toString).toSeq
+      val full = Sketches.hllEstimateOf(Sketches.hllRegisters(docs))
+        .orderBy("lang").collect().map(_.toString).toSeq
+      rm(new java.io.File(outDir))
+      assert(streamed == full,
+        "max-merged micro-batch registers must equal the one-shot sketch")
+    } finally rm(srcDir)
+  }
+
   test("streaming drift report equals the batch drift report row for row") {
     val streamed = StreamOps.streamedDrift(spark, TestSpark.sf).collect().map(_.toString).toSeq
     val batch = graft.operators.TextAnalysis.driftReport(
