@@ -468,6 +468,12 @@ object SparkEntry {
     "q_prf_expand" -> ((s, dir) =>
       graft.operators.Retrieval.prfExpand(Tables.documents(s, dir),
         Seq("spark", "table", "stream"))),
+    // IR-quality measurement of the retrieval surface: MRR@10 / nDCG@10 of
+    // lexical, vector and hybrid rankings vs a ranker-independent
+    // relevance set (docs containing ALL query terms)
+    "q_retrieval_metrics" -> ((s, dir) =>
+      graft.operators.Retrieval.retrievalMetrics(Tables.documents(s, dir),
+        Seq("spark", "table", "stream"))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
     // per-doc TF-IDF keyword tags (join-back df, never a head-term window)
     "q_keywords" -> ((s, dir) => TextAnalysis.keywords(Tables.documents(s, dir), k = 5)),
@@ -1000,6 +1006,8 @@ object SparkEntry {
     "q_snippets"      -> graft.operators.Retrieval.duckSnippets(
                            "documents", Seq("spark", "table", "stream")),
     "q_prf_expand"    -> graft.operators.Retrieval.duckPrfExpand(
+                           "documents", Seq("spark", "table", "stream")),
+    "q_retrieval_metrics" -> graft.operators.Retrieval.duckRetrievalMetrics(
                            "documents", Seq("spark", "table", "stream")),
     "q_fingerprint"   -> TextAnalysis.duckFingerprint("documents"),
     "q_keywords"      -> TextAnalysis.duckKeywordsSql("documents", k = 5),

@@ -62,24 +62,8 @@ object Retrieval {
       "score_raw", poolN, "lex_rn")
 
     // vector branch: histogram cosine against the embedded query text
-    val dh = toks
-      .select(col("doc_id"), Embedder.bucket(col("t")).as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
-    // per-doc norm via window (one shuffle, no join-back, groups ≤ Dim)
-    val dn = sqrt(sum(col("cnt") * col("cnt"))
-      .over(Window.partitionBy("doc_id")).cast("double"))
-    val qtoks = spark.range(1)
-      .select(explode(tokens(lit(terms.mkString(" ")))).as("t"))
-    val qh = qtoks.select(Embedder.bucket(col("t")).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("qcnt"))
-    val qn = qh.agg(sqrt(sum(col("qcnt") * col("qcnt")).cast("double")).as("qn"))
-    val vs = dh.withColumn("dn", dn)
-      .join(broadcast(qh), "bucket")
-      .groupBy("doc_id")
-      .agg(sum(col("cnt") * col("qcnt")).as("dt"), max("dn").as("dn"))
-      .crossJoin(broadcast(qn))
-      .select(col("doc_id"), (col("dt") / (col("dn") * col("qn"))).as("sim_raw"))
-    val vec = rankHead(vs, "sim_raw", poolN, "vec_rn")
+    // ([[vecScored]] — per-doc norm via a doc-keyed window, no join-back)
+    val vec = rankHead(vecScored(toks, terms), "sim_raw", poolN, "vec_rn")
 
     // reciprocal-rank fusion over the two poolN-row heads
     lex.join(vec, Seq("doc_id"), "full_outer")
@@ -92,6 +76,29 @@ object Retrieval {
         coalesce(col("lex_rn"), lit(0L)).as("lex_rn"),
         coalesce(col("vec_rn"), lit(0L)).as("vec_rn"),
         round(col("rrf_raw"), 6).as("rrf"))
+  }
+
+  /** (doc_id, sim_raw) embedder-cosine scores of the query text over the
+    * shared token relation — the hybrid's vector branch, factored so the
+    * metrics query ranks the SAME scores the fusion consumes. */
+  private def vecScored(toks: DataFrame, terms: Seq[String]): DataFrame = {
+    val spark = toks.sparkSession
+    val dh = toks
+      .select(col("doc_id"), Embedder.bucket(col("t")).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    val dn = sqrt(sum(col("cnt") * col("cnt"))
+      .over(Window.partitionBy("doc_id")).cast("double"))
+    val qtoks = spark.range(1)
+      .select(explode(tokens(lit(terms.mkString(" ")))).as("t"))
+    val qh = qtoks.select(Embedder.bucket(col("t")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("qcnt"))
+    val qn = qh.agg(sqrt(sum(col("qcnt") * col("qcnt")).cast("double")).as("qn"))
+    dh.withColumn("dn", dn)
+      .join(broadcast(qh), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("qcnt")).as("dt"), max("dn").as("dn"))
+      .crossJoin(broadcast(qn))
+      .select(col("doc_id"), (col("dt") / (col("dn") * col("qn"))).as("sim_raw"))
   }
 
   /** Top-`n` of `scored` by (`scoreCol` desc, doc_id) with a 1-based rank
@@ -209,6 +216,133 @@ object Retrieval {
     }
     sel.select(col("step"), col("vec_id"), round(col("score"), 6).as("mmr"))
       .orderBy("step")
+  }
+
+  // ---------------------------------------------------- retrieval metrics
+
+  /** IR-quality measurement of the retrieval surface — the q_knn_recall
+    * analog for rankers: MRR@k and nDCG@k (binary gains) of the lexical
+    * (BM25), vector (embedder cosine) and hybrid (RRF) rankings against
+    * a RANKER-INDEPENDENT relevance set: documents containing ALL query
+    * terms. Using either ranker's own ordering as ground truth would
+    * score that ranker 1.0 by construction; term-containment is the
+    * neutral oracle both rankers approximate.
+    *
+    * Float discipline: the DCG discounts `1/log2(i+1)` are CONSTANTS per
+    * rank position, computed once in Scala and embedded as literals on
+    * both sides (Double.toString round-trip) — no runtime logarithm
+    * anywhere; DCG and IDCG are fixed-order literal-pivot sums, MRR is
+    * one exact division by an integer rank. */
+  def retrievalMetrics(documents: DataFrame, terms: Seq[String],
+                       k: Int = 10, poolN: Int = 20): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t")).cache()
+    val rel = toks.filter(col("t").isin(terms: _*))
+      .select("doc_id", "t").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === terms.size)
+      .select(col("doc_id"), lit(1L).as("hit"))
+    val nRel = rel.agg(count(lit(1)).as("n_rel"))
+    val lexS = TextAnalysis.bm25Scored(toks, terms)
+    val vecS = vecScored(toks, terms)
+    val fused = rankHead(lexS, "score_raw", poolN, "lex_rn")
+      .join(rankHead(vecS, "sim_raw", poolN, "vec_rn"), Seq("doc_id"), "full_outer")
+      .withColumn("rrf_raw",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rn")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("vec_rn")), lit(0.0)))
+    val c = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    def metricsOf(ranked: DataFrame, name: String): DataFrame = {
+      val h = ranked.join(rel, Seq("doc_id"), "left")
+        .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      val dcg = (1 to k).map(i =>
+        coalesce(max(when(col("rn") === i && col("hit") === 1, lit(c(i - 1)))),
+          lit(0.0))).reduceLeft(_ + _)
+      val idcg = (1 to k).map(i =>
+        when(lit(i) <= col("n_rel"), lit(c(i - 1))).otherwise(lit(0.0)))
+        .reduceLeft(_ + _)
+      h.agg(sum(col("hit")).as("hits"), dcg.as("dcg"),
+          coalesce(lit(1.0) / min(when(col("hit") === 1, col("rn"))), lit(0.0))
+            .as("mrr_raw"))
+        .crossJoin(broadcast(nRel))
+        .select(lit(name).as("variant"), col("n_rel"), col("hits"),
+          round(col("mrr_raw"), 6).as("mrr"),
+          round(col("dcg") / idcg, 6).as("ndcg"))
+    }
+    metricsOf(rankHead(lexS, "score_raw", k, "rn"), "lexical")
+      .unionByName(metricsOf(rankHead(vecS, "sim_raw", k, "rn"), "vector"))
+      .unionByName(metricsOf(rankHead(fused, "rrf_raw", k, "rn"), "hybrid"))
+      .orderBy("variant")
+  }
+
+  /** DuckDB mirror of [[retrievalMetrics]]. */
+  def duckRetrievalMetrics(table: String, terms: Seq[String],
+                           k: Int = 10, poolN: Int = 20): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivot = terms.map(t =>
+      s"coalesce(max(CASE WHEN t = '$t' THEN contrib END), 0.0)").mkString("\n      + ")
+    val qlit = s"'${terms.mkString(" ")}'"
+    val c = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val dcg = (1 to k).map(i =>
+      s"coalesce(max(CASE WHEN rn = $i AND hit = 1 THEN ${c(i - 1)}::DOUBLE END), 0.0)")
+      .mkString("\n       |      + ")
+    val idcg = (1 to k).map(i =>
+      s"(CASE WHEN $i <= n_rel THEN ${c(i - 1)}::DOUBLE ELSE 0.0 END)")
+      .mkString("\n       |      + ")
+    def variantSelect(src: String, name: String): String =
+      s"""SELECT '$name' AS variant, n_rel, hits, round(mrr_raw, 6) AS mrr,
+         |       round(dcg / ($idcg), 6) AS ndcg
+         |FROM (SELECT sum(hit)::BIGINT AS hits,
+         |      $dcg AS dcg,
+         |      coalesce(1.0::DOUBLE / min(CASE WHEN hit = 1 THEN rn END), 0.0) AS mrr_raw
+         |      FROM (SELECT r.rn, CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |            FROM $src r LEFT JOIN rel ON rel.doc_id = r.doc_id))
+         |CROSS JOIN nrel""".stripMargin
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM $table),
+       |rel AS (SELECT doc_id FROM (
+       |  SELECT doc_id, count(DISTINCT t) AS nt FROM tk WHERE t IN ($inList) GROUP BY doc_id)
+       |  WHERE nt = ${terms.size}),
+       |nrel AS (SELECT count(*)::BIGINT AS n_rel FROM rel),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY doc_id),
+       |st AS (SELECT count(*)::BIGINT AS n_docs,
+       |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tk
+       |       WHERE t IN ($inList) GROUP BY 1, 2),
+       |df AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY t),
+       |c AS (SELECT tf.doc_id, tf.t,
+       |        ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |        (tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+       |      FROM tf JOIN df USING (t) CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id),
+       |lexs AS (SELECT doc_id, $pivot AS score_raw FROM c GROUP BY doc_id),
+       |dh AS (SELECT doc_id, ${Embedder.duckBucket("t")} AS bucket, count(*)::BIGINT AS cnt
+       |       FROM tk GROUP BY 1, 2),
+       |qh AS (SELECT ${Embedder.duckBucket("t")} AS bucket, count(*)::BIGINT AS qcnt
+       |       FROM (SELECT unnest(${duckTokens(qlit)}) AS t) GROUP BY 1),
+       |qn AS (SELECT sqrt(CAST(sum(qcnt*qcnt) AS DOUBLE)) AS qn FROM qh),
+       |dn AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS dn FROM dh GROUP BY doc_id),
+       |vs AS (SELECT dh.doc_id, sum(dh.cnt * qh.qcnt)::BIGINT / (max(dn.dn) * max(qn.qn)) AS sim_raw
+       |       FROM dh JOIN qh USING (bucket) JOIN dn USING (doc_id) CROSS JOIN qn
+       |       GROUP BY dh.doc_id),
+       |lexp AS (SELECT doc_id, row_number() OVER (ORDER BY score_raw DESC, doc_id) AS lex_rn
+       |         FROM lexs ORDER BY score_raw DESC, doc_id LIMIT $poolN),
+       |vecp AS (SELECT doc_id, row_number() OVER (ORDER BY sim_raw DESC, doc_id) AS vec_rn
+       |         FROM vs ORDER BY sim_raw DESC, doc_id LIMIT $poolN),
+       |fused AS (SELECT coalesce(lexp.doc_id, vecp.doc_id) AS doc_id,
+       |         coalesce(1.0::DOUBLE / (60 + lexp.lex_rn), 0.0) +
+       |         coalesce(1.0::DOUBLE / (60 + vecp.vec_rn), 0.0) AS rrf_raw
+       |  FROM lexp FULL OUTER JOIN vecp ON lexp.doc_id = vecp.doc_id),
+       |lexk AS (SELECT doc_id, row_number() OVER (ORDER BY score_raw DESC, doc_id) AS rn
+       |         FROM lexs ORDER BY score_raw DESC, doc_id LIMIT $k),
+       |veck AS (SELECT doc_id, row_number() OVER (ORDER BY sim_raw DESC, doc_id) AS rn
+       |         FROM vs ORDER BY sim_raw DESC, doc_id LIMIT $k),
+       |hybk AS (SELECT doc_id, row_number() OVER (ORDER BY rrf_raw DESC, doc_id) AS rn
+       |         FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT $k)
+       |SELECT * FROM (
+       |${variantSelect("lexk", "lexical")}
+       |UNION ALL
+       |${variantSelect("veck", "vector")}
+       |UNION ALL
+       |${variantSelect("hybk", "hybrid")})
+       |ORDER BY variant""".stripMargin
   }
 
   // ------------------------------------------------------------- snippets

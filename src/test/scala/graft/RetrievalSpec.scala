@@ -78,6 +78,17 @@ class RetrievalSpec extends AnyFunSuite {
     assert(pairs == pairs.sortBy(p => (-p._1, p._2)))
   }
 
+  test("retrieval metrics: three variants, metrics bounded in [0,1], hits <= min(k, n_rel)") {
+    val rows = Retrieval.retrievalMetrics(docs, Seq("spark", "table", "stream"), k = 10).collect()
+    assert(rows.map(_.getAs[String]("variant")).sorted.toSeq == Seq("hybrid", "lexical", "vector"))
+    rows.foreach { r =>
+      val (mrr, ndcg) = (r.getAs[Double]("mrr"), r.getAs[Double]("ndcg"))
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("hits") <= math.min(10L, r.getAs[Long]("n_rel")))
+    }
+  }
+
   test("hybrid RRF: a doc in both heads outranks the same-rank single-branch doc") {
     // structural: rrf(doc with lex_rn=r, vec_rn=r') > rrf(doc with only lex_rn=r)
     val rows = Retrieval.hybridRrf(docs, Seq("spark", "table", "stream")).collect()
