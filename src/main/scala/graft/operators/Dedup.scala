@@ -428,7 +428,17 @@ object Dedup {
     * their head hard, while a corpus with no rare shingles correctly
     * declines to prune. All-integer (cum·100 ≥ keepPct·total over the
     * bounded df-histogram relation, two-phase via BoundedWindow), so the
-    * cap is engine-exact. */
+    * cap is engine-exact.
+    *
+    * SAMPLE-SCALE by adjudication (round-10 sf10 campaign, the
+    * [[dedupRecall]] scoping): on a vocabulary-SATURATED corpus —
+    * distinct shingles plateau while df grows ∝ n — a percentile cap
+    * adapts to histogram SHAPE, not corpus SIZE: `graft.NgramProf`
+    * measured keepPct 90→99 moving an ≈9e9-row candidate volume by only
+    * 11% at 500k docs (SCALE.md). Use this form to pick parameters on a
+    * sample; the corpus-scale run is [[ngramJaccardBudget]], whose cap
+    * derives from predicted join WORK and bounds candidates at
+    * O(budget·n) for any corpus shape. */
   def ngramJaccardCappedAdaptive(documents: DataFrame, threshold: Double,
                                  keepPct: Int = 99,
                                  skewSafe: Boolean = true): DataFrame =
@@ -2112,6 +2122,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("hamming"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(asc("d1"), asc("d2"))
+  }
+
+  /** Corpus-size-dispatching simhash facade — the round-10 verdict's
+    * "auto-width" resolution (What's wrong #2): the 64-bit [[simhash]]
+    * caps band discrimination at 4×16 bits, which the sf10 campaign
+    * measured as 1.43e9 candidate rows / 77–145 GB shuffle scratch at
+    * 500k docs, while [[simhashWide]]'s 128-bit budget ladder completes
+    * the same corpus in 16 GB (51× candidate cut). Signature WIDTH fixes
+    * the PLAN SHAPE (one aggregate column per bit — a lazy plan cannot
+    * choose 64 vs 128 columns at runtime the way `simhashWide` derives
+    * its band bits in-plan), so the dispatch is one eager `count()` —
+    * a metadata-cheap parquet count, priced honestly in the entry — then
+    * the decision table README's dedup row documents:
+    *
+    *   n ≤ `widthSwitch` (200k docs) → [[simhash]] (64-bit, 4×16 bands;
+    *     scratch stays single-digit GB through sf1/50k docs);
+    *   n > `widthSwitch`             → [[simhashWide]] (128-bit,
+    *     budget-laddered 16..32-bit band keys; the measured sf10 path).
+    *
+    * Below the switch the two variants' band recall differs (4×16 vs the
+    * ladder's 8×16) but BOTH verify candidates exactly, and every gate
+    * scale the oracle actually runs at (sf0.01 driver gate, sf1 re-gate)
+    * sits below the switch, so the 64-bit oracle stays the oracle of
+    * record; above it the entry is gated engine-complete (the sf10
+    * campaign convention — DuckDB itself cannot run the dedup oracles
+    * there) and the wide mirror is the documented semantics. */
+  def simhashAuto(documents: DataFrame, threshold: Double,
+                  widthSwitch: Long = 200000L): DataFrame = {
+    val n = documents.count()
+    if (n <= widthSwitch) simhash(documents, threshold)
+    else simhashWide(documents, threshold)
   }
 
   /** Width-parameterized SimHash signature relation `(doc_id, simhash)` —

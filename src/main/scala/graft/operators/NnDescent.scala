@@ -54,27 +54,51 @@ object NnDescent {
   /** Per-table dimension block: table t reads dims [t·Block, t·Block+bits). */
   val Block = 16
 
-  /** (vec_id, t, bkey) banded sign-LSH keys with the band width derived
-    * IN-PLAN from the corpus count (clamp(2, Block, floor(log2(n DIV
-    * targetOcc)))) — shared by the graph build (all-pairs init within a
-    * bucket) and the graph search (the query's own buckets seed the
-    * walk). */
-  private def bandKeys(index: DataFrame, tables: Int, targetOcc: Int): DataFrame = {
-    val nb = index.agg(count(lit(1)).as("n"))
+  /** (vec_id, sgn) full-width sign projection — the narrow per-node
+    * relation [[graft.sources.GraphLayout]] persists beside the graph so
+    * query-time seeding never rescans the embedding column (round-10
+    * ADVICE #4: the walk was "hops tiny jobs" but its seeding re-derived
+    * the bands from the full corpus per search). Width is `tables·Block`
+    * chars, so the SAME stored string serves any band-bits value — bits
+    * stay derived in-plan from the count (a count over this narrow
+    * relation, not the wide vectors), keeping the stored-seed path
+    * bit-identical to the recompute path and the oracle. */
+  private[graft] def signsOf(index: DataFrame, tables: Int): DataFrame =
+    index.select(col("vec_id"),
+      signBucketAt(col("embedding"), 0, tables * Block).as("sgn"))
+
+  /** (vec_id, t, bkey) banded sign-LSH keys over a (vec_id, sgn)
+    * relation, band width derived IN-PLAN from its count (clamp(2,
+    * Block, floor(log2(n DIV targetOcc)))) — shared by the graph build
+    * (all-pairs init within a bucket) and the graph search (the query's
+    * own buckets seed the walk). */
+  private[graft] def bandKeysOfSigns(signs: DataFrame, targetOcc: Int): DataFrame = {
+    val nb = signs.agg(count(lit(1)).as("n"))
       .select(greatest(lit(2), least(lit(Block),
         length(bin(expr(s"n DIV $targetOcc"))) - 1)).as("bits"))
-    index
-      .select(col("vec_id"),
-        signBucketAt(col("embedding"), 0, tables * Block).as("sgn"))
+    signs
       .crossJoin(broadcast(nb))
-      .select(col("vec_id"), explode(expr(s"sequence(0, ${tables - 1})")).as("t"),
+      .select(col("vec_id"),
+        explode(expr(s"sequence(0, length(sgn) DIV $Block - 1)")).as("t"),
         col("sgn"), col("bits"))
       .select(col("vec_id"), col("t"),
         expr(s"substring(sgn, t * $Block + 1, bits)").as("bkey"))
   }
 
+  private def bandKeys(index: DataFrame, tables: Int, targetOcc: Int): DataFrame =
+    bandKeysOfSigns(signsOf(index, tables), targetOcc)
+
+  /** Optional candidate-volume sink for [[knnGraph]] — when non-null,
+    * each stage's candidate-pair count is recorded (forcing an eager
+    * count per stage, so ONLY profilers pass it; `graft.GraphVolProf`
+    * prints the three-decade table). The init volume is the quadratic
+    * risk surface the round-10 verdict flagged: band occupancy ×
+    * neighbor-of-neighbor fan-out. */
+  type ProfSink = scala.collection.mutable.Buffer[(String, Long)]
+
   def knnGraph(index: DataFrame, k: Int = 8, tables: Int = 4,
-               rounds: Int = 2, targetOcc: Int = 16): DataFrame = {
+               rounds: Int = 2, targetOcc: Int = 16,
+               prof: ProfSink = null): DataFrame = {
     require(tables * Block <= 384, "sign blocks exceed embedding dims")
     val v = index.select(col("vec_id"),
         col("embedding").cast("array<double>").as("ed"))
@@ -98,8 +122,9 @@ object NnDescent {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
 
+    if (prof != null) prof += ("init" -> init.count())
     var g = topPerA(score(init)).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // reverse edges capped at k per target, then the general neighborhood
       val rev = g
         .withColumn("rrn", row_number().over(
@@ -113,6 +138,7 @@ object NnDescent {
         .filter(col("a") =!= col("b"))
         .union(g.select("a", "b"))
         .distinct()
+      if (prof != null) prof += (s"round$r" -> cand.count())
       g = topPerA(score(cand)).localCheckpoint(true)
     }
     g.select(col("a").as("vec_id"), col("b").as("nbr"), col("rn"),
@@ -143,6 +169,21 @@ object NnDescent {
     * rebuild (candidate exposure differs — same contract as every
     * NN-descent implementation); the oracle mirrors the upsert algorithm
     * itself, so the gate pins the exact incremental semantics.
+    *
+    * At-least-once replay safety (round-10 ADVICE #1): a foreachBatch
+    * crash between the artifact swap and the streaming-checkpoint commit
+    * replays the batch against state that already absorbed it — the
+    * stored graph may carry batch-node a-side lists, and the stored
+    * vectors may already contain the batch's rows. Both inputs are
+    * therefore anti-joined against the batch ids here: `old` drops
+    * replayed batch vectors (a duplicated vec_id would double every
+    * score-join row and emit duplicate rn per list) and `gOldEdges`
+    * drops batch a-side lists (newEdges owns those — without the guard a
+    * replay emits two (vec_id, rn) lists per batch node). On a clean run
+    * both guards are no-ops, so the oracle is unchanged; on a replay the
+    * result is a VALID upsert whose candidate exposure may slightly
+    * exceed the clean run's (re-cut old lists expose their batch
+    * neighbors one hop earlier) — the same "upsert ≠ rebuild" contract.
     */
   def graphUpsert(old: DataFrame, batch: DataFrame, k: Int = 8,
                   tables: Int = 4, rounds: Int = 2,
@@ -157,26 +198,62 @@ object NnDescent {
     * maintains per micro-batch without ever rebuilding the base graph. */
   def graphUpsertWith(old: DataFrame, gOldEdges: DataFrame, batch: DataFrame,
                       k: Int = 8, tables: Int = 4,
-                      targetOcc: Int = 16): DataFrame = {
-    val full = old.unionByName(batch)
-    val v = full.select(col("vec_id"),
+                      targetOcc: Int = 16,
+                      oldSigns: Option[DataFrame] = None): DataFrame = {
+    val batchIds = batch.select("vec_id")
+    val oldOnly = old.join(batchIds, Seq("vec_id"), "left_anti")
+    val full = oldOnly.unionByName(batch)
+    // band relation over the post-insert corpus: from the PERSISTED sign
+    // strings when the stored artifact provides them (only the batch's
+    // signs are computed — the corpus embedding column is never rescanned
+    // per micro-batch; same replay anti-join as `old`), else derived from
+    // the live relation. Bits stay in-plan from the unioned count either
+    // way — identical values, identical oracle.
+    val fullSigns = oldSigns match {
+      case Some(s) => s.join(batchIds, Seq("vec_id"), "left_anti")
+        .unionByName(signsOf(batch, tables))
+      case None => signsOf(full, tables)
+    }
+    // SPLIT score join (round-11, the SignatureLayout probe shape): the
+    // per-batch rescore joins the corpus-scale vector relation on both
+    // pair sides. Unioning old∪batch BEFORE the join (the r10 form)
+    // destroys any partitioning the stored side arrives with, so every
+    // batch re-exchanged the corpus twice. Joining the two sides
+    // SEPARATELY and unioning the (disjoint — ids never overlap, and the
+    // replay guard enforces it) results keeps the stored side's bucketed
+    // layout usable: the batch side is explicitly broadcast (O(batch)),
+    // the stored side joins pre-partitioned when it comes from
+    // [[graft.sources.GraphLayout]]'s bucketed vectors. Each candidate
+    // relation is eagerly checkpointed first (tiny: O(batch·(occ+k²))
+    // for newCand; the old re-cut is the O(n·k) graph relation the batch
+    // rewrites anyway), since the nested split join references the pair
+    // subtree four times (the CollapseProject re-evaluation lesson).
+    val vOld = oldOnly.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("ed"))
+      .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+    val vNew = batch.select(col("vec_id"),
         col("embedding").cast("array<double>").as("ed"))
       .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
 
-    def score(pairs: DataFrame): DataFrame = pairs
-      .join(v.select(col("vec_id").as("a"), col("ed").as("ea"), col("nrm").as("na")), "a")
-      .join(v.select(col("vec_id").as("b"), col("ed").as("eb"), col("nrm").as("nb")), "b")
-      .select(col("a"), col("b"),
-        (dotc(col("ea"), col("eb")) / (col("na") * col("nb"))).as("s"))
+    def score(pairs: DataFrame): DataFrame = {
+      def side(p: DataFrame, key: String, e: String, n: String): DataFrame = {
+        def proj(vs: DataFrame) =
+          vs.select(col("vec_id").as(key), col("ed").as(e), col("nrm").as(n))
+        p.join(proj(vOld), key).unionByName(p.join(broadcast(proj(vNew)), key))
+      }
+      side(side(pairs, "a", "ea", "na"), "b", "eb", "nb")
+        .select(col("a"), col("b"),
+          (dotc(col("ea"), col("eb")) / (col("na") * col("nb"))).as("s"))
+    }
 
     def topPerA(scored: DataFrame): DataFrame = scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("a").orderBy(desc("s"), asc("b"))).cast("long"))
       .filter(col("rn") <= k)
 
-    val gOld = gOldEdges
     val bids = batch.select(col("vec_id").as("a"))
-    val bands = bandKeys(full, tables, targetOcc)
+    val gOld = gOldEdges.join(bids, Seq("a"), "left_anti")
+    val bands = bandKeysOfSigns(fullSigns, targetOcc)
     val bucketCand = bands.as("x")
       .join(bids.withColumnRenamed("a", "vec_id"), "vec_id")
       .join(bands.as("y"),
@@ -188,13 +265,13 @@ object NnDescent {
       .join(gOld.select(col("a").as("b"), col("b").as("c")), "b")
       .select(col("a"), col("c").as("b"))
       .filter(col("a") =!= col("b"))
-    val newEdges = topPerA(score(
-      bucketCand.union(hopCand).distinct())).localCheckpoint(true)
+    val newCand = bucketCand.union(hopCand).distinct().localCheckpoint(true)
+    val newEdges = topPerA(score(newCand)).localCheckpoint(true)
     // old nodes re-cut over stored edges ∪ reversed new edges
     val oldCand = gOld
       .union(newEdges.select(col("b").as("a"), col("a").as("b"))
         .join(bids, Seq("a"), "left_anti")) // a batch-node a-side is newEdges' job
-      .distinct()
+      .distinct().localCheckpoint(true)
     val oldEdges = topPerA(score(oldCand))
     oldEdges.unionByName(newEdges)
       .select(col("a").as("vec_id"), col("b").as("nbr"), col("rn"),
@@ -207,11 +284,9 @@ object NnDescent {
   def duckGraphUpsert(table: String, oldPred: String, batchPred: String,
                       k: Int = 8, tables: Int = 4, rounds: Int = 2,
                       targetOcc: Int = 16): String = {
-    val gOldSql = duckKnnGraph(s"(SELECT * FROM $table WHERE $oldPred) oldsrc",
-      k, tables, rounds, targetOcc)
-    val body = gOldSql.stripPrefix("WITH ")
-    val gIdx = body.lastIndexOf("SELECT a AS vec_id")
-    val graphCtes = body.substring(0, gIdx).trim.stripSuffix("\n")
+    val graphCtes = duckKnnGraphParts(
+      s"(SELECT * FROM $table WHERE $oldPred) oldsrc",
+      k, tables, rounds, targetOcc)._1
     val sgn = duckSignBucketAt("embedding", 0, tables * Block)
     val sc = s"${duckDot("va.embedding", "vb.embedding")} / (va.n * vb.n)"
     s"""WITH $graphCtes,
@@ -289,7 +364,8 @@ object NnDescent {
                   k: Int = 10, beam: Int = 8, hops: Int = 3,
                   excludeId: Long = 0L, tables: Int = 4,
                   targetOcc: Int = 16,
-                  pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                  pred: Option[org.apache.spark.sql.Column] = None,
+                  signs: Option[DataFrame] = None): DataFrame = {
     val q = queryVec.select(col("qv").cast("array<double>").as("qe"))
       .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
     val v = index.filter(col("vec_id") =!= excludeId)
@@ -306,8 +382,13 @@ object NnDescent {
       .filter(col("nbr") =!= excludeId)
     // seed set: the query's own band buckets (bits derived from the FULL
     // index count — the same relation the graph build banded) + the beam
-    // lowest ids as the never-empty fallback
-    val bands = bandKeys(index, tables, targetOcc)
+    // lowest ids as the never-empty fallback. When the caller holds the
+    // persisted sign relation (GraphLayout), seeding is a narrow keyed
+    // probe against it — NO embedding-column rescan per search (ADVICE
+    // #4); content is bit-identical to the recompute path, so the oracle
+    // is unchanged.
+    val bands = signs.map(bandKeysOfSigns(_, targetOcc))
+      .getOrElse(bandKeys(index, tables, targetOcc))
     val qb = bands.filter(col("vec_id") === excludeId).select("t", "bkey")
     val lshSeeds = bands.filter(col("vec_id") =!= excludeId)
       .join(broadcast(qb), Seq("t", "bkey"))
@@ -329,9 +410,13 @@ object NnDescent {
         visited.join(index.filter(p).select("vec_id"), "vec_id")
       case None => visited
     }
+    // rank the ≤k survivors without a global window (coalesce(1) +
+    // in-partition sort + monotonically_increasing_id ≡ row_number on
+    // partition 0) — keeps WindowExec warnings out of the bench tail so
+    // a real unpartitioned-window regression would stand out
     selected.orderBy(desc("s"), asc("vec_id")).limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(desc("s"), asc("vec_id"))).cast("long"))
+      .coalesce(1).sortWithinPartitions(desc("s"), asc("vec_id"))
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("long"))
       .select(col("rank"), col("vec_id"), round(col("s"), 6).as("sim"))
       .orderBy("rank")
   }
@@ -346,7 +431,8 @@ object NnDescent {
     * (vec_id ≠ qid), matching [[Knn.multiScored]]'s contract. */
   def multiGraphSearch(index: DataFrame, graph: DataFrame, queries: DataFrame,
                        k: Int = 10, beam: Int = 8, hops: Int = 3,
-                       tables: Int = 4, targetOcc: Int = 16): DataFrame = {
+                       tables: Int = 4, targetOcc: Int = 16,
+                       signs: Option[DataFrame] = None): DataFrame = {
     val q = queries.select(col("qid"), col("qv").cast("array<double>").as("qe"))
       .withColumn("qn", sqrt(dotc(col("qe"), col("qe"))))
     val v = index.select(col("vec_id"),
@@ -360,7 +446,8 @@ object NnDescent {
         (dotc(col("ed"), col("qe")) / (col("nrm") * col("qn"))).as("s"))
 
     val qids = queries.select("qid")
-    val bands = bandKeys(index, tables, targetOcc)
+    val bands = signs.map(bandKeysOfSigns(_, targetOcc))
+      .getOrElse(bandKeys(index, tables, targetOcc))
     val qb = bands.join(broadcast(qids), bands("vec_id") === qids("qid"))
       .select(col("qid"), col("t"), col("bkey"))
     val lshSeeds = bands.join(broadcast(qb), Seq("t", "bkey"))
@@ -393,8 +480,10 @@ object NnDescent {
     * query set — the graph row beside q_knn_recall's LSH/IVF/SQ8/PQ
     * variants (same report schema, same exact baseline construction). */
   def graphRecall(index: DataFrame, graph: DataFrame, queries: DataFrame,
-                  k: Int = 10, beam: Int = 8, hops: Int = 3): DataFrame = {
-    val got = multiGraphSearch(index, graph, queries, k, beam, hops)
+                  k: Int = 10, beam: Int = 8, hops: Int = 3,
+                  signs: Option[DataFrame] = None): DataFrame = {
+    val got = multiGraphSearch(index, graph, queries, k, beam, hops,
+        signs = signs)
       .select("qid", "vec_id")
     val w = Window.partitionBy("qid").orderBy(desc("sim_raw"), asc("vec_id"))
     val exact = Knn.multiScored(index, queries)
@@ -419,10 +508,7 @@ object NnDescent {
                       beam: Int = 8, hops: Int = 3, gk: Int = 8,
                       tables: Int = 4, rounds: Int = 2,
                       targetOcc: Int = 16): String = {
-    val graphSql = duckKnnGraph(table, gk, tables, rounds, targetOcc)
-    val body = graphSql.stripPrefix("WITH ")
-    val gIdx = body.lastIndexOf("SELECT a AS vec_id")
-    val graphCtes = body.substring(0, gIdx).trim.stripSuffix("\n")
+    val graphCtes = duckKnnGraphParts(table, gk, tables, rounds, targetOcc)._1
     val qsim = s"(${duckDot("vv.embedding", "q.qe")} / (vv.n * q.qn))"
     val hopCtes = (1 to hops).map { h =>
       s"""b$h AS (SELECT qid, vec_id FROM (
@@ -476,11 +562,7 @@ object NnDescent {
                       gk: Int = 8, tables: Int = 4, rounds: Int = 2,
                       targetOcc: Int = 16,
                       predSql: Option[String] = None): String = {
-    val graphSql = duckKnnGraph(table, gk, tables, rounds, targetOcc)
-    // reuse the graph chain as CTEs: strip its WITH + final SELECT
-    val body = graphSql.stripPrefix("WITH ")
-    val gIdx = body.lastIndexOf("SELECT a AS vec_id")
-    val graphCtes = body.substring(0, gIdx).trim.stripSuffix("\n")
+    val graphCtes = duckKnnGraphParts(table, gk, tables, rounds, targetOcc)._1
     val qsim = s"(${duckDot("vv.embedding", "q.qv")} / (vv.n * q.qn))"
     val hopCtes = (1 to hops).map { h =>
       s"""b$h AS (SELECT vec_id FROM v${h - 1} ORDER BY s DESC, vec_id LIMIT $beam),
@@ -515,12 +597,16 @@ object NnDescent {
        |ORDER BY rank""".stripMargin
   }
 
-  /** DuckDB mirror of [[knnGraph]] — the refinement loop unrolled into
-    * one CTE chain per round (deterministic round count makes recursion
-    * unnecessary, and unrolled CTEs sidestep DuckDB's recursive-term
-    * restrictions entirely). */
-  def duckKnnGraph(table: String, k: Int = 8, tables: Int = 4,
-                   rounds: Int = 2, targetOcc: Int = 16): String = {
+  /** [[duckKnnGraph]]'s CTE chain and final SELECT as SEPARATE strings —
+    * the composition seam [[duckGraphUpsert]]/[[duckGraphSearch]]/
+    * [[duckGraphRecall]] build on (round-10 ADVICE #2: they previously
+    * re-split the assembled SQL with `lastIndexOf` on the final SELECT's
+    * exact text — any rewording broke the splice with no compile-time
+    * signal). `rounds = 0` emits a valid chain ending at `g0` (no
+    * trailing comma — ADVICE #3's dangling-comma asymmetry vs the Spark
+    * path). */
+  def duckKnnGraphParts(table: String, k: Int = 8, tables: Int = 4,
+                        rounds: Int = 2, targetOcc: Int = 16): (String, String) = {
     val sgn = duckSignBucketAt("embedding", 0, tables * Block)
     def topPerA(src: String): String =
       s"""SELECT a, b, s, row_number() OVER (PARTITION BY a ORDER BY s DESC, b)::BIGINT AS rn
@@ -542,22 +628,35 @@ object NnDescent {
          |g$r AS (${topPerA(s"sc$r")})""".stripMargin
     val chain = (1 to rounds).map(r =>
       roundCtes(r, s"(SELECT * FROM g${r - 1} WHERE rn <= $k)")).mkString(",\n")
-    s"""WITH vn AS MATERIALIZED (
-       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS n,
-       |         $sgn AS sgn
-       |  FROM $table),
-       |bb AS (SELECT greatest(2, least($Block, length(bin((count(*)::BIGINT) // $targetOcc)) - 1)) AS bits FROM vn),
-       |bands AS (
-       |  SELECT vec_id, t, substr(sgn, t * $Block + 1, bits) AS bkey
-       |  FROM vn CROSS JOIN bb CROSS JOIN (SELECT unnest(range(0, $tables)) AS t)),
-       |init AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-       |  FROM bands x JOIN bands y ON x.t = y.t AND x.bkey = y.bkey AND x.vec_id <> y.vec_id),
-       |sc0 AS (SELECT init.a, init.b,
-       |    ${duckDot("va.embedding", "vb.embedding")} / (va.n * vb.n) AS s
-       |  FROM init JOIN vn va ON va.vec_id = init.a JOIN vn vb ON vb.vec_id = init.b),
-       |g0 AS (${topPerA("sc0")}),
-       |$chain
-       |SELECT a AS vec_id, b AS nbr, rn, round(s, 6) AS sim
-       |FROM g$rounds WHERE rn <= $k ORDER BY vec_id, rn""".stripMargin
+    val base =
+      s"""vn AS MATERIALIZED (
+         |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS n,
+         |         $sgn AS sgn
+         |  FROM $table),
+         |bb AS (SELECT greatest(2, least($Block, length(bin((count(*)::BIGINT) // $targetOcc)) - 1)) AS bits FROM vn),
+         |bands AS (
+         |  SELECT vec_id, t, substr(sgn, t * $Block + 1, bits) AS bkey
+         |  FROM vn CROSS JOIN bb CROSS JOIN (SELECT unnest(range(0, $tables)) AS t)),
+         |init AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM bands x JOIN bands y ON x.t = y.t AND x.bkey = y.bkey AND x.vec_id <> y.vec_id),
+         |sc0 AS (SELECT init.a, init.b,
+         |    ${duckDot("va.embedding", "vb.embedding")} / (va.n * vb.n) AS s
+         |  FROM init JOIN vn va ON va.vec_id = init.a JOIN vn vb ON vb.vec_id = init.b),
+         |g0 AS (${topPerA("sc0")})""".stripMargin
+    val ctes = if (rounds >= 1) base + ",\n" + chain else base
+    val fin =
+      s"""SELECT a AS vec_id, b AS nbr, rn, round(s, 6) AS sim
+         |FROM g$rounds WHERE rn <= $k ORDER BY vec_id, rn""".stripMargin
+    (ctes, fin)
+  }
+
+  /** DuckDB mirror of [[knnGraph]] — the refinement loop unrolled into
+    * one CTE chain per round (deterministic round count makes recursion
+    * unnecessary, and unrolled CTEs sidestep DuckDB's recursive-term
+    * restrictions entirely). */
+  def duckKnnGraph(table: String, k: Int = 8, tables: Int = 4,
+                   rounds: Int = 2, targetOcc: Int = 16): String = {
+    val (ctes, fin) = duckKnnGraphParts(table, k, tables, rounds, targetOcc)
+    s"WITH $ctes\n$fin"
   }
 }

@@ -102,14 +102,18 @@ object Retrieval {
   }
 
   /** Top-`n` of `scored` by (`scoreCol` desc, doc_id) with a 1-based rank
-    * column. The limit runs FIRST (TakeOrderedAndProject); the row_number
-    * window then orders only the n survivors — never the corpus. */
+    * column. The limit runs FIRST (TakeOrderedAndProject); the survivors
+    * are then ranked WITHOUT a global window — coalesce(1) + in-partition
+    * sort + monotonically_increasing_id over the ≤n rows (partition 0 →
+    * ids 0..n−1 in sort order, identical to row_number) — so the plan
+    * never carries an empty-partition-spec WindowExec and the "moving all
+    * data to a single partition" warning can only ever flag a REAL
+    * regression in bench tails (round-10 hygiene note). */
   private def rankHead(scored: DataFrame, scoreCol: String, n: Int,
                        rankName: String): DataFrame =
     scored.orderBy(desc(scoreCol), asc("doc_id")).limit(n)
-      .withColumn(rankName,
-        row_number().over(
-          Window.orderBy(desc(scoreCol), asc("doc_id"))).cast("long"))
+      .coalesce(1).sortWithinPartitions(desc(scoreCol), asc("doc_id"))
+      .withColumn(rankName, (monotonically_increasing_id() + 1).cast("long"))
       .select("doc_id", rankName)
 
   /** DuckDB mirror of [[hybridRrf]] — same statistics, same fixed-order

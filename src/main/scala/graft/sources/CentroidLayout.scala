@@ -22,7 +22,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * broadcast them by construction). */
 object CentroidLayout {
 
-  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val built = new BuildLatch
 
   def dirFor(sfDir: String, kind: String, params: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
@@ -36,12 +36,9 @@ object CentroidLayout {
   def ensureTrain(spark: SparkSession, index: DataFrame, sfDir: String,
                   k: Int = 16, iters: Int = 3): DataFrame = {
     val dir = dirFor(sfDir, "train", s"$k|$iters")
-    built.synchronized {
-      if (!built.contains(dir)) {
-        graft.operators.KMeans.train(index, k, iters)
-          .write.mode(SaveMode.Overwrite).parquet(dir)
-        built.add(dir)
-      }
+    built.onceIfAbsent(dir) {
+      graft.operators.KMeans.train(index, k, iters)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
     }
     spark.read.parquet(dir)
   }
@@ -50,10 +47,9 @@ object CentroidLayout {
   def rebuildTrain(spark: SparkSession, index: DataFrame, sfDir: String,
                    k: Int = 16, iters: Int = 3): DataFrame = {
     val dir = dirFor(sfDir, "train", s"$k|$iters")
-    built.synchronized {
+    built.always(dir) {
       graft.operators.KMeans.train(index, k, iters)
         .write.mode(SaveMode.Overwrite).parquet(dir)
-      built.add(dir)
     }
     spark.read.parquet(dir)
   }
@@ -63,12 +59,9 @@ object CentroidLayout {
   def ensurePq(spark: SparkSession, index: DataFrame, sfDir: String,
                m: Int = 8, dsub: Int = 8, k: Int = 16, iters: Int = 3): DataFrame = {
     val dir = dirFor(sfDir, "pq", s"$m|$dsub|$k|$iters")
-    built.synchronized {
-      if (!built.contains(dir)) {
-        graft.operators.KMeans.trainPq(index, m, dsub, k, iters)
-          .write.mode(SaveMode.Overwrite).parquet(dir)
-        built.add(dir)
-      }
+    built.onceIfAbsent(dir) {
+      graft.operators.KMeans.trainPq(index, m, dsub, k, iters)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
     }
     spark.read.parquet(dir)
   }

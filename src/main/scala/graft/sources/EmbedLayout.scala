@@ -34,7 +34,7 @@ import graft.functions.Embedder
   */
 object EmbedLayout {
 
-  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val built = new BuildLatch
 
   def dirFor(sfDir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
@@ -75,11 +75,8 @@ object EmbedLayout {
 
   private def ensured(spark: SparkSession, documents: DataFrame, sfDir: String): String = {
     val dir = dirFor(sfDir)
-    built.synchronized {
-      if (!built.contains(dir)) {
-        write(spark, documents, dir)
-        built.add(dir)
-      }
+    built.onceIfAbsent(dir) {
+      write(spark, documents, dir)
     }
     dir
   }
@@ -104,16 +101,13 @@ object EmbedLayout {
                        sfDir: String, nBits: Int): DataFrame = {
     val dir = ensured(spark, documents, sfDir)
     val p = s"$dir/lshth$nBits"
-    built.synchronized {
-      if (!built.contains(p)) {
-        import graft.functions.VecExprs.dotc
-        val e = readEmb(spark, dir)
-          .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
-        graft.operators.Dedup.balancedThresholds(e, nBits)
-          .coalesce(1)
-          .write.mode(SaveMode.Overwrite).parquet(p)
-        built.add(p)
-      }
+    built.onceIfAbsent(p) {
+      import graft.functions.VecExprs.dotc
+      val e = readEmb(spark, dir)
+        .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
+      graft.operators.Dedup.balancedThresholds(e, nBits)
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(p)
     }
     spark.read.parquet(p)
   }
@@ -123,9 +117,8 @@ object EmbedLayout {
     * never hide the ingest cost. */
   def rebuild(spark: SparkSession, documents: DataFrame, sfDir: String): DataFrame = {
     val dir = dirFor(sfDir)
-    built.synchronized {
+    built.always(dir) {
       write(spark, documents, dir)
-      built.add(dir)
     }
     readEmb(spark, dir)
   }

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   */
 object NbLayout {
 
-  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val built = new BuildLatch
 
   def dirFor(sfDir: String, testMod: Int, buckets: Int): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
@@ -115,11 +115,8 @@ object NbLayout {
   def ensureModel(spark: SparkSession, documents: DataFrame, sfDir: String,
                   testMod: Int, buckets: Int): (DataFrame, DataFrame) = {
     val dir = dirFor(sfDir, testMod, buckets)
-    built.synchronized {
-      if (!built.contains(dir)) {
-        write(spark, documents, dir, testMod, buckets)
-        built.add(dir)
-      }
+    built.onceIfAbsent(dir) {
+      write(spark, documents, dir, testMod, buckets)
     }
     graft.operators.TextAnalysis.nbModelOf(
       readCounts(spark, dir), readDocs(spark, dir))

@@ -30,7 +30,7 @@ object PairsLayout {
 
   /** Artifact directories this JVM has already (re)built — see the
     * freshness contract above. */
-  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val built = new BuildLatch
 
   /** Deterministic artifact dir for a (corpus dir, banding params) key,
     * under the repo-local `out/artifacts` root. */
@@ -100,13 +100,10 @@ object PairsLayout {
   def ensure(spark: SparkSession, documents: DataFrame, sfDir: String,
              threshold: Double, seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val dir = dirFor(sfDir, threshold, seeds, rowsPerBand)
-    built.synchronized {
-      if (!built.contains(dir)) {
-        // add only AFTER a successful write: a failed build must retry on
-        // the next touch, not hand out a missing/partial artifact
-        write(spark, documents, dir, threshold, seeds, rowsPerBand)
-        built.add(dir)
-      }
+    built.onceIfAbsent(dir) {
+      // add only AFTER a successful write: a failed build must retry on
+      // the next touch, not hand out a missing/partial artifact
+      write(spark, documents, dir, threshold, seeds, rowsPerBand)
     }
     read(spark, dir)
   }
@@ -263,9 +260,8 @@ object PairsLayout {
   def rebuild(spark: SparkSession, documents: DataFrame, sfDir: String,
               threshold: Double, seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val dir = dirFor(sfDir, threshold, seeds, rowsPerBand)
-    built.synchronized {
+    built.always(dir) {
       write(spark, documents, dir, threshold, seeds, rowsPerBand)
-      built.add(dir)
     }
     read(spark, dir)
   }

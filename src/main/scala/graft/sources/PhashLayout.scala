@@ -11,7 +11,7 @@ import graft.operators.Multimodal
   * relation. Freshness/caching contracts are [[PairsLayout]]'s. */
 object PhashLayout {
 
-  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val built = new BuildLatch
 
   /** Width (block rows) is part of the artifact key: a deployment that
     * re-signs at blockhash-128/256 when a length bucket approaches ~4M
@@ -39,11 +39,8 @@ object PhashLayout {
   def ensure(spark: SparkSession, documents: DataFrame, sfDir: String,
              width: Int = 64): DataFrame = {
     val dir = dirFor(sfDir, width)
-    built.synchronized {
-      if (!built.contains(dir)) {
-        write(spark, documents, dir, width)
-        built.add(dir)
-      }
+    built.onceIfAbsent(dir) {
+      write(spark, documents, dir, width)
     }
     read(spark, dir)
   }
@@ -53,9 +50,8 @@ object PhashLayout {
   def rebuild(spark: SparkSession, documents: DataFrame, sfDir: String,
               width: Int = 64): DataFrame = {
     val dir = dirFor(sfDir, width)
-    built.synchronized {
+    built.always(dir) {
       write(spark, documents, dir, width)
-      built.add(dir)
     }
     read(spark, dir)
   }
