@@ -484,7 +484,21 @@ object Dedup {
     * (boilerplate co-occurrence, the wanted drop). All-integer two-phase
     * prefix sum over the bounded df-histogram relation, engine-exact.
     * The same discipline as [[simhashWide]]'s banding budget: measure
-    * the quadratic before paying for it. */
+    * the quadratic before paying for it.
+    *
+    * SIZING the budget (round-11 sf10 adjudication): the candidate bound
+    * holds exactly — at 500k docs the default 256/doc predicted 1.28e8
+    * candidates and the join emitted them — but each candidate's exact
+    * verify carries ~2·mean_shingles join rows (~92 on that corpus), so
+    * END-TO-END scratch is budget·n·mean_sh rows, LINEAR in both knobs.
+    * budget=256 ≈ 23.5k verify rows/doc is routine for a cluster whose
+    * executor count scales with the corpus (per-node mass divides), but
+    * exceeded one 77 GB-scratch node at n=500k (ENOSPC, measured);
+    * budget=16 (≈1.5k verify rows/doc, 5.6e8 total) completes on the
+    * same box (`graft.NgramBudgetProf`, SCALE.md round-11). Size
+    * budget ≈ per_node_scratch_rows · executors / n. The knob's
+    * EXISTENCE is the fix: percentile caps had no setting that bounded
+    * this corpus' volume at all. */
   def ngramJaccardBudget(documents: DataFrame, threshold: Double,
                          candidateBudget: Int = 256,
                          skewSafe: Boolean = true): DataFrame =

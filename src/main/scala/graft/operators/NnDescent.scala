@@ -290,16 +290,16 @@ object NnDescent {
     val sgn = duckSignBucketAt("embedding", 0, tables * Block)
     val sc = s"${duckDot("va.embedding", "vb.embedding")} / (va.n * vb.n)"
     s"""WITH $graphCtes,
-       |gold AS (SELECT a, b FROM g$rounds WHERE rn <= $k),
+       |gold AS MATERIALIZED (SELECT a, b FROM g$rounds WHERE rn <= $k),
        |fvn AS MATERIALIZED (
        |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS n,
        |         $sgn AS sgn, ($batchPred) AS isb
        |  FROM $table WHERE ($oldPred) OR ($batchPred)),
        |fbb AS (SELECT greatest(2, least($Block, length(bin((count(*)::BIGINT) // $targetOcc)) - 1)) AS bits FROM fvn),
-       |fbands AS (
+       |fbands AS MATERIALIZED (
        |  SELECT vec_id, isb, t, substr(sgn, t * $Block + 1, bits) AS bkey
        |  FROM fvn CROSS JOIN fbb CROSS JOIN (SELECT unnest(range(0, $tables)) AS t)),
-       |bcand AS (SELECT x.vec_id AS a, y.vec_id AS b
+       |bcand AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b
        |  FROM fbands x JOIN fbands y ON x.t = y.t AND x.bkey = y.bkey AND x.vec_id <> y.vec_id
        |  WHERE x.isb),
        |ncand AS (SELECT DISTINCT a, b FROM (
@@ -310,7 +310,7 @@ object NnDescent {
        |  WHERE bc.a <> g.c)),
        |nsc AS (SELECT nc.a, nc.b, $sc AS s
        |  FROM ncand nc JOIN fvn va ON va.vec_id = nc.a JOIN fvn vb ON vb.vec_id = nc.b),
-       |nedge AS (SELECT a, b, s, row_number() OVER (PARTITION BY a ORDER BY s DESC, b)::BIGINT AS rn
+       |nedge AS MATERIALIZED (SELECT a, b, s, row_number() OVER (PARTITION BY a ORDER BY s DESC, b)::BIGINT AS rn
        |  FROM nsc),
        |ocand AS (SELECT DISTINCT a, b FROM (
        |  SELECT a, b FROM gold
@@ -518,14 +518,14 @@ object NnDescent {
          |        FROM edges e JOIN b$h b USING (vec_id)
          |        WHERE e.b <> b.qid AND NOT EXISTS (
          |          SELECT 1 FROM v${h - 1} v WHERE v.qid = b.qid AND v.vec_id = e.b)),
-         |v$h AS (SELECT * FROM v${h - 1} UNION ALL
+         |v$h AS MATERIALIZED (SELECT * FROM v${h - 1} UNION ALL
          |        SELECT f.qid, f.vec_id, $qsim AS s
          |        FROM f$h f JOIN vn vv ON vv.vec_id = f.vec_id
          |        JOIN qs q ON q.qid = f.qid)""".stripMargin
     }.mkString(",\n")
     s"""WITH $graphCtes,
-       |edges AS (SELECT a AS vec_id, b FROM g$rounds WHERE rn <= $gk),
-       |qs AS (SELECT vec_id AS qid, embedding AS qe, n AS qn FROM vn
+       |edges AS MATERIALIZED (SELECT a AS vec_id, b FROM g$rounds WHERE rn <= $gk),
+       |qs AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe, n AS qn FROM vn
        |       WHERE vec_id < $nQueries),
        |qb AS (SELECT vec_id AS qid, t, bkey FROM bands WHERE vec_id < $nQueries),
        |lows AS (SELECT vec_id FROM vn ORDER BY vec_id LIMIT $beam),
@@ -534,14 +534,14 @@ object NnDescent {
        |  WHERE x.vec_id <> qb.qid
        |  UNION ALL
        |  SELECT q.qid, l.vec_id FROM qs q CROSS JOIN lows l WHERE l.vec_id <> q.qid)),
-       |v0 AS (SELECT s.qid, s.vec_id, $qsim AS s
+       |v0 AS MATERIALIZED (SELECT s.qid, s.vec_id, $qsim AS s
        |       FROM seeds s JOIN vn vv ON vv.vec_id = s.vec_id
        |       JOIN qs q ON q.qid = s.qid),
        |$hopCtes,
        |got AS (SELECT qid, vec_id FROM (
        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
        |  FROM v$hops) WHERE rn <= $k),
-       |ex AS (SELECT qid, vec_id FROM (
+       |ex AS MATERIALIZED (SELECT qid, vec_id FROM (
        |  SELECT q.qid, e.vec_id,
        |         row_number() OVER (PARTITION BY q.qid
        |           ORDER BY ${duckDot("e.embedding", "q.qe")} / (e.n * q.qn) DESC, e.vec_id) AS rn
@@ -569,16 +569,16 @@ object NnDescent {
          |f$h AS (SELECT DISTINCT e.b AS vec_id
          |        FROM edges e JOIN b$h USING (vec_id)
          |        WHERE e.b NOT IN (SELECT vec_id FROM v${h - 1})),
-         |v$h AS (SELECT * FROM v${h - 1} UNION ALL
+         |v$h AS MATERIALIZED (SELECT * FROM v${h - 1} UNION ALL
          |        SELECT vv.vec_id, $qsim AS s
          |        FROM vv JOIN f$h USING (vec_id) CROSS JOIN q)""".stripMargin
     }.mkString(",\n")
     s"""WITH $graphCtes,
-       |edges AS (SELECT a AS vec_id, b FROM g$rounds
+       |edges AS MATERIALIZED (SELECT a AS vec_id, b FROM g$rounds
        |          WHERE rn <= $gk AND b <> $excludeId),
        |q AS (SELECT embedding AS qv, sqrt(${duckDot("embedding", "embedding")}) AS qn
        |      FROM $table WHERE vec_id = $excludeId),
-       |vv AS (SELECT vec_id, embedding, n FROM vn WHERE vec_id <> $excludeId),
+       |vv AS MATERIALIZED (SELECT vec_id, embedding, n FROM vn WHERE vec_id <> $excludeId),
        |seeds AS (
        |  SELECT DISTINCT vec_id FROM (
        |    SELECT x.vec_id FROM bands x
@@ -586,7 +586,7 @@ object NnDescent {
        |    WHERE x.vec_id <> $excludeId
        |    UNION ALL
        |    SELECT vec_id FROM (SELECT vec_id FROM vv ORDER BY vec_id LIMIT $beam))),
-       |v0 AS (SELECT vv.vec_id, $qsim AS s
+       |v0 AS MATERIALIZED (SELECT vv.vec_id, $qsim AS s
        |       FROM seeds JOIN vv USING (vec_id) CROSS JOIN q),
        |$hopCtes
        |SELECT row_number() OVER (ORDER BY s DESC, vec_id)::BIGINT AS rank,
