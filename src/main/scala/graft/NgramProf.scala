@@ -52,7 +52,7 @@ object NgramProf {
 
     for (k <- keeps) {
       // in-plan cap derivation (mirror of ngramJaccardCappedAdaptive)
-      val wH = graft.functions.BoundedWindow.boundedGlobal(lit("dfh"), asc("df"))
+      val wH = graft.functions.BoundedWindow.boundedGlobal(col("df"), asc("df"))
       val cum = hist.withColumn("cum", sum("n").over(wH))
       val tot = hist.agg(sum("n").as("t"))
       val cap = cum.crossJoin(broadcast(tot))

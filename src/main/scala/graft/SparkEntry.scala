@@ -354,6 +354,13 @@ object SparkEntry {
     // caps move a 9e9-row volume by 11%, a budget bounds it outright)
     "q_dedup_ngram_budget" -> ((s, dir) =>
       Dedup.ngramJaccardBudget(Tables.documents(s, dir), threshold = 0.5)),
+    // asymmetric near-dup: shingle CONTAINMENT (overlap coefficient,
+    // i / min(n1, n2)) — the partial-copy/quote detector symmetric
+    // Jaccard structurally misses (a doc fully contained in a 100×
+    // larger doc has Jaccard ~0.01); same budget-capped candidate
+    // machinery, exact verify, O(budget·n) candidates
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainment(Tables.documents(s, dir), threshold = 0.8)),
     // AUTO-WIDTH since round 11 (the sf10 decision table, judge task #3):
     // one eager count dispatches n ≤ 200k docs → 64-bit 4×16-band
     // geometry (every oracle-compared scale), n > 200k → the 128-bit
@@ -516,6 +523,12 @@ object SparkEntry {
     // bottom-k (shards ship ≤k hashes, never shingles)
     "q_kmv_merge" -> ((s, dir) =>
       graft.operators.Sketches.kmvMergeShingles(Tables.documents(s, dir))),
+    // mergeable quantile sketch (DDSketch dyadic form, γ = 2^(1/4)):
+    // per-lang doc-length quantiles from 4-sub-bucket log2 histograms —
+    // constant addable state, shard partials sum-merged, merged ≡ direct
+    // gate-checked (the missing QUANTILE row beside HLL/Bloom/CMS/KMV)
+    "q_quantile_sketch" -> ((s, dir) =>
+      graft.operators.Sketches.ddQuantileLengths(Tables.documents(s, dir))),
     // streaming cardinality: micro-batches ship 16-int registers, final
     // estimate max-merges base ∪ batches ≡ full-corpus sketch (the
     // q_hll_merge property makes the stream batch-split invariant)
@@ -982,6 +995,7 @@ object SparkEntry {
     "q_dedup_ngram_capped" -> Dedup.duckNgramCappedSql("documents", 0.5, 20),
     "q_dedup_ngram_adaptive" -> Dedup.duckNgramCappedAdaptiveSql("documents", 0.5),
     "q_dedup_ngram_budget" -> Dedup.duckNgramBudgetSql("documents", 0.5),
+    "q_dedup_containment" -> Dedup.duckNgramContainmentSql("documents", 0.8),
     "q_span_dedup"    -> Dedup.duckSpanSql("documents", 5),
     "q_span_removed"  -> Dedup.duckSpanRemovedSql("documents", 5),
     "q_dedup_recall"  -> Dedup.duckDedupRecall("documents"),
@@ -1031,6 +1045,7 @@ object SparkEntry {
     "q_hll_distinct"  -> graft.operators.Sketches.duckHllDistinctShingles("documents"),
     "q_hll_merge"     -> graft.operators.Sketches.duckHllMergeShingles("documents"),
     "q_kmv_merge"     -> graft.operators.Sketches.duckKmvMergeShingles("documents"),
+    "q_quantile_sketch" -> graft.operators.Sketches.duckDdQuantileLengths("documents"),
     "q_stream_hll"    -> graft.operators.Sketches.duckHllEstOnly("documents"),
     "q_decontam"      -> CorpusOps.duckDecontaminate("documents"),
     "q_bloom_decontam" -> graft.operators.Sketches.duckBloomDecontam("documents"),

@@ -42,8 +42,15 @@ object BoundedWindow {
   /** Window over a bounded relation: single task by design, warning-free.
     * `tag` is any column of the relation (used only to make the
     * constant-zero key non-foldable; it never affects the result). */
-  def boundedGlobal(tag: Column, order: Column*): WindowSpec =
+  def boundedGlobal(tag: Column, order: Column*): WindowSpec = {
+    // a foldable tag (lit(...)) folds the whole key and
+    // EliminateWindowPartitions re-empties the spec — the warning comes
+    // back silently; four call sites had drifted onto lits before this
+    // guard existed (round-11 audit)
+    require(tag.node.getClass.getSimpleName != "Literal",
+      "boundedGlobal tag must be a real column of the relation, not a literal")
     Window.partitionBy(
       coalesce(pmod(length(tag.cast("string")).cast("long"), lit(1L)), lit(0L)))
       .orderBy(order: _*)
+  }
 }

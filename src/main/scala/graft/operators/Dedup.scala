@@ -452,7 +452,7 @@ object Dedup {
     val (shDf0, h) = dfShinglesWith(documents, skewSafe)
     val hist = shDf0.select(col("s"), col("df")).distinct()
       .groupBy("df").agg(count(lit(1)).as("n"))
-    val wH = graft.functions.BoundedWindow.boundedGlobal(lit("dfh"), asc("df"))
+    val wH = graft.functions.BoundedWindow.boundedGlobal(col("df"), asc("df"))
     val cum = hist.withColumn("cum", sum("n").over(wH))
     val tot = hist.agg(sum("n").as("t"))
     val cap = cum.crossJoin(broadcast(tot))
@@ -512,7 +512,7 @@ object Dedup {
     val (shDf0, h) = dfShinglesWith(documents, skewSafe)
     val hist = shDf0.select(col("s"), col("df")).distinct()
       .groupBy("df").agg(count(lit(1)).as("n"))
-    val wH = graft.functions.BoundedWindow.boundedGlobal(lit("dfh"), asc("df"))
+    val wH = graft.functions.BoundedWindow.boundedGlobal(col("df"), asc("df"))
     val cum = hist.withColumn("cc",
       sum(expr("n * (df * (df - 1) DIV 2)")).over(wH))
     val nd = documents.agg(count(lit(1)).as("ndocs"))
@@ -573,6 +573,17 @@ object Dedup {
 
   private def cappedPairsOfWith(shDf: DataFrame, cap: Column,
                                 threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    val (inter, sizes, h) = cappedInterWith(shDf, cap)
+    (jaccardTail(inter, sizes, threshold), h)
+  }
+
+  /** The capped two-pass candidate + EXACT intersection seam shared by
+    * the Jaccard tail ([[cappedPairsOfWith]]) and the containment tail
+    * ([[ngramContainmentWith]]): (inter (d1, d2, i), sizes (doc_id, n),
+    * cache handles). Pairs are found via rare shingles only; `i` is the
+    * exact UNCAPPED intersection. */
+  private def cappedInterWith(shDf: DataFrame,
+                              cap: Column): (DataFrame, DataFrame, Seq[DataFrame]) = {
     val rare = shDf.filter(col("df") <= cap)
     val freq = shDf.filter(col("df") > cap)
     // Pass 1 — the bounded quadratic: self-join the RARE partition on s and
@@ -602,8 +613,90 @@ object Dedup {
       .select(col("d1"), col("d2"),
         (col("i_r") + coalesce(col("i_f"), lit(0L))).as("i"))
     val sizes = shDf.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    (jaccardTail(inter, sizes, threshold), Seq(iRare))
+    (inter, sizes, Seq(iRare))
   }
+
+  /** Asymmetric near-dup: shingle CONTAINMENT (overlap coefficient)
+    * `i / min(n1, n2)` ≥ threshold — the partial-copy detector symmetric
+    * Jaccard structurally misses. A 40-shingle quote embedded in a
+    * 4,000-shingle page scores Jaccard ≈ 0.01 (invisible at any usable
+    * threshold) but containment 1.0; for a training corpus this is the
+    * quote/concatenation/boilerplate-wrapper class — the smaller doc
+    * carries no novel text, the LLM-pipeline reason to want the pair.
+    *
+    * Same scale machinery as [[ngramJaccardBudget]] end to end: the
+    * candidate-budget df cap bounds candidate generation at O(budget·n)
+    * on any corpus shape, pairs are found via rare shared shingles, and
+    * the intersection is completed EXACTLY over the frequent partition
+    * ([[cappedInterWith]] — the shared seam), so containment values are
+    * never approximate; the cap only bounds which pairs can be FOUND
+    * (a pair sharing exclusively head shingles is boilerplate
+    * co-occurrence, the wanted drop — and for containment specifically,
+    * a contained doc made ONLY of ubiquitous shingles is template text,
+    * not a copied passage). `min(n1, n2)` (not n1): the output is
+    * direction-free under the d1 < d2 normalization; n1/n2 ride along
+    * so the consumer can orient the containment (the smaller side is
+    * the contained one). */
+  def ngramContainment(documents: DataFrame, threshold: Double = 0.8,
+                       candidateBudget: Int = 256,
+                       skewSafe: Boolean = true): DataFrame =
+    ngramContainmentWith(documents, threshold, candidateBudget, skewSafe)._1
+
+  /** [[ngramContainment]] with cache handles — the
+    * [[ngramJaccardCappedWith]] lifecycle. */
+  def ngramContainmentWith(documents: DataFrame, threshold: Double,
+                           candidateBudget: Int = 256,
+                           skewSafe: Boolean = true): (DataFrame, Seq[DataFrame]) = {
+    val (shDf0, h) = dfShinglesWith(documents, skewSafe)
+    val hist = shDf0.select(col("s"), col("df")).distinct()
+      .groupBy("df").agg(count(lit(1)).as("n"))
+    val wH = graft.functions.BoundedWindow.boundedGlobal(col("df"), asc("df"))
+    val cum = hist.withColumn("cc",
+      sum(expr("n * (df * (df - 1) DIV 2)")).over(wH))
+    val nd = documents.agg(count(lit(1)).as("ndocs"))
+    val cap = cum.crossJoin(broadcast(nd))
+      .filter(col("cc") <= col("ndocs") * candidateBudget)
+      .agg(coalesce(max("df"), lit(1L)).as("cap"))
+    val (inter, sizes, h2) =
+      cappedInterWith(shDf0.crossJoin(broadcast(cap)), col("cap"))
+    val out = inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")).hint("merge"), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")).hint("merge"), "d2")
+      .withColumn("containment",
+        col("i").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= threshold)
+      .select(col("d1"), col("d2"), col("n1"), col("n2"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(asc("d1"), asc("d2"))
+    (out, h ++ h2)
+  }
+
+  /** DuckDB mirror of [[ngramContainment]] — budget cap + rare-shingle
+    * candidates + exact intersection + overlap-coefficient tail. */
+  def duckNgramContainmentSql(table: String, threshold: Double,
+                              candidateBudget: Int = 256): String =
+    s"""WITH ${duckSh(table)},
+       |dfr AS MATERIALIZED (SELECT s, count(*)::BIGINT AS df FROM sh GROUP BY s),
+       |hist AS (SELECT df, count(*)::BIGINT AS n FROM dfr GROUP BY df),
+       |nd AS (SELECT count(*)::BIGINT AS ndocs FROM $table),
+       |cum AS (SELECT df, CAST(sum(n * (df * (df - 1) // 2)) OVER (ORDER BY df)
+       |               AS BIGINT) AS cc FROM hist),
+       |cap AS (SELECT coalesce(max(df), 1) AS cap FROM cum, nd
+       |        WHERE cc <= ndocs * $candidateBudget),
+       |rare AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh
+       |         JOIN dfr USING (s), cap WHERE dfr.df <= cap.cap),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+       |inter AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT d1, d2, s1.n AS n1, s2.n AS n2,
+       |       round(i::DOUBLE / least(s1.n, s2.n), 6) AS containment
+       |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE i::DOUBLE / least(s1.n, s2.n) >= $threshold
+       |ORDER BY d1, d2""".stripMargin
 
   def duckNgramCappedSql(table: String, threshold: Double, maxDf: Int): String =
     s"""WITH ${duckSh(table)},

@@ -598,4 +598,109 @@ object Sketches {
        |       (mest.est_raw = dest.est_raw) AS merged_eq_direct
        |FROM mest JOIN dest ON dest.lang = mest.lang ORDER BY mest.lang""".stripMargin
   }
+
+  // ------------------------------------------------------ quantile sketch
+
+  /** Mergeable QUANTILE sketch over per-doc token counts, per language —
+    * the DDSketch/HdrHistogram family (Masson et al., VLDB 2019) in its
+    * dyadic form: bucket a value x ≥ 1 by (b, sub) where b = floor(log2 x)
+    * (`length(bin(x)) − 1`, the engine-exact quantized-log trick) and
+    * sub = (4x DIV 2^b) − 4 ∈ {0..3} — four linear sub-buckets per
+    * octave, i.e. DDSketch with γ = 2^(1/4) ≈ 1.19. A quantile estimate
+    * is the lower bound of the bucket where the cumulative count crosses
+    * the rank (all-integer crossing test, `cum·100 ≥ pct·n`), so the
+    * estimate under-reports by at most the bucket width: relative error
+    * ≤ 25% guaranteed, ≤ 12.5% expected — and the whole sketch is
+    * ~4·log2(max) integers per group.
+    *
+    * Why it exists: exact percentiles need a per-group SORT of every
+    * value (or Spark's `percentile`, which buffers the group); this
+    * histogram is one linear pass → (lang, bucket) counts — map-side
+    * partial, CONSTANT state, and MERGEABLE BY ADDITION, which is the
+    * property the gate checks: shard partials per source, sum-merge
+    * them, and assert the merged quantiles equal the direct
+    * single-pass quantiles (`merged_eq_direct`, the [[hllMergeShingles]]
+    * contract — counts are exact integers so merge-exactness is
+    * structural, and that structural exactness is precisely what makes
+    * the sketch a distributed-aggregation shape: micro-batches,
+    * executors, and days of a feed all ship addable histograms).
+    *
+    * Engine-exact by construction: bucket ids are integer arithmetic;
+    * bucket lower bounds `(4 + sub)·2^b / 4.0` are dyadic rationals
+    * (exact in IEEE754 on both engines); the crossing test is integer.
+    * Output: (lang, n_docs, q50, q90, q99, merged_eq_direct). */
+  def ddQuantileLengths(documents: DataFrame): DataFrame = {
+    val lens = documents.select(col("lang"), col("source"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("x"))
+      .filter(col("x") >= 1)
+    val withBuckets = lens
+      .withColumn("b", (length(bin(col("x"))) - 1).cast("long"))
+      .withColumn("p2", expr("cast(pow(2, b) as long)"))
+      .withColumn("sub", expr("x * 4 DIV p2 - 4"))
+    val part = withBuckets.groupBy("lang", "source", "b", "sub")
+      .agg(count(lit(1)).as("c"))
+    val merged = part.groupBy("lang", "b", "sub").agg(sum("c").as("c"))
+    val direct = withBuckets.groupBy("lang", "b", "sub")
+      .agg(count(lit(1)).as("c"))
+    def quantilesOf(hist: DataFrame, suffix: String): DataFrame = {
+      // bounded relation: |langs| × ~4·log2(max_len) rows — the per-lang
+      // cumulative window is the BoundedWindow shape
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(asc("b"), asc("sub"))
+      val cum = hist
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+        // cast-to-double explicitly: expr()'s bare `4.0` literal is
+        // DecimalType in Spark (the mirror of the DuckDB decimal-literal
+        // rule) and would type the whole column DECIMAL
+        .withColumn("rep",
+          expr("cast((4 + sub) * cast(pow(2, b) as long) as double) / cast(4 as double)"))
+      cum.groupBy("lang").agg(
+        max("n").as(s"n$suffix"),
+        min(when(col("cum") * 100 >= lit(50) * col("n"), col("rep"))).as(s"q50$suffix"),
+        min(when(col("cum") * 100 >= lit(90) * col("n"), col("rep"))).as(s"q90$suffix"),
+        min(when(col("cum") * 100 >= lit(99) * col("n"), col("rep"))).as(s"q99$suffix"))
+    }
+    quantilesOf(merged, "_m").join(quantilesOf(direct, "_d"), "lang")
+      .select(col("lang"), col("n_m").as("n_docs"),
+        col("q50_m").as("q50"), col("q90_m").as("q90"), col("q99_m").as("q99"),
+        (col("q50_m") === col("q50_d") && col("q90_m") === col("q90_d") &&
+          col("q99_m") === col("q99_d") && col("n_m") === col("n_d"))
+          .as("merged_eq_direct"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[ddQuantileLengths]] — same dyadic buckets,
+    * integer crossing test, shard-partial merge gate. */
+  def duckDdQuantileLengths(table: String): String = {
+    def qCtes(src: String, p: String): String =
+      s"""${p}cum AS (SELECT lang, b, sub, c,
+         |         CAST(sum(c) OVER (PARTITION BY lang ORDER BY b, sub) AS BIGINT) AS cum,
+         |         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n,
+         |         (4 + sub) * CAST(power(2, b) AS BIGINT) / 4.0 AS rep
+         |       FROM $src),
+         |${p}q AS (SELECT lang, max(n) AS n,
+         |             min(CASE WHEN cum * 100 >= 50 * n THEN rep END) AS q50,
+         |             min(CASE WHEN cum * 100 >= 90 * n THEN rep END) AS q90,
+         |             min(CASE WHEN cum * 100 >= 99 * n THEN rep END) AS q99
+         |      FROM ${p}cum GROUP BY lang)""".stripMargin
+    s"""WITH lens AS (SELECT lang, source,
+       |                CAST(len(${duckTokens("text")}) AS BIGINT) AS x
+       |              FROM $table),
+       |bk AS (SELECT lang, source, x,
+       |              CAST(length(bin(x)) - 1 AS BIGINT) AS b,
+       |              x * 4 // CAST(power(2, CAST(length(bin(x)) - 1 AS BIGINT)) AS BIGINT) - 4 AS sub
+       |       FROM lens WHERE x >= 1),
+       |part AS (SELECT lang, source, b, sub, count(*)::BIGINT AS c
+       |         FROM bk GROUP BY 1, 2, 3, 4),
+       |mrg AS (SELECT lang, b, sub, CAST(sum(c) AS BIGINT) AS c FROM part GROUP BY 1, 2, 3),
+       |dct AS (SELECT lang, b, sub, count(*)::BIGINT AS c FROM bk GROUP BY 1, 2, 3),
+       |${qCtes("mrg", "m")},
+       |${qCtes("dct", "d")}
+       |SELECT mq.lang, mq.n AS n_docs, mq.q50, mq.q90, mq.q99,
+       |       (mq.q50 = dq.q50 AND mq.q90 = dq.q90 AND mq.q99 = dq.q99
+       |        AND mq.n = dq.n) AS merged_eq_direct
+       |FROM mq JOIN dq ON dq.lang = mq.lang ORDER BY mq.lang""".stripMargin
+  }
 }

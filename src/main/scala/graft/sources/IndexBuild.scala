@@ -474,7 +474,9 @@ object IndexBuild {
     val e = els.select(col("id"), col("embedding").cast("array<double>").as("ed"))
       .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
     val seeds = e.orderBy(asc("id")).limit(numCentroids)
-    val w = graft.functions.BoundedWindow.boundedGlobal(lit("seed"), asc("id"))
+    // tag must be a REAL column (a lit folds and EliminateWindowPartitions
+    // re-empties the spec — the warning comes back; BoundedWindow scaladoc)
+    val w = graft.functions.BoundedWindow.boundedGlobal(col("id"), asc("id"))
     val cent0 = seeds
       .withColumn("cid", (row_number().over(w) - 1).cast("long"))
       .select(col("cid"), col("ed").as("ce"), col("nrm").as("cn"))

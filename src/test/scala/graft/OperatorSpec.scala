@@ -614,6 +614,66 @@ class OperatorSpec extends AnyFunSuite {
     assert(p.getAs[Long]("hamming") == direct.toLong)
   }
 
+  test("ngramContainment: finds the planted doc-in-doc pair Jaccard misses") {
+    import spark.implicits._
+    val big = (1 to 200).map(i => s"w$i").mkString(" ")
+    val quote = (50 to 69).map(i => s"w$i").mkString(" ") // 20-token passage of big
+    val synth = Seq(
+      (1L, big), (2L, quote),
+      (3L, (1 to 60).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.ngramContainment(synth, threshold = 0.8).collect()
+    spark.sharedState.cacheManager.clearCache()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val p = rows.head
+    val (n1, n2) = (p.getAs[Long]("n1"), p.getAs[Long]("n2"))
+    // every shingle of the quote appears in big → containment exactly 1
+    assert(p.getAs[Double]("containment") == 1.0)
+    // and symmetric Jaccard on the same pair is far below any usable
+    // threshold — the class this operator exists for
+    val i = math.min(n1, n2) // containment 1.0 ⇒ i = min side
+    val jac = i.toDouble / (n1 + n2 - i)
+    assert(jac < 0.2)
+  }
+
+  test("ddQuantileLengths: merge-exact, and estimates obey the 25% dyadic bound") {
+    import graft.operators.Sketches
+    val out = Sketches.ddQuantileLengths(docs).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("merged_eq_direct")))
+    // exact disc percentiles per lang from the same length definition
+    val lens = docs.select(col("lang"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("x"))
+      .filter(col("x") >= 1).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    for (r <- out; (q, pct) <- Seq(("q50", 50), ("q90", 90), ("q99", 99))) {
+      val xs = lens(r.getString(0))
+      // first rank where cum*100 >= pct*n — the sketch's own crossing rule
+      val exact = xs((xs.length * pct + 99) / 100 - 1).toDouble
+      val est = r.getAs[Double](q)
+      // estimate is the crossing bucket's LOWER bound; the exact value
+      // lies in that bucket: est ≤ exact < est·1.25
+      assert(est <= exact && exact < est * 1.25 + 1e-9,
+        s"${r.getString(0)} $q: est=$est exact=$exact")
+    }
+  }
+
+  test("simhashAuto: dispatches by corpus size per the decision table") {
+    // below the switch: identical to the 64-bit operator (the gate path —
+    // every oracle-compared scale sits here)
+    val auto = Dedup.simhashAuto(docs, threshold = 0.5).collect().toSeq
+    val fixed = Dedup.simhash(docs, threshold = 0.5).collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    assert(auto == fixed)
+    // above the switch (forced with a tiny widthSwitch): identical to the
+    // width-laddered scale path
+    val wide = Dedup.simhashAuto(docs, threshold = 0.5, widthSwitch = 1L)
+      .collect().toSeq
+    val wideRef = Dedup.simhashWide(docs, threshold = 0.5).collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    assert(wide == wideRef)
+  }
+
   test("collocations: quantized PMI recomputes from the row's own counts") {
     def lb(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
     val nTok = docs.select(explode(graft.functions.TextFns.tokens(col("text"))).as("t")).count()
