@@ -534,6 +534,12 @@ object SparkEntry {
     // q_hll_merge property makes the stream batch-split invariant)
     "q_stream_hll" -> ((s, dir) =>
       graft.streaming.StreamOps.streamedHll(s, dir)),
+    // streaming quantiles: micro-batches ship addable (lang, b, sub, c)
+    // histogram partials; sum-merge is EXACT so streamed ≡ single-pass
+    // full-corpus sketch (batch-split invariance structural) — the
+    // quantile row beside q_stream_hll
+    "q_stream_quantile" -> ((s, dir) =>
+      graft.streaming.StreamOps.streamedQuantile(s, dir)),
     // benchmark decontamination: n-gram collision drop-list vs held-out slice
     "q_decontam" -> ((s, dir) => CorpusOps.decontaminate(Tables.documents(s, dir))),
     // constant-size decontam: Bloom filter of the benchmark shingles with
@@ -1046,6 +1052,7 @@ object SparkEntry {
     "q_hll_merge"     -> graft.operators.Sketches.duckHllMergeShingles("documents"),
     "q_kmv_merge"     -> graft.operators.Sketches.duckKmvMergeShingles("documents"),
     "q_quantile_sketch" -> graft.operators.Sketches.duckDdQuantileLengths("documents"),
+    "q_stream_quantile" -> graft.operators.Sketches.duckDdQuantileStream("documents"),
     "q_stream_hll"    -> graft.operators.Sketches.duckHllEstOnly("documents"),
     "q_decontam"      -> CorpusOps.duckDecontaminate("documents"),
     "q_bloom_decontam" -> graft.operators.Sketches.duckBloomDecontam("documents"),

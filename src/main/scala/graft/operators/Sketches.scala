@@ -642,27 +642,7 @@ object Sketches {
     val merged = part.groupBy("lang", "b", "sub").agg(sum("c").as("c"))
     val direct = withBuckets.groupBy("lang", "b", "sub")
       .agg(count(lit(1)).as("c"))
-    def quantilesOf(hist: DataFrame, suffix: String): DataFrame = {
-      // bounded relation: |langs| × ~4·log2(max_len) rows — the per-lang
-      // cumulative window is the BoundedWindow shape
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(asc("b"), asc("sub"))
-      val cum = hist
-        .withColumn("cum", sum("c").over(w))
-        .withColumn("n", sum("c").over(
-          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
-        // cast-to-double explicitly: expr()'s bare `4.0` literal is
-        // DecimalType in Spark (the mirror of the DuckDB decimal-literal
-        // rule) and would type the whole column DECIMAL
-        .withColumn("rep",
-          expr("cast((4 + sub) * cast(pow(2, b) as long) as double) / cast(4 as double)"))
-      cum.groupBy("lang").agg(
-        max("n").as(s"n$suffix"),
-        min(when(col("cum") * 100 >= lit(50) * col("n"), col("rep"))).as(s"q50$suffix"),
-        min(when(col("cum") * 100 >= lit(90) * col("n"), col("rep"))).as(s"q90$suffix"),
-        min(when(col("cum") * 100 >= lit(99) * col("n"), col("rep"))).as(s"q99$suffix"))
-    }
-    quantilesOf(merged, "_m").join(quantilesOf(direct, "_d"), "lang")
+    ddQuantilesOf(merged, "_m").join(ddQuantilesOf(direct, "_d"), "lang")
       .select(col("lang"), col("n_m").as("n_docs"),
         col("q50_m").as("q50"), col("q90_m").as("q90"), col("q99_m").as("q99"),
         (col("q50_m") === col("q50_d") && col("q90_m") === col("q90_d") &&
@@ -670,6 +650,67 @@ object Sketches {
           .as("merged_eq_direct"))
       .orderBy("lang")
   }
+
+  /** (lang, b, sub, c) addable histogram partials over per-doc token
+    * counts — the mergeable state a shard/micro-batch ships
+    * ([[graft.streaming.StreamOps]]'s quantile maintenance); sum-merge
+    * and feed [[ddQuantilesOf]]. */
+  private[graft] def ddHistPartials(documents: DataFrame): DataFrame =
+    documents.select(col("lang"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("x"))
+      .filter(col("x") >= 1)
+      .withColumn("b", (length(bin(col("x"))) - 1).cast("long"))
+      .withColumn("p2", expr("cast(pow(2, b) as long)"))
+      .withColumn("sub", expr("x * 4 DIV p2 - 4"))
+      .groupBy("lang", "b", "sub").agg(count(lit(1)).as("c"))
+
+  /** The quantile crossing tail over a (lang, b, sub, c) histogram —
+    * bounded relation (|langs| × ~4·log2(max_len) rows, the
+    * BoundedWindow shape). Output columns carry `suffix` so the
+    * merge-gate join of [[ddQuantileLengths]] can compare two tails. */
+  private[graft] def ddQuantilesOf(hist: DataFrame, suffix: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(asc("b"), asc("sub"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      // cast-to-double explicitly: expr()'s bare `4.0` literal is
+      // DecimalType in Spark (the mirror of the DuckDB decimal-literal
+      // rule) and would type the whole column DECIMAL
+      .withColumn("rep",
+        expr("cast((4 + sub) * cast(pow(2, b) as long) as double) / cast(4 as double)"))
+    cum.groupBy("lang").agg(
+      max("n").as(s"n$suffix"),
+      min(when(col("cum") * 100 >= lit(50) * col("n"), col("rep"))).as(s"q50$suffix"),
+      min(when(col("cum") * 100 >= lit(90) * col("n"), col("rep"))).as(s"q90$suffix"),
+      min(when(col("cum") * 100 >= lit(99) * col("n"), col("rep"))).as(s"q99$suffix"))
+  }
+
+  /** DuckDB mirror of the STREAMED quantile maintenance
+    * ([[graft.streaming.StreamOps]]): because histogram merge is exact
+    * by addition, streamed ≡ one single-pass sketch over the full
+    * corpus — the oracle is just the direct tail, no merge-gate
+    * columns. */
+  def duckDdQuantileStream(table: String): String =
+    s"""WITH lens AS (SELECT lang, source,
+       |                CAST(len(${duckTokens("text")}) AS BIGINT) AS x
+       |              FROM $table),
+       |bk AS (SELECT lang, source, x,
+       |              CAST(length(bin(x)) - 1 AS BIGINT) AS b,
+       |              x * 4 // CAST(power(2, CAST(length(bin(x)) - 1 AS BIGINT)) AS BIGINT) - 4 AS sub
+       |       FROM lens WHERE x >= 1),
+       |dct AS (SELECT lang, b, sub, count(*)::BIGINT AS c FROM bk GROUP BY 1, 2, 3),
+       |dcum AS (SELECT lang, b, sub, c,
+       |         CAST(sum(c) OVER (PARTITION BY lang ORDER BY b, sub) AS BIGINT) AS cum,
+       |         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n,
+       |         (4 + sub) * CAST(power(2, b) AS BIGINT) / 4.0 AS rep
+       |       FROM dct)
+       |SELECT lang, max(n) AS n_docs,
+       |       min(CASE WHEN cum * 100 >= 50 * n THEN rep END) AS q50,
+       |       min(CASE WHEN cum * 100 >= 90 * n THEN rep END) AS q90,
+       |       min(CASE WHEN cum * 100 >= 99 * n THEN rep END) AS q99
+       |FROM dcum GROUP BY lang ORDER BY lang""".stripMargin
 
   /** DuckDB mirror of [[ddQuantileLengths]] — same dyadic buckets,
     * integer crossing test, shard-partial merge gate. */

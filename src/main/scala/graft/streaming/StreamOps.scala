@@ -753,6 +753,45 @@ object StreamOps {
     } finally deleteRecursively(new java.io.File(outDir))
   }
 
+  /** Streaming QUANTILE maintenance — the [[streamedHll]] shape for the
+    * DDSketch-style dyadic histogram: each micro-batch ships its
+    * (lang, b, sub, c) partials (addable ints, never raw lengths), the
+    * final read sum-merges base ∪ batches and runs the crossing tail.
+    * Histogram merge is exact by addition, so streamed ≡ one single-pass
+    * sketch over the full corpus — batch-split invariance is STRUCTURAL
+    * (the q_quantile_sketch merge gate is the same statement in batch
+    * form), and the oracle is simply the full-corpus direct tail. */
+  def streamedQuantile(spark: SparkSession, sfDir: String,
+                       batchMod: Int = 10, batchRem: Int = 7): DataFrame = {
+    import graft.operators.Sketches
+    val docs = Tables.documents(spark, sfDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_ddq").toString
+    try {
+      withShufflePartitions(spark, 4) {
+        val stream = spark.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir)
+          .filter(col("doc_id") % batchMod === batchRem)
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            Sketches.ddHistPartials(b).write.mode("append").parquet(outDir)
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val base = Sketches.ddHistPartials(
+        docs.filter(col("doc_id") % batchMod =!= batchRem))
+      val merged = base.unionByName(
+          spark.read.schema("lang STRING, b BIGINT, sub BIGINT, c BIGINT")
+            .parquet(outDir))
+        .groupBy("lang", "b", "sub").agg(sum("c").as("c"))
+      Sketches.ddQuantilesOf(merged, "")
+        .select(col("lang"), col("n").as("n_docs"),
+          col("q50"), col("q90"), col("q99"))
+        .orderBy("lang").localCheckpoint()
+    } finally deleteRecursively(new java.io.File(outDir))
+  }
+
   def streamingReindex(spark: SparkSession, watchDir: String,
                        indexDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._

@@ -297,6 +297,45 @@ class StreamStateSpec extends AnyFunSuite {
       "per-batch scoring against the frozen model must reproduce the batch classifier")
   }
 
+  test("streamed quantile partials across forced micro-batches reproduce the one-shot sketch") {
+    import graft.operators.Sketches
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val srcDir = Files.createTempDirectory("graft_stream_ddq_src").toFile
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    try {
+      docs.filter(col("doc_id") % 10 === 7).coalesce(1)
+        .write.parquet(s"${srcDir.getAbsolutePath}/b1.parquet")
+      docs.filter(col("doc_id") % 10 === 3).coalesce(1)
+        .write.parquet(s"${srcDir.getAbsolutePath}/b2.parquet")
+      val outDir = Files.createTempDirectory("graft_stream_ddq_out").toString
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir.getAbsolutePath)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Sketches.ddHistPartials(b).write.mode("append").parquet(outDir)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val base = Sketches.ddHistPartials(
+        docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3))
+      val merged = base.unionByName(
+          spark.read.schema("lang STRING, b BIGINT, sub BIGINT, c BIGINT")
+            .parquet(outDir))
+        .groupBy("lang", "b", "sub").agg(sum("c").as("c"))
+      val streamed = Sketches.ddQuantilesOf(merged, "").orderBy("lang")
+        .collect().map(_.toString).toSeq
+      val full = Sketches.ddQuantilesOf(Sketches.ddHistPartials(docs), "")
+        .orderBy("lang").collect().map(_.toString).toSeq
+      rm(new java.io.File(outDir))
+      assert(streamed == full,
+        "sum-merged micro-batch histograms must equal the one-shot sketch")
+    } finally rm(srcDir)
+  }
+
   test("streamed HLL registers across forced micro-batches reproduce the full-corpus sketch") {
     import graft.operators.Sketches
     val docs = Tables.documents(spark, TestSpark.sf)
