@@ -140,11 +140,20 @@ object GraphLayout {
 
   private def writeArt(spark: SparkSession, index: DataFrame, dir: String,
                        k: Int, tables: Int, rounds: Int): Unit = {
-    stageBucketed(spark,
-      graft.operators.NnDescent.knnGraph(index, k, tables, rounds),
-      s"$dir/graph", Seq("vec_id", "rn"))
-    graft.operators.NnDescent.signsOf(index, tables)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/signs")
+    // independent relations on disjoint paths → concurrent Futures (the
+    // PairsLayout.compact / SignatureLayout.write precedent: sequential
+    // submission leaves cores idle in each small job's stage tail); the
+    // cheap signs write hides entirely under the graph build
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      Future(stageBucketed(spark,
+        graft.operators.NnDescent.knnGraph(index, k, tables, rounds),
+        s"$dir/graph", Seq("vec_id", "rn"))),
+      Future(graft.operators.NnDescent.signsOf(index, tables)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/signs")))
+    writes.foreach(Await.result(_, Duration.Inf))
     writeSpec(spark, dir)
   }
 
@@ -192,13 +201,21 @@ object GraphLayout {
     val p = new org.apache.hadoop.fs.Path(absPath(dir))
     val f = fs(spark, p)
     if (f.exists(p)) { f.delete(p, true); () }
-    stageBucketed(spark,
-      graft.operators.NnDescent.knnGraph(old, k, tables, rounds),
-      s"$dir/graph", Seq("vec_id", "rn"))
-    stageBucketed(spark, old.select("vec_id", "embedding"),
-      s"$dir/vectors", Seq("vec_id"))
-    graft.operators.NnDescent.signsOf(old, tables)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/signs")
+    // three independent relations, disjoint paths → concurrent (writeArt
+    // note); crash contract unchanged — the dir was deleted above, so any
+    // partial mix is rebuilt on the next writeBase
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      Future(stageBucketed(spark,
+        graft.operators.NnDescent.knnGraph(old, k, tables, rounds),
+        s"$dir/graph", Seq("vec_id", "rn"))),
+      Future(stageBucketed(spark, old.select("vec_id", "embedding"),
+        s"$dir/vectors", Seq("vec_id"))),
+      Future(graft.operators.NnDescent.signsOf(old, tables)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/signs")))
+    writes.foreach(Await.result(_, Duration.Inf))
     writeSpec(spark, dir)
   }
 

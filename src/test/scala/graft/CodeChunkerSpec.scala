@@ -252,6 +252,43 @@ class CodeChunkerSpec extends AnyFunSuite {
     assert(tls.exists(_.name == "go"))
   }
 
+  test("round-10 verdict pathological sources: decorator-embedded def strings, semicolon-packed JS") {
+    // 1. a decorator whose STRING argument contains a def header (single-
+    //    and multi-line forms): tree-sitter sees one decorated_definition;
+    //    the regex chunker must not hallucinate `fake`/`fake2` elements,
+    //    and `real`'s span starts at its first decorator
+    val py =
+      """@wrap("def fake(): pass", other=1)
+        |@multi(
+        |    "def fake2(x): return x",
+        |)
+        |def real(x):
+        |    return x
+        |""".stripMargin
+    val els = CodeChunker.chunkFile("p.py", py)
+    val fns = els.filter(_.element_type == "function")
+    assert(fns.map(_.name) == Seq("real"), fns.map(_.name).toString)
+    assert(fns.head.start_line == 1 && fns.head.end_line == 6)
+    // 2. semicolon-packed JS: multiple declarations per line, and a
+    //    declaration opening on the PREVIOUS one's closing line — all
+    //    found (tree-sitter emits each function_declaration), each span
+    //    closed by its own brace group, not its neighbor's
+    val js =
+      """function a(){return 1};function b(){
+        |  if (x) { y() }
+        |  return 2
+        |};function c(){return 3}
+        |const k = 1; function d(){return 4}
+        |""".stripMargin
+    val jels = CodeChunker.chunkFile("p.js", js)
+    val names = jels.filter(_.element_type == "function").map(e => (e.name, e.start_line, e.end_line))
+    assert(names.contains(("a", 1, 1)), names.toString)
+    assert(names.contains(("b", 1, 4)), names.toString) // body closes on line 4
+    assert(names.contains(("c", 4, 4)), names.toString)
+    assert(names.contains(("d", 5, 5)), names.toString)
+    assert(names.map(_._1).sorted == Seq("a", "b", "c", "d"), names.toString)
+  }
+
   test("content hash is stable and md5-shaped (C7)") {
     val a = CodeChunker.chunkFile("sample.py", read("sample.py"))
     val b = CodeChunker.chunkFile("sample.py", read("sample.py"))
