@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the round-12 bucket-confined graph-maintenance claim
+  * (round-11 verdict #1): a micro-batch upsert against the stored
+  * [[graft.sources.GraphLayout]] artifact must cost O(batch + touched
+  * buckets), not a full O(n·k) graph rescore + rewrite. Reports, per
+  * micro-batch:
+  *
+  *   - wall seconds of [[graft.sources.GraphLayout.upsertStored]];
+  *   - bytes WRITTEN into the live graph relation by this batch (files
+  *     carrying the batch's generation prefix) vs the relation's total
+  *     bytes — the per-batch IO ∝ touched-buckets evidence;
+  *   - touched-bucket count (from the prefixed files' `_NNNNN` suffixes)
+  *     vs the layout's bucket total.
+  *
+  * Phase timings for [[graft.streaming.StreamOps.streamedGraphMaintenance]]'s
+  * cost envelope: writeBase (the once-per-snapshot price) is timed
+  * separately so the per-batch number is the number that scales.
+  *
+  * Usage: runMain graft.GraphIncrProf <sfDir> [batches] [batchMod] [buckets]
+  *
+  * `buckets` sizes the artifact's confinement grain: at the default 32
+  * any batch ≥ ~100 vectors touches every bucket (murmur3 spread), so
+  * the per-batch byte fraction only drops once buckets ≫ batch — pass
+  * e.g. 256 with a small batchMod slice to see the confined fraction
+  * the deployment sizing rule (buckets ≈ corpus / partition-size)
+  * delivers at scale.
+  */
+object GraphIncrProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(3)
+    val batchMod = args.lift(2).map(_.toInt).getOrElse(20)
+    val buckets = args.lift(3).map(_.toInt).getOrElse(32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.sources.GraphLayout
+
+    val k = 8
+    val e = Tables.embeddings(spark, sfDir)
+    val base = e.filter(col("vec_id") % batchMod >= nBatches)
+    val dir = GraphLayout.dirFor(s"$sfDir#graphincrprof$batchMod", k, 4, 2)
+
+    def dirBytes(p: String, prefix: String): (Long, Int) = {
+      val fsDir = new java.io.File(p)
+      val fs = Option(fsDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => !f.getName.startsWith("_") && f.getName.startsWith(prefix))
+      val buckets = fs.flatMap(f =>
+        "_(\\d+)\\.".r.findFirstMatchIn(f.getName).map(_.group(1).toInt)).toSet
+      (fs.map(_.length()).sum, buckets.size)
+    }
+
+    // two passes: pass 1 warms the JVM (codegen, catalog, shuffle infra);
+    // pass 2's numbers are the ones to read (the TimeQ warm-rep rule)
+    for (pass <- 1 to 2) {
+      var t0 = System.nanoTime()
+      GraphLayout.writeBase(spark, base, dir, k, buckets = buckets)
+      println(f"[graphincrprof] pass $pass writeBase(n=${base.count()}, buckets=$buckets) " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+      // per-batch upserts run at the gate's micro-batch conf (the
+      // streamedGraphMaintenance foreachBatch scope): 4 shuffle partitions
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        for (b <- 0 until nBatches) {
+          val batch = e.filter(col("vec_id") % batchMod === b)
+            .select("vec_id", "embedding")
+          t0 = System.nanoTime()
+          GraphLayout.upsertStored(spark, dir, batch, s"pb-$b", k)
+          val tU = (System.nanoTime() - t0) / 1e9
+          val (wrote, touched) = dirBytes(s"$dir/graph", s"pb-${b}g.")
+          val (total, _) = dirBytes(s"$dir/graph", "")
+          println(f"[graphincrprof] pass $pass batch $b (${batch.count()} vecs): " +
+            f"$tU%.2f s, wrote ${wrote / 1024}%d KiB of ${total / 1024}%d KiB live " +
+            f"($touched touched buckets)")
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      t0 = System.nanoTime()
+      val rows = GraphLayout.readGraph(spark, dir).count()
+      println(f"[graphincrprof] pass $pass final read: $rows rows " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.stop()
+  }
+}

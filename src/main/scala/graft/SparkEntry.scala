@@ -347,13 +347,17 @@ object SparkEntry {
     // absolute cap collapses to zero recall when the corpus outgrows it
     "q_dedup_ngram_adaptive" -> ((s, dir) =>
       Dedup.ngramJaccardCappedAdaptive(Tables.documents(s, dir), threshold = 0.5)),
-    // candidate-BUDGET df cap: largest df whose cumulative predicted join
-    // volume (Σ df·(df−1)/2 over the histogram) fits 256 rows/doc —
-    // O(budget·n) candidate generation at ANY corpus shape; the answer to
+    // candidate-BUDGET df cap, AUTO-SIZED (round-12): the budget derives
+    // from one eager shingle-row count + the scratch envelope (budget =
+    // scratch·executors / (2·shingleRows), the measured sf10 verify-mass
+    // rule) — largest df whose cumulative predicted join volume
+    // (Σ df·(df−1)/2 over the histogram) fits budget rows/doc. O(budget·n)
+    // candidates at ANY corpus shape with NO hand-set knob; the answer to
     // the sf10 saturated-vocabulary adjudication (NgramProf: percentile
-    // caps move a 9e9-row volume by 11%, a budget bounds it outright)
+    // caps move a 9e9-row volume by 11%, a budget bounds it outright, and
+    // the r11 hand default of 256 ENOSPC'd exactly where the knob mattered)
     "q_dedup_ngram_budget" -> ((s, dir) =>
-      Dedup.ngramJaccardBudget(Tables.documents(s, dir), threshold = 0.5)),
+      Dedup.ngramJaccardBudgetAuto(Tables.documents(s, dir), threshold = 0.5)),
     // asymmetric near-dup: shingle CONTAINMENT (overlap coefficient,
     // i / min(n1, n2)) — the partial-copy/quote detector symmetric
     // Jaccard structurally misses (a doc fully contained in a 100×
@@ -1000,7 +1004,7 @@ object SparkEntry {
     "q_dedup_ngram"   -> Dedup.duckNgramSql("documents", 0.5),
     "q_dedup_ngram_capped" -> Dedup.duckNgramCappedSql("documents", 0.5, 20),
     "q_dedup_ngram_adaptive" -> Dedup.duckNgramCappedAdaptiveSql("documents", 0.5),
-    "q_dedup_ngram_budget" -> Dedup.duckNgramBudgetSql("documents", 0.5),
+    "q_dedup_ngram_budget" -> Dedup.duckNgramBudgetAutoSql("documents", 0.5),
     "q_dedup_containment" -> Dedup.duckNgramContainmentSql("documents", 0.8),
     "q_span_dedup"    -> Dedup.duckSpanSql("documents", 5),
     "q_span_removed"  -> Dedup.duckSpanRemovedSql("documents", 5),

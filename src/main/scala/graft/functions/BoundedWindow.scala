@@ -43,14 +43,38 @@ object BoundedWindow {
     * `tag` is any column of the relation (used only to make the
     * constant-zero key non-foldable; it never affects the result). */
   def boundedGlobal(tag: Column, order: Column*): WindowSpec = {
-    // a foldable tag (lit(...)) folds the whole key and
-    // EliminateWindowPartitions re-empties the spec — the warning comes
-    // back silently; four call sites had drifted onto lits before this
-    // guard existed (round-11 audit)
-    require(tag.node.getClass.getSimpleName != "Literal",
-      "boundedGlobal tag must be a real column of the relation, not a literal")
+    // a FOLDABLE tag (lit(...), or any expression over literals only)
+    // folds the whole key and EliminateWindowPartitions re-empties the
+    // spec — the warning comes back silently; four call sites had drifted
+    // onto lits before this guard existed (round-11 audit). Round-11
+    // ADVICE #4: matching the node class caught only a direct lit(), so
+    // check the real property instead — the tag tree must REFERENCE a
+    // column (an expression with no attribute reference is exactly what
+    // the constant folder collapses)
+    require(refsColumn(tag.node),
+      "boundedGlobal tag must reference a real column of the relation — " +
+        s"'$tag' folds to a constant and the partition spec " +
+        "would be silently eliminated")
     Window.partitionBy(
       coalesce(pmod(length(tag.cast("string")).cast("long"), lit(1L)), lit(0L)))
       .orderBy(order: _*)
+  }
+
+  /** True iff the Column's node tree contains an attribute reference —
+    * the property that keeps it out of the constant folder's reach. The
+    * ColumnNode hierarchy is sql-private at the Scala level (JVM-public),
+    * so the walk goes through reflection on the class name + `children()`
+    * — the same shape `ColumnNodeLike.collect` would give us. */
+  private def refsColumn(node: AnyRef): Boolean = {
+    val cn = node.getClass.getSimpleName.stripSuffix("$")
+    if (cn == "UnresolvedAttribute" || cn == "UnresolvedStar" ||
+      cn == "UnresolvedRegex") true
+    else
+      (try Option(node.getClass.getMethod("children"))
+      catch { case _: NoSuchMethodException => None })
+        .exists { m =>
+          m.setAccessible(true)
+          m.invoke(node).asInstanceOf[Seq[AnyRef]].exists(refsColumn)
+        }
   }
 }

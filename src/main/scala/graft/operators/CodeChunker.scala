@@ -508,6 +508,15 @@ object CodeChunker {
             indentOf(m(start - 1)) == indentOf(m(i))) start -= 1
           out += CodeElement.make(name, "class", path, start + 1, end + 1,
             lines.slice(start, end + 1).mkString("\n"))
+          // same-line statement-boundary declarations after the class
+          // head (`class A{};function b(){}`) — the jsFunction branch's
+          // loop, which this branch was missing (round-11 ADVICE #2;
+          // tree-sitter emits both declarations)
+          for (mm <- jsFunctionMid.findAllMatchIn(m(i))) {
+            val e2 = braceEndFrom(m, i, mm.start + 1)
+            out += CodeElement.make(mm.group(1), "function", path, i + 1, e2 + 1,
+              lines.slice(i, e2 + 1).mkString("\n"))
+          }
           i += 1
         case _ if !inClassBody(i) && jsFunctionMid.findFirstIn(m(i)).isDefined =>
           // the line STARTS with other code (a previous declaration's

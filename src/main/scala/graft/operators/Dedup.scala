@@ -525,6 +525,94 @@ object Dedup {
     (out, h ++ h2)
   }
 
+  /** Scratch-row envelope per node for [[ngramJaccardBudgetAuto]]'s
+    * derivation — overridable via SPARK_GRAFT_SCRATCH_ROWS for a
+    * deployment's actual per-node scratch. Default sized to THIS box by
+    * the round-11 sf10 campaign: at 500k docs the ~5.6e8-row verify mass
+    * of budget 16 completed inside the 77 GB scratch; budget 256's
+    * ~1.2e10 rows ENOSPC'd. 6e8 reproduces the measured-safe geometry
+    * with headroom. */
+  val AutoScratchRows: Long =
+    sys.env.get("SPARK_GRAFT_SCRATCH_ROWS").map(_.toLong).getOrElse(600000000L)
+
+  /** Ceiling on the derived budget — keeps `ndocs · budget` comfortably
+    * in BIGINT and stops a tiny corpus from deriving an absurd knob (the
+    * cap saturates at max df long before this anyway). */
+  private val MaxAutoBudget = 1000000L
+
+  /** AUTO-SIZED candidate budget — the [[simhashAuto]] precedent applied
+    * to [[ngramJaccardBudget]]'s knob (round-11 verdict #2: the default
+    * budget=256 ENOSPCs on exactly the corpus the knob exists for, and
+    * the documented sizing rule was manual). The round-11 sf10
+    * adjudication established the END-TO-END scratch envelope as
+    * budget · n · 2·mean_sh verify-join rows, linear in both knobs; this
+    * derives the largest budget whose envelope fits the deployment:
+    *
+    *   budget = clamp(1 .. 1e6,
+    *     scratchRows · executors / (2 · shingleRows))
+    *
+    * where shingleRows (= n · mean_sh, the distinct (doc_id, shingle)
+    * row count) comes from ONE eager count over the cached shingle
+    * relation every downstream pass reuses — the count is priced in the
+    * entry, and it doubles as the cache warm-up. All-integer (Long
+    * floor-division = DuckDB `//` on positives), so the oracle mirrors
+    * the derivation exactly ([[duckNgramBudgetAutoSql]]). At gate scales
+    * the derived budget exceeds every df rung's cumulative volume, the
+    * cap lands at max df and output == [[ngramJaccard]]; at the sf10
+    * saturated corpus it derives ~13 (vs the measured-safe 16) and the
+    * query completes where the hand default ENOSPC'd. `executors`
+    * scales the envelope for a real cluster (per-node mass divides). */
+  def ngramJaccardBudgetAuto(documents: DataFrame, threshold: Double,
+                             scratchRows: Long = AutoScratchRows,
+                             executors: Int = 1,
+                             skewSafe: Boolean = true): DataFrame = {
+    val (shDf0, h) = dfShinglesWith(documents, skewSafe)
+    val shRows = math.max(1L, shDf0.count())
+    val budget = math.max(1L,
+      math.min(MaxAutoBudget, scratchRows * executors / (2L * shRows)))
+    val hist = shDf0.select(col("s"), col("df")).distinct()
+      .groupBy("df").agg(count(lit(1)).as("n"))
+    val wH = graft.functions.BoundedWindow.boundedGlobal(col("df"), asc("df"))
+    val cum = hist.withColumn("cc",
+      sum(expr("n * (df * (df - 1) DIV 2)")).over(wH))
+    val nd = documents.agg(count(lit(1)).as("ndocs"))
+    val cap = cum.crossJoin(broadcast(nd))
+      .filter(col("cc") <= col("ndocs") * budget)
+      .agg(coalesce(max("df"), lit(1L)).as("cap"))
+    val (out, h2) = cappedPairsOfWith(shDf0.crossJoin(broadcast(cap)), col("cap"), threshold)
+    // the *Budget lifecycle: cache handles drop here — the harness clears
+    // caches per query (the non-With convention of every gated variant)
+    (h ++ h2).foreach(_ => ())
+    out
+  }
+
+  /** DuckDB mirror of [[ngramJaccardBudgetAuto]] — the budget derives in
+    * SQL from the same shingle-row count and the same integer floor
+    * division, so both engines compute the identical cap. `scratchRows`
+    * and `executors` are embedded as one literal product (computed in
+    * Scala — the Double.toString lesson applied to Longs: never re-derive
+    * a constant on the SQL side). */
+  def duckNgramBudgetAutoSql(table: String, threshold: Double,
+                             scratchRows: Long = AutoScratchRows,
+                             executors: Int = 1): String = {
+    val envelope: Long = scratchRows * executors
+    s"""WITH ${duckSh(table)},
+       |dfr AS MATERIALIZED (SELECT s, count(*)::BIGINT AS df FROM sh GROUP BY s),
+       |hist AS (SELECT df, count(*)::BIGINT AS n FROM dfr GROUP BY df),
+       |nd AS (SELECT count(*)::BIGINT AS ndocs FROM $table),
+       |bdg AS (SELECT greatest(1, least($MaxAutoBudget,
+       |               $envelope // (2 * count(*)::BIGINT))) AS b FROM sh),
+       |cum AS (SELECT df, CAST(sum(n * (df * (df - 1) // 2)) OVER (ORDER BY df)
+       |               AS BIGINT) AS cc FROM hist),
+       |cap AS (SELECT coalesce(max(df), 1) AS cap FROM cum, nd, bdg
+       |        WHERE cc <= nd.ndocs * bdg.b),
+       |rare AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh
+       |         JOIN dfr USING (s), cap WHERE dfr.df <= cap.cap),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |${duckJaccard("cand", s"jac >= $threshold", "d1, d2, round(jac, 6) AS jaccard")}""".stripMargin
+  }
+
   /** Shared (doc_id, s, df) relation of the capped variants, cached (read
     * by rare/freq filters and the size aggregate — 5 consumers).
     *

@@ -199,7 +199,40 @@ object NnDescent {
   def graphUpsertWith(old: DataFrame, gOldEdges: DataFrame, batch: DataFrame,
                       k: Int = 8, tables: Int = 4,
                       targetOcc: Int = 16,
-                      oldSigns: Option[DataFrame] = None): DataFrame = {
+                      oldSigns: Option[DataFrame] = None): DataFrame =
+    upsertCore(old, gOldEdges, batch, k, tables, targetOcc, oldSigns,
+      deltaOnly = false)
+
+  /** The TOUCHED-LISTS-ONLY upsert (round-12, the per-batch full-graph
+    * rewrite fix): returns (vec_id, nbr, rn, sim) rows for exactly the
+    * nodes whose adjacency list an insert batch CHANGES — the batch nodes
+    * plus the old nodes that receive a reversed new edge (the re-cut
+    * set). Every other old node's candidate set under [[graphUpsertWith]]
+    * is its existing edges alone, and re-scoring the same k edges with
+    * the same deterministic cosine + (desc s, asc b) rank reproduces the
+    * stored list bit-for-bit — so
+    *
+    *   graphUpsertWith(old, g, batch) ≡
+    *     stored rows for untouched ids ∪ graphUpsertDeltaWith(...)
+    *
+    * (spec-pinned). The delta form never scores the O(n·k) stored edge
+    * relation — per-batch compute is O(batch·(occ+k²) + recut·k), the
+    * HNSW-insert cost envelope the reference's in-place index pays
+    * (`vector_search_tool.py:42-46`), and the piece that lets
+    * [[graft.sources.GraphLayout.upsertStored]] rewrite only the buckets
+    * the batch touches instead of the whole artifact. */
+  def graphUpsertDeltaWith(old: DataFrame, gOldEdges: DataFrame,
+                           batch: DataFrame, k: Int = 8, tables: Int = 4,
+                           targetOcc: Int = 16,
+                           oldSigns: Option[DataFrame] = None): DataFrame =
+    upsertCore(old, gOldEdges, batch, k, tables, targetOcc, oldSigns,
+      deltaOnly = true)
+
+  private def upsertCore(old: DataFrame, gOldEdges: DataFrame, batch: DataFrame,
+                         k: Int, tables: Int,
+                         targetOcc: Int,
+                         oldSigns: Option[DataFrame],
+                         deltaOnly: Boolean): DataFrame = {
     val batchIds = batch.select("vec_id")
     val oldOnly = old.join(batchIds, Seq("vec_id"), "left_anti")
     val full = oldOnly.unionByName(batch)
@@ -267,11 +300,17 @@ object NnDescent {
       .filter(col("a") =!= col("b"))
     val newCand = bucketCand.union(hopCand).distinct().localCheckpoint(true)
     val newEdges = topPerA(score(newCand)).localCheckpoint(true)
-    // old nodes re-cut over stored edges ∪ reversed new edges
-    val oldCand = gOld
-      .union(newEdges.select(col("b").as("a"), col("a").as("b"))
-        .join(bids, Seq("a"), "left_anti")) // a batch-node a-side is newEdges' job
-      .distinct().localCheckpoint(true)
+    // old nodes re-cut over stored edges ∪ reversed new edges; deltaOnly
+    // restricts the stored side to the RE-CUT nodes' own lists (broadcast:
+    // the re-cut id set is O(batch·k)) — same per-a candidate sets, so
+    // per-a results are identical to the full form's
+    val recutRev = newEdges.select(col("b").as("a"), col("a").as("b"))
+      .join(bids, Seq("a"), "left_anti") // a batch-node a-side is newEdges' job
+    val gOldSide =
+      if (deltaOnly)
+        gOld.join(broadcast(recutRev.select("a").distinct()), "a")
+      else gOld
+    val oldCand = gOldSide.union(recutRev).distinct().localCheckpoint(true)
     val oldEdges = topPerA(score(oldCand))
     oldEdges.unionByName(newEdges)
       .select(col("a").as("vec_id"), col("b").as("nbr"), col("rn"),

@@ -40,14 +40,22 @@ object GraphLayout {
 
   private val built = new BuildLatch
 
-  /** Bucket count for new artifacts — matches local[32]; a deployment
-    * sizes this to the corpus like SignatureLayout's default. */
-  private val Buckets = 32
+  /** Bucket count for NEW artifacts when the caller doesn't size it —
+    * matches local[32]. A deployment sizes this to the corpus (buckets ≈
+    * corpus / healthy-partition-size, the SignatureLayout rule); for the
+    * bucket-CONFINED maintenance below it is also the IO-confinement
+    * grain: a micro-batch rewrites ~min(buckets, batch·(1+recut-spread))
+    * buckets, so buckets ≫ typical batch size is what makes per-batch
+    * write volume O(batch), not O(corpus) (round-12; GraphIncrProf
+    * measures the fraction). */
+  private val DefaultBuckets = 32
 
   /** Sidecar guarding the bucket declaration (a mis-declared CLUSTERED
-    * BY silently mis-joins). Absent → pre-r11 plain-parquet artifact →
-    * fallback reads. */
-  private val Spec = s"$Buckets;graph:vec_id;vectors:vec_id"
+    * BY silently mis-joins). Records the COUNT, which varies per
+    * artifact; columns are fixed. Absent → pre-r11 plain-parquet
+    * artifact → fallback reads. */
+  private def specString(buckets: Int): String =
+    s"$buckets;graph:vec_id;vectors:vec_id"
 
   def dirFor(sfDir: String, k: Int, tables: Int, rounds: Int): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
@@ -70,23 +78,27 @@ object GraphLayout {
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def writeSpec(spark: SparkSession, dir: String): Unit = {
+  private def writeSpec(spark: SparkSession, dir: String, buckets: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(absPath(s"$dir/_graft_buckets"))
     val out = fs(spark, p).create(p, true)
-    try out.write(Spec.getBytes("UTF-8")) finally out.close()
+    try out.write(specString(buckets).getBytes("UTF-8")) finally out.close()
   }
 
-  private def hasSpec(spark: SparkSession, dir: String): Boolean = {
+  /** Bucket count of an existing artifact from its sidecar; 0 for a
+    * pre-bucketing (plain-parquet) artifact. Loudly rejects a sidecar
+    * whose COLUMN spec differs from this build's. */
+  private def storedBuckets(spark: SparkSession, dir: String): Int = {
     val p = new org.apache.hadoop.fs.Path(absPath(s"$dir/_graft_buckets"))
     val f = fs(spark, p)
-    if (!f.exists(p)) false
+    if (!f.exists(p)) 0
     else {
       val in = f.open(p)
       val raw = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-      require(raw == Spec,
+      val b = raw.takeWhile(_ != ';').toInt
+      require(raw == specString(b),
         s"graph layout at $dir was bucketed as '$raw', this build expects " +
-          s"'$Spec' — rewrite the artifact")
-      true
+          s"'${specString(b)}' — rewrite the artifact")
+      b
     }
   }
 
@@ -96,16 +108,16 @@ object GraphLayout {
     * the table name: the files are the durable state, [[readBucketed]]
     * re-registers in any JVM. `sortCols` must start with vec_id. */
   private def stageBucketed(spark: SparkSession, df: DataFrame, path: String,
-                            sortCols: Seq[String]): Unit = {
+                            sortCols: Seq[String], buckets: Int): Unit = {
     val t = tableName(path)
     spark.sql(s"DROP TABLE IF EXISTS $t")
     val p = new org.apache.hadoop.fs.Path(absPath(path))
     val f = fs(spark, p)
     if (f.exists(p)) { f.delete(p, true); () }
-    df.repartition(Buckets, col("vec_id"))
+    df.repartition(buckets, col("vec_id"))
       .write.mode(SaveMode.Overwrite).format("parquet")
       .option("path", absPath(path))
-      .bucketBy(Buckets, "vec_id").sortBy(sortCols.head, sortCols.tail: _*)
+      .bucketBy(buckets, "vec_id").sortBy(sortCols.head, sortCols.tail: _*)
       .saveAsTable(t)
     spark.sql(s"DROP TABLE $t")
   }
@@ -116,16 +128,23 @@ object GraphLayout {
   private def readBucketed(spark: SparkSession, specDir: String, path: String,
                            sortCols: Seq[String]): DataFrame = {
     SignatureLayout.recoverPath(spark, absPath(path))
-    if (!hasSpec(spark, specDir)) spark.read.parquet(path)
+    val b = storedBuckets(spark, specDir)
+    if (b == 0) spark.read.parquet(path)
     else {
       val t = tableName(path)
       if (!spark.catalog.tableExists(t)) {
         val schema = spark.read.parquet(path).schema.toDDL
-        spark.sql(
+        // two queries first-reading the same artifact can both pass the
+        // exists check (round-11 ADVICE #1): the loser's CREATE throws —
+        // fall through to the winner's registration, same table either way
+        try spark.sql(
           s"""CREATE TABLE $t ($schema) USING parquet
              |CLUSTERED BY (vec_id) SORTED BY (${sortCols.mkString(", ")})
-             |INTO $Buckets BUCKETS
+             |INTO $b BUCKETS
              |LOCATION '${absPath(path)}'""".stripMargin)
+        catch {
+          case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException => ()
+        }
       }
       spark.table(t)
     }
@@ -139,7 +158,8 @@ object GraphLayout {
   // ------------------------------------------------------ static artifact
 
   private def writeArt(spark: SparkSession, index: DataFrame, dir: String,
-                       k: Int, tables: Int, rounds: Int): Unit = {
+                       k: Int, tables: Int, rounds: Int,
+                       buckets: Int = DefaultBuckets): Unit = {
     // independent relations on disjoint paths → concurrent Futures (the
     // PairsLayout.compact / SignatureLayout.write precedent: sequential
     // submission leaves cores idle in each small job's stage tail); the
@@ -150,11 +170,11 @@ object GraphLayout {
     val writes = Seq(
       Future(stageBucketed(spark,
         graft.operators.NnDescent.knnGraph(index, k, tables, rounds),
-        s"$dir/graph", Seq("vec_id", "rn"))),
+        s"$dir/graph", Seq("vec_id", "rn"), buckets)),
       Future(graft.operators.NnDescent.signsOf(index, tables)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/signs")))
     writes.foreach(Await.result(_, Duration.Inf))
-    writeSpec(spark, dir)
+    writeSpec(spark, dir, buckets)
   }
 
   /** (graph, signs) — the pair every stored-artifact consumer wants: the
@@ -197,7 +217,8 @@ object GraphLayout {
     * streaming checkpoint beneath it (the PairsLayout.writeIndexed
     * convention). */
   def writeBase(spark: SparkSession, old: DataFrame, dir: String,
-                k: Int = 8, tables: Int = 4, rounds: Int = 2): Unit = {
+                k: Int = 8, tables: Int = 4, rounds: Int = 2,
+                buckets: Int = DefaultBuckets): Unit = {
     val p = new org.apache.hadoop.fs.Path(absPath(dir))
     val f = fs(spark, p)
     if (f.exists(p)) { f.delete(p, true); () }
@@ -210,52 +231,135 @@ object GraphLayout {
     val writes = Seq(
       Future(stageBucketed(spark,
         graft.operators.NnDescent.knnGraph(old, k, tables, rounds),
-        s"$dir/graph", Seq("vec_id", "rn"))),
+        s"$dir/graph", Seq("vec_id", "rn"), buckets)),
       Future(stageBucketed(spark, old.select("vec_id", "embedding"),
-        s"$dir/vectors", Seq("vec_id"))),
+        s"$dir/vectors", Seq("vec_id"), buckets)),
       Future(graft.operators.NnDescent.signsOf(old, tables)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/signs")))
     writes.foreach(Await.result(_, Duration.Inf))
-    writeSpec(spark, dir)
+    writeSpec(spark, dir, buckets)
   }
 
   /** One micro-batch of graph maintenance against the STORED artifact:
     * read graph + accumulated vectors + signs (bucketed/narrow — the
     * corpus embedding column is never re-scanned, and vec_id-keyed
-    * stored sides arrive pre-partitioned), place the batch
-    * ([[graft.operators.NnDescent.graphUpsertWith]] — the base graph is
-    * never rebuilt), stage-write the updated graph and swap it in
-    * (crash-recovered by the [[SignatureLayout]] rename protocol), then
-    * append the batch's vectors (bucket-suffixed files — the staged
-    * bucket ids stay valid under rename) and signs under the batch's
-    * file prefix so the next micro-batch sees them. Replay safety is
-    * [[graft.operators.NnDescent.graphUpsertWith]]'s anti-join guards:
-    * a batch re-applied after a crash between the graph swap and the
-    * checkpoint commit (or after its vector append) reduces to a valid
-    * upsert, never duplicate lists. NOTE the graph relation is O(n·k)
-    * rows and is REWRITTEN per batch — unlike the append-only pairs
-    * artifact; honest cost of an artifact whose per-row content (every
-    * node's top-k) is corpus-dependent. */
+    * stored sides arrive pre-partitioned), place the batch, and commit
+    * BUCKET-CONFINED (round-12, the round-11 verdict's #1):
+    * [[graft.operators.NnDescent.graphUpsertDeltaWith]] computes lists
+    * for ONLY the touched nodes (batch ∪ re-cut old — untouched lists
+    * are provably unchanged, see its scaladoc), the touched ids map to
+    * their buckets (`pmod(hash(vec_id), buckets)` — the exact murmur3
+    * bucket-id function the writer used), ONLY those buckets' live files
+    * are read back (by their `_NNNNN` name suffix; bucket membership is
+    * not a scan predicate) to carry the buckets' untouched rows, and
+    * [[replaceBuckets]] swaps in one file per touched bucket. Per-batch
+    * compute is O(batch + recut) and per-batch IO is O(touched buckets),
+    * not O(n·k) — the reference's HNSW insert touches only affected
+    * adjacency lists (`vector_search_tool.py:42-46`); the r11 form
+    * rewrote the whole corpus-sized relation per micro-batch. Then the
+    * batch's vectors (bucket-suffixed files — the staged bucket ids stay
+    * valid under rename) and signs append under the batch's file prefix
+    * so the next micro-batch sees them. Replay safety is
+    * [[graft.operators.NnDescent.graphUpsertWith]]'s anti-join guards
+    * plus [[replaceBuckets]]'s generation protocol: a batch re-applied
+    * after a crash anywhere between the graph commit and the checkpoint
+    * commit REPLACES its own delta (prefix-keyed files) and reduces to a
+    * valid upsert, never duplicate lists. Pre-bucketed artifacts (no
+    * sidecar — plain file names carry no bucket id) fall back to the
+    * full stage + dir swap. */
   def upsertStored(spark: SparkSession, dir: String, batch: DataFrame,
                    batchId: String, k: Int = 8, tables: Int = 4,
                    targetOcc: Int = 16): Unit = {
+    val dbg = sys.env.contains("SPARK_GRAFT_GRAPH_DEBUG")
+    var tdbg = System.nanoTime()
+    def mark(what: String): Unit = {
+      if (dbg) println(f"[upsertStored] $what ${(System.nanoTime() - tdbg) / 1e9}%.2f s")
+      tdbg = System.nanoTime()
+    }
+    recoverReplace(spark, s"$dir/graph")
     val oldVecs = readBucketed(spark, dir, s"$dir/vectors", Seq("vec_id"))
     val oldSigns = spark.read.parquet(s"$dir/signs")
-    val g = readBucketed(spark, dir, s"$dir/graph", Seq("vec_id", "rn"))
-      .select(col("vec_id").as("a"), col("nbr").as("b"))
-    stageBucketed(spark,
-      graft.operators.NnDescent
-        .graphUpsertWith(oldVecs, g, batch.select("vec_id", "embedding"),
-          k, tables, targetOcc, oldSigns = Some(oldSigns)),
-      s"$dir/graph_stage", Seq("vec_id", "rn"))
-    SignatureLayout.swapIn(spark, s"$dir/graph", s"$dir/graph_stage")
+    val gFull = readBucketed(spark, dir, s"$dir/graph", Seq("vec_id", "rn"))
+    val g = gFull.select(col("vec_id").as("a"), col("nbr").as("b"))
+    val buckets = storedBuckets(spark, dir)
+    if (buckets == 0) {
+      // legacy plain-parquet artifact: no bucket ids in file names to
+      // confine by — the pre-r12 full rewrite remains the honest path
+      stageBucketed(spark,
+        graft.operators.NnDescent
+          .graphUpsertWith(oldVecs, g, batch.select("vec_id", "embedding"),
+            k, tables, targetOcc, oldSigns = Some(oldSigns)),
+        s"$dir/graph_stage", Seq("vec_id", "rn"), DefaultBuckets)
+      SignatureLayout.swapIn(spark, s"$dir/graph", s"$dir/graph_stage")
+    } else {
+      // touched lists only, MATERIALIZED before any live file moves (the
+      // plan reads the files the commit below replaces)
+      val delta = graft.operators.NnDescent
+        .graphUpsertDeltaWith(oldVecs, g, batch.select("vec_id", "embedding"),
+          k, tables, targetOcc, oldSigns = Some(oldSigns))
+        .localCheckpoint(true)
+      mark("delta")
+      val touchedBk = delta
+        .select(org.apache.spark.sql.functions
+          .pmod(org.apache.spark.sql.functions.hash(col("vec_id")),
+            org.apache.spark.sql.functions.lit(buckets)).as("bk"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      mark("touchedBk")
+      val livep = new org.apache.hadoop.fs.Path(absPath(s"$dir/graph"))
+      val touchedFiles = fs(spark, livep).listStatus(livep).map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") &&
+          bucketOf(p.getName).exists(touchedBk.contains))
+        .map(_.toString)
+      // the touched buckets' untouched rows ride along into the staged
+      // files; the anti-join's touched-id side is O(batch·k) — broadcast
+      val keep =
+        if (touchedFiles.isEmpty) delta.limit(0) // empty base snapshot
+        else spark.read.parquet(touchedFiles.toIndexedSeq: _*)
+          .join(org.apache.spark.sql.functions.broadcast(
+            delta.select("vec_id").distinct()), Seq("vec_id"), "left_anti")
+      // the three per-batch commits — graph bucket replace, vector append,
+      // sign append — are independent relations on disjoint paths: submit
+      // CONCURRENTLY (the writeArt/compact precedent — sequential
+      // submission serialized ~10 small jobs' stage tails per micro-batch).
+      // A crash leaving ANY subset committed still replays to a valid
+      // upsert: graphUpsertDeltaWith anti-joins the batch ids out of every
+      // stored side, and each commit is prefix-keyed (replace, not append
+      // twice), so commit ORDER carries no correctness weight here.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val commits = Seq(
+        Future {
+          stageBucketed(spark, keep.unionByName(delta),
+            s"$dir/graph_stage", Seq("vec_id", "rn"), buckets)
+          replaceBuckets(spark, s"$dir/graph", s"$dir/graph_stage", s"${batchId}g")
+          refresh(spark, s"$dir/graph")
+        },
+        Future {
+          // batch vectors: bucketed stage + suffix-preserving rename append
+          stageBucketed(spark, batch.select("vec_id", "embedding"),
+            s"$dir/vec_stage", Seq("vec_id"), buckets)
+          SignatureLayout.moveInto(spark, s"$dir/vec_stage", s"$dir/vectors", batchId)
+          refresh(spark, s"$dir/vectors")
+        },
+        Future {
+          // batch signs: plain append under the same idempotent prefix
+          graft.operators.NnDescent
+            .signsOf(batch.select("vec_id", "embedding"), tables)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/sign_stage")
+          SignatureLayout.moveInto(spark, s"$dir/sign_stage", s"$dir/signs",
+            s"$batchId-sg")
+        })
+      commits.foreach(Await.result(_, Duration.Inf))
+      mark("commits")
+      return
+    }
     refresh(spark, s"$dir/graph")
-    // batch vectors: bucketed stage + suffix-preserving rename append
+    // legacy path: sequential commits, order graph -> vectors -> signs
     stageBucketed(spark, batch.select("vec_id", "embedding"),
-      s"$dir/vec_stage", Seq("vec_id"))
+      s"$dir/vec_stage", Seq("vec_id"), DefaultBuckets)
     SignatureLayout.moveInto(spark, s"$dir/vec_stage", s"$dir/vectors", batchId)
     refresh(spark, s"$dir/vectors")
-    // batch signs: plain append under the same idempotent prefix
     graft.operators.NnDescent
       .signsOf(batch.select("vec_id", "embedding"), tables)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/sign_stage")
@@ -263,9 +367,111 @@ object GraphLayout {
       s"$batchId-sg")
   }
 
-  def readGraph(spark: SparkSession, dir: String): DataFrame =
-    // self-heals a swap that crashed between its two renames (live dir
-    // absent, `_old` set-aside present) — the PairsLayout.read contract,
-    // via readBucketed's recoverPath
+  def readGraph(spark: SparkSession, dir: String): DataFrame = {
+    // self-heals BOTH crash shapes: a dir swap crashed between its two
+    // renames (live absent, `_old` set-aside — readBucketed's recoverPath)
+    // and a bucket-confined replace crashed mid-commit (marker present)
+    recoverReplace(spark, s"$dir/graph")
     readBucketed(spark, dir, s"$dir/graph", Seq("vec_id", "rn"))
+  }
+
+  // ------------------------------------- bucket-confined replace protocol
+
+  /** Bucket id parsed from a bucketed data file's `_NNNNN` name group
+    * (survives the prefix renames below — Spark's own reader parses the
+    * same trailing group); None for plain-parquet names. */
+  private def bucketOf(name: String): Option[Int] =
+    "_(\\d+)\\.".r.findFirstMatchIn(name).map(_.group(1).toInt)
+
+  /** Replace ONLY the buckets staged in `stage` inside the live bucketed
+    * relation — the per-batch commit of [[upsertStored]]. Contract: each
+    * staged file holds the COMPLETE new content of its bucket. Protocol
+    * (single concurrent writer, like every layout here):
+    *
+    *   1. write `_graft_replace` marker = `prefix.gen` (gen fresh per
+    *      attempt) — underscore-named, invisible to scans;
+    *   2. delete live files of OTHER generations of this prefix (a replay
+    *      of the same batch REPLACES its delta — the moveInto rule);
+    *   3. [[finishReplace]]: rename staged files to `prefix.gen-<name>`,
+    *      drop the stage, delete superseded files (touched-bucket files
+    *      not of this generation);
+    *   4. drop the marker.
+    *
+    * A crash anywhere in 2–3 leaves the marker, and [[recoverReplace]]
+    * re-runs 3 idempotently: renames consume staged files (a file is in
+    * the stage or the live dir, never both), the generation tag keeps a
+    * half-committed attempt's files from being deleted as "other
+    * generation", and the touched-bucket set is re-derived from the
+    * current generation's file names ∪ the remaining staged names. Until
+    * step 3's deletes finish, a touched bucket transiently holds old AND
+    * new rows — unreadable only by a concurrent reader, which this
+    * layout's single-writer/reader-after-commit contract already
+    * excludes. */
+  private def replaceBuckets(spark: SparkSession, live: String, stage: String,
+                             prefix: String): Unit = {
+    val livep = new org.apache.hadoop.fs.Path(absPath(live))
+    val f = fs(spark, livep)
+    val gen = java.util.UUID.randomUUID().toString.take(8)
+    val marker = new org.apache.hadoop.fs.Path(livep, "_graft_replace")
+    val out = f.create(marker, true)
+    try out.write(s"$prefix.$gen".getBytes("UTF-8")) finally out.close()
+    f.listStatus(livep).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith(s"$prefix.") && !p.getName.startsWith(s"$prefix.$gen-")
+      }
+      .foreach { p =>
+        if (!f.delete(p, false))
+          throw new java.io.IOException(s"bucket replace: replay-delete $p failed")
+      }
+    finishReplace(spark, livep, new org.apache.hadoop.fs.Path(absPath(stage)),
+      s"$prefix.$gen")
+    f.delete(marker, false)
+    ()
+  }
+
+  private def finishReplace(spark: SparkSession,
+                            livep: org.apache.hadoop.fs.Path,
+                            stagep: org.apache.hadoop.fs.Path,
+                            tag: String): Unit = {
+    val f = fs(spark, livep)
+    if (f.exists(stagep)) {
+      f.listStatus(stagep).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).foreach { p =>
+          val to = new org.apache.hadoop.fs.Path(livep, s"$tag-${p.getName}")
+          if (!f.rename(p, to))
+            throw new java.io.IOException(s"bucket replace: rename $p -> $to failed")
+        }
+      f.delete(stagep, true)
+      ()
+    }
+    val liveFiles = f.listStatus(livep).map(_.getPath)
+      .filter(!_.getName.startsWith("_"))
+    val touched = liveFiles.filter(_.getName.startsWith(s"$tag-"))
+      .flatMap(p => bucketOf(p.getName)).toSet
+    liveFiles
+      .filter { p =>
+        !p.getName.startsWith(s"$tag-") &&
+          bucketOf(p.getName).exists(touched.contains)
+      }
+      .foreach { p =>
+        if (!f.delete(p, false))
+          throw new java.io.IOException(s"bucket replace: supersede-delete $p failed")
+      }
+  }
+
+  /** Finish a bucket-confined replace that crashed mid-commit (marker
+    * present). Idempotent no-op otherwise. */
+  private def recoverReplace(spark: SparkSession, live: String): Unit = {
+    val livep = new org.apache.hadoop.fs.Path(absPath(live))
+    val f = fs(spark, livep)
+    val marker = new org.apache.hadoop.fs.Path(livep, "_graft_replace")
+    if (f.exists(livep) && f.exists(marker)) {
+      val in = f.open(marker)
+      val tag = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      finishReplace(spark, livep,
+        new org.apache.hadoop.fs.Path(absPath(live + "_stage")), tag)
+      f.delete(marker, false)
+      refresh(spark, live)
+    }
+  }
 }

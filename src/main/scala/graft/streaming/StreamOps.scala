@@ -700,20 +700,38 @@ object StreamOps {
                                                 dir: String,
                                                 k: Int): DataFrame = {
     import graft.sources.GraphLayout
-    GraphLayout.writeBase(spark, base, dir, k)
+    // the base build is eager and self-contained (the conf-scoping rule):
+    // at gate scale its 2-round NN-descent is ~15 small shuffles over a
+    // few-thousand-row corpus, where 32-partition stage scheduling is the
+    // cost — same content at any partition count (ranks tie-break on
+    // (desc s, asc b), never on physical order)
+    val dbg = sys.env.contains("SPARK_GRAFT_GRAPH_DEBUG")
+    var t0 = System.nanoTime()
+    def mark(what: String): Unit = {
+      if (dbg) println(f"[stream_graph] $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
+    withShufflePartitions(spark, 4) {
+      GraphLayout.writeBase(spark, base, dir, k)
+    }
+    mark("writeBase")
     withShufflePartitions(spark, 4) {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", s"$dir/_checkpoint")
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           GraphLayout.upsertStored(spark, dir, batch, s"mb-$bid", k)
+          mark(s"upsert mb-$bid")
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    GraphLayout.readGraph(spark, dir)
+    mark("stream drain")
+    val out = GraphLayout.readGraph(spark, dir)
       .orderBy(asc("vec_id"), asc("rn"))
       .localCheckpoint()
+    mark("final read")
+    out
   }
 
   /** Streaming distinct-cardinality maintenance: each micro-batch ships

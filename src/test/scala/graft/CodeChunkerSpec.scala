@@ -287,6 +287,21 @@ class CodeChunkerSpec extends AnyFunSuite {
     assert(names.contains(("c", 4, 4)), names.toString)
     assert(names.contains(("d", 5, 5)), names.toString)
     assert(names.map(_._1).sorted == Seq("a", "b", "c", "d"), names.toString)
+    // 3. class-first packed line (round-11 ADVICE #2): `class A{};function
+    //    b(){}` — tree-sitter emits BOTH declarations; the jsClass branch
+    //    must run the same same-line scan as the jsFunction branch
+    val js2 =
+      """class A{};function e(){return 5}
+        |export class B{};function f(){
+        |  return 6
+        |}
+        |""".stripMargin
+    val j2 = CodeChunker.chunkFile("q.js", js2)
+    val cls = j2.filter(_.element_type == "class").map(_.name)
+    val fn2 = j2.filter(_.element_type == "function").map(e => (e.name, e.start_line, e.end_line))
+    assert(cls.sorted == Seq("A", "B"), cls.toString)
+    assert(fn2.contains(("e", 1, 1)), fn2.toString)
+    assert(fn2.contains(("f", 2, 4)), fn2.toString)
   }
 
   test("content hash is stable and md5-shaped (C7)") {

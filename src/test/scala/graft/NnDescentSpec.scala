@@ -153,6 +153,64 @@ class NnDescentSpec extends AnyFunSuite {
     } finally rm(new java.io.File(dir))
   }
 
+  test("delta upsert ∪ untouched stored lists equals the full upsert") {
+    val old = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+    val g0full = NnDescent.knnGraph(old, k = 8)
+    val g0 = g0full.select(col("vec_id").as("a"), col("nbr").as("b"))
+    val full = NnDescent.graphUpsertWith(old, g0, batch, k = 8)
+      .orderBy(col("vec_id"), col("rn"))
+      .collect().map(_.toString).toSeq
+    val delta = NnDescent.graphUpsertDeltaWith(old, g0, batch, k = 8)
+    // the bucket-confined commit's composition: stored lists for untouched
+    // ids carried verbatim, delta lists swapped in
+    val composed = g0full
+      .join(delta.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .unionByName(delta)
+      .orderBy(col("vec_id"), col("rn"))
+      .collect().map(_.toString).toSeq
+    assert(composed == full,
+      "untouched stored rows + delta must reproduce the full upsert bit-for-bit")
+    // and the delta really is confined: strictly fewer lists than the corpus
+    val nDelta = delta.select("vec_id").distinct().count()
+    assert(nDelta < old.count() + batch.count(),
+      s"delta covers $nDelta lists — not confined")
+  }
+
+  test("bucket-confined commit self-heals a crash mid-rename (marker + stage present)") {
+    import java.nio.file.{Files, Paths}
+    val base = emb.filter(col("vec_id") % 10 =!= 7)
+    val dir = Files.createTempDirectory("graft_graph_bkcrash").toString
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    try {
+      graft.sources.GraphLayout.writeBase(spark, base, dir, k = 5)
+      graft.sources.GraphLayout.upsertStored(spark, dir,
+        emb.filter(col("vec_id") % 10 === 7).select("vec_id", "embedding"),
+        "mb-0", k = 5)
+      val want = graft.sources.GraphLayout.readGraph(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      // simulate a crash mid-commit: one committed bucket file moved back
+      // into the stage under its original name, marker restored
+      val committed = new java.io.File(s"$dir/graph").listFiles()
+        .filter(_.getName.startsWith("mb-0g.")).minBy(_.getName)
+      val tag = committed.getName.substring(0, committed.getName.indexOf("-part-"))
+      val orig = committed.getName.drop(tag.length + 1)
+      Files.createDirectories(Paths.get(s"$dir/graph_stage"))
+      Files.move(committed.toPath, Paths.get(s"$dir/graph_stage/$orig"))
+      Files.write(Paths.get(s"$dir/graph/_graft_replace"),
+        tag.getBytes("UTF-8"))
+      val got = graft.sources.GraphLayout.readGraph(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, "recovery must finish the interrupted bucket commit")
+      assert(!Files.exists(Paths.get(s"$dir/graph/_graft_replace")),
+        "marker must be consumed")
+      assert(!Files.exists(Paths.get(s"$dir/graph_stage")),
+        "stage must be consumed")
+    } finally rm(new java.io.File(dir))
+  }
+
   test("refinement is monotone: recall never regresses with more rounds") {
     val r0 = recallOf(0, 6)
     val r2 = recallOf(2, 6)

@@ -585,6 +585,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("ngram budget AUTO: derives a saturating budget at test scale, a bounding one under a tiny envelope") {
+    // default envelope at sf0.001: derived budget far exceeds every df
+    // rung's cumulative volume — auto ≡ fixed-256 ≡ full ngramJaccard
+    val auto = Dedup.ngramJaccardBudgetAuto(docs, threshold = 0.5)
+      .collect().map(_.toString).toSeq
+    val full = Dedup.ngramJaccard(docs, threshold = 0.5)
+      .collect().map(_.toString).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    assert(auto.nonEmpty && auto == full)
+    // a starved envelope (scratchRows ~ shingleRows) derives budget ~0-1:
+    // strictly fewer or equal pairs, every survivor still exact-verified
+    // (found ⊆ full with identical jaccard — budget only limits FINDING)
+    val tiny = Dedup.ngramJaccardBudgetAuto(docs, threshold = 0.5,
+        scratchRows = 2L).collect().map(_.toString).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    assert(tiny.toSet.subsetOf(full.toSet))
+    assert(tiny.length < full.length)
+    // executors scale the envelope linearly: a big enough multiplier on
+    // the starved envelope recovers the saturating geometry
+    val scaled = Dedup.ngramJaccardBudgetAuto(docs, threshold = 0.5,
+        scratchRows = 2L, executors = 1000000000).collect().map(_.toString).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    assert(scaled == full)
+  }
+
   test("simhashWide: 64-bit prefix reproduces simhash blocks; planted near-dup found") {
     // block-0 consistency: the first 64 bits of any width come from the
     // same unsalted md5 chunks, so the 128-wide signature's prefix must
@@ -1870,6 +1895,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(windows.nonEmpty, "optimized plan lost the Window node")
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "optimizer folded boundedGlobal's partition key back to the empty spec")
+    // the guard rejects ANY foldable tag, not just a direct lit() —
+    // round-11 ADVICE #4 (a folded tag would silently re-empty the spec)
+    intercept[IllegalArgumentException] {
+      graft.functions.BoundedWindow.boundedGlobal(lit("x"), asc("t"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.BoundedWindow.boundedGlobal(
+        concat(lit("a"), upper(lit("b"))), asc("t"))
+    }
+    // and a column reference buried inside an expression still passes
+    val ok = graft.functions.BoundedWindow.boundedGlobal(
+      concat(lit("a"), col("t")), asc("t"))
+    val df2 = docs.select(col("doc_id").cast("string").as("t"))
+      .withColumn("s", sum(length(col("t"))).over(ok))
+    assert(df2.queryExecution.optimizedPlan.collect {
+      case win: org.apache.spark.sql.catalyst.plans.logical.Window => win
+    }.forall(_.partitionSpec.nonEmpty))
   }
 
   test("nbClassify: exactly the tokenizable test split, trained classes only, argmax consistent") {
