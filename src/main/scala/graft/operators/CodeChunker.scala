@@ -518,9 +518,14 @@ object CodeChunker {
               lines.slice(i, e2 + 1).mkString("\n"))
           }
           i += 1
-        case _ if !inClassBody(i) && jsFunctionMid.findFirstIn(m(i)).isDefined =>
+        case _ if (!inClassBody(i) || bodies.exists(_._2 == i)) &&
+          jsFunctionMid.findFirstIn(m(i)).isDefined =>
           // the line STARTS with other code (a previous declaration's
-          // closer, a statement) and declares functions after boundaries
+          // closer, a statement) and declares functions after boundaries.
+          // A class body's own CLOSING line qualifies too (round-12): in
+          // `}; function g(){}` the brace ends the class, so the
+          // declaration is top-level — tree-sitter emits it; the body
+          // range (which includes its closer line) was hiding it
           for (mm <- jsFunctionMid.findAllMatchIn(m(i))) {
             val end = braceEndFrom(m, i, mm.start + 1)
             out += CodeElement.make(mm.group(1), "function", path, i + 1, end + 1,

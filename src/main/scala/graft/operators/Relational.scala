@@ -42,12 +42,18 @@ object Relational {
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
         // decimal accumulation (exact, order-insensitive) — but the FINAL
-        // projection is round(double): decimal output precision differs
+        // projection is a double: decimal output precision differs
         // between Spark (dec(28,4)) and DuckDB (dec(38,4)) and the driver's
-        // hash is type-sensitive. Double after round(,6) is identical.
-        round(sum(dec(col("l_quantity"))).cast("double"), 6).as("sum_qty"),
-        round(sum(dec(col("l_extendedprice"))).cast("double"), 6).as("sum_base_price"),
-        round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).cast("double"), 6).as("sum_disc_price"),
+        // hash is type-sensitive. The BIG sums round ON THE DECIMAL
+        // (exact half-away-from-zero in both engines) to scale 2 BEFORE
+        // the double cast: round(double, 6) needs |x|·10^6 < 2^53 to be
+        // engine-exact, and the sf1 gate measured the first crossing
+        // (sum_disc_price 2.7e10 → a 4e-6 one-ulp split, round-12); a
+        // scale-2 decimal keeps its unscaled value < 2^53 through sf100,
+        // so decimal→double lands on the identical nearest double.
+        round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"),
+        round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("sum_base_price"),
+        round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))), 2).cast("double").as("sum_disc_price"),
         round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
         round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"),
         round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 6).as("avg_disc"),
@@ -57,9 +63,9 @@ object Relational {
 
   def duckPricingSummary: String =
     s"""SELECT l_returnflag, l_linestatus,
-       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_qty,
-       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_base_price,
-       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS sum_disc_price,
+       |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+       |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,

@@ -302,6 +302,19 @@ class CodeChunkerSpec extends AnyFunSuite {
     assert(cls.sorted == Seq("A", "B"), cls.toString)
     assert(fn2.contains(("e", 1, 1)), fn2.toString)
     assert(fn2.contains(("f", 2, 4)), fn2.toString)
+    // 4. a declaration on a MULTI-LINE class's closing line: the body
+    //    range includes its closer, which used to hide the (top-level)
+    //    function that starts right after the closing brace
+    val js3 =
+      """class C{
+        |  m(){ return 1 }
+        |};function g(){return 7}
+        |""".stripMargin
+    val j3 = CodeChunker.chunkFile("r.js", js3)
+    assert(j3.filter(_.element_type == "class").map(_.name) == Seq("C"))
+    val fn3 = j3.filter(_.element_type == "function").map(e => (e.name, e.start_line, e.end_line))
+    assert(fn3.contains(("g", 3, 3)), fn3.toString)
+    assert(fn3.exists(_._1 == "m"), fn3.toString)
   }
 
   test("content hash is stable and md5-shaped (C7)") {

@@ -29,8 +29,13 @@ echo "engine rc=$rc wall=$(( $(date +%s) - t0 ))s" | tee "$OUT/gate.log"
 # oracle pass, one query at a time: a single heavy DuckDB oracle that
 # exhausts the box fails that row ALONE (fresh connection per query), and
 # per-query wall lands in gate.log. Queries come from the dump the engine
-# just wrote, so the list can never drift from SparkEntry.
-QUERIES=$(python3 -c "import json;print(' '.join(sorted(json.load(open('$OUT/oracle_sql.json')))))")
+# just wrote (never drifts from SparkEntry), intersected with an explicit
+# query filter when one was given.
+if [ $# -gt 0 ]; then
+  QUERIES="$*"
+else
+  QUERIES=$(python3 -c "import json;print(' '.join(sorted(json.load(open('$OUT/oracle_sql.json')))))")
+fi
 for q in $QUERIES; do
   t1=$(date +%s)
   res=$(python3 tools/oracle_check.py "$SF" "$OUT" "$q" 2>&1 | grep -E "^(PASS|FAIL|WARN)")
