@@ -843,10 +843,15 @@ object TextAnalysis {
     * (pii_class, n_matches, n_docs, clean_checksum) — one row per class
     * (n_docs = docs with ≥1 match of that class) plus a `zz_corpus`
     * roll-up whose n_matches/n_docs cover ALL classes and whose
-    * clean_checksum is the corpus-wide sum of each doc's post-redaction
-    * md5 prefix (`conv(substr(md5, 1, 12), 16, 10)` — 48 bits/doc, so the
-    * BIGINT sum is exact far beyond 100 TB row counts): the checksum
-    * pins the redacted TEXT cross-engine, not just the counts.
+    * clean_checksum is the corpus-wide BIT_XOR of each doc's
+    * post-redaction md5 prefix (`conv(substr(md5, 1, 12), 16, 10)` —
+    * 48 bits/doc): the checksum pins the redacted TEXT cross-engine, not
+    * just the counts. XOR, not SUM (round-12 sf10 fix): a sum of 48-bit
+    * values overflows BIGINT at 2^15 ≈ 33k docs — the sf10 campaign hit
+    * it at 500k (ARITHMETIC_OVERFLOW under ANSI mode); xor is
+    * order-insensitive, overflow-free at ANY corpus size, and identical
+    * in both engines. (Exact-duplicate docs cancel pairwise in an xor —
+    * acceptable for a cross-engine pin, which only needs determinism.)
     *
     * Shape rules: ONE corpus scan; the per-class counts ride a single
     * projection (codegen CSE shares the intermediate texts); the class
@@ -886,7 +891,7 @@ object TextAnalysis {
     rows.groupBy("pii_class")
       .agg(sum("cnt").cast("long").as("n_matches"),
         sum(when(col("cnt") > 0, 1L).otherwise(0L)).cast("long").as("n_docs"),
-        sum("chk").cast("long").as("clean_checksum"))
+        expr("bit_xor(chk)").cast("long").as("clean_checksum"))
       .orderBy("pii_class")
 
   def piiRedact(documents: DataFrame): DataFrame =
@@ -916,7 +921,7 @@ object TextAnalysis {
     val zzRow =
       s"""SELECT 'zz_corpus', CAST(sum($totalExpr) AS BIGINT),
          |         CAST(sum(CASE WHEN $totalExpr > 0 THEN 1 ELSE 0 END) AS BIGINT),
-         |         CAST(sum(('0x' || substr(md5(t${stages.length}), 1, 12))::BIGINT) AS BIGINT)
+         |         CAST(bit_xor(('0x' || substr(md5(t${stages.length}), 1, 12))::BIGINT) AS BIGINT)
          |  FROM $last""".stripMargin
     s"""WITH $stageCtes
        |SELECT * FROM (

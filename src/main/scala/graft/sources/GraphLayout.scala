@@ -277,6 +277,11 @@ object GraphLayout {
       tdbg = System.nanoTime()
     }
     recoverReplace(spark, s"$dir/graph")
+    // a foreachBatch source relation re-plans per ACTION, and this method
+    // references it from ~six subtrees (ids, signs, both score sides, the
+    // two appends) — one eager checkpoint makes every later reference a
+    // local read (O(batch) rows; the micro-batch is small by contract)
+    val batch0 = batch.localCheckpoint(true)
     val oldVecs = readBucketed(spark, dir, s"$dir/vectors", Seq("vec_id"))
     val oldSigns = spark.read.parquet(s"$dir/signs")
     val gFull = readBucketed(spark, dir, s"$dir/graph", Seq("vec_id", "rn"))
@@ -287,7 +292,7 @@ object GraphLayout {
       // confine by — the pre-r12 full rewrite remains the honest path
       stageBucketed(spark,
         graft.operators.NnDescent
-          .graphUpsertWith(oldVecs, g, batch.select("vec_id", "embedding"),
+          .graphUpsertWith(oldVecs, g, batch0.select("vec_id", "embedding"),
             k, tables, targetOcc, oldSigns = Some(oldSigns)),
         s"$dir/graph_stage", Seq("vec_id", "rn"), DefaultBuckets)
       SignatureLayout.swapIn(spark, s"$dir/graph", s"$dir/graph_stage")
@@ -295,7 +300,7 @@ object GraphLayout {
       // touched lists only, MATERIALIZED before any live file moves (the
       // plan reads the files the commit below replaces)
       val delta = graft.operators.NnDescent
-        .graphUpsertDeltaWith(oldVecs, g, batch.select("vec_id", "embedding"),
+        .graphUpsertDeltaWith(oldVecs, g, batch0.select("vec_id", "embedding"),
           k, tables, targetOcc, oldSigns = Some(oldSigns))
         .localCheckpoint(true)
       mark("delta")
@@ -337,7 +342,7 @@ object GraphLayout {
         },
         Future {
           // batch vectors: bucketed stage + suffix-preserving rename append
-          stageBucketed(spark, batch.select("vec_id", "embedding"),
+          stageBucketed(spark, batch0.select("vec_id", "embedding"),
             s"$dir/vec_stage", Seq("vec_id"), buckets)
           SignatureLayout.moveInto(spark, s"$dir/vec_stage", s"$dir/vectors", batchId)
           refresh(spark, s"$dir/vectors")
@@ -345,7 +350,7 @@ object GraphLayout {
         Future {
           // batch signs: plain append under the same idempotent prefix
           graft.operators.NnDescent
-            .signsOf(batch.select("vec_id", "embedding"), tables)
+            .signsOf(batch0.select("vec_id", "embedding"), tables)
             .write.mode(SaveMode.Overwrite).parquet(s"$dir/sign_stage")
           SignatureLayout.moveInto(spark, s"$dir/sign_stage", s"$dir/signs",
             s"$batchId-sg")
@@ -356,12 +361,12 @@ object GraphLayout {
     }
     refresh(spark, s"$dir/graph")
     // legacy path: sequential commits, order graph -> vectors -> signs
-    stageBucketed(spark, batch.select("vec_id", "embedding"),
+    stageBucketed(spark, batch0.select("vec_id", "embedding"),
       s"$dir/vec_stage", Seq("vec_id"), DefaultBuckets)
     SignatureLayout.moveInto(spark, s"$dir/vec_stage", s"$dir/vectors", batchId)
     refresh(spark, s"$dir/vectors")
     graft.operators.NnDescent
-      .signsOf(batch.select("vec_id", "embedding"), tables)
+      .signsOf(batch0.select("vec_id", "embedding"), tables)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/sign_stage")
     SignatureLayout.moveInto(spark, s"$dir/sign_stage", s"$dir/signs",
       s"$batchId-sg")

@@ -29,7 +29,9 @@ sweep() {
 free_gb() { df -BG --output=avail / | tail -1 | tr -dc '0-9'; }
 
 mkdir -p "$OUT"
-: > "$OUT/campaign.log"
+# append on a filtered retry — a solo re-run must not erase the campaign's
+# earlier rows (learned the hard way, round 12)
+[ $# -eq 0 ] && : > "$OUT/campaign.log"
 for q in "${QUERIES[@]}"; do
   waited=0
   while :; do
