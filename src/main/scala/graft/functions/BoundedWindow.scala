@@ -67,8 +67,14 @@ object BoundedWindow {
     * — the same shape `ColumnNodeLike.collect` would give us. */
   private def refsColumn(node: AnyRef): Boolean = {
     val cn = node.getClass.getSimpleName.stripSuffix("$")
+    // SqlExpression (expr("…")) is OPAQUE here — its column references
+    // live in unparsed SQL text, not children(), so a genuinely
+    // column-backed expr("some_col") tag was false-rejected (round-12
+    // ADVICE). Accept it: the guard errs toward admitting (a literal-only
+    // expr("1") would fold and merely restore the known warning — the
+    // pre-guard failure mode), never toward rejecting a valid tag.
     if (cn == "UnresolvedAttribute" || cn == "UnresolvedStar" ||
-      cn == "UnresolvedRegex") true
+      cn == "UnresolvedRegex" || cn == "SqlExpression") true
     else
       (try Option(node.getClass.getMethod("children"))
       catch { case _: NoSuchMethodException => None })

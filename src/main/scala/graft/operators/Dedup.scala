@@ -565,7 +565,20 @@ object Dedup {
   def ngramJaccardBudgetAuto(documents: DataFrame, threshold: Double,
                              scratchRows: Long = AutoScratchRows,
                              executors: Int = 1,
-                             skewSafe: Boolean = true): DataFrame = {
+                             skewSafe: Boolean = true): DataFrame =
+    ngramJaccardBudgetAutoWith(documents, threshold, scratchRows, executors,
+      skewSafe)._1
+
+  /** [[ngramJaccardBudgetAuto]] with cache handles — the
+    * [[ngramJaccardCappedWith]] lifecycle for library callers who manage
+    * their own cache lifetimes (round-12 ADVICE: the non-With form
+    * dropped the handles on the floor, leaking the cached shingle
+    * relations outside the per-query cache-clearing harness). */
+  def ngramJaccardBudgetAutoWith(documents: DataFrame, threshold: Double,
+                                 scratchRows: Long = AutoScratchRows,
+                                 executors: Int = 1,
+                                 skewSafe: Boolean = true)
+      : (DataFrame, Seq[DataFrame]) = {
     val (shDf0, h) = dfShinglesWith(documents, skewSafe)
     val shRows = math.max(1L, shDf0.count())
     val budget = math.max(1L,
@@ -580,10 +593,7 @@ object Dedup {
       .filter(col("cc") <= col("ndocs") * budget)
       .agg(coalesce(max("df"), lit(1L)).as("cap"))
     val (out, h2) = cappedPairsOfWith(shDf0.crossJoin(broadcast(cap)), col("cap"), threshold)
-    // the *Budget lifecycle: cache handles drop here — the harness clears
-    // caches per query (the non-With convention of every gated variant)
-    (h ++ h2).foreach(_ => ())
-    out
+    (out, h ++ h2)
   }
 
   /** DuckDB mirror of [[ngramJaccardBudgetAuto]] — the budget derives in

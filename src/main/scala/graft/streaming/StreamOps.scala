@@ -711,10 +711,18 @@ object StreamOps {
       if (dbg) println(f"[stream_graph] $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
       t0 = System.nanoTime()
     }
-    withShufflePartitions(spark, 4) {
+    // the 4-partition override is a GATE-SCALE scheduling win only (a
+    // few-thousand-row base pays more in 32-partition stage scheduling
+    // than in compute — the conf-scoping comment above); a corpus-scale
+    // base build needs the session's full parallelism (round-12 ADVICE:
+    // sf10's 1.6M-row NN-descent was capped at 4 reduce partitions), so
+    // gate the override on one eager count of the base
+    val nBase = base.count()
+    if (nBase <= 100000L)
+      withShufflePartitions(spark, 4) { GraphLayout.writeBase(spark, base, dir, k) }
+    else
       GraphLayout.writeBase(spark, base, dir, k)
-    }
-    mark("writeBase")
+    mark(s"writeBase n=$nBase")
     withShufflePartitions(spark, 4) {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", s"$dir/_checkpoint")
