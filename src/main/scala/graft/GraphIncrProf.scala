@@ -34,7 +34,11 @@ object GraphIncrProf {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(3)
     val batchMod = args.lift(2).map(_.toInt).getOrElse(20)
-    val buckets = args.lift(3).map(_.toInt).getOrElse(32)
+    // 0 (the default since round-13) = derive buckets from the corpus
+    // count (GraphLayout.bucketsFor) — the sweep that produced the
+    // committed three-decade table passed 32/320/3200 BY HAND; the auto
+    // rule must reproduce it
+    val buckets = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,8 +69,10 @@ object GraphIncrProf {
     for (pass <- 1 to 2) {
       var t0 = System.nanoTime()
       GraphLayout.writeBase(spark, base, dir, k, buckets = buckets)
-      println(f"[graphincrprof] pass $pass writeBase(n=${base.count()}, buckets=$buckets) " +
-        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val bEff = GraphLayout.storedBuckets(spark, dir)
+      println(f"[graphincrprof] pass $pass writeBase(n=${base.count()}, buckets=$bEff" +
+        (if (buckets == 0) " auto" else "") +
+        f") ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
       // per-batch upserts run at the gate's micro-batch conf (the
       // streamedGraphMaintenance foreachBatch scope): 4 shuffle partitions

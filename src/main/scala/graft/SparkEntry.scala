@@ -902,9 +902,13 @@ object SparkEntry {
     "q_graph_upsert" -> graft.operators.NnDescent.duckGraphUpsert(
                           "embeddings", "vec_id % 10 <> 7", "vec_id % 10 = 7"),
     // single-file source = one micro-batch: streamed maintenance lands
-    // exactly on the batch upsert (same oracle; multi-batch spec-pinned)
+    // exactly on the batch upsert against the stored artifact, whose band
+    // width is FROZEN at the base snapshot (round-13) — the oracle derives
+    // bits from the base slice's count, not the post-insert count
+    // (multi-batch semantics spec-pinned)
     "q_stream_graph" -> graft.operators.NnDescent.duckGraphUpsert(
-                          "embeddings", "vec_id % 10 <> 7", "vec_id % 10 = 7"),
+                          "embeddings", "vec_id % 10 <> 7", "vec_id % 10 = 7",
+                          frozenBaseBits = true),
     "q_graph_recall" -> graft.operators.NnDescent.duckGraphRecall(
                           "embeddings", nQueries = 8, beam = 16, gk = 16),
     "q_ivf_stats" -> Knn.duckIvfStatsSql("embeddings", 16),

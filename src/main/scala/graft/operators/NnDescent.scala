@@ -85,6 +85,30 @@ object NnDescent {
         expr(s"substring(sgn, t * $Block + 1, bits)").as("bkey"))
   }
 
+  /** [[bandKeysOfSigns]] at a FIXED band width — the frozen-bits form
+    * (round-13): no count, no corpus scan, just the explode + substring
+    * over whatever sign relation is passed. Identical values to the
+    * in-plan form whenever `bits == bitsFor(count, targetOcc)`. */
+  private[graft] def bandKeysAt(signs: DataFrame, bits: Int): DataFrame =
+    signs
+      .select(col("vec_id"),
+        explode(expr(s"sequence(0, length(sgn) DIV $Block - 1)")).as("t"),
+        col("sgn"))
+      .select(col("vec_id"), col("t"),
+        expr(s"substring(sgn, t * $Block + 1, $bits)").as("bkey"))
+
+  /** The band-width rule as eager Scala — EXACTLY the in-plan
+    * `greatest(2, least(Block, length(bin(n DIV occ)) - 1))` (bin() is
+    * unpadded, so length(bin(x)) - 1 = floor(log2(x)) for x ≥ 1 and 0
+    * for x = 0; the clamp floor covers both). Used to FREEZE bits into a
+    * stored artifact's sidecar at snapshot time
+    * ([[graft.sources.GraphLayout.writeBase]]). */
+  def bitsFor(n: Long, targetOcc: Int): Int = {
+    val m = n / targetOcc
+    val lg = if (m <= 0L) 0 else 63 - java.lang.Long.numberOfLeadingZeros(m)
+    math.max(2, math.min(Block, lg))
+  }
+
   private def bandKeys(index: DataFrame, tables: Int, targetOcc: Int): DataFrame =
     bandKeysOfSigns(signsOf(index, tables), targetOcc)
 
@@ -199,9 +223,11 @@ object NnDescent {
   def graphUpsertWith(old: DataFrame, gOldEdges: DataFrame, batch: DataFrame,
                       k: Int = 8, tables: Int = 4,
                       targetOcc: Int = 16,
-                      oldSigns: Option[DataFrame] = None): DataFrame =
+                      oldSigns: Option[DataFrame] = None,
+                      frozenBits: Option[Int] = None,
+                      storedBands: Option[DataFrame] = None): DataFrame =
     upsertCore(old, gOldEdges, batch, k, tables, targetOcc, oldSigns,
-      deltaOnly = false)
+      deltaOnly = false, frozenBits, storedBands)
 
   /** The TOUCHED-LISTS-ONLY upsert (round-12, the per-batch full-graph
     * rewrite fix): returns (vec_id, nbr, rn, sim) rows for exactly the
@@ -224,15 +250,19 @@ object NnDescent {
   def graphUpsertDeltaWith(old: DataFrame, gOldEdges: DataFrame,
                            batch: DataFrame, k: Int = 8, tables: Int = 4,
                            targetOcc: Int = 16,
-                           oldSigns: Option[DataFrame] = None): DataFrame =
+                           oldSigns: Option[DataFrame] = None,
+                           frozenBits: Option[Int] = None,
+                           storedBands: Option[DataFrame] = None): DataFrame =
     upsertCore(old, gOldEdges, batch, k, tables, targetOcc, oldSigns,
-      deltaOnly = true)
+      deltaOnly = true, frozenBits, storedBands)
 
   private def upsertCore(old: DataFrame, gOldEdges: DataFrame, batch: DataFrame,
                          k: Int, tables: Int,
                          targetOcc: Int,
                          oldSigns: Option[DataFrame],
-                         deltaOnly: Boolean): DataFrame = {
+                         deltaOnly: Boolean,
+                         frozenBits: Option[Int] = None,
+                         storedBands: Option[DataFrame] = None): DataFrame = {
     val batchIds = batch.select("vec_id")
     val oldOnly = old.join(batchIds, Seq("vec_id"), "left_anti")
     val full = oldOnly.unionByName(batch)
@@ -240,8 +270,11 @@ object NnDescent {
     // strings when the stored artifact provides them (only the batch's
     // signs are computed — the corpus embedding column is never rescanned
     // per micro-batch; same replay anti-join as `old`), else derived from
-    // the live relation. Bits stay in-plan from the unioned count either
-    // way — identical values, identical oracle.
+    // the live relation. Bits are in-plan from the unioned count by
+    // default; a STORED artifact passes `frozenBits` (the width recorded
+    // in its sidecar at snapshot time — round-13: a per-batch in-plan
+    // width is a per-batch corpus count, and it's what forced the banding
+    // probe to re-key the whole sign relation every micro-batch).
     val fullSigns = oldSigns match {
       case Some(s) => s.join(batchIds, Seq("vec_id"), "left_anti")
         .unionByName(signsOf(batch, tables))
@@ -286,10 +319,38 @@ object NnDescent {
 
     val bids = batch.select(col("vec_id").as("a"))
     val gOld = gOldEdges.join(bids, Seq("a"), "left_anti")
-    val bands = bandKeysOfSigns(fullSigns, targetOcc)
-    val bucketCand = bands.as("x")
-      .join(bids.withColumnRenamed("a", "vec_id"), "vec_id")
-      .join(bands.as("y"),
+    // the post-insert band relation the bucket-candidate join probes:
+    //   - (frozen, stored): stored band rows (the caller pre-prunes to the
+    //     batch's band-key partitions — pruning only ever REMOVES rows
+    //     that can't equijoin the batch's (t, bkey) keys, so it is pure
+    //     IO) + the batch's own keys at the frozen width. NO corpus term:
+    //     neither a count nor a full re-key. Replay anti-join mirrors
+    //     `fullSigns`'s.
+    //   - (frozen, none): full re-key at the frozen width (the semantics
+    //     alone, for spec/sequential-expectation callers).
+    //   - default: in-plan width from the post-insert count.
+    // bandsX = the BATCH's band rows (the probe side), bandsY = the full
+    // post-insert band relation. In the stored path bandsX is cut
+    // directly from the batch's signs, so the x side never evaluates the
+    // stored relation at all — one fewer read of the corpus-side subtree
+    // per micro-batch (and the right shape at scale: the probe side is
+    // O(batch) by construction).
+    val (bandsX, bandsY) = (frozenBits, storedBands) match {
+      case (Some(bits), Some(sb)) =>
+        val bb = bandKeysAt(signsOf(batch, tables), bits)
+        (bb, sb.join(batchIds, Seq("vec_id"), "left_anti").unionByName(bb))
+      case (Some(bits), None) =>
+        val b = bandKeysAt(fullSigns, bits)
+        (b.join(batchIds, Seq("vec_id")), b)
+      case (None, Some(_)) => throw new IllegalArgumentException(
+        "storedBands requires frozenBits — stored band keys are only valid " +
+          "at the width they were written with")
+      case (None, None) =>
+        val b = bandKeysOfSigns(fullSigns, targetOcc)
+        (b.join(batchIds, Seq("vec_id")), b)
+    }
+    val bucketCand = bandsX.as("x")
+      .join(bandsY.as("y"),
         col("x.t") === col("y.t") && col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
@@ -319,22 +380,31 @@ object NnDescent {
   }
 
   /** DuckDB mirror of [[graphUpsert]]: [[duckKnnGraph]] over the OLD
-    * slice as the stored graph, then the batch placement + old re-cut. */
+    * slice as the stored graph, then the batch placement + old re-cut.
+    *
+    * `frozenBaseBits`: mirror of the STORED-artifact maintenance path
+    * (round-13) — band width frozen at the snapshot, i.e. derived from
+    * the OLD slice's count (what [[graft.sources.GraphLayout.writeBase]]
+    * records in the `_graft_bands` sidecar), not the post-insert count.
+    * The default mirrors the in-memory [[graphUpsert]] API, whose width
+    * is the one a full rebuild would use. */
   def duckGraphUpsert(table: String, oldPred: String, batchPred: String,
                       k: Int = 8, tables: Int = 4, rounds: Int = 2,
-                      targetOcc: Int = 16): String = {
+                      targetOcc: Int = 16,
+                      frozenBaseBits: Boolean = false): String = {
     val graphCtes = duckKnnGraphParts(
       s"(SELECT * FROM $table WHERE $oldPred) oldsrc",
       k, tables, rounds, targetOcc)._1
     val sgn = duckSignBucketAt("embedding", 0, tables * Block)
     val sc = s"${duckDot("va.embedding", "vb.embedding")} / (va.n * vb.n)"
+    val bitsSrc = if (frozenBaseBits) "FROM fvn WHERE NOT isb" else "FROM fvn"
     s"""WITH $graphCtes,
        |gold AS MATERIALIZED (SELECT a, b FROM g$rounds WHERE rn <= $k),
        |fvn AS MATERIALIZED (
        |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS n,
        |         $sgn AS sgn, ($batchPred) AS isb
        |  FROM $table WHERE ($oldPred) OR ($batchPred)),
-       |fbb AS (SELECT greatest(2, least($Block, length(bin((count(*)::BIGINT) // $targetOcc)) - 1)) AS bits FROM fvn),
+       |fbb AS (SELECT greatest(2, least($Block, length(bin((count(*)::BIGINT) // $targetOcc)) - 1)) AS bits $bitsSrc),
        |fbands AS MATERIALIZED (
        |  SELECT vec_id, isb, t, substr(sgn, t * $Block + 1, bits) AS bkey
        |  FROM fvn CROSS JOIN fbb CROSS JOIN (SELECT unnest(range(0, $tables)) AS t)),

@@ -40,15 +40,27 @@ object GraphLayout {
 
   private val built = new BuildLatch
 
-  /** Bucket count for NEW artifacts when the caller doesn't size it —
-    * matches local[32]. A deployment sizes this to the corpus (buckets ≈
-    * corpus / healthy-partition-size, the SignatureLayout rule); for the
-    * bucket-CONFINED maintenance below it is also the IO-confinement
-    * grain: a micro-batch rewrites ~min(buckets, batch·(1+recut-spread))
-    * buckets, so buckets ≫ typical batch size is what makes per-batch
-    * write volume O(batch), not O(corpus) (round-12; GraphIncrProf
-    * measures the fraction). */
+  /** Floor bucket count — matches local[32]. For the bucket-CONFINED
+    * maintenance below the bucket count is the IO-confinement grain: a
+    * micro-batch rewrites ~min(buckets, batch·(1+recut-spread)) buckets,
+    * so buckets ≫ typical batch size is what makes per-batch write
+    * volume O(batch), not O(corpus) (round-12; GraphIncrProf measures
+    * the fraction). */
   private val DefaultBuckets = 32
+
+  /** Target graph rows (n·k) per bucket for AUTO-sized artifacts —
+    * constant bucket bytes as the corpus grows, which is what makes
+    * per-batch write IO corpus-INDEPENDENT (round-12 GraphIncrProf
+    * measured 98% → 42% → 5.4% of live bytes per batch across three
+    * decades at exactly this grain: 16k/32, 160k/320, 1.6M/3200 rows per
+    * relation = ~500 rows per bucket). Round-13 (r12 verdict #3): derived
+    * by default instead of hand-set per run. */
+  private val TargetBucketRows = 500L
+
+  /** buckets = clamp(32, 2^16, graphRows / 500) — `graphRows` is n·k. */
+  private[graft] def bucketsFor(graphRows: Long): Int =
+    math.max(DefaultBuckets,
+      math.min(1 << 16, (graphRows / TargetBucketRows).toInt))
 
   /** Sidecar guarding the bucket declaration (a mis-declared CLUSTERED
     * BY silently mis-joins). Records the COUNT, which varies per
@@ -86,8 +98,9 @@ object GraphLayout {
 
   /** Bucket count of an existing artifact from its sidecar; 0 for a
     * pre-bucketing (plain-parquet) artifact. Loudly rejects a sidecar
-    * whose COLUMN spec differs from this build's. */
-  private def storedBuckets(spark: SparkSession, dir: String): Int = {
+    * whose COLUMN spec differs from this build's. (private[graft]: the
+    * profilers report the derived grain.) */
+  private[graft] def storedBuckets(spark: SparkSession, dir: String): Int = {
     val p = new org.apache.hadoop.fs.Path(absPath(s"$dir/_graft_buckets"))
     val f = fs(spark, p)
     if (!f.exists(p)) 0
@@ -100,6 +113,105 @@ object GraphLayout {
           s"'${specString(b)}' — rewrite the artifact")
       b
     }
+  }
+
+  // ------------------------------------------- frozen band-key relation
+
+  /** Target band rows (n·tables) per `pb=` partition of the persisted
+    * band relation — same constant-bytes rule as [[TargetBucketRows]]. */
+  private val TargetBandRows = 500L
+
+  private[graft] def bandPartsFor(bandRows: Long): Int =
+    math.max(DefaultBuckets,
+      math.min(1 << 16, (bandRows / TargetBandRows).toInt))
+
+  private def bandSpecString(bits: Int, pparts: Int, tables: Int,
+                             targetOcc: Int): String =
+    s"bits:$bits;pparts:$pparts;tables:$tables;occ:$targetOcc"
+
+  /** Frozen band parameters of a stored artifact from its `_graft_bands`
+    * sidecar: (bits, pparts). None for an artifact that predates the
+    * frozen-band layout (round-12 and earlier) — those fall back to the
+    * in-plan-width path. Loudly rejects a sidecar whose tables/targetOcc
+    * differ from this call's (stored keys are only valid at the
+    * parameters they were cut with — the storedBuckets precedent). */
+  private def storedBandSpec(spark: SparkSession, dir: String,
+                             tables: Int, targetOcc: Int): Option[(Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(absPath(s"$dir/_graft_bands"))
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val raw = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      val kv = raw.split(";").map(_.split(":")).map(a => a(0) -> a(1).toInt).toMap
+      require(raw == bandSpecString(kv("bits"), kv("pparts"), tables, targetOcc),
+        s"graph band sidecar at $dir is '$raw', this call expects tables=" +
+          s"$tables occ=$targetOcc — rewrite the artifact or reband it")
+      Some((kv("bits"), kv("pparts")))
+    }
+  }
+
+  private def writeBandSpec(spark: SparkSession, dir: String, bits: Int,
+                            pparts: Int, tables: Int, targetOcc: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(absPath(s"$dir/_graft_bands"))
+    val out = fs(spark, p).create(p, true)
+    try out.write(bandSpecString(bits, pparts, tables, targetOcc).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The probe-partition id of a band key — pure layout (never reaches
+    * the oracle): murmur3 over the join key, pmod into `pparts` dirs. */
+  private def pbCol(pparts: Int) =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(col("t"), col("bkey")),
+      org.apache.spark.sql.functions.lit(pparts))
+
+  // t is LONG: `length(sgn) DIV Block` is Spark's integral divide (bigint)
+  private val BandSchema = "vec_id LONG, t LONG, bkey STRING"
+
+  /** Read the stored band relation (explicit schema: an empty-base
+    * artifact has a data-file-less dir, where schema inference throws),
+    * optionally pruned to a set of `pb` partitions — directory pruning,
+    * the IVF-partition precedent: per-batch IO is O(touched partitions),
+    * never a corpus scan. */
+  private def readBands(spark: SparkSession, dir: String,
+                        pbs: Option[Seq[Int]]): DataFrame = {
+    val df = spark.read.schema(s"$BandSchema, pb INT")
+      .parquet(s"$dir/bands")
+    pbs.fold(df)(s => df.filter(col("pb").isin(s: _*)))
+      .select("vec_id", "t", "bkey")
+  }
+
+  /** Stage + commit a band relation write: one dir per `pb` partition,
+    * one file per partition per snapshot. */
+  private def writeBandsFull(spark: SparkSession, signs: DataFrame,
+                             path: String, bits: Int, pparts: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(absPath(path))
+    val f = fs(spark, p)
+    if (f.exists(p)) { f.delete(p, true); () }
+    graft.operators.NnDescent.bandKeysAt(signs, bits)
+      .withColumn("pb", pbCol(pparts))
+      .repartition(pparts, col("pb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(absPath(path))
+  }
+
+  /** Move a staged partitioned band write into the live relation under a
+    * batch prefix — [[SignatureLayout.moveInto]] per `pb=` subdir, so a
+    * replayed batch REPLACES its delta in every partition it writes
+    * (band keys are deterministic in batch content, so a replay stages
+    * the same partitions). */
+  private def moveIntoPartitioned(spark: SparkSession, stage: String,
+                                  live: String, prefix: String): Unit = {
+    val stagep = new org.apache.hadoop.fs.Path(absPath(stage))
+    val f = fs(spark, stagep)
+    f.listStatus(stagep).map(_.getPath)
+      .filter(_.getName.startsWith("pb="))
+      .foreach { sub =>
+        SignatureLayout.moveInto(spark, sub.toString,
+          s"${absPath(live)}/${sub.getName}", prefix)
+      }
+    f.delete(stagep, true)
+    ()
   }
 
   /** Write `df` as a bucketed-by-(vec_id) external table at `path`
@@ -159,22 +271,35 @@ object GraphLayout {
 
   private def writeArt(spark: SparkSession, index: DataFrame, dir: String,
                        k: Int, tables: Int, rounds: Int,
-                       buckets: Int = DefaultBuckets): Unit = {
+                       buckets: Int = 0, targetOcc: Int = 16): Unit = {
+    // one eager count sizes the snapshot (round-13): the bucket grain
+    // (buckets ∝ n·k — constant bucket bytes, corpus-independent
+    // per-batch IO), the band-partition grain, and the FROZEN band width
+    // (= exactly the in-plan width the build below derives at this
+    // count, so frozen ≡ in-plan at snapshot time)
+    val n = index.count()
+    val b = if (buckets > 0) buckets else bucketsFor(n * k)
+    val bits = graft.operators.NnDescent.bitsFor(n, targetOcc)
+    val pparts = bandPartsFor(n * tables)
     // independent relations on disjoint paths → concurrent Futures (the
     // PairsLayout.compact / SignatureLayout.write precedent: sequential
     // submission leaves cores idle in each small job's stage tail); the
-    // cheap signs write hides entirely under the graph build
+    // cheap signs/bands writes hide entirely under the graph build
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val writes = Seq(
       Future(stageBucketed(spark,
-        graft.operators.NnDescent.knnGraph(index, k, tables, rounds),
-        s"$dir/graph", Seq("vec_id", "rn"), buckets)),
+        graft.operators.NnDescent.knnGraph(index, k, tables, rounds, targetOcc),
+        s"$dir/graph", Seq("vec_id", "rn"), b)),
       Future(graft.operators.NnDescent.signsOf(index, tables)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/signs")))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/signs")),
+      Future(writeBandsFull(spark,
+        graft.operators.NnDescent.signsOf(index, tables),
+        s"$dir/bands", bits, pparts)))
     writes.foreach(Await.result(_, Duration.Inf))
-    writeSpec(spark, dir, buckets)
+    writeSpec(spark, dir, b)
+    writeBandSpec(spark, dir, bits, pparts, tables, targetOcc)
   }
 
   /** (graph, signs) — the pair every stored-artifact consumer wants: the
@@ -216,13 +341,22 @@ object GraphLayout {
     * append-able relation. Deleting the dir first also invalidates any
     * streaming checkpoint beneath it (the PairsLayout.writeIndexed
     * convention). */
+  /** `knownCount`: pass `old.count()` when the caller already holds it
+    * (StreamOps gates its partition override on the same count) — saves
+    * the snapshot-sizing job. */
   def writeBase(spark: SparkSession, old: DataFrame, dir: String,
                 k: Int = 8, tables: Int = 4, rounds: Int = 2,
-                buckets: Int = DefaultBuckets): Unit = {
+                buckets: Int = 0, targetOcc: Int = 16,
+                knownCount: Long = -1L): Unit = {
     val p = new org.apache.hadoop.fs.Path(absPath(dir))
     val f = fs(spark, p)
     if (f.exists(p)) { f.delete(p, true); () }
-    // three independent relations, disjoint paths → concurrent (writeArt
+    // snapshot sizing + frozen band width — the writeArt note
+    val n = if (knownCount >= 0L) knownCount else old.count()
+    val b = if (buckets > 0) buckets else bucketsFor(n * k)
+    val bits = graft.operators.NnDescent.bitsFor(n, targetOcc)
+    val pparts = bandPartsFor(n * tables)
+    // four independent relations, disjoint paths → concurrent (writeArt
     // note); crash contract unchanged — the dir was deleted above, so any
     // partial mix is rebuilt on the next writeBase
     import scala.concurrent.{Await, Future}
@@ -230,14 +364,18 @@ object GraphLayout {
     import scala.concurrent.ExecutionContext.Implicits.global
     val writes = Seq(
       Future(stageBucketed(spark,
-        graft.operators.NnDescent.knnGraph(old, k, tables, rounds),
-        s"$dir/graph", Seq("vec_id", "rn"), buckets)),
+        graft.operators.NnDescent.knnGraph(old, k, tables, rounds, targetOcc),
+        s"$dir/graph", Seq("vec_id", "rn"), b)),
       Future(stageBucketed(spark, old.select("vec_id", "embedding"),
-        s"$dir/vectors", Seq("vec_id"), buckets)),
+        s"$dir/vectors", Seq("vec_id"), b)),
       Future(graft.operators.NnDescent.signsOf(old, tables)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/signs")))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/signs")),
+      Future(writeBandsFull(spark,
+        graft.operators.NnDescent.signsOf(old, tables),
+        s"$dir/bands", bits, pparts)))
     writes.foreach(Await.result(_, Duration.Inf))
-    writeSpec(spark, dir, buckets)
+    writeSpec(spark, dir, b)
+    writeBandSpec(spark, dir, bits, pparts, tables, targetOcc)
   }
 
   /** One micro-batch of graph maintenance against the STORED artifact:
@@ -283,7 +421,6 @@ object GraphLayout {
     // local read (O(batch) rows; the micro-batch is small by contract)
     val batch0 = batch.localCheckpoint(true)
     val oldVecs = readBucketed(spark, dir, s"$dir/vectors", Seq("vec_id"))
-    val oldSigns = spark.read.parquet(s"$dir/signs")
     val gFull = readBucketed(spark, dir, s"$dir/graph", Seq("vec_id", "rn"))
     val g = gFull.select(col("vec_id").as("a"), col("nbr").as("b"))
     val buckets = storedBuckets(spark, dir)
@@ -293,16 +430,46 @@ object GraphLayout {
       stageBucketed(spark,
         graft.operators.NnDescent
           .graphUpsertWith(oldVecs, g, batch0.select("vec_id", "embedding"),
-            k, tables, targetOcc, oldSigns = Some(oldSigns)),
+            k, tables, targetOcc,
+            oldSigns = Some(spark.read.parquet(s"$dir/signs"))),
         s"$dir/graph_stage", Seq("vec_id", "rn"), DefaultBuckets)
       SignatureLayout.swapIn(spark, s"$dir/graph", s"$dir/graph_stage")
     } else {
       // touched lists only, MATERIALIZED before any live file moves (the
-      // plan reads the files the commit below replaces)
-      val delta = graft.operators.NnDescent
-        .graphUpsertDeltaWith(oldVecs, g, batch0.select("vec_id", "embedding"),
-          k, tables, targetOcc, oldSigns = Some(oldSigns))
-        .localCheckpoint(true)
+      // plan reads the files the commit below replaces). Band keys come
+      // from the FROZEN-width persisted band relation when the artifact
+      // carries one (round-13, the r12 verdict #1): the batch's own keys
+      // are cut at the sidecar's width — no count — and the corpus side
+      // is a directory-PRUNED read of only the batch's band-key
+      // partitions, so the per-batch banding probe does O(batch)
+      // compute + O(touched partitions) IO where the in-plan form
+      // scanned, counted and re-keyed the whole sign relation every
+      // micro-batch (37 s of the ~38 s sf10 per-batch wall). Pre-frozen
+      // artifacts (no `_graft_bands`) keep the in-plan path.
+      val bandSpec = storedBandSpec(spark, dir, tables, targetOcc)
+      val (batchBands, deltaDf) = bandSpec match {
+        case Some((bits, pparts)) =>
+          // no checkpoint: batch0 already is one, and bb is a local
+          // projection of it — its two actions (pb collect, band append)
+          // each recompute cheaper than an extra eager job costs
+          val bb = graft.operators.NnDescent
+            .bandKeysAt(graft.operators.NnDescent
+              .signsOf(batch0.select("vec_id", "embedding"), tables), bits)
+            .withColumn("pb", pbCol(pparts))
+          // bounded driver-side list: ≤ min(pparts, batch·tables) ints
+          val pbs = bb.select("pb").distinct().collect().map(_.getInt(0)).toIndexedSeq
+          val stored = readBands(spark, dir, Some(pbs))
+          (Some(bb), graft.operators.NnDescent
+            .graphUpsertDeltaWith(oldVecs, g, batch0.select("vec_id", "embedding"),
+              k, tables, targetOcc,
+              frozenBits = Some(bits), storedBands = Some(stored)))
+        case None =>
+          (None, graft.operators.NnDescent
+            .graphUpsertDeltaWith(oldVecs, g, batch0.select("vec_id", "embedding"),
+              k, tables, targetOcc,
+              oldSigns = Some(spark.read.parquet(s"$dir/signs"))))
+      }
+      val delta = deltaDf.localCheckpoint(true)
       mark("delta")
       val touchedBk = delta
         .select(org.apache.spark.sql.functions
@@ -349,11 +516,23 @@ object GraphLayout {
         },
         Future {
           // batch signs: plain append under the same idempotent prefix
+          // (signs stay the full-width source of truth the reband op
+          // re-derives band keys from)
           graft.operators.NnDescent
             .signsOf(batch0.select("vec_id", "embedding"), tables)
             .write.mode(SaveMode.Overwrite).parquet(s"$dir/sign_stage")
           SignatureLayout.moveInto(spark, s"$dir/sign_stage", s"$dir/signs",
             s"$batchId-sg")
+        }) ++ batchBands.map(bb => Future {
+          // batch band keys: partitioned append under the batch prefix so
+          // the NEXT micro-batch's pruned probe sees this batch's rows;
+          // a replay stages the same partitions (keys are deterministic
+          // in batch content) and REPLACES its delta per partition
+          bb.repartition(col("pb"))
+            .write.mode(SaveMode.Overwrite).partitionBy("pb")
+            .parquet(s"$dir/band_stage")
+          moveIntoPartitioned(spark, s"$dir/band_stage", s"$dir/bands",
+            s"$batchId-bd")
         })
       commits.foreach(Await.result(_, Duration.Inf))
       mark("commits")
@@ -370,6 +549,39 @@ object GraphLayout {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/sign_stage")
     SignatureLayout.moveInto(spark, s"$dir/sign_stage", s"$dir/signs",
       s"$batchId-sg")
+  }
+
+  /** Explicit re-band maintenance op (round-13): recompute the frozen
+    * band width from the CURRENT accumulated corpus and, when it crossed
+    * a width boundary (bits grow as floor(log2(n DIV occ)) — roughly one
+    * re-band per corpus DOUBLING), rewrite the band relation from the
+    * stored full-width signs at the new width. This is the deployment
+    * contract that let the per-batch path freeze bits at all: width
+    * drift is absorbed at compaction cadence, never per batch (the
+    * SignatureLayout "re-bucket when you compact" rule applied to band
+    * width). Returns (storedBits, currentBits) — equal = no-op.
+    *
+    * Crash contract: the sidecar is deleted FIRST and rewritten LAST;
+    * between the two, [[upsertStored]] falls back to the in-plan-width
+    * path (correct — signs are the source of truth; bands are derived
+    * state) and never touches the mid-rewrite band relation. */
+  def rebandStored(spark: SparkSession, dir: String, tables: Int = 4,
+                   targetOcc: Int = 16): (Int, Int) = {
+    val (bits, _) = storedBandSpec(spark, dir, tables, targetOcc).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no frozen-band sidecar — nothing to reband"))
+    val signs = spark.read.parquet(s"$dir/signs")
+    val n = signs.count()
+    val nbits = graft.operators.NnDescent.bitsFor(n, targetOcc)
+    if (nbits != bits) {
+      val pparts = bandPartsFor(n * tables)
+      val meta = new org.apache.hadoop.fs.Path(absPath(s"$dir/_graft_bands"))
+      fs(spark, meta).delete(meta, false)
+      writeBandsFull(spark, signs, s"$dir/bands_stage", nbits, pparts)
+      SignatureLayout.swapIn(spark, s"$dir/bands", s"$dir/bands_stage")
+      writeBandSpec(spark, dir, nbits, pparts, tables, targetOcc)
+    }
+    (bits, nbits)
   }
 
   def readGraph(spark: SparkSession, dir: String): DataFrame = {
@@ -395,23 +607,35 @@ object GraphLayout {
     *
     *   1. write `_graft_replace` marker = `prefix.gen` (gen fresh per
     *      attempt) — underscore-named, invisible to scans;
-    *   2. delete live files of OTHER generations of this prefix (a replay
-    *      of the same batch REPLACES its delta — the moveInto rule);
-    *   3. [[finishReplace]]: rename staged files to `prefix.gen-<name>`,
+    *   2. [[finishReplace]]: rename staged files to `prefix.gen-<name>`,
     *      drop the stage, delete superseded files (touched-bucket files
-    *      not of this generation);
-    *   4. drop the marker.
+    *      not of this generation — INCLUDING this prefix's own
+    *      older-generation files in every re-touched bucket, which is
+    *      what makes a replay REPLACE its delta);
+    *   3. drop the marker.
     *
-    * A crash anywhere in 2–3 leaves the marker, and [[recoverReplace]]
-    * re-runs 3 idempotently: renames consume staged files (a file is in
+    * A crash anywhere in 2 leaves the marker, and [[recoverReplace]]
+    * re-runs it idempotently: renames consume staged files (a file is in
     * the stage or the live dir, never both), the generation tag keeps a
     * half-committed attempt's files from being deleted as "other
     * generation", and the touched-bucket set is re-derived from the
     * current generation's file names ∪ the remaining staged names. Until
-    * step 3's deletes finish, a touched bucket transiently holds old AND
+    * step 2's deletes finish, a touched bucket transiently holds old AND
     * new rows — unreadable only by a concurrent reader, which this
     * layout's single-writer/reader-after-commit contract already
-    * excludes. */
+    * excludes.
+    *
+    * Deliberately NO prefix-wide pre-delete of older generations
+    * (round-13, the round-12 ADVICE high): a crash-replay recomputes its
+    * delta against the already-updated graph, so its touched-bucket set
+    * can DIVERGE from the first commit's — a bucket touched only by the
+    * first commit has that commit's file as its sole live content (the
+    * original base file was superseded-deleted), and a prefix-wide
+    * delete would remove it with no replacement, silently losing every
+    * adjacency list hashing there. That content is still CORRECT under
+    * replay — the replay's delta contains no ids hashing to an
+    * untouched bucket (ids map to exactly one bucket), so per-bucket
+    * supersede-replacement alone reduces any replay to a valid upsert. */
   private def replaceBuckets(spark: SparkSession, live: String, stage: String,
                              prefix: String): Unit = {
     val livep = new org.apache.hadoop.fs.Path(absPath(live))
@@ -420,14 +644,6 @@ object GraphLayout {
     val marker = new org.apache.hadoop.fs.Path(livep, "_graft_replace")
     val out = f.create(marker, true)
     try out.write(s"$prefix.$gen".getBytes("UTF-8")) finally out.close()
-    f.listStatus(livep).map(_.getPath)
-      .filter { p =>
-        p.getName.startsWith(s"$prefix.") && !p.getName.startsWith(s"$prefix.$gen-")
-      }
-      .foreach { p =>
-        if (!f.delete(p, false))
-          throw new java.io.IOException(s"bucket replace: replay-delete $p failed")
-      }
     finishReplace(spark, livep, new org.apache.hadoop.fs.Path(absPath(stage)),
       s"$prefix.$gen")
     f.delete(marker, false)

@@ -719,9 +719,11 @@ object StreamOps {
     // gate the override on one eager count of the base
     val nBase = base.count()
     if (nBase <= 100000L)
-      withShufflePartitions(spark, 4) { GraphLayout.writeBase(spark, base, dir, k) }
+      withShufflePartitions(spark, 4) {
+        GraphLayout.writeBase(spark, base, dir, k, knownCount = nBase)
+      }
     else
-      GraphLayout.writeBase(spark, base, dir, k)
+      GraphLayout.writeBase(spark, base, dir, k, knownCount = nBase)
     mark(s"writeBase n=$nBase")
     withShufflePartitions(spark, 4) {
       val q = stream.writeStream.outputMode("append")

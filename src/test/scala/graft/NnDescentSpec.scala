@@ -111,14 +111,20 @@ class NnDescentSpec extends AnyFunSuite {
       val got = StreamOps.streamedGraphMaintenanceOf(spark, base, stream, artDir, k = 8)
         .collect().map(_.toString).toSeq
       // sequential expectation: upsert b1 against the base graph, then b2
-      // against the once-updated graph + accumulated vectors
+      // against the once-updated graph + accumulated vectors — band width
+      // FROZEN at the base snapshot for every batch (round-13: the stored
+      // artifact records bits in its sidecar at writeBase time), which
+      // also pins that the stored-band PRUNED probe is IO-only (the
+      // expectation re-keys full signs at the same frozen width)
+      val bits = NnDescent.bitsFor(base.count(), 16)
       val g0 = NnDescent.knnGraph(base, k = 8)
         .select(col("vec_id").as("a"), col("nbr").as("b"))
-      val g1 = NnDescent.graphUpsertWith(base, g0, b1, k = 8)
+      val g1 = NnDescent.graphUpsertWith(base, g0, b1, k = 8,
+        frozenBits = Some(bits))
       val g2 = NnDescent.graphUpsertWith(
         base.unionByName(b1),
         g1.select(col("vec_id").as("a"), col("nbr").as("b")),
-        b2, k = 8)
+        b2, k = 8, frozenBits = Some(bits))
       val want = g2.collect().map(_.toString).toSeq
       spark.catalog.clearCache()
       assert(got == want,
@@ -208,6 +214,84 @@ class NnDescentSpec extends AnyFunSuite {
         "marker must be consumed")
       assert(!Files.exists(Paths.get(s"$dir/graph_stage")),
         "stage must be consumed")
+    } finally rm(new java.io.File(dir))
+  }
+
+  test("frozen-bits upsert equals the in-plan form at snapshot time") {
+    val old = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+    val bitsBase = NnDescent.bitsFor(old.count(), 16)
+    // precondition of the equivalence: the batch doesn't cross a width
+    // boundary at this scale (if it ever does, the gate — which pins the
+    // frozen form — is the authority, and this spec should shrink `batch`)
+    assert(bitsBase == NnDescent.bitsFor(emb.count(), 16),
+      "test slices must agree on band width for this equivalence")
+    val g0 = NnDescent.knnGraph(old, k = 8)
+      .select(col("vec_id").as("a"), col("nbr").as("b"))
+    val inPlan = NnDescent.graphUpsertWith(old, g0, batch, k = 8)
+      .collect().map(_.toString).toSeq
+    val frozen = NnDescent.graphUpsertWith(old, g0, batch, k = 8,
+      frozenBits = Some(bitsBase))
+      .collect().map(_.toString).toSeq
+    assert(frozen == inPlan)
+  }
+
+  test("reband rewrites the stored band relation when the corpus crosses a width boundary") {
+    import java.nio.file.Files
+    // base 64 vectors: bits = clamp(2,16,floor(log2(64/16))) = 2; the full
+    // corpus (~hundreds at sf0.001) crosses at least one boundary
+    val base = emb.filter(col("vec_id") < 64)
+    val rest = emb.filter(col("vec_id") >= 64).select("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_graph_reband").toString
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    try {
+      graft.sources.GraphLayout.writeBase(spark, base, dir, k = 5)
+      graft.sources.GraphLayout.upsertStored(spark, dir, rest, "mb-0", k = 5)
+      val n = emb.count()
+      val (before, after) = graft.sources.GraphLayout.rebandStored(spark, dir)
+      assert(before == NnDescent.bitsFor(64, 16))
+      assert(after == NnDescent.bitsFor(n, 16))
+      assert(after > before, s"corpus grew $n/64× but width stayed $before")
+      // idempotent once current
+      assert(graft.sources.GraphLayout.rebandStored(spark, dir) == (after, after))
+      // and the re-banded artifact still maintains: another upsert works
+      // against the new width (replay of mb-0 — content unchanged)
+      graft.sources.GraphLayout.upsertStored(spark, dir, rest, "mb-1", k = 5)
+      val ids = graft.sources.GraphLayout.readGraph(spark, dir)
+        .select("vec_id").distinct().count()
+      assert(ids == n, "every vector keeps an adjacency list through reband")
+    } finally rm(new java.io.File(dir))
+  }
+
+  test("batch replay loses no adjacency lists even when its touched-bucket set diverges") {
+    import java.nio.file.Files
+    val base = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7).select("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_graph_replay").toString
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    try {
+      graft.sources.GraphLayout.writeBase(spark, base, dir, k = 5)
+      graft.sources.GraphLayout.upsertStored(spark, dir, batch, "mb-0", k = 5)
+      // crash-replay shape: the same batchId re-applied against state that
+      // already absorbed it — the recomputed delta (and hence the touched
+      // bucket set) can DIVERGE from the first commit's, so buckets touched
+      // only by the first commit must keep their content (the r12 ADVICE
+      // high: a prefix-wide pre-delete silently dropped them)
+      graft.sources.GraphLayout.upsertStored(spark, dir, batch, "mb-0", k = 5)
+      val rows = graft.sources.GraphLayout.readGraph(spark, dir).collect()
+      val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+      val gotIds = rows.map(_.getAs[Long]("vec_id")).toSet
+      assert(gotIds == allIds,
+        s"replay lost ${(allIds -- gotIds).size} adjacency lists")
+      // and no id carries duplicate lists: ranks are 1..len exactly once
+      rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (id, g) =>
+        val rns = g.map(_.getAs[Long]("rn")).sorted.toSeq
+        assert(rns == (1L to rns.length), s"node $id has duplicate/gapped ranks: $rns")
+      }
     } finally rm(new java.io.File(dir))
   }
 
