@@ -171,15 +171,29 @@ object GraphLayout {
 
   /** Read the stored band relation (explicit schema: an empty-base
     * artifact has a data-file-less dir, where schema inference throws),
-    * optionally pruned to a set of `pb` partitions — directory pruning,
+    * optionally pruned to a set of `pb` partitions — pruned reads go BY
+    * EXPLICIT SUBDIR PATH, not a partition filter: a filter still lists
+    * every `pb=` dir before pruning (1,600 driver-side dir listings per
+    * micro-batch at sf10), a path list only touches the batch's dirs —
     * the IVF-partition precedent: per-batch IO is O(touched partitions),
-    * never a corpus scan. */
+    * never a corpus term. */
   private def readBands(spark: SparkSession, dir: String,
-                        pbs: Option[Seq[Int]]): DataFrame = {
-    val df = spark.read.schema(s"$BandSchema, pb INT")
-      .parquet(s"$dir/bands")
-    pbs.fold(df)(s => df.filter(col("pb").isin(s: _*)))
-      .select("vec_id", "t", "bkey")
+                        pbs: Option[Seq[Int]]): DataFrame = pbs match {
+    case None =>
+      spark.read.schema(s"$BandSchema, pb INT").parquet(s"$dir/bands")
+        .select("vec_id", "t", "bkey")
+    case Some(s) =>
+      val root = new org.apache.hadoop.fs.Path(absPath(s"$dir/bands"))
+      val f = fs(spark, root)
+      // exists-filter: a pb value with no stored rows has no dir (80
+      // bounded driver-side probes, vs listing every partition)
+      val paths = s.map(v => new org.apache.hadoop.fs.Path(root, s"pb=$v"))
+        .filter(f.exists(_)).map(_.toString)
+      if (paths.isEmpty)
+        spark.emptyDataFrame.selectExpr("CAST(0 AS LONG) vec_id",
+          "CAST(0 AS LONG) t", "CAST('' AS STRING) bkey").limit(0)
+      else spark.read.schema(BandSchema).parquet(paths: _*)
+        .select("vec_id", "t", "bkey")
   }
 
   /** Stage + commit a band relation write: one dir per `pb` partition,
@@ -214,24 +228,53 @@ object GraphLayout {
     ()
   }
 
-  /** Write `df` as a bucketed-by-(vec_id) external table at `path`
-    * (repartition to one bucket per task — same murmur3 pmod as the
-    * bucket-id function, so one file per bucket per snapshot), then drop
-    * the table name: the files are the durable state, [[readBucketed]]
-    * re-registers in any JVM. `sortCols` must start with vec_id. */
+  /** Write `df` as a bucketed-by-(vec_id) external table at `path`, then
+    * drop the table name: the files are the durable state, [[readBucketed]]
+    * re-registers in any JVM. `sortCols` must start with vec_id.
+    *
+    * One file per bucket per snapshot either way: the default
+    * `repartition(buckets, vec_id)` is one bucket per task (full write
+    * parallelism — the base-snapshot path); `maxTasks < buckets`
+    * repartitions on the bucket-id EXPRESSION instead (same murmur3 pmod
+    * as the bucket-id function), so a task holds WHOLE buckets and each
+    * still writes exactly one file — the per-batch stage path, where a
+    * corpus-grain task count (3199 launches for ~20 rows of delta at
+    * sf10) was ~18 s of the per-batch commit wall (round-13 measured). */
   private def stageBucketed(spark: SparkSession, df: DataFrame, path: String,
-                            sortCols: Seq[String], buckets: Int): Unit = {
+                            sortCols: Seq[String], buckets: Int,
+                            maxTasks: Int = 0): Unit = {
     val t = tableName(path)
     spark.sql(s"DROP TABLE IF EXISTS $t")
     val p = new org.apache.hadoop.fs.Path(absPath(path))
     val f = fs(spark, p)
     if (f.exists(p)) { f.delete(p, true); () }
-    df.repartition(buckets, col("vec_id"))
+    val parted =
+      if (maxTasks > 0 && maxTasks < buckets)
+        df.repartition(maxTasks,
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.hash(col("vec_id")),
+            org.apache.spark.sql.functions.lit(buckets)))
+      else df.repartition(buckets, col("vec_id"))
+    parted
       .write.mode(SaveMode.Overwrite).format("parquet")
       .option("path", absPath(path))
       .bucketBy(buckets, "vec_id").sortBy(sortCols.head, sortCols.tail: _*)
       .saveAsTable(t)
     spark.sql(s"DROP TABLE $t")
+  }
+
+  /** Scope a SQL conf around an eager, self-contained execution (the
+    * StreamOps withShufflePartitions pattern — never around lazy plan
+    * construction). */
+  private def withSqlConf[T](spark: SparkSession, key: String, value: String)
+                            (body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Register (if needed) and read the bucketed external table at `path`;
@@ -469,7 +512,21 @@ object GraphLayout {
               k, tables, targetOcc,
               oldSigns = Some(spark.read.parquet(s"$dir/signs"))))
       }
-      val delta = deltaDf.localCheckpoint(true)
+      // bucketed-scan OFF around the delta materialization (round-13):
+      // every join in the micro-batch delta broadcasts the O(batch) side,
+      // so a bucketed scan's one-partition-per-bucket shape is pure task
+      // scheduling — at sf10's auto grain (3199 buckets) the ~4 stored-
+      // relation scans cost ~20 s of launches for the same bytes; the
+      // coalesced plain scans read identically. Scoped to this EAGER
+      // checkpoint only (the commits below WRITE bucketed tables, which
+      // requires the conf on), and only for micro-batch-sized batches —
+      // a corpus-scale batch's delta wants the co-partitioned joins.
+      val delta =
+        if (batch0.count() <= 10000L)
+          withSqlConf(spark, "spark.sql.sources.bucketing.enabled", "false") {
+            deltaDf.localCheckpoint(true)
+          }
+        else deltaDf.localCheckpoint(true)
       mark("delta")
       val touchedBk = delta
         .select(org.apache.spark.sql.functions
@@ -502,15 +559,17 @@ object GraphLayout {
       import scala.concurrent.ExecutionContext.Implicits.global
       val commits = Seq(
         Future {
+          // per-batch stage: task count capped (the maxTasks note) — the
+          // staged rows are O(touched buckets), not O(corpus)
           stageBucketed(spark, keep.unionByName(delta),
-            s"$dir/graph_stage", Seq("vec_id", "rn"), buckets)
+            s"$dir/graph_stage", Seq("vec_id", "rn"), buckets, maxTasks = 64)
           replaceBuckets(spark, s"$dir/graph", s"$dir/graph_stage", s"${batchId}g")
           refresh(spark, s"$dir/graph")
         },
         Future {
           // batch vectors: bucketed stage + suffix-preserving rename append
           stageBucketed(spark, batch0.select("vec_id", "embedding"),
-            s"$dir/vec_stage", Seq("vec_id"), buckets)
+            s"$dir/vec_stage", Seq("vec_id"), buckets, maxTasks = 64)
           SignatureLayout.moveInto(spark, s"$dir/vec_stage", s"$dir/vectors", batchId)
           refresh(spark, s"$dir/vectors")
         },
