@@ -450,8 +450,13 @@ object Dedup {
                                      keepPct: Int = 99,
                                      skewSafe: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     val (shDf0, h) = dfShinglesWith(documents, skewSafe)
+    // eager checkpoint: hist is a bounded (≤ max-df rows) relation read
+    // TWICE (cum + tot) — un-checkpointed, each reader re-derives the
+    // distinct+groupBy over the corpus-scale shingle cache (the iterative-
+    // state rule applied to a two-reader scalar derivation, round-13)
     val hist = shDf0.select(col("s"), col("df")).distinct()
       .groupBy("df").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val wH = graft.functions.BoundedWindow.boundedGlobal(col("df"), asc("df"))
     val cum = hist.withColumn("cum", sum("n").over(wH))
     val tot = hist.agg(sum("n").as("t"))
@@ -671,47 +676,95 @@ object Dedup {
 
   private def cappedPairsOfWith(shDf: DataFrame, cap: Column,
                                 threshold: Double): (DataFrame, Seq[DataFrame]) = {
-    val (inter, sizes, h) = cappedInterWith(shDf, cap)
-    (jaccardTail(inter, sizes, threshold), h)
+    val (v, h) = cappedVerifiedWith(shDf, cap,
+      (i, n1, n2) => i.cast("double") / (n1 + n2 - i) >= threshold)
+    val out = v
+      .withColumn("jaccard", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(asc("d1"), asc("d2"))
+    (out, h)
   }
 
   /** The capped two-pass candidate + EXACT intersection seam shared by
     * the Jaccard tail ([[cappedPairsOfWith]]) and the containment tail
-    * ([[ngramContainmentWith]]): (inter (d1, d2, i), sizes (doc_id, n),
-    * cache handles). Pairs are found via rare shingles only; `i` is the
-    * exact UNCAPPED intersection. */
-  private def cappedInterWith(shDf: DataFrame,
-                              cap: Column): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    * ([[ngramContainmentWith]]): verified rows (d1, d2, i, n1, n2) with
+    * `i` the exact UNCAPPED intersection, plus cache handles. Pairs are
+    * found via rare shingles only.
+    *
+    * `keepBound(i_ub, n1, n2)` is the caller's similarity predicate
+    * evaluated at the UPPER BOUND `i_ub = i_r + min(f1, f2)` on the
+    * intersection (f = per-doc frequent-shingle count): i ≤ i_ub always,
+    * the caller's metric is monotone increasing in i, and IEEE-754
+    * division is monotone (a1 ≤ a2, b1 ≥ b2 > 0 ⇒ fl(a1/b1) ≤ fl(a2/b2)),
+    * so a pair passing the EXACT threshold always passes the bound — the
+    * prune drops only pairs the final filter would drop anyway (round-13
+    * optimization: the rare self-join emits ~1.1M candidate pairs at
+    * sf0.1 of which 256 survive; pruning before the frequent-completion
+    * joins removes 5 shuffles of the megarow pair relation). The bound
+    * must be the SAME expression tree as the exact metric with i_ub
+    * substituted for i — that is what makes float monotonicity apply. */
+  private def cappedVerifiedWith(shDf: DataFrame, cap: Column,
+      keepBound: (Column, Column, Column) => Column): (DataFrame, Seq[DataFrame]) = {
     val rare = shDf.filter(col("df") <= cap)
     val freq = shDf.filter(col("df") > cap)
+    // Per-doc set size n AND frequent-shingle count f in ONE pass over the
+    // cached shingle relation (f feeds the intersection upper bound).
+    // Cached: doc-cardinality, read by both sides of the attach join.
+    val sizes = shDf.groupBy("doc_id").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("df") > cap, 1L).otherwise(0L)).as("f"))
+      .cache()
+    // Attach (n, f) to the rare ROWS before the self-join: the bound
+    // filter then runs straight off the pair aggregate — joining sizes at
+    // pair level instead would sort the ~1.1M-pair relation twice where
+    // this sorts the ~256k-row rare relation once per side (measured
+    // round-13). merge pin: sizes is a cached-relation-derived aggregate
+    // (the locked-broadcast hazard — doc-cardinality, corpus-scale at
+    // 100 TB).
+    val rareS = rare.select(col("doc_id"), col("s"))
+      .join(sizes.hint("merge"), "doc_id")
     // Pass 1 — the bounded quadratic: self-join the RARE partition on s and
     // count shared-rare-shingles in the SAME pass (the single-pass trick of
     // [[ngramJaccard]]; a separate candidate-distinct + full re-expansion
     // verify measured 10× slower at sf0.1). Fan-out per shingle ≤ maxDf².
     // hint("merge"): the df-filter's selectivity estimate makes either side
     // look broadcastable while rare is nearly the whole shingle relation.
-    val iRare = rare.select(col("doc_id").as("d1"), col("s")).hint("merge")
-      .join(rare.select(col("doc_id").as("d2"), col("s")).hint("merge"), "s")
+    // The per-doc (n, f) ride the grouping key — functionally determined
+    // by d1/d2, so the groups are unchanged. Uncached: the bound prune
+    // makes this single-referenced (the cached survivors below are what
+    // both downstream passes read).
+    val iRare = rareS.select(col("doc_id").as("d1"), col("s"),
+        col("n").as("n1"), col("f").as("f1")).hint("merge")
+      .join(rareS.select(col("doc_id").as("d2"), col("s"),
+        col("n").as("n2"), col("f").as("f2")).hint("merge"), "s")
       .filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("i_r"))
-      .cache() // referenced twice: frequent-probe driver + final intersection sum
-    // Pass 2 — exact completion: pairs sharing a rare shingle get their
-    // FREQUENT shared shingles counted candidate-first against the freq
-    // partition, whose total row count is small by construction (few
-    // distinct shingles exceed the cap). Emitted pairs therefore carry the
-    // exact UNCAPPED Jaccard; the cap only limits which pairs are found
+      .groupBy("d1", "d2", "n1", "f1", "n2", "f2")
+      .agg(count(lit(1)).as("i_r"))
+    // Upper-bound prune: keep only pairs whose BEST-CASE intersection
+    // passes the metric.
+    val bounded = iRare
+      .withColumn("i_ub", col("i_r") + least(col("f1"), col("f2")))
+      .filter(keepBound(col("i_ub"), col("n1"), col("n2")))
+      .select(col("d1"), col("d2"), col("i_r"), col("n1"), col("n2"))
+      .cache() // survivors: referenced twice (frequent probe + final sum)
+    // Pass 2 — exact completion over the SURVIVORS only: their FREQUENT
+    // shared shingles counted candidate-first against the freq partition,
+    // whose total row count is small by construction (few distinct
+    // shingles exceed the cap). Emitted pairs therefore carry the exact
+    // UNCAPPED intersection; the cap only limits which pairs are found
     // (pairs sharing exclusively frequent shingles — the declared recall
     // trade, and at 100 TB exactly the pairs one WANTS dropped: boilerplate
     // co-occurrence, not near-duplication).
-    val iFreq = iRare.select(col("d1"), col("d2"))
+    val iFreq = bounded.select(col("d1"), col("d2"))
       .join(freq.select(col("doc_id").as("d1"), col("s")).hint("merge"), "d1")
       .join(freq.select(col("doc_id").as("d2"), col("s")).hint("merge"), Seq("d2", "s"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("i_f"))
-    val inter = iRare.join(iFreq, Seq("d1", "d2"), "left")
+    val verified = bounded.join(iFreq, Seq("d1", "d2"), "left")
       .select(col("d1"), col("d2"),
-        (col("i_r") + coalesce(col("i_f"), lit(0L))).as("i"))
-    val sizes = shDf.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    (inter, sizes, Seq(iRare))
+        (col("i_r") + coalesce(col("i_f"), lit(0L))).as("i"),
+        col("n1"), col("n2"))
+    (verified, Seq(sizes, bounded))
   }
 
   /** Asymmetric near-dup: shingle CONTAINMENT (overlap coefficient)
@@ -755,11 +808,9 @@ object Dedup {
     val cap = cum.crossJoin(broadcast(nd))
       .filter(col("cc") <= col("ndocs") * candidateBudget)
       .agg(coalesce(max("df"), lit(1L)).as("cap"))
-    val (inter, sizes, h2) =
-      cappedInterWith(shDf0.crossJoin(broadcast(cap)), col("cap"))
-    val out = inter
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")).hint("merge"), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")).hint("merge"), "d2")
+    val (v, h2) = cappedVerifiedWith(shDf0.crossJoin(broadcast(cap)), col("cap"),
+      (i, n1, n2) => i.cast("double") / least(n1, n2) >= threshold)
+    val out = v
       .withColumn("containment",
         col("i").cast("double") / least(col("n1"), col("n2")))
       .filter(col("containment") >= threshold)
