@@ -200,17 +200,27 @@ object PairsLayout {
         noBatch(SignatureLayout.readBands(spark, dir)),
         noBatch(SignatureLayout.readShingles(spark, dir)),
         noBatch(SignatureLayout.readSizes(spark, dir)), threshold)
-      // stage the failure-prone Spark writes first...
-      cross.select(
-          least(col("batch_doc"), col("corpus_doc")).as("d1"),
-          greatest(col("batch_doc"), col("corpus_doc")).as("d2"))
-        .unionByName(a.pairs.select(col("d1"), col("d2")))
-        .repartition(n)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/stage_pairs")
+      // stage the failure-prone Spark writes first — pairs delta concurrent
+      // with the signature-delta staging (round-13: disjoint stage paths,
+      // independent jobs; sequential submission idled the cluster in each
+      // small job's stage tail — the writeIndexed/compact lesson applied
+      // to the upsert's staging phase)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val pairsStage = Future {
+        cross.select(
+            least(col("batch_doc"), col("corpus_doc")).as("d1"),
+            greatest(col("batch_doc"), col("corpus_doc")).as("d2"))
+          .unionByName(a.pairs.select(col("d1"), col("d2")))
+          .repartition(n)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/stage_pairs")
+      }
       // signature deltas stage BUCKETED (bucket-aligned files are the
       // price of the exchange-free probe; a batch touches only its
       // non-empty buckets, and compaction-by-rewrite bounds the history)
       SignatureLayout.stageAppend(spark, dir, a.bands, a.shingles)
+      Await.result(pairsStage, Duration.Inf)
       // ...then commit by batch-keyed rename: signatures, pairs, marker
       // LAST (replace-on-rerun semantics — see the recovery contract)
       SignatureLayout.commitAppend(spark, dir, prefix)

@@ -188,7 +188,14 @@ object SignatureLayout {
     val b = math.max(1, storedBuckets(spark, dir))
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfs = Map("bands" -> bands, "shingles" -> shingles, "sizes" -> sizes)
-    Rels.foreach { case (rel, bcols) =>
+    // concurrent like [[write]] (round-13: the sequential form left most
+    // cores idle in each small batch-sized job's stage tail — the same
+    // measured finding that made write/compact concurrent in round 12);
+    // disjoint stage paths, shared cached shingle subtree BlockManager-safe
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Rels.map { case (rel, bcols) => Future {
       val st = tableName(dir, s"stage_$rel")
       spark.sql(s"DROP TABLE IF EXISTS $st")
       val stagePath = new org.apache.hadoop.fs.Path(absPath(dir, s"stage_$rel"))
@@ -201,7 +208,8 @@ object SignatureLayout {
         .saveAsTable(st)
       // external table: dropping frees the name, files stay staged
       spark.sql(s"DROP TABLE $st")
-    }
+    }}
+    writes.foreach(Await.result(_, Duration.Inf))
   }
 
   /** Commit previously staged deltas into the live relations under the
