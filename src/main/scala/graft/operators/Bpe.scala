@@ -75,7 +75,13 @@ object Bpe {
         .orderBy(desc("pair_count"), asc("sym"), asc("nxt"))
         .limit(1)
         .select(col("sym").as("b1"), col("nxt").as("b2"), col("pair_count"))
-        .localCheckpoint(true) // 1 row; feeds the merge AND the output
+        // LAZY checkpoint (round-13): the 1-row best feeds the merge AND
+        // the output, but eager cost one extra JOB per round — lazy, it
+        // materializes inside the syms-checkpoint job below (the merge's
+        // broadcast build reads it first) and the output union reads the
+        // checkpointed row; its plan reads the PREVIOUS syms checkpoint,
+        // so laziness cannot re-derive a stale state
+        .localCheckpoint(false)
       syms = mergeOne(syms, best.select("b1", "b2")).localCheckpoint(true)
       best
     }
