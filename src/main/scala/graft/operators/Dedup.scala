@@ -2321,6 +2321,34 @@ object Dedup {
     * candidate pairs only; the Jaccard verify is candidate-first
     * ([[jaccardOf]] semantics), carrying `hamming` through the agg key so
     * the candidate subtree is referenced exactly once — no caches. */
+  /** Lane-packed signed-bit signature aggregation (round-13): the naive
+    * form aggregates one ±1 sum COLUMN per signature bit (64/128 hash-agg
+    * buffer slots, 64/128 codegen'd buffer updates per token row, and an
+    * O(width) Catalyst tree at the agg). Here each LONG accumulator packs
+    * TWO bit-counts at 31-bit lanes (bit contribution ∈ {0,1}, so a lane
+    * is an exact counter; 31 bits ≅ 2^31 tokens/doc headroom — a lane
+    * overflows only past 2.1e9 tokens in ONE document), halving buffer
+    * slots and updates. The per-bit signed sum is recovered exactly as
+    * 2·cnt − n_tokens (cnt = lane value, both exact integers), so
+    * [[graft.functions.TextFns.simhashFromSums]]'s `> 0` test — and the
+    * oracle's per-bit ±1 sum — are bit-identical. `tok` carries
+    * (doc_id, c0..c{width/16-1}) 16-bit chunks. */
+  private def packedSignatureOf(tok: DataFrame, width: Int): DataFrame = {
+    def bit(i: Int) = shiftright(col(s"c${i / 16}"), 15 - (i % 16))
+      .bitwiseAND(lit(1)).cast("long")
+    val accCols = (0 until width / 2).map { j =>
+      sum(bit(2 * j) + shiftleft(bit(2 * j + 1), 31)).as(s"a$j")
+    }
+    val agg = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("ntok"), accCols: _*)
+    val mask = (1L << 31) - 1
+    val sums = (0 until width).map { i =>
+      (shiftright(col(s"a${i / 2}"), 31 * (i % 2)).bitwiseAND(lit(mask)) * 2) -
+        col("ntok")
+    }
+    agg.select(col("doc_id"), simhashFromSums(sums).as("simhash"))
+  }
+
   def simhash(documents: DataFrame, threshold: Double, maxHamming: Int = 8): DataFrame = {
     // chunks projected once per token (md5 CSE'd within the project); the
     // 64 signed-bit sums are then integer shift/mask arithmetic — measured
@@ -2328,14 +2356,11 @@ object Dedup {
     val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .withColumn("m", md5(col("t")))
       .select(col("doc_id") +: (0 until 4).map(c => md5Chunk16(col("m"), c).as(s"c$c")): _*)
-    val bitCols = (0 until 64).map(i =>
-      sum(simhashBitFromChunk(col(s"c${i / 16}"), i % 16)).as(s"b$i"))
     // one row per doc (tiny); cached because the band self-join references
     // it on both sides and the broadcast side can't reuse the exchange —
-    // without the cache the token explode + 64-sum agg executes twice.
+    // without the cache the token explode + lane-packed agg executes twice.
     // (Verify/Bench clear the cache after every query.)
-    val sig = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"), simhashFromSums((0 until 64).map(i => col(s"b$i"))).as("simhash"))
+    val sig = packedSignatureOf(tok, 64)
       // two 32-bit halves for the verify: hamming is then xor+popcount per
       // collision instead of 64 substring compares (the phashDedup
       // precedent — 128 single-char allocations per candidate gone)
@@ -2430,11 +2455,7 @@ object Dedup {
          else md5(concat(col("t"), lit(s"#$b")))).as(s"m$b")): _*)
       .select(col("doc_id") +: (0 until nChunks).map(c =>
         md5Chunk16(col(s"m${c / 8}"), c % 8).as(s"c$c")): _*)
-    val bitCols = (0 until width).map(i =>
-      sum(simhashBitFromChunk(col(s"c${i / 16}"), i % 16)).as(s"b$i"))
-    tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"),
-        simhashFromSums((0 until width).map(i => col(s"b$i"))).as("simhash"))
+    packedSignatureOf(tok, width)
   }
 
   /** Band-bits ladder for [[simhashWide]]'s candidate-budget derivation —

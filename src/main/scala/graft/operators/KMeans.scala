@@ -372,9 +372,14 @@ object KMeans {
     * Returns (cid = 0..k-1 in pick order, ce, cn). */
   def seedsFarthest(index: DataFrame, k: Int): DataFrame = {
     val spark = index.sparkSession
+    // cached: the k sequential farthest-first picks each rescan this
+    // relation (16 parquet scans + norm recomputes otherwise; round-13).
+    // No join consumes it — TakeOrdered only — so there is no broadcast
+    // lock-in exposure; released before returning.
     val e = index.select(col("vec_id"),
         col("embedding").cast("array<double>").as("ed"))
       .withColumn("nrm", sqrt(dotc(col("ed"), col("ed"))))
+      .cache()
     case class Seed(id: Long, ed: Seq[Double], nrm: Double)
     def of(r: org.apache.spark.sql.Row) =
       Seed(r.getLong(0), r.getSeq[Double](1), r.getDouble(2))
@@ -393,6 +398,7 @@ object KMeans {
         .limit(1).select("vec_id", "ed", "nrm").head())
     }
     import spark.implicits._
+    e.unpersist()
     picked.toSeq.zipWithIndex
       .map { case (s, i) => (i.toLong, s.ed, s.nrm) }
       .toDF("cid", "ce", "cn")
