@@ -453,7 +453,14 @@ object Dedup {
     // eager checkpoint: hist is a bounded (≤ max-df rows) relation read
     // TWICE (cum + tot) — un-checkpointed, each reader re-derives the
     // distinct+groupBy over the corpus-scale shingle cache (the iterative-
-    // state rule applied to a two-reader scalar derivation, round-13)
+    // state rule applied to a two-reader scalar derivation, round-13).
+    // NOTE (round-13 ADVICE, documented trade): the eager checkpoint runs
+    // a corpus-scale job at CONSTRUCTION time (building the DataFrame
+    // scans and distincts the shingle cache even if never executed), and
+    // its RDD blocks are not released by cacheManager.clearCache() — a
+    // bounded (≤ max-df rows) per-construction drip a long-lived library
+    // session should know about. Bench/Verify construct inside the timed
+    // rep and exit, so both are unaffected.
     val hist = shDf0.select(col("s"), col("df")).distinct()
       .groupBy("df").agg(count(lit(1)).as("n"))
       .localCheckpoint(true)

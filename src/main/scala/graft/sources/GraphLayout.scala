@@ -340,7 +340,7 @@ object GraphLayout {
       Future(writeBandsFull(spark,
         graft.operators.NnDescent.signsOf(index, tables),
         s"$dir/bands", bits, pparts)))
-    writes.foreach(Await.result(_, Duration.Inf))
+    SignatureLayout.drainAll(writes) // drain-before-propagate (r13 ADVICE)
     writeSpec(spark, dir, b)
     writeBandSpec(spark, dir, bits, pparts, tables, targetOcc)
   }
@@ -416,7 +416,7 @@ object GraphLayout {
       Future(writeBandsFull(spark,
         graft.operators.NnDescent.signsOf(old, tables),
         s"$dir/bands", bits, pparts)))
-    writes.foreach(Await.result(_, Duration.Inf))
+    SignatureLayout.drainAll(writes) // drain-before-propagate (r13 ADVICE)
     writeSpec(spark, dir, b)
     writeBandSpec(spark, dir, bits, pparts, tables, targetOcc)
   }
@@ -593,7 +593,7 @@ object GraphLayout {
           moveIntoPartitioned(spark, s"$dir/band_stage", s"$dir/bands",
             s"$batchId-bd")
         })
-      commits.foreach(Await.result(_, Duration.Inf))
+      SignatureLayout.drainAll(commits) // drain-before-propagate (r13 ADVICE)
       mark("commits")
       return
     }

@@ -80,7 +80,13 @@ object PairsLayout {
         a.pairs.select("d1", "d2")
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/pairs")
       }
-      SignatureLayout.write(spark, dir, a.bands, a.shingles)
+      // drain the detached pairs future before ANY exception can leave
+      // this section (round-13 ADVICE): an orphaned writer racing a
+      // same-JVM retry's Overwrite on the same path can commit both
+      // attempts' part files
+      val sigs = scala.util.Try(SignatureLayout.write(spark, dir, a.bands, a.shingles))
+      Await.ready(pairsWrite, Duration.Inf)
+      sigs.get
       Await.result(pairsWrite, Duration.Inf)
     } finally a.handles.foreach(_.unpersist())
   }
@@ -218,8 +224,15 @@ object PairsLayout {
       }
       // signature deltas stage BUCKETED (bucket-aligned files are the
       // price of the exchange-free probe; a batch touches only its
-      // non-empty buckets, and compaction-by-rewrite bounds the history)
-      SignatureLayout.stageAppend(spark, dir, a.bands, a.shingles)
+      // non-empty buckets, and compaction-by-rewrite bounds the history).
+      // stageAppend failure must still DRAIN the pairs future before
+      // propagating (round-13 ADVICE: an orphaned stage_pairs writer
+      // racing a retry's Overwrite commits both attempts' files, and the
+      // finally-unpersist below would yank its cached subtrees mid-job)
+      val staged = scala.util.Try(
+        SignatureLayout.stageAppend(spark, dir, a.bands, a.shingles))
+      Await.ready(pairsStage, Duration.Inf)
+      staged.get
       Await.result(pairsStage, Duration.Inf)
       // ...then commit by batch-keyed rename: signatures, pairs, marker
       // LAST (replace-on-rerun semantics — see the recovery contract)
@@ -260,7 +273,11 @@ object PairsLayout {
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/compact_pairs")
       SignatureLayout.swapIn(spark, s"$dir/pairs", s"$dir/compact_pairs")
     }
-    if (f.exists(shp)) SignatureLayout.compact(spark, dir, buckets)
+    // same drain-before-propagate discipline as upsert's staging section
+    val sigs = scala.util.Try(
+      if (f.exists(shp)) SignatureLayout.compact(spark, dir, buckets))
+    Await.ready(pairsRewrite, Duration.Inf)
+    sigs.get
     Await.result(pairsRewrite, Duration.Inf)
   }
 

@@ -87,6 +87,20 @@ object SignatureLayout {
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Await EVERY concurrent relation write, then rethrow the first
+    * failure (round-13 ADVICE): `futures.foreach(Await.result)` rethrows
+    * on the first failed relation while sibling futures keep staging in
+    * the background — a same-JVM retry then races DROP TABLE / fs.delete
+    * / Overwrite against the orphaned writer on the same path. Draining
+    * everything first means no detached writer ever outlives the call. */
+  private[sources] def drainAll(writes: Seq[scala.concurrent.Future[_]]): Unit = {
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    val rs = writes.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    rs.collectFirst { case scala.util.Failure(e) => throw e }
+    ()
+  }
+
   /** Serialized bucket spec — count AND columns, so a layout written
     * under a different column spec can never be re-declared wrongly (a
     * mis-declared CLUSTERED BY silently mis-joins: rows land in buckets
@@ -146,7 +160,7 @@ object SignatureLayout {
         .bucketBy(buckets, bcols.head, bcols.tail: _*).sortBy(bcols.head, bcols.tail: _*)
         .saveAsTable(t)
     }}
-    writes.foreach(Await.result(_, Duration.Inf))
+    drainAll(writes)
     val meta = new org.apache.hadoop.fs.Path(absPath(dir, "_graft_buckets"))
     val out = fs(spark, meta).create(meta, true)
     try out.write(specString(buckets).getBytes("UTF-8")) finally out.close()
@@ -209,7 +223,7 @@ object SignatureLayout {
       // external table: dropping frees the name, files stay staged
       spark.sql(s"DROP TABLE $st")
     }}
-    writes.foreach(Await.result(_, Duration.Inf))
+    drainAll(writes)
   }
 
   /** Commit previously staged deltas into the live relations under the
@@ -290,7 +304,7 @@ object SignatureLayout {
       val t = tableName(dir, rel)
       if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
     }}
-    rewrites.foreach(Await.result(_, Duration.Inf))
+    drainAll(rewrites)
     if (rebucket) {
       val out = fs(spark, metaP).create(metaP, true)
       try out.write(specString(b).getBytes("UTF-8")) finally out.close()
