@@ -147,17 +147,26 @@ object Dedup {
   final case class MinhashArtifacts(pairs: DataFrame, bands: DataFrame,
                                     shingles: DataFrame, handles: Seq[DataFrame])
 
+  /** Band-collision candidate pairs (d1 < d2, distinct) of the MinHash
+    * banding — the candidate half shared by [[minhashArtifactsWith]]
+    * (which verifies them) and [[dedupRecall]] (which intersects them
+    * with the exact baseline instead of re-verifying — see its scaladoc).
+    * One definition, so the recall measurement can never drift from the
+    * candidate set the production pipeline actually generates. */
+  private def minhashCandidatesOf(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+
   /** One shingle pass → pairs + the persistable signature relations.
     * [[minhashWith]] is the pairs-only view of this. */
   def minhashArtifactsWith(documents: DataFrame, threshold: Double,
                            seeds: Int = 8, rowsPerBand: Int = 2): MinhashArtifacts = {
     val sh = shingleRows(documents, 3)
     val bands = bandRowsOf(sh, seeds, rowsPerBand)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+    val cand = minhashCandidatesOf(bands)
     MinhashArtifacts(jaccardOf(sh, cand, threshold), bands, sh, Seq(sh))
   }
 
@@ -711,6 +720,23 @@ object Dedup {
     * joins removes 5 shuffles of the megarow pair relation). The bound
     * must be the SAME expression tree as the exact metric with i_ub
     * substituted for i — that is what makes float monotonicity apply. */
+  /** Rare-shingle candidate pairs (d1 < d2, distinct) at df ≤ `cap` over
+    * the shared (doc_id, s, df) relation — the candidate half of
+    * [[cappedVerifiedWith]]'s pass 1, shared with [[dedupRecall]] (which
+    * intersects it with the exact baseline instead of re-verifying). The
+    * join condition (rare filter, s-equijoin, d1 < d2, merge pins) is
+    * kept textually identical to pass 1 below: a capped pipeline edit
+    * that forgets this twin drifts the recall measurement off the
+    * pipeline it measures (DedupSpec pins found ≡ candidates ∩ exact). */
+  private def rareCandidatesOf(shDf: DataFrame, cap: Column): DataFrame = {
+    val rare = shDf.filter(col("df") <= cap)
+    rare.select(col("doc_id").as("d1"), col("s")).hint("merge")
+      .join(rare.select(col("doc_id").as("d2"), col("s")).hint("merge"), "s")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+  }
+
   private def cappedVerifiedWith(shDf: DataFrame, cap: Column,
       keepBound: (Column, Column, Column) => Column): (DataFrame, Seq[DataFrame]) = {
     val rare = shDf.filter(col("df") <= cap)
@@ -1960,24 +1986,39 @@ object Dedup {
   def dedupRecall(documents: DataFrame, threshold: Double = 0.5, maxDf: Int = 20): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    val sh = shingleRows(documents, 3)
     val exact = ngramJaccard(documents, threshold).select(col("d1"), col("d2")).cache()
+    // found ≡ candidates ∩ exact (round-14, guide §1.2 "don't compute
+    // things you throw away"): every variant verifies its candidates with
+    // the SAME exact shingle-Jaccard ≥ threshold the baseline computes —
+    // precision 1 by construction was already this query's documented
+    // invariant (n_hits == n_found) — so a pair is in a variant's output
+    // iff it is in that variant's CANDIDATE set and in `exact`. The
+    // previous form re-ran all three candidate-first verify pipelines,
+    // recomputing per variant the intersection/size joins whose
+    // ≥-threshold survivors the cached `exact` already holds (TimeQ warm:
+    // 14.1 s → 8.1 s at sf0.1). Candidate sets come from the exact
+    // generators the standalone entries execute (minhashCandidatesOf /
+    // rareCandidatesOf / simhashCandPairs — single source of truth), and
+    // DedupSpec pins found ≡ candidates ∩ exact against the full
+    // pipelines' outputs.
+    val (shDf, _) = dfShinglesWith(documents)
     val found =
-      minhash(documents, threshold).select(col("d1"), col("d2"))
+      minhashCandidatesOf(bandRowsOf(sh, 8, 2))
         .withColumn("variant", lit("minhash"))
-      .unionByName(ngramJaccardCapped(documents, threshold, maxDf)
-        .select(col("d1"), col("d2")).withColumn("variant", lit("ngram_capped")))
-      .unionByName(simhash(documents, threshold)
-        .select(col("d1"), col("d2")).withColumn("variant", lit("simhash")))
+      .unionByName(rareCandidatesOf(shDf, lit(maxDf))
+        .withColumn("variant", lit("ngram_capped")))
+      .unionByName(simhashCandPairs(documents, 8).select(col("d1"), col("d2"))
+        .withColumn("variant", lit("simhash")))
     val nExp = exact.agg(count(lit(1)).as("n_expected"))
     // hint("merge") on the probe side: `exact` is a cached pair relation
     // whose pre-materialization estimate would plan a locked-in broadcast —
     // on a large tuning sample the all-pairs baseline is the BIGGEST
     // relation in this query (same hazard class as jaccardTail's pins)
     val counts = found
-      .join(exact.withColumn("hit", lit(1L)).hint("merge"), Seq("d1", "d2"), "left")
+      .join(exact.hint("merge"), Seq("d1", "d2"), "left_semi")
       .groupBy("variant")
-      .agg(count(lit(1)).as("n_found"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .agg(count(lit(1)).as("n_found"))
     // static variant list: a variant whose candidate generation finds ZERO
     // pairs must still report (n_found = 0, recall = 0) — a silently
     // missing row is exactly the failure a measurement query must expose
@@ -1986,11 +2027,14 @@ object Dedup {
       .crossJoin(broadcast(nExp))
       .select(col("variant"),
         coalesce(col("n_found"), lit(0L)).as("n_found"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        // n_hits ≡ n_found: the precision-1 identity, now by construction
+        // of the intersection rather than by a measured left-join — the
+        // emitted values are unchanged (oracle-gated)
+        coalesce(col("n_found"), lit(0L)).as("n_hits"),
         col("n_expected"),
         // vacuous recall (0 of 0 expected) reports 1.0, not a null divide
         when(col("n_expected") === 0, lit(1.0))
-          .otherwise(round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          .otherwise(round(coalesce(col("n_found"), lit(0L)).cast("double")
             / col("n_expected").cast("double"), 6)).as("recall"))
       .orderBy("variant")
   }
@@ -2356,7 +2400,12 @@ object Dedup {
     agg.select(col("doc_id"), simhashFromSums(sums).as("simhash"))
   }
 
-  def simhash(documents: DataFrame, threshold: Double, maxHamming: Int = 8): DataFrame = {
+  /** Banded-SimHash candidate pairs (d1 < d2, hamming ≤ maxHamming,
+    * distinct) — the candidate half shared by [[simhash]] (which verifies
+    * them) and [[dedupRecall]] (which intersects them with the exact
+    * baseline — see its scaladoc). Same single-source-of-truth contract
+    * as [[minhashCandidatesOf]]. */
+  private def simhashCandPairs(documents: DataFrame, maxHamming: Int): DataFrame = {
     // chunks projected once per token (md5 CSE'd within the project); the
     // 64 signed-bit sums are then integer shift/mask arithmetic — measured
     // ~13% end-to-end vs the substring+IN string test (see TextFns)
@@ -2384,7 +2433,7 @@ object Dedup {
     // hamming is computed and filtered BEFORE the distinct: collisions drop
     // early and the dedup Exchange carries (d1, d2, hamming) instead of two
     // 64-char signatures.
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
@@ -2392,6 +2441,10 @@ object Dedup {
           bit_count(col("x.h2").bitwiseXOR(col("y.h2")))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  def simhash(documents: DataFrame, threshold: Double, maxHamming: Int = 8): DataFrame = {
+    val cand = simhashCandPairs(documents, maxHamming)
     // candidate-first exact-Jaccard verify (hamming rides the groupBy key);
     // hint("merge") on the inverted-index sides — see jaccardOf for why a
     // broadcast there is catastrophic (measured 680 s → 9 s at sf0.1)

@@ -567,6 +567,23 @@ class OperatorSpec extends AnyFunSuite {
       assert(hits == found && hits <= expected)
       assert(recall >= 0.0 && recall <= 1.0)
     }
+    // round-14 rewrite pin: dedupRecall counts candidates ∩ exact instead
+    // of re-running each variant's verify — assert per-variant n_found
+    // equals |full-pipeline output ∩ exact| computed from the REAL
+    // standalone pipelines, so the candidate twins (minhashCandidatesOf /
+    // rareCandidatesOf / simhashCandPairs) can never drift from the
+    // verify pipelines they stand in for
+    val exact = Dedup.ngramJaccard(docs, 0.5)
+      .select("d1", "d2").collect().map(_.toString).toSet
+    def hitsOf(df: org.apache.spark.sql.DataFrame): Long = {
+      val n = df.select("d1", "d2").collect().map(_.toString).toSet
+        .count(exact.contains)
+      spark.sharedState.cacheManager.clearCache()
+      n.toLong
+    }
+    assert(rows("minhash")._1 == hitsOf(Dedup.minhash(docs, 0.5)))
+    assert(rows("ngram_capped")._1 == hitsOf(Dedup.ngramJaccardCapped(docs, 0.5, 20)))
+    assert(rows("simhash")._1 == hitsOf(Dedup.simhash(docs, 0.5)))
   }
 
   test("ngram budget cap: equals the full-recall baseline when the volume fits the budget") {
