@@ -35,6 +35,32 @@ object PairsPhaseProf {
       t("upsert (10% batch)") {
         PairsLayout.upsert(spark, d, batch, 0.8)
       }
+      // batch pipeline alone (noop): within-batch minhash+verify — the
+      // baseline to subtract from the probe phase below
+      t("batch pipeline alone (noop)") {
+        import graft.operators.Dedup
+        val a = Dedup.minhashArtifactsWith(batch, 0.8)
+        try a.pairs.write.format("noop").mode("overwrite").save()
+        finally a.handles.foreach(_.unpersist())
+      }
+      // probe-only isolation (noop sink): the minhashAgainst candidate
+      // join + verify against the three STORED relations — the corpus
+      // term VERDICT r13 #8 asks to measure, separated from the batch's
+      // own pipeline and the staged writes (which overlap concurrently
+      // inside upsert). Uses a fresh batch slice so the artifact state
+      // is untouched.
+      t("probe-only vs stored index (noop)") {
+        import graft.sources.SignatureLayout
+        import graft.operators.Dedup
+        val a = Dedup.minhashArtifactsWith(batch, 0.8)
+        try {
+          Dedup.probeIndex(a.shingles, a.bands,
+            SignatureLayout.readBands(spark, d),
+            SignatureLayout.readShingles(spark, d),
+            SignatureLayout.readSizes(spark, d), 0.8)
+            .write.format("noop").mode("overwrite").save()
+        } finally a.handles.foreach(_.unpersist())
+      }
       t("compact") {
         PairsLayout.compact(spark, d)
       }

@@ -172,6 +172,13 @@ object PairsLayout {
              threshold: Double, seeds: Int = 8, rowsPerBand: Int = 2,
              batchId: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, count, expr, greatest, least, lit}
+    // phase marks (profiler-only, env-guarded — the upsertStored pattern)
+    val dbg = sys.env.contains("SPARK_GRAFT_PAIRS_DEBUG")
+    var tdbg = System.nanoTime()
+    def mark(what: String): Unit = {
+      if (dbg) println(f"[pairs_upsert] $what ${(System.nanoTime() - tdbg) / 1e9}%.2f s")
+      tdbg = System.nanoTime()
+    }
     // file-count discipline (round-9 ADVICE #4): batch deltas are sized to
     // the BATCH, not session parallelism — a long-running ingest appending
     // 32 files × 4 relations per micro-batch degrades probe read planning;
@@ -186,6 +193,7 @@ object PairsLayout {
         count(lit(1)).as("c")).head()
       if (r.isNullAt(0)) s"empty-0" else f"${r.getLong(0)}%016x-${r.getLong(1)}"
     }
+    mark("batch id digest")
     // md5-keyed prefix: collision-free across distinct batch ids, stable
     // across re-runs of the SAME id, and free of filesystem-hostile chars
     val key = java.security.MessageDigest.getInstance("MD5")
@@ -234,12 +242,14 @@ object PairsLayout {
       Await.ready(pairsStage, Duration.Inf)
       staged.get
       Await.result(pairsStage, Duration.Inf)
+      mark("stage (probe + batch pipeline + 4 staged writes)")
       // ...then commit by batch-keyed rename: signatures, pairs, marker
       // LAST (replace-on-rerun semantics — see the recovery contract)
       SignatureLayout.commitAppend(spark, dir, prefix)
       SignatureLayout.moveInto(spark, s"$dir/stage_pairs", s"$dir/pairs", prefix)
       mfs.mkdirs(marker.getParent)
       mfs.create(marker, true).close()
+      mark("commit renames + marker")
     } finally a.handles.foreach(_.unpersist())
   }
 
